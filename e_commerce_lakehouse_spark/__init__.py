@@ -1,0 +1,25 @@
+"""e_commerce_lakehouse_spark — a from-scratch PySpark-native lakehouse
+table-maintenance engine.
+
+Re-expresses the capabilities of the reference repo
+(b-kenneth/E-commerce-lakehouse — a Glue/Lambda/Delta ETL pipeline; see
+SURVEY.md) as an idiomatic PySpark engine over an Iceberg-style table
+format implemented here from scratch:
+
+- ``table/``      snapshot + manifest metadata layer, atomic commits,
+                  per-file min/max stats, snapshot-pinned pruned scans
+- ``operators/``  the five maintenance operators (compaction, Z-order /
+                  Hilbert clustering, manifest rewrite, snapshot expire +
+                  GC, MERGE INTO) plus the reference's ETL dataflow
+                  operators (validate / dedup / transform) and
+                  training-data ops (dedup family, ANN, text analysis)
+- ``functions/``  vectorized key functions (Z-order & Hilbert interleave)
+- ``plans/``      driver-side planning: bin-packing, skew/salting helpers
+- ``sources/``    CSV/Excel/parquet ingestion (reference §2.1 parity)
+- ``streaming/``  file-source micro-batch ingestion via foreachBatch MERGE
+
+Everything here derives from public knowledge only: the Apache Spark /
+PySpark API and the reference repo's observable behavior.
+"""
+
+__version__ = "0.1.0"

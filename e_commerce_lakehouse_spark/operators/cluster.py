@@ -1,0 +1,233 @@
+"""Op-2: Z-order / Hilbert clustering on (conv_id, ts).
+
+The reference's only layout control is static partitionBy
+(`/root/reference/src/glue_jobs/orders_etl.py:191-194`). Clustering
+re-sorts the whole table along a space-filling curve over
+(hash(conv_id), minmax-scaled ts) so point/range queries on EITHER
+dimension skip most files via the manifest min/max stats.
+
+Key computation is JVM-expression Z-order by default (whole-stage
+codegen) or an Arrow-vectorized Hilbert pandas UDF (functions/zorder.py).
+``ts`` bounds come from MANIFEST stats — planning reads no data.
+
+Two execution modes:
+
+- single-pass (default): ``repartitionByRange(n, key)`` (one shuffle,
+  Spark range-sampling balances partitions even under hot-conv skew since
+  the key mixes hash(conv_id) bits) + ``sortWithinPartitions`` + write.
+  Best throughput; this is what bench.py measures.
+- sharded (``shards=K``): stage 1 spills a keyed temp copy hash-bucketed
+  by key-quantile shard; stage 2 sorts/writes each shard as its own
+  checkpointed file group. Twice the I/O, but a killed run resumes at
+  shard granularity — the trade the north rule asks for on week-long
+  100 TB runs.
+
+Commit is one atomic REPLACE snapshot; pre-clustering snapshot remains
+readable (snapshot isolation) and content is byte-identical.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from time import monotonic
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpoint import Checkpoint
+from ..functions.zorder import (
+    MASK31,
+    hilbert_key_udf,
+    norm31_scale,
+    order_preserving_str31,
+    str31_py,
+    zorder_key_col,
+)
+from ..schema import TRANSCRIPTS_SCHEMA, TRANSCRIPTS_STAT_COLUMNS
+from ..table.meta import DataFileEntry, Table
+from ..table.scan import scan
+from ..table.stats import collect_entries, list_parquet_files
+from ..table.writer import DEFAULT_TARGET_FILE_BYTES
+
+_KEY = "__ckey"
+
+
+def _ts_bounds_from_manifest(entries) -> tuple[int, int] | None:
+    los = [e.stats["ts"][0] for e in entries if "ts" in e.stats]
+    his = [e.stats["ts"][1] for e in entries if "ts" in e.stats]
+    if los and len(los) == len(entries):
+        return min(los), max(his)
+    return None
+
+
+def _conv_projection(entries) -> tuple[int, int, int]:
+    """(common_prefix_len, projected_lo, projected_hi) for conv_id, from
+    manifest stats only — no data read. The projection skips the dead
+    common prefix; lo/hi let the dimension min-max scale to the full
+    31-bit domain so the interleave stays balanced."""
+    import os.path
+
+    los = [e.stats["conv_id"][0] for e in entries if "conv_id" in e.stats]
+    his = [e.stats["conv_id"][1] for e in entries if "conv_id" in e.stats]
+    if not los:
+        return 0, 0, MASK31
+    lo_s, hi_s = min(los), max(his)
+    pl = len(os.path.commonprefix([lo_s, hi_s]))
+    return pl, str31_py(lo_s, pl), str31_py(hi_s, pl)
+
+
+def _with_cluster_key(
+    df, curve: str, ts_lo: int, ts_hi: int, conv_proj: tuple[int, int, int] = (0, 0, MASK31)
+):
+    # ORDER-PRESERVING conv_id projection (not a hash): file min/max stats
+    # on conv_id stay narrow after the sort, so point queries prune files.
+    # Both dimensions are min-max scaled to the full 31-bit domain so
+    # neither dominates the interleave.
+    pl, xlo, xhi = conv_proj
+    x = norm31_scale(order_preserving_str31(F.col("conv_id"), pl), xlo, xhi)
+    y = norm31_scale(F.unix_micros(F.col("ts")), ts_lo, ts_hi)
+    if curve == "zorder":
+        key = zorder_key_col(x, y)
+    elif curve == "hilbert":
+        key = hilbert_key_udf()(x.cast("long"), y.cast("long"))
+    else:
+        raise ValueError(f"unknown curve: {curve}")
+    return df.withColumn(_KEY, key)
+
+
+def cluster(
+    spark: SparkSession,
+    table: Table,
+    curve: str = "zorder",
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    shards: int = 1,
+    checkpoint_path: str | None = None,
+    schema=TRANSCRIPTS_SCHEMA,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> dict:
+    base_snapshot = table.current_snapshot_id()
+    if base_snapshot is None:
+        raise ValueError("cannot cluster an empty table")
+    entries = table.entries()
+    total_bytes = sum(e.bytes for e in entries)
+    n_files = max(1, math.ceil(total_bytes / target_bytes))
+
+    df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
+    bounds = _ts_bounds_from_manifest(entries)
+    if bounds is None:  # fall back to a data-scan agg (min/max only)
+        row = df.agg(
+            F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+        ).collect()[0]
+        bounds = (row["lo"], row["hi"])
+    keyed = _with_cluster_key(df, curve, *bounds, conv_proj=_conv_projection(entries))
+
+    t0 = monotonic()
+    if shards <= 1:
+        subdir = f"cluster-{base_snapshot:08d}-{curve}"
+        out_dir = os.path.join(table.data_dir, subdir)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        (
+            keyed.repartitionByRange(n_files, F.col(_KEY))
+            .sortWithinPartitions(_KEY)
+            .drop(_KEY)
+            .write.mode("error")
+            .parquet(out_dir)
+        )
+        added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
+    else:
+        added = _cluster_sharded(
+            spark, table, keyed, base_snapshot, curve, shards, n_files,
+            checkpoint_path, stat_columns,
+        )
+
+    removed = [e.path for e in entries]
+    snap = table.commit_rewrite(
+        removed,
+        added,
+        operation="replace",
+        summary={"op": f"cluster-{curve}", "output_files": len(added), "shards": shards},
+    )
+    return {
+        "base_snapshot": base_snapshot,
+        "committed_snapshot": snap.snapshot_id,
+        "curve": curve,
+        "output_files": len(added),
+        "rows": sum(e.rows for e in added),
+        "bytes": sum(e.bytes for e in added),
+        "wall_ms": int((monotonic() - t0) * 1000),
+    }
+
+
+def _cluster_sharded(
+    spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path, stat_columns
+) -> list[DataFileEntry]:
+    """Stage temp copy bucketed by key-quantile shard, then sort/write each
+    shard as a checkpointed, resumable file group."""
+    ckpt = Checkpoint(
+        checkpoint_path
+        or os.path.join(table.metadata_dir, f"cluster-{base_snapshot:08d}.ckpt.jsonl")
+    )
+    tmp_dir = os.path.join(table.data_dir, f"_tmp-cluster-{base_snapshot:08d}-{curve}")
+    done = ckpt.done()
+
+    # stage 1 (group_id = -1): keyed temp copy partitioned by shard id
+    if -1 not in done:
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        cuts = keyed.stat.approxQuantile(
+            _KEY, [i / shards for i in range(1, shards)], 0.001
+        )
+        # shard id = #cut-points below the key (monotone in key)
+        shard_expr = (
+            sum((F.col(_KEY) > F.lit(c)).cast("int") for c in cuts) if cuts else F.lit(0)
+        )
+        (
+            keyed.withColumn("__shard", shard_expr)
+            .write.mode("overwrite")
+            .partitionBy("__shard")
+            .parquet(tmp_dir)
+        )
+        ckpt.record({"group_id": -1, "status": "done", "tmp_dir": tmp_dir})
+        done = ckpt.done()
+
+    files_per_shard = max(1, math.ceil(n_files / shards))
+    added: list[DataFileEntry] = []
+    for s in range(shards):
+        if s in done:
+            added.extend(DataFileEntry.from_dict(d) for d in done[s]["outputs"])
+            continue
+        t0 = monotonic()
+        shard_dir = os.path.join(tmp_dir, f"__shard={s}")
+        out_dir = os.path.join(
+            table.data_dir, f"cluster-{base_snapshot:08d}-{curve}-s{s:04d}"
+        )
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        if not os.path.exists(shard_dir):  # empty shard
+            ckpt.record({"group_id": s, "status": "done", "outputs": [], "rows": 0})
+            continue
+        sdf = spark.read.parquet(shard_dir)
+        (
+            sdf.repartitionByRange(files_per_shard, F.col(_KEY))
+            .sortWithinPartitions(_KEY)
+            .drop(_KEY)
+            .write.mode("error")
+            .parquet(out_dir)
+        )
+        outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
+        ckpt.record(
+            {
+                "group_id": s,
+                "status": "done",
+                "outputs": [e.to_dict() for e in outs],
+                "rows": sum(e.rows for e in outs),
+                "wall_ms": int((monotonic() - t0) * 1000),
+            }
+        )
+        added.extend(outs)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ckpt.clear()
+    return added

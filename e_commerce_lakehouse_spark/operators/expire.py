@@ -1,0 +1,89 @@
+"""Op-4: snapshot expiration + orphan-file GC.
+
+Reference analog: the archival lifecycle (move processed files out of the
+live zone, `/root/reference/src/lambda/file_archiver.py:26-64`) and the
+disabled Delta retention check
+(`retentionDurationCheck.enabled=false`, `config/aws_config.py:67`).
+
+Semantics (Iceberg-style):
+- RETAINED snapshots: the current one plus the most recent ``keep_last``
+  (and/or anything newer than ``older_than_ms``). Readers may pin any
+  retained snapshot id (snapshot isolation).
+- EXPIRED snapshot JSON files are deleted; manifests referenced only by
+  expired snapshots are deleted.
+- ORPHAN GC: any file under data/ referenced by NO retained snapshot is
+  deleted — this covers both files only old snapshots referenced and
+  debris from crashed writes that never committed (table/meta.py's
+  crash-before-flip case).
+
+Single-writer assumption: GC must not run concurrently with a writer
+(same constraint as the reference's one-Glue-job-per-table design).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..table.meta import Table
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    ids = table.snapshot_ids()
+    current = table.current_snapshot_id()
+    if current is None:
+        raise ValueError("empty table")
+    retained = set(ids[-max(1, keep_last):]) | {current}
+    if older_than_ms is not None:
+        for sid in ids:
+            if table.snapshot(sid).timestamp_ms >= older_than_ms:
+                retained.add(sid)
+    expired = [sid for sid in ids if sid not in retained]
+
+    live_rel: set[str] = set()
+    live_manifests: set[str] = set()
+    for sid in retained:
+        snap = table.snapshot(sid)
+        live_manifests.update(snap.manifests)
+        for e in table.entries(sid):
+            live_rel.add(e.path)
+
+    # orphan data files = on disk but in no retained snapshot
+    on_disk = []
+    for dirpath, _dirs, files in os.walk(table.data_dir):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            on_disk.append(os.path.relpath(p, table.root))
+    orphans = sorted(set(on_disk) - live_rel)
+
+    # manifests referenced only by expired snapshots
+    dead_manifests = set()
+    for sid in expired:
+        dead_manifests.update(table.snapshot(sid).manifests)
+    dead_manifests -= live_manifests
+
+    if not dry_run:
+        for rel in orphans:
+            os.remove(os.path.join(table.root, rel))
+        # remove now-empty data subdirectories
+        for dirpath, dirs, files in os.walk(table.data_dir, topdown=False):
+            if dirpath != table.data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for m in dead_manifests:
+            mp = os.path.join(table.metadata_dir, m)
+            if os.path.exists(mp):
+                os.remove(mp)
+        for sid in expired:
+            os.remove(os.path.join(table.metadata_dir, f"snap-{sid:08d}.json"))
+
+    return {
+        "retained_snapshots": sorted(retained),
+        "expired_snapshots": expired,
+        "deleted_data_files": len(orphans),
+        "deleted_manifests": len(dead_manifests),
+        "dry_run": dry_run,
+    }

@@ -1,0 +1,153 @@
+"""Op-5: MERGE INTO — copy-on-write upsert for late-arriving corrections.
+
+Reference analog: Delta MERGE `whenMatchedUpdateAll /
+whenNotMatchedInsertAll` keyed on the PK
+(`/root/reference/src/glue_jobs/orders_etl.py:179-188`,
+`products_etl.py:79-88`, `order_items_etl.py:74-81`). Semantics kept:
+every source row ends up in the table (matched keys overwritten, new keys
+inserted); source-internal duplicates collapse keep-latest-by-ts with a
+DETERMINISTIC tiebreak (the reference's window dedup `orders_etl.py:150-160`
+ties nondeterministically — SURVEY.md §2.5 W1).
+
+Physical plan, Spark-first:
+
+1. TOUCHED-FILE PRUNING: join the source's distinct keys against the
+   manifest's per-file [conv_id_min, conv_id_max] (a broadcast range
+   join — the file-stats side is manifest-sized, always broadcastable).
+   Only overlapping files are rewritten; a 0.01% correction batch on a
+   100 TB table rewrites ~0.01% of file groups, not the table.
+2. REWRITE: anti-join the touched rows against source keys (drops stale
+   versions), union the deduped source, write new files.
+3. COMMIT one atomic snapshot (removed = touched files, added = new).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from time import monotonic
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import TRANSCRIPTS_SCHEMA, TRANSCRIPTS_STAT_COLUMNS
+from ..table.meta import Table
+from ..table.stats import collect_entries, list_parquet_files
+from ..table.writer import DEFAULT_TARGET_FILE_BYTES
+
+DEFAULT_KEYS = ("conv_id", "turn_idx")
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    order_col: str = "ts",
+) -> DataFrame:
+    """Keep the latest row per key — the reference's W1 window dedup
+    (`orders_etl.py:150-160`) with a deterministic content-hash tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.xxhash64(*[F.col(c) for c in df.columns]).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert_dataframes(
+    target: DataFrame,
+    source: DataFrame,
+    keys=DEFAULT_KEYS,
+    order_col: str | None = "ts",
+) -> DataFrame:
+    """Pure dataflow MERGE semantics (whenMatchedUpdateAll +
+    whenNotMatchedInsertAll): target rows whose key is absent from source,
+    plus all (deduped) source rows. Used standalone as an operator and by
+    ``merge_into`` for the touched-file rewrite."""
+    if order_col is not None:
+        source = dedup_keep_latest(source, keys, order_col)
+    return target.join(source.select(*keys).distinct(), list(keys), "left_anti").unionByName(
+        source
+    )
+
+
+def _touched_paths(spark: SparkSession, table: Table, source: DataFrame, key: str) -> list[str]:
+    """Manifest-stat pruning: files whose [min,max] range of ``key``
+    overlaps any source key. Files lacking stats are conservatively touched."""
+    entries = table.entries()
+    stat_rows, no_stats = [], []
+    for e in entries:
+        rng = e.stats.get(key)
+        if rng is None:
+            no_stats.append(e.path)
+        else:
+            stat_rows.append((e.path, rng[0], rng[1]))
+    if not stat_rows:
+        return no_stats
+    files_df = spark.createDataFrame(stat_rows, f"path string, lo string, hi string")
+    touched = (
+        source.select(F.col(key).cast("string").alias("k"))
+        .distinct()
+        .join(
+            F.broadcast(files_df),
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+            "inner",
+        )
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    return no_stats + [r["path"] for r in touched]
+
+
+def merge_into(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    keys=DEFAULT_KEYS,
+    order_col: str = "ts",
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    schema=TRANSCRIPTS_SCHEMA,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> dict:
+    base_snapshot = table.current_snapshot_id()
+    if base_snapshot is None:
+        raise ValueError("cannot merge into an empty table")
+    t0 = monotonic()
+    source = dedup_keep_latest(source.select([f.name for f in schema.fields]), keys, order_col)
+
+    touched = _touched_paths(spark, table, source, keys[0])
+    entries_by_path = {e.path: e for e in table.entries()}
+    touched_bytes = sum(entries_by_path[p].bytes for p in touched)
+
+    if touched:
+        abs_paths = [os.path.join(table.root, p) for p in touched]
+        target_df = spark.read.schema(schema).parquet(*abs_paths)
+    else:
+        target_df = spark.createDataFrame([], schema)
+    merged = merge_upsert_dataframes(target_df, source, keys, order_col=None)
+
+    subdir = f"merge-{base_snapshot:08d}"
+    out_dir = os.path.join(table.data_dir, subdir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    n_out = max(1, math.ceil(touched_bytes / target_bytes) or 1)
+    merged.repartition(n_out).write.mode("error").parquet(out_dir)
+    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
+
+    snap = table.commit_rewrite(
+        touched,
+        added,
+        operation="merge",
+        summary={"op": "merge", "touched_files": len(touched), "added_files": len(added)},
+    )
+    return {
+        "base_snapshot": base_snapshot,
+        "committed_snapshot": snap.snapshot_id,
+        "touched_files": len(touched),
+        "total_files": len(entries_by_path),
+        "added_files": len(added),
+        "wall_ms": int((monotonic() - t0) * 1000),
+    }

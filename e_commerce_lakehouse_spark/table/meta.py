@@ -1,0 +1,273 @@
+"""Iceberg-style table metadata layer, from scratch.
+
+No Delta/Iceberg jars exist in this environment (SURVEY.md §7.1), so the
+table format — snapshots, manifests, per-file stats, atomic commit,
+snapshot pinning — is implemented here. Data files are plain Parquet,
+readable by Spark and by the DuckDB oracle.
+
+Layout:
+
+    <root>/data/...            immutable Parquet data files
+    <root>/metadata/
+        VERSION                text file: current snapshot id (atomic os.replace)
+        snap-<id>.json         snapshot: parent, operation, manifest list,
+                               removed-file set, summary
+        manifest-<id>-<k>.json list of DataFileEntry dicts
+
+Commits are O(changed files), not O(table): an append or rewrite snapshot
+references the parent's manifests plus ONE new manifest for added files
+plus a delta set of removed paths. The live file set of a snapshot is
+(union of manifest entries) − (accumulated removed set). `rewrite_manifests`
+(operators/manifest_rewrite.py) periodically collapses that debt into a
+single fresh manifest — that is the op's whole purpose, exactly like
+Iceberg's RewriteManifests action.
+
+Scale notes (100 TB / 10^12 turns): manifests here are JSON for
+debuggability at sandbox scale; the format is column-shaped (fixed stat
+columns) so swapping the manifest codec to Parquet is a serialization
+change, not a format change. Stats collection is distributed
+(table/stats.py reads only Parquet footers, on executors).
+
+Concurrency: single-writer per table (the reference is single-writer per
+dataset too — one Glue job per table, see
+`/root/reference/src/step_functions/etl_orchestrator.json:91-115`).
+Atomicity comes from writing the snapshot file first and flipping VERSION
+with os.replace last; a crash before the flip leaves the old snapshot
+current and the new files orphaned (cleaned by expire_snapshots GC).
+
+Reference analogs: Delta initial write / MERGE sink
+(`orders_etl.py:191-194,179-188`), archival lifecycle
+(`src/lambda/file_archiver.py:26-64`), retention conf
+(`config/aws_config.py:67`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DataFileEntry:
+    """One immutable Parquet data file + its pruning stats.
+
+    ``stats`` maps column name -> [min, max]; timestamps are stored as
+    epoch microseconds (ints) so comparisons are total-ordered JSON.
+    """
+
+    path: str
+    rows: int
+    bytes: int
+    stats: dict[str, list] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DataFileEntry":
+        return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"], stats=d.get("stats", {}))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # append | replace | overwrite | merge | rewrite-manifests | expire
+    manifests: list[str]
+    removed_files: list[str]
+    summary: dict
+    timestamp_ms: int
+
+    def to_dict(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "removed_files": self.removed_files,
+            "summary": self.summary,
+            "timestamp_ms": self.timestamp_ms,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Snapshot":
+        return cls(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            operation=d["operation"],
+            manifests=d["manifests"],
+            removed_files=d.get("removed_files", []),
+            summary=d.get("summary", {}),
+            timestamp_ms=d.get("timestamp_ms", 0),
+        )
+
+
+class Table:
+    """A lakehouse table rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        self.data_dir = os.path.join(self.root, "data")
+        self.metadata_dir = os.path.join(self.root, "metadata")
+
+    # ---------- lifecycle ----------
+
+    @classmethod
+    def create(cls, root: str) -> "Table":
+        t = cls(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.metadata_dir, exist_ok=True)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "Table":
+        t = cls(root)
+        if not os.path.isdir(t.metadata_dir):
+            raise FileNotFoundError(f"not a table: {root}")
+        return t
+
+    # ---------- metadata reads ----------
+
+    def _version_path(self) -> str:
+        return os.path.join(self.metadata_dir, "VERSION")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._version_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.metadata_dir, f"snap-{sid:08d}.json")
+
+    def snapshot(self, sid: int | None = None) -> Snapshot:
+        if sid is None:
+            sid = self.current_snapshot_id()
+            if sid is None:
+                raise ValueError("table has no snapshots")
+        with open(self._snap_path(sid)) as f:
+            return Snapshot.from_dict(json.load(f))
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.metadata_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                out.append(int(name[5:-5]))
+        return sorted(out)
+
+    def manifest_entries(self, manifest_path: str) -> list[DataFileEntry]:
+        with open(os.path.join(self.metadata_dir, manifest_path)) as f:
+            return [DataFileEntry.from_dict(d) for d in json.load(f)["entries"]]
+
+    def entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
+        """Live data files of a snapshot: manifest union minus removed set."""
+        snap = self.snapshot(snapshot_id)
+        removed = set(snap.removed_files)
+        out: list[DataFileEntry] = []
+        seen: set[str] = set()
+        for m in snap.manifests:
+            for e in self.manifest_entries(m):
+                if e.path not in removed and e.path not in seen:
+                    seen.add(e.path)
+                    out.append(e)
+        return out
+
+    def file_paths(self, snapshot_id: int | None = None) -> list[str]:
+        return [os.path.join(self.root, e.path) for e in self.entries(snapshot_id)]
+
+    # ---------- commits ----------
+
+    def _write_manifest(self, sid: int, k: int, entries: list[DataFileEntry]) -> str:
+        name = f"manifest-{sid:08d}-{k:04d}.json"
+        tmp = os.path.join(self.metadata_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"entries": [e.to_dict() for e in entries]}, f)
+        os.replace(tmp, os.path.join(self.metadata_dir, name))
+        return name
+
+    def _commit(self, snap: Snapshot) -> Snapshot:
+        tmp = self._snap_path(snap.snapshot_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.to_dict(), f)
+        os.replace(tmp, self._snap_path(snap.snapshot_id))
+        vtmp = self._version_path() + ".tmp"
+        with open(vtmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+        os.replace(vtmp, self._version_path())  # the atomic flip
+        return snap
+
+    def _next_id(self) -> int:
+        cur = self.current_snapshot_id()
+        return 1 if cur is None else cur + 1
+
+    def commit_append(self, added: list[DataFileEntry], summary: dict | None = None) -> Snapshot:
+        """O(delta) append: parent manifests + one new manifest."""
+        sid = self._next_id()
+        parent = self.current_snapshot_id()
+        manifests = list(self.snapshot(parent).manifests) if parent else []
+        removed = list(self.snapshot(parent).removed_files) if parent else []
+        manifests.append(self._write_manifest(sid, len(manifests), added))
+        snap = Snapshot(sid, parent, "append", manifests, removed,
+                        _summarize(added, summary), int(time.time() * 1000))
+        return self._commit(snap)
+
+    def commit_rewrite(
+        self,
+        removed_paths: list[str],
+        added: list[DataFileEntry],
+        operation: str = "replace",
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: drop ``removed_paths``, add ``added``.
+
+        Used by compaction, clustering and MERGE. O(changed files)."""
+        sid = self._next_id()
+        parent = self.current_snapshot_id()
+        manifests = list(self.snapshot(parent).manifests) if parent else []
+        removed = list(self.snapshot(parent).removed_files) if parent else []
+        removed = sorted(set(removed) | set(removed_paths))
+        if added:
+            manifests.append(self._write_manifest(sid, len(manifests), added))
+        snap = Snapshot(sid, parent, operation, manifests, removed,
+                        _summarize(added, summary), int(time.time() * 1000))
+        return self._commit(snap)
+
+    def commit_manifests(
+        self, manifests: list[str], operation: str, summary: dict | None = None
+    ) -> Snapshot:
+        """Commit a snapshot that references pre-written manifests verbatim
+        with an empty removed set (used by rewrite_manifests)."""
+        sid = self._next_id()
+        parent = self.current_snapshot_id()
+        snap = Snapshot(sid, parent, operation, manifests, [], summary or {},
+                        int(time.time() * 1000))
+        return self._commit(snap)
+
+    def write_manifest_for(self, entries: list[DataFileEntry], k: int = 0) -> str:
+        """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""
+        return self._write_manifest(self._next_id(), k, entries)
+
+    # ---------- convenience ----------
+
+    def relpath(self, abs_path: str) -> str:
+        return os.path.relpath(abs_path, self.root)
+
+    def total_bytes(self, snapshot_id: int | None = None) -> int:
+        return sum(e.bytes for e in self.entries(snapshot_id))
+
+    def total_rows(self, snapshot_id: int | None = None) -> int:
+        return sum(e.rows for e in self.entries(snapshot_id))
+
+
+def _summarize(added: list[DataFileEntry], extra: dict | None) -> dict:
+    s = {
+        "added_files": len(added),
+        "added_rows": sum(e.rows for e in added),
+        "added_bytes": sum(e.bytes for e in added),
+    }
+    if extra:
+        s.update(extra)
+    return s

@@ -1,0 +1,77 @@
+"""Write DataFrames into the table format.
+
+Reference analog: Delta initial write `overwrite + partitionBy`
+(`/root/reference/src/glue_jobs/orders_etl.py:191-194`). Here a write is:
+Spark writes immutable Parquet part files into a fresh subdirectory of
+``data/``, we footer-scan them for stats (table/stats.py), then commit a
+snapshot referencing them. Data files are never mutated — only commits
+change what is live (copy-on-write, like Iceberg/Delta).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import TRANSCRIPTS_STAT_COLUMNS
+from .meta import DataFileEntry, Table
+from .stats import collect_entries, list_parquet_files
+
+# default target data-file size for writes/compaction; small in the sandbox
+# so the file-count dynamics of a 100 TB table are reproduced at SF scale
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def write_files(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    n_files: int,
+    subdir: str,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+    sort_within: list[str] | None = None,
+) -> list[DataFileEntry]:
+    """Write ``df`` as ~n_files parquet files under data/<subdir>; return
+    stat-bearing entries (NOT yet committed)."""
+    out_dir = os.path.join(table.data_dir, subdir)
+    if os.path.exists(out_dir):
+        raise FileExistsError(f"data subdir already exists: {out_dir}")
+    shaped = df.repartition(max(1, n_files))
+    if sort_within:
+        shaped = shaped.sortWithinPartitions(*sort_within)
+    shaped.write.mode("error").parquet(out_dir)
+    paths = list_parquet_files(out_dir)
+    return collect_entries(paths, table.root, stat_columns, spark=spark)
+
+
+def create_transcripts_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    rows_per_file: int = 10_000,
+    n_append_commits: int = 1,
+) -> Table:
+    """Create a transcripts table from a DataFrame, optionally split across
+    several append commits (multiple manifests — exercises manifest
+    rewrite) and into deliberately small files (exercises compaction)."""
+    table = Table.create(root)
+    total = df.count()
+    n_files = max(1, -(-total // rows_per_file))
+    if n_append_commits <= 1:
+        entries = write_files(spark, table, df, n_files, "ingest-00000001-0000")
+        table.commit_append(entries, {"op": "initial-ingest"})
+        return table
+    # split deterministically by conv_id hash into batches → k append commits
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.xxhash64("conv_id"), n_append_commits)
+    files_per_batch = max(1, n_files // n_append_commits)
+    for b in range(n_append_commits):
+        part = df.where(bucket == b)
+        sid = table._next_id()
+        entries = write_files(
+            spark, table, part, files_per_batch, f"ingest-{sid:08d}-0000"
+        )
+        table.commit_append(entries, {"op": "initial-ingest", "batch": b})
+    return table

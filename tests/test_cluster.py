@@ -1,0 +1,52 @@
+"""Op-2 clustering: byte-equality, file-skipping improvement, sharded
+resume path, Hilbert parity (SURVEY.md §7.3 step 4)."""
+
+from e_commerce_lakehouse_spark.operators.cluster import cluster
+from e_commerce_lakehouse_spark.table import prune_entries, scan
+from tests.conftest import assert_same_rows
+
+TARGET = 48 * 1024  # tiny target: the 4k-row fixture must still form many files
+
+
+def _skip_ratio(table, conv_id):
+    entries = table.entries()
+    surviving = prune_entries(entries, conv_id=conv_id)
+    return 1 - len(surviving) / len(entries)
+
+
+def test_zorder_cluster_preserves_content(spark, tiny_table):
+    before = scan(spark, tiny_table)
+    m = cluster(spark, tiny_table, curve="zorder", target_bytes=TARGET)
+    assert m["committed_snapshot"] == 4
+    assert_same_rows(before, scan(spark, tiny_table))
+
+
+def test_zorder_improves_conv_skipping(spark, tiny_table):
+    # pre-clustering: hash-scattered writes → every file spans ~all convs.
+    # Probe a COLD conversation (few turns, narrow ts window): its z-region
+    # is small, so most files must prune. A hot conv spanning the full ts
+    # range legitimately overlaps more key ranges — that's curve geometry,
+    # not a bug.
+    probe = "conv-000000000150"
+    ratio_before = _skip_ratio(tiny_table, probe)
+    cluster(spark, tiny_table, curve="zorder", target_bytes=24 * 1024)
+    ratio_after = _skip_ratio(tiny_table, probe)
+    assert len(tiny_table.entries()) >= 6
+    assert ratio_after > ratio_before
+    assert ratio_after >= 0.5  # point query now skips most files
+
+
+def test_hilbert_cluster_preserves_content(spark, tiny_table):
+    before = scan(spark, tiny_table)
+    m = cluster(spark, tiny_table, curve="hilbert", target_bytes=TARGET)
+    assert m["curve"] == "hilbert"
+    assert_same_rows(before, scan(spark, tiny_table))
+
+
+def test_sharded_cluster_matches_single_pass(spark, tiny_table):
+    before = scan(spark, tiny_table)
+    m = cluster(spark, tiny_table, curve="zorder", target_bytes=TARGET, shards=3)
+    assert m["committed_snapshot"] == 4
+    assert_same_rows(before, scan(spark, tiny_table))
+    # sharded output still skips on a cold-conversation point query
+    assert _skip_ratio(tiny_table, "conv-000000000150") >= 0.3

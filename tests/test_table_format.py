@@ -1,0 +1,50 @@
+"""Table format: commits, snapshot pinning, stat-based pruning (SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.table import Table, prune_entries, scan
+from tests.conftest import N_TURNS, assert_same_rows
+
+
+def test_roundtrip_byte_equality(spark, tiny_df, tiny_table):
+    back = scan(spark, tiny_table)
+    assert back.count() == N_TURNS
+    assert_same_rows(
+        back.select("conv_id", "turn_idx", "text"),
+        tiny_df.select("conv_id", "turn_idx", "text"),
+    )
+
+
+def test_append_commits_accumulate_manifests(tiny_table):
+    assert tiny_table.snapshot_ids() == [1, 2, 3]
+    snap = tiny_table.snapshot()
+    assert len(snap.manifests) == 3
+    assert tiny_table.total_rows() == N_TURNS
+
+
+def test_snapshot_pinning(spark, tiny_table):
+    rows_s1 = scan(spark, tiny_table, snapshot_id=1).count()
+    rows_s3 = scan(spark, tiny_table, snapshot_id=3).count()
+    assert 0 < rows_s1 < rows_s3 == N_TURNS
+
+
+def test_stats_present_and_pruning_works(spark, tiny_table):
+    entries = tiny_table.entries()
+    assert all("conv_id" in e.stats and "ts" in e.stats and "turn_idx" in e.stats for e in entries)
+    # a conv_id outside every file's range prunes everything
+    none = prune_entries(entries, conv_id="zzzz")
+    assert none == []
+    df = scan(spark, tiny_table, conv_id="zzzz")
+    assert df.count() == 0
+    # point query returns exactly the rows of that conv
+    some = scan(spark, tiny_table, conv_id="conv-000000000000")
+    expect = scan(spark, tiny_table).where(F.col("conv_id") == "conv-000000000000")
+    assert some.count() == expect.count() > 0
+
+
+def test_atomic_version_flip(tiny_table, tmp_path):
+    t = Table.load(tiny_table.root)
+    assert t.current_snapshot_id() == 3
+    snap = t.snapshot()
+    assert snap.operation == "append"
+    assert snap.parent_id == 2
