@@ -1,0 +1,302 @@
+"""Deduplication family for training-data pipelines over ``documents``.
+
+Exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — each a composition of built-in DataFrame ops (no UDFs), each
+with a DuckDB-SQL twin in ``__spark_entry__.oracle_sql``.
+
+Hash choice: every hash is ``md5`` (identical lowercase-hex output in
+Spark and DuckDB) so signatures are bit-identical across engines. MinHash
+uses the lexicographic MIN of seeded md5 strings — a valid random
+permutation per seed, portable everywhere.
+
+Scale notes (100 TB): the shingle self-join explodes on stop-shingles, so
+``max_df`` drops shingles present in more than that many documents before
+the join (standard df-cut); MinHash/LSH replaces the quadratic verify
+with band-bucket candidates; SimHash candidates are banded by 4×15-bit
+prefix chunks rather than cross-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct text. Hash-groupBy —
+    the content hash, not the full text, is the shuffle key at scale."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    m = F.size(w) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return F.array_distinct(grams)
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    inter via shingle equi-join, union via |A|+|B|−inter. ``max_df`` cuts
+    stop-shingles before the join (scale path)."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("df_"))
+            .where(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash+LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """num_hashes MinHash values per doc: h_j = min over shingles of
+    md5(j || '|' || shingle) — portable string-min minhash."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 12,
+    bands: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash → LSH banding → candidate pairs → exact-Jaccard verify.
+
+    Only band-collision candidates are verified — the verify join is
+    linear in candidates, not quadratic in documents."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    cands = None
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("a"), F.col(f"band{b}").alias("bk"))
+        right = banded.select(F.col(id_col).alias("b"), F.col(f"band{b}").alias("bk"))
+        c = left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    verified = ngram_jaccard_pairs(df, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
+    return (
+        cands.join(verified, ["a", "b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # 15 hex chars → fits a signed int64 exactly in both engines
+
+
+def _token_hash60(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash over word tokens, all built-in expressions:
+    per-bit majority vote of token hashes. Column form — prefer
+    ``simhash_signatures_df`` in bulk paths (single pass over exploded
+    tokens instead of 60 array folds per row)."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    hashes = F.transform(toks, _token_hash60)
+    bits = [_bit_term(hashes, i) for i in range(SIMHASH_BITS)]
+    return sum(bits[1:], bits[0])
+
+
+def _bit_term(hashes: Column, i: int) -> Column:
+    # closure factory: HOF lambdas must take exactly (acc, h) — no bound
+    # defaults (pyspark binds extra params as lambda variables)
+    vote = F.aggregate(
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    return F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+def simhash_signatures_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) via explode + ONE grouped aggregation pass: 60
+    sum(sign(bit)) aggs over (doc, token) rows — map-side combinable,
+    whole-stage codegen, no per-row array re-walks."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("tok"),
+    ).withColumn("h", _token_hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    return agg.select("id", sum(sig_terms[1:], sig_terms[0]).alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs (a<b) with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    EXACT via pigeonhole banding (Manku et al., WWW'07 style): with
+    n_chunks > max_hamming, any pair within the radius must agree on at
+    least one whole chunk, so chunk-equality joins produce a complete
+    candidate set; exact Hamming verify filters it. n_chunks self-joins
+    on short keys replace the O(n²) cross join."""
+    n_chunks = max_hamming + 1
+    while SIMHASH_BITS % n_chunks != 0:  # align to a divisor of 60
+        n_chunks += 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sigs = simhash_signatures_df(df, text_col, id_col)
+    chunks = [
+        F.shiftright(F.col("sig"), chunk_bits * c)
+        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        .alias(f"c{c}")
+        for c in range(n_chunks)
+    ]
+    banded = sigs.select("id", "sig", *chunks)
+    cands = None
+    for c in range(n_chunks):
+        left = banded.select(F.col("id").alias("a"), F.col("sig").alias("siga"), F.col(f"c{c}").alias("ck"))
+        right = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), F.col(f"c{c}").alias("ck"))
+        j = left.join(right, "ck").where(F.col("a") < F.col("b")).select("a", "b", "siga", "sigb")
+        cands = j if cands is None else cands.unionByName(j)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Exact cosine of two array<float>/array<double> columns — sequential
+    fold in double precision (bit-stable, matches DuckDB's list kernels)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def vec_norm(vec: Column) -> Column:
+    """L2 norm in double precision (sequential fold — oracle-stable)."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a<b) with cosine ≥ threshold. Brute-force O(n²) baseline —
+    the LSH-bucketed scale path lives in operators/similarity.py.
+
+    Norms are computed ONCE per row before the pair join (O(n) folds, not
+    O(n²)); only the dot product runs per pair — same arithmetic shape as
+    the oracle's dot/(|a||b|), so 4-dp rounding agrees."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", vec_norm(F.col("v")))
+    left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b")
+    )

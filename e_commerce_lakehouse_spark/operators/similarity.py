@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline (oracle-checkable); the
+scale path is random-hyperplane LSH bucketing — candidates only from
+matching buckets, then exact re-rank. Hyperplanes derive deterministically
+from md5 of (seed, plane, dim): no RNG state, identical across runs and
+executors, no data shipped to the driver.
+
+The reference has no similarity operator at all; this is part of the
+training-data surface the engine adds (task brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_sim, vec_norm  # noqa: F401 (cosine_sim is public API here too)
+
+
+def _norms(df: DataFrame, id_out: str, vec_out: str, norm_out: str, id_col: str, vec_col: str):
+    """Project (id, double-vector, L2 norm): norms computed once per row,
+    never per pair."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_out),
+    ).withColumn(norm_out, vec_norm(F.col(vec_out)))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded when ids
+    collide). Queries are broadcast — the fact table never shuffles."""
+    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col)
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col)
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-gaussian-ish plane from md5 — portable, no RNG."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / float(1 << 31) - 1.0)  # uniform [-1, 1)
+    return out
+
+
+def lsh_bucket_signature(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+                         vec_col: str = "embedding"):
+    """Random-hyperplane signature column: bit p = sign(v · plane_p)."""
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(seed, p, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).alias("bucket")
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine re-rank within. Recall < 1 by design; bucket fan-out is the
+    knob (fewer planes → bigger buckets → higher recall, more compute)."""
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).withColumn(
+        "bucket", lsh_bucket_signature(vectors, dim, n_planes, seed, "nv")
+    )
+    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col).withColumn(
+        "bucket", lsh_bucket_signature(queries, dim, n_planes, seed, "qv")
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Beyond the reference's string functions (trim/upper/length,
+`/root/reference/src/glue_jobs/products_etl.py:61-73`) these are the
+text ops a 100 TB corpus pipeline needs: token counting, quality scoring,
+language-ID heuristics, document fingerprinting. ALL logic is built-in
+``pyspark.sql.functions`` (JVM, whole-stage codegen) — no Python in the
+hot path — and every op has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` so the driver can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny fixed lexicons for the language-vote heuristic (shared with oracle)
+STOPWORDS_EN = ("the", "a", "of", "and", "to")
+LEXICONS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "y"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (deterministic, mirrors DuckDB
+    string_split_regex on trimmed input)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column, stopwords=STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    return F.round(punct / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0..1 quality proxy: length band + stopword presence −
+    punctuation excess (the standard cheap pre-filters before expensive
+    dedup/training steps)."""
+    length_ok = (F.length(col) >= 100) & (F.length(col) <= 20_000)
+    score = (
+        F.when(length_ok, 0.5).otherwise(0.0)
+        + F.least(stopword_ratio(col) * 5, F.lit(0.3))
+        + F.when(punct_ratio(col) <= 0.1, 0.2).otherwise(0.0)
+    )
+    return F.round(score, 6)
+
+
+def _lexicon_hits(toks: Column, lex: tuple[str, ...]) -> Column:
+    # NB: higher-order-function lambdas must take exactly the declared
+    # params — a `lx=lex` default would be bound as a lambda variable
+    return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+
+
+def lang_guess(col: Column) -> Column:
+    """Language-ID heuristic: vote by lexicon-token hits, ties → 'und'.
+    (A real system plugs fastText/CLD3 in the same column position.)"""
+    toks = tokens(col)
+    votes = {lang: _lexicon_hits(toks, lex) for lang, lex in LEXICONS.items()}
+    best = F.greatest(*votes.values())
+    n_best = sum(F.when(v == best, 1).otherwise(0) for v in votes.values())
+    out = F.when((best == 0) | (n_best > 1), F.lit("und"))
+    for lang, v in votes.items():
+        out = out.when(v == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Whole-document fingerprint of whitespace-normalized text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def fingerprint_shingle_min(col: Column, k: int = 16) -> Column:
+    """Winnowing-style fingerprint: min md5 over character k-gram shingles
+    (robust to small edits, unlike fingerprint_md5). Built from
+    sequence+transform — JVM-side, no UDF."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(k))))
+    return F.array_min(grams)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_computed"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_guess"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )

@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL — one twin per entry in queries.ALL.
+
+Rules that keep the driver's (row-count + schema + value-hash) compare
+green:
+- identical column aliases;
+- every computed double ROUND-ed to the same precision as the Spark side;
+- DuckDB's wider default int types cast down to Spark's (len/extract/
+  row_number → INTEGER where Spark emits int, sums → BIGINT);
+- hashes via md5 (bit-identical hex in both engines).
+"""
+
+from __future__ import annotations
+
+_ORDERS_VALID = (
+    "o_orderkey IS NOT NULL AND o_orderkey > 0 AND o_custkey IS NOT NULL "
+    "AND o_custkey > 0 AND o_totalprice IS NOT NULL AND o_totalprice > 0 "
+    "AND o_totalprice <= 150000.0 AND o_orderdate IS NOT NULL"
+)
+
+# shared CTE: distinct word-3-gram shingles per document (mirrors
+# operators/dedup.word_shingles semantics incl. the short-doc fallback)
+_SHINGLES = """
+shingles AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= 3 THEN
+            list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [array_to_string(w, ' ')] END)) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+)
+"""
+
+_JACCARD = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+    FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+),
+jac AS (
+    SELECT i.a, i.b, round(i.inter::DOUBLE / (za.sz + zb.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+)
+"""
+
+_MINHASH_SIG = ",\nsig AS (SELECT doc_id, " + ", ".join(
+    f"min(md5('{j}' || '|' || shingle)) AS h{j}" for j in range(12)
+) + " FROM shingles GROUP BY doc_id)"
+
+_BANDS = ",\nbanded AS (SELECT doc_id, " + ", ".join(
+    "md5(" + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + f") AS band{b}"
+    for b in range(3)
+) + " FROM sig)"
+
+_COS = """
+round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+ / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4)
+"""
+
+_TEXT_VOTES = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), feat AS (
+    SELECT doc_id, text, w,
+        len(list_filter(w, t -> t IN ('the','a','of','and','to')))::INTEGER AS sw_hits,
+        len(list_filter(w, t -> t IN ('the','a','and')))::INTEGER AS v_en,
+        len(list_filter(w, t -> t IN ('der','die','und')))::INTEGER AS v_de,
+        len(list_filter(w, t -> t IN ('le','la','et')))::INTEGER AS v_fr,
+        len(list_filter(w, t -> t IN ('el','la','y')))::INTEGER AS v_es
+    FROM toks
+), scored AS (
+    SELECT doc_id, text, w, v_en, v_de, v_fr, v_es,
+        round(sw_hits::DOUBLE / greatest(len(w), 1), 6) AS swr,
+        round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1), 6) AS pr,
+        greatest(v_en, v_de, v_fr, v_es) AS best
+    FROM feat
+)
+"""
+
+ALL: dict[str, str] = {
+    "q01_groupby_agg": """
+        SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_join_agg": """
+        SELECT o_orderkey, o_totalprice,
+            count(l_linenumber) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_totalprice
+    """,
+    "q03_broadcast_dim_join": """
+        SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q04_window_dedup_latest": """
+        SELECT user_id, event_id, ts, event_type FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) WHERE rn = 1
+    """,
+    "q05_validation_filter": f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE coalesce({_ORDERS_VALID}, false)
+    """,
+    "q06_invalid_complement": f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE NOT coalesce({_ORDERS_VALID}, false)
+    """,
+    "q07_value_buckets": """
+        SELECT CASE WHEN o_totalprice < 50000.0 THEN 'Low'
+                    WHEN o_totalprice < 150000.0 THEN 'Medium'
+                    ELSE 'High' END AS order_value_category,
+               count(*) AS n, round(avg(o_totalprice), 4) AS avg_amount
+        FROM orders GROUP BY 1
+    """,
+    "q08_group_counts": """
+        SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part GROUP BY p_brand
+    """,
+    "q09_union_dedup": """
+        SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+    """,
+    "q10_except": """
+        SELECT o_orderkey, o_totalprice FROM (
+            SELECT * FROM orders
+            EXCEPT
+            SELECT * FROM orders WHERE o_totalprice > 0 AND o_totalprice <= 150000.0)
+    """,
+    "q11_date_parts": """
+        SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS year,
+               EXTRACT(month FROM o_orderdate)::INTEGER AS month,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_amount
+        FROM orders GROUP BY 1, 2
+    """,
+    "q12_string_clean": """
+        SELECT c_custkey, upper(trim(c_name)) AS name_clean,
+               length(c_name)::INTEGER AS name_len,
+               upper(trim(c_mktsegment)) AS segment_clean
+        FROM customer WHERE length(trim(c_name)) > 0
+    """,
+    "q13_topk_per_group": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC)::INTEGER AS rnk
+            FROM orders) WHERE rnk <= 3
+    """,
+    "q14_json_extract": """
+        SELECT event_type, round(avg(k), 4) AS avg_k, count(*) AS n FROM (
+            SELECT event_type, regexp_extract(props, '"k": (\\d+)', 1)::INTEGER AS k
+            FROM events) GROUP BY event_type
+    """,
+    "q15_windowed_time_agg": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q16_sessionize": """
+        SELECT user_id, sum(s)::BIGINT AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id
+    """,
+    "q17_merge_upsert": """
+        WITH source AS (
+            SELECT event_id, value * 2 AS value FROM events WHERE event_id % 100 = 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, value FROM events WHERE event_id % 500 = 0
+        )
+        SELECT e.event_id, round(e.value, 2) AS value FROM events e
+        WHERE e.event_id NOT IN (SELECT event_id FROM source)
+        UNION ALL
+        SELECT event_id, round(value, 2) AS value FROM source
+    """,
+    "q18_count_distinct": """
+        SELECT user_id, count(DISTINCT event_type) AS n_types, count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "q19_text_analysis": _TEXT_VOTES + """
+        SELECT doc_id,
+            len(w)::INTEGER AS n_tokens,
+            length(text)::INTEGER AS n_chars_computed,
+            swr AS stopword_ratio,
+            pr AS punct_ratio,
+            round(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+                  + least(swr * 5, 0.3)
+                  + CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality,
+            CASE WHEN best = 0 OR ((v_en = best)::INT + (v_de = best)::INT
+                                   + (v_fr = best)::INT + (v_es = best)::INT) > 1 THEN 'und'
+                 WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de'
+                 WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es'
+                 ELSE 'und' END AS lang_guess,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM scored
+    """,
+    "q20_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        GROUP BY md5(text)
+    """,
+    "q21_ngram_jaccard": _JACCARD + """
+        SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.12
+    """,
+    "q22_minhash_lsh": _JACCARD + _MINHASH_SIG + _BANDS + """,
+        cands AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+                    ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+                    ON x.band1 = y.band1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+                    ON x.band2 = y.band2 AND x.doc_id < y.doc_id))
+        SELECT j.a, j.b, j.jaccard FROM jac j JOIN cands c ON j.a = c.a AND j.b = c.b
+        WHERE j.jaccard >= 0.12
+    """,
+    "q23_simhash": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+            FROM documents),
+        th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+            SELECT doc_id, bits.bit,
+                   sum(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
+            GROUP BY doc_id, bits.bit),
+        sigs AS (
+            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
+            FROM votes GROUP BY doc_id)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sig, y.sig)) <= 10
+    """,
+    "q24_embedding_neardup": f"""
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.40
+    """,
+    "q25_ann_topk": f"""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY {_COS.replace("a.e", "v.e").replace("b.e", "q.e")} DESC,
+                                            v.vec_id ASC)::INTEGER AS rank
+            FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id < 8) q
+            JOIN (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) v
+                ON v.vec_id <> q.vec_id)
+        WHERE rank <= 5
+    """,
+    "q28_asof_join": """
+        WITH u AS (
+            SELECT user_id AS k, ts, NULL::BIGINT AS o_orderkey, event_id, 'e' AS side FROM events
+            UNION ALL
+            SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey, NULL::BIGINT AS event_id, 'o' AS side
+            FROM orders)
+        SELECT o_orderkey, k AS o_custkey, last_event_id FROM (
+            SELECT *, last_value(event_id IGNORE NULLS) OVER (
+                PARTITION BY k ORDER BY ts ASC, side ASC, coalesce(event_id, o_orderkey) ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_event_id
+            FROM u) WHERE side = 'o'
+    """,
+    "q29_keep_latest_dedup": """
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+}

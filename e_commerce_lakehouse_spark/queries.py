@@ -1,0 +1,401 @@
+"""Operator-coverage queries over the driver's testdata tables.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data ops. Each function takes (spark, sf_dir) and returns a
+DataFrame whose column names/aliases EXACTLY match the DuckDB oracle in
+``oracles.py`` (the driver's compare sorts columns by name and hashes
+values).
+
+Float policy: every aggregated/computed double is ``F.round``-ed (2-6 dp)
+in BOTH engines so accumulation-order ulps can't flip the value hash.
+Timestamp policy: session timezone is UTC (session.py) so Spark and
+DuckDB agree on naive timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import etl
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators.merge import dedup_keep_latest, merge_upsert_dataframes
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ aggregation
+
+
+def q01_groupby_agg(spark, sf_dir):
+    """A1/A3: TPC-H Q1-shaped grouped aggregation (8 aggs, 2 keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_join_agg(spark, sf_dir):
+    """J2/A5: the reference's documented analytics join
+    (README.md:229-236): per-order item count + quantity."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_linenumber").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q03_broadcast_dim_join(spark, sf_dir):
+    """J1-style star join: broadcast small dims (nation, region), revenue
+    per region — the plan Catalyst should pick at 100 TB too."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def q08_group_counts(spark, sf_dir):
+    """A4: grouped counts (products-by-department analog: parts by brand)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price")
+    )
+
+
+def q18_count_distinct(spark, sf_dir):
+    """Distinct aggregation: event-type diversity per user."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"), F.count("*").alias("n_events")
+    )
+
+
+# ------------------------------------------------------- windows / dedup
+
+
+def q04_window_dedup_latest(spark, sf_dir):
+    """W1: keep-latest-per-key window dedup (orders_etl.py:150-160) with
+    deterministic tiebreak — latest event per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q13_topk_per_group(spark, sf_dir):
+    """Top-K per group (rank window): 3 priciest orders per priority."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q16_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session; sessions per
+    user (the batch form of the streaming session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("s", starts)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q28_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one — composed from a union +
+    last(ignorenulls) running window): for each order, the latest event of
+    the same user at-or-before the order date."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"), F.lit(None).cast("long").alias("event_id"),
+    ).withColumn("side", F.lit("o"))
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"), F.col("event_id"),
+    ).withColumn("side", F.lit("e"))
+    u = e.unionByName(o)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.coalesce("event_id", "o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+        .where(F.col("side") == "o")
+        .select("o_orderkey", F.col("k").alias("o_custkey"), "last_event_id")
+    )
+
+
+# --------------------------------------------------- validation / scalars
+
+
+def q05_validation_filter(spark, sf_dir):
+    """P1: conjunctive validation predicate (orders_etl.py:134-144)."""
+    o = _t(spark, sf_dir, "orders")
+    pred = etl.orders_valid_predicate(
+        amount_cap=150_000.0, order_key="o_orderkey", user_key="o_custkey",
+        ts_col="o_orderdate", amount_col="o_totalprice", num_col=None,
+    )
+    valid, _ = etl.split_valid_invalid(o, pred)
+    return valid.select("o_orderkey", "o_totalprice")
+
+
+def q06_invalid_complement(spark, sf_dir):
+    """P4: complement of the validation filter via predicate negation (the
+    reference's ``subtract`` costs two shuffles and drops duplicates)."""
+    o = _t(spark, sf_dir, "orders")
+    pred = etl.orders_valid_predicate(
+        amount_cap=150_000.0, order_key="o_orderkey", user_key="o_custkey",
+        ts_col="o_orderdate", amount_col="o_totalprice", num_col=None,
+    )
+    _, invalid = etl.split_valid_invalid(o, pred)
+    return invalid.select("o_orderkey", "o_totalprice")
+
+
+def q07_value_buckets(spark, sf_dir):
+    """when/otherwise bucketing + grouped stats (orders_etl.py:171-174 +
+    README.md:213-221)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "order_value_category",
+            etl.bucketize(F.col("o_totalprice"), [50_000.0, 150_000.0], ["Low", "Medium", "High"]),
+        )
+        .groupBy("order_value_category")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_amount"))
+    )
+
+
+def q11_date_parts(spark, sf_dir):
+    """Timestamp scalar family (orders_etl.py:164-170): year/month/day/hour
+    derivation + grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    t = etl.transform_orders(
+        o.withColumnRenamed("o_orderdate", "order_timestamp")
+        .withColumnRenamed("o_totalprice", "total_amount"),
+        ts_col="order_timestamp",
+    )
+    return t.groupBy("year", "month").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("total_amount"), 2).alias("sum_amount")
+    )
+
+
+def q12_string_clean(spark, sf_dir):
+    """P2 string family (products_etl.py:54-74): trim/upper/length."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.length(F.trim(F.col("c_name"))) > 0).select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_clean"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("segment_clean"),
+    )
+
+
+def q14_json_extract(spark, sf_dir):
+    """Semi-structured scalar extraction: numeric field from the JSON props
+    string, aggregated per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+def q15_windowed_time_agg(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    count): hourly counts + sums per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+
+def q09_union_dedup(spark, sf_dir):
+    """O2+O4: union + distinct (reference unions multi-file inputs then
+    dedups; orders_etl.py:118-129 + order_items_etl.py:59-61)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.unionByName(o).distinct()
+
+
+def q10_except(spark, sf_dir):
+    """O3: EXCEPT-DISTINCT complement, exactly the reference's
+    ``subtract`` (orders_etl.py:145)."""
+    o = _t(spark, sf_dir, "orders")
+    valid = o.where((F.col("o_totalprice") > 0) & (F.col("o_totalprice") <= 150_000.0))
+    return o.subtract(valid).select("o_orderkey", "o_totalprice")
+
+
+# -------------------------------------------------------------- MERGE/upsert
+
+
+def q17_merge_upsert(spark, sf_dir):
+    """S7/J1: MERGE INTO dataflow semantics (whenMatchedUpdateAll +
+    whenNotMatchedInsertAll, orders_etl.py:179-188) — corrections derived
+    deterministically from events (value doubled for event_id % 100 == 0,
+    plus shifted-id inserts)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    updates = e.where(F.col("event_id") % 100 == 0).withColumn("value", F.col("value") * 2)
+    inserts = (
+        e.where(F.col("event_id") % 500 == 0)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert_dataframes(e, source, keys=("event_id",), order_col=None)
+    return merged.select("event_id", F.round(F.col("value"), 2).alias("value"))
+
+
+def q29_keep_latest_dedup(spark, sf_dir):
+    """W1 as a standalone operator over a table WITH planted duplicate keys:
+    latest row per (user_id, event_type) with deterministic tiebreak."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ------------------------------------------------------- text / dedup / ANN
+
+
+def q19_text_analysis(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.analyze_documents(d)
+
+
+def q20_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    return dd.exact_dedup(doubled)
+
+
+def q21_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=0.12, n=3)
+
+
+def q22_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d, threshold=0.12, num_hashes=12, bands=3, n=3)
+
+
+def q23_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, max_hamming=10)
+
+
+def q24_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(e, threshold=0.40)
+
+
+def q25_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.brute_force_topk(e, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q26_lsh_ann_topk(spark, sf_dir):
+    """Approximate ANN — no oracle (approximation is the point); the driver
+    records a rows-only check. Recall vs q25 is asserted in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6)
+
+
+def q30_maintenance_lifecycle(spark, sf_dir):
+    """The five maintenance operators end-to-end (rows-only check — the
+    generator isn't SQL-expressible): synthesize → ingest small files →
+    compact → Z-order cluster → MERGE corrections → manifest rewrite →
+    expire; returns the post-maintenance scan. Determinism of every cell
+    is the invariant the driver hashes."""
+    import shutil
+
+    from .operators import cluster, compact, expire_snapshots, merge_into, rewrite_manifests
+    from .synth import corrections_df, transcripts_df
+    from .table import scan
+    from .table.writer import create_transcripts_table
+
+    root = "/tmp/spark_graft_q30_table"
+    shutil.rmtree(root, ignore_errors=True)
+    df = transcripts_df(spark, 3000, seed=42)
+    t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
+    compact(spark, t, target_bytes=1 << 20)
+    cluster(spark, t, curve="zorder", target_bytes=1 << 19)
+    merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
+    rewrite_manifests(t)
+    expire_snapshots(t, keep_last=2)
+    return scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+ALL = {
+    "q01_groupby_agg": q01_groupby_agg,
+    "q02_join_agg": q02_join_agg,
+    "q03_broadcast_dim_join": q03_broadcast_dim_join,
+    "q04_window_dedup_latest": q04_window_dedup_latest,
+    "q05_validation_filter": q05_validation_filter,
+    "q06_invalid_complement": q06_invalid_complement,
+    "q07_value_buckets": q07_value_buckets,
+    "q08_group_counts": q08_group_counts,
+    "q09_union_dedup": q09_union_dedup,
+    "q10_except": q10_except,
+    "q11_date_parts": q11_date_parts,
+    "q12_string_clean": q12_string_clean,
+    "q13_topk_per_group": q13_topk_per_group,
+    "q14_json_extract": q14_json_extract,
+    "q15_windowed_time_agg": q15_windowed_time_agg,
+    "q16_sessionize": q16_sessionize,
+    "q17_merge_upsert": q17_merge_upsert,
+    "q18_count_distinct": q18_count_distinct,
+    "q19_text_analysis": q19_text_analysis,
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_ngram_jaccard": q21_ngram_jaccard,
+    "q22_minhash_lsh": q22_minhash_lsh,
+    "q23_simhash": q23_simhash,
+    "q24_embedding_neardup": q24_embedding_neardup,
+    "q25_ann_topk": q25_ann_topk,
+    "q26_lsh_ann_topk": q26_lsh_ann_topk,
+    "q28_asof_join": q28_asof_join,
+    "q29_keep_latest_dedup": q29_keep_latest_dedup,
+    "q30_maintenance_lifecycle": q30_maintenance_lifecycle,
+}
