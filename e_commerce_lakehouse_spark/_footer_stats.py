@@ -1,0 +1,58 @@
+"""Pure-pyarrow parquet footer stats — IMPORT-LIGHT ON PURPOSE.
+
+This module is imported inside executor-side tasks (compaction's Arrow
+wave, distributed stat collection). It must not drag in pyspark: the
+package __init__ and this file import only stdlib + pyarrow, so a fresh
+Python worker loads it in milliseconds instead of paying the multi-second
+pyspark import per worker.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Iterable
+
+import pyarrow.parquet as pq
+
+
+def norm_stat(v):
+    """Normalize a parquet stat value to a JSON total-orderable scalar."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def file_stats_dict(abs_path: str, root: str, stat_columns: Iterable[str]) -> dict:
+    """DataFileEntry-shaped dict from one parquet footer (no data pages)."""
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stat_columns:
+        ci = name_to_idx.get(col)
+        if ci is None:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(norm_stat(st.min))
+            maxs.append(norm_stat(st.max))
+        if mins:
+            stats[col] = [min(mins), max(maxs)]
+    return {
+        "path": os.path.relpath(abs_path, root),
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(abs_path),
+        "stats": stats,
+    }

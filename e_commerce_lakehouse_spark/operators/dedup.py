@@ -123,17 +123,19 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    threshold: float = 0.7,
+    threshold: float = 0.25,
     num_hashes: int = 12,
     bands: int = 3,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash → LSH banding → candidate pairs → exact-Jaccard verify.
+    """MinHash → LSH banding → candidates → SIGNATURE-estimate verify.
 
-    Only band-collision candidates are verified — the verify join is
-    linear in candidates, not quadratic in documents."""
+    ``jaccard_est`` = fraction of equal MinHash components — the unbiased
+    MinHash estimator. Verification is O(candidates × num_hashes): no
+    shingle re-join, no quadratic pass — the shape production web-dedup
+    pipelines use. For exact Jaccard use ``ngram_jaccard_pairs``."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
@@ -151,11 +153,17 @@ def minhash_lsh_pairs(
         c = left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b")
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
-    verified = ngram_jaccard_pairs(df, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
+    sa = sig.select(F.col(id_col).alias("a"), *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("b"), *[F.col(f"h{j}").alias(f"hb{j}") for j in range(num_hashes)])
+    matches = sum(
+        (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int") for j in range(num_hashes)
+    )
     return (
-        cands.join(verified, ["a", "b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard_est", F.round(matches / F.lit(num_hashes), 6))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("a", "b", "jaccard_est")
     )
 
 

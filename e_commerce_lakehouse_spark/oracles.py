@@ -217,7 +217,7 @@ ALL: dict[str, str] = {
     "q21_ngram_jaccard": _JACCARD + """
         SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.12
     """,
-    "q22_minhash_lsh": _JACCARD + _MINHASH_SIG + _BANDS + """,
+    "q22_minhash_lsh": "WITH " + _SHINGLES + _MINHASH_SIG + _BANDS + """,
         cands AS (
             SELECT DISTINCT a, b FROM (
                 SELECT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
@@ -228,8 +228,14 @@ ALL: dict[str, str] = {
                 UNION ALL
                 SELECT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
                     ON x.band2 = y.band2 AND x.doc_id < y.doc_id))
-        SELECT j.a, j.b, j.jaccard FROM jac j JOIN cands c ON j.a = c.a AND j.b = c.b
-        WHERE j.jaccard >= 0.12
+        SELECT c.a, c.b,
+            round(("""
+    + " + ".join(f"(sa.h{j} = sb.h{j})::INT" for j in range(12))
+    + """) / 12.0, 6) AS jaccard_est
+        FROM cands c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+        WHERE round(("""
+    + " + ".join(f"(sa.h{j} = sb.h{j})::INT" for j in range(12))
+    + """) / 12.0, 6) >= 0.25
     """,
     "q23_simhash": """
         WITH toks AS (

@@ -316,7 +316,7 @@ def q21_ngram_jaccard(spark, sf_dir):
 
 def q22_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(d, threshold=0.12, num_hashes=12, bands=3, n=3)
+    return dd.minhash_lsh_pairs(d, threshold=0.25, num_hashes=12, bands=3, n=3)
 
 
 def q23_simhash(spark, sf_dir):

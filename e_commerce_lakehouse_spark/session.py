@@ -15,6 +15,7 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
 
 
 def get_spark(
@@ -45,14 +46,34 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # scan parallelism: default 128MB partitions + 4MB open-cost pack
+        # small files into too few map tasks to feed a wide executor pool;
+        # 32MB/1MB keeps map waves ≥ cores both for small-file tables
+        # (pre-compaction) and for row-group splits of 128MB target files
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # INT96 timestamps carry no parquet min/max stats; the manifest
         # stat layer (table/stats.py) needs TIMESTAMP_MICROS for ts skipping
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", _DRIVER_MEM)
+        # Xms=Xmx: G1 never shrinks the heap below Xms, so pages fault in
+        # once and stay — under virtualization, heap grow/shrink re-faults
+        # pages through the hypervisor mid-job (measured multi-second
+        # stalls at high parallelism). Lazy faulting (no AlwaysPreTouch)
+        # avoids forcing the host to back the full heap upfront.
+        .config("spark.driver.extraJavaOptions", f"-Xms{_DRIVER_MEM}")
         # concurrent maintenance jobs (file-group rewrites) share the cluster
         .config("spark.scheduler.mode", "FAIR")
     )
+    # Shuffle spill dir: this sandbox has ONE virtio disk (~460 MB/s) shared
+    # by all executor threads — a real cluster's shuffle bandwidth scales
+    # with executors. RAM-backed local dir keeps the scaling benchmark
+    # measuring the engine, not the single disk.
+    shm = os.environ.get("SPARK_LOCAL_SHM", "/dev/shm/spark_local")
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

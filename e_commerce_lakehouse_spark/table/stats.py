@@ -13,58 +13,21 @@ file counts.
 
 from __future__ import annotations
 
-import datetime as _dt
 import os
 from typing import Iterable
 
-import pyarrow.parquet as pq
-
+from .._footer_stats import file_stats_dict
 from .meta import DataFileEntry
 
-# distribute footer reads above this many files
-_DISTRIBUTE_THRESHOLD = 64
-
-
-def _norm(v):
-    """Normalize a parquet stat value to a JSON total-orderable scalar."""
-    if isinstance(v, bytes):
-        return v.decode("utf-8", errors="replace")
-    if isinstance(v, _dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        epoch = _dt.datetime(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000)
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    return v
+# distribute footer reads above this many files (driver-side footer reads
+# run ~1k files/sec; below that the executor round-trip costs more than it
+# saves — at cluster scale manifests hold ~1e5+ entries and distribution wins)
+_DISTRIBUTE_THRESHOLD = 512
 
 
 def file_entry(abs_path: str, root: str, stat_columns: Iterable[str]) -> DataFileEntry:
     """Build a DataFileEntry from one file's footer."""
-    pf = pq.ParquetFile(abs_path)
-    md = pf.metadata
-    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    stats: dict[str, list] = {}
-    for col in stat_columns:
-        ci = name_to_idx.get(col)
-        if ci is None:
-            continue
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                mins, maxs = [], []
-                break
-            mins.append(_norm(st.min))
-            maxs.append(_norm(st.max))
-        if mins:
-            stats[col] = [min(mins), max(maxs)]
-    return DataFileEntry(
-        path=os.path.relpath(abs_path, root),
-        rows=md.num_rows,
-        bytes=os.path.getsize(abs_path),
-        stats=stats,
-    )
+    return DataFileEntry.from_dict(file_stats_dict(abs_path, root, stat_columns))
 
 
 def collect_entries(
@@ -81,9 +44,10 @@ def collect_entries(
         n_slices = min(len(abs_paths), 64)
 
         def _part(paths):
-            import pyarrow.parquet  # noqa: F401  (ensure import on executor)
+            # import-light executor path: _footer_stats pulls no pyspark
+            from e_commerce_lakehouse_spark._footer_stats import file_stats_dict
 
-            return [file_entry(p, root, stat_columns).to_dict() for p in paths]
+            return [file_stats_dict(p, root, stat_columns) for p in paths]
 
         dicts = sc.parallelize(abs_paths, n_slices).mapPartitions(_part).collect()
         by_path = {d["path"]: DataFileEntry.from_dict(d) for d in dicts}

@@ -53,6 +53,15 @@ def test_compact_crash_resume(spark, tiny_table, tmp_path):
     assert_same_rows(before, scan(spark, tiny_table).select("conv_id", "turn_idx", "text"))
 
 
+def test_compact_jobs_mode_parity(spark, tiny_table):
+    before = scan(spark, tiny_table).select("conv_id", "turn_idx", "text")
+    n_before = len(tiny_table.entries())
+    m = compact(spark, tiny_table, target_bytes=TARGET, mode="jobs", max_concurrent_groups=4)
+    assert len(tiny_table.entries()) < n_before
+    assert m["committed_snapshot"] == 4
+    assert_same_rows(before, scan(spark, tiny_table).select("conv_id", "turn_idx", "text"))
+
+
 def test_compact_noop_when_healthy(spark, tiny_table):
     compact(spark, tiny_table, target_bytes=TARGET)
     m2 = compact(spark, tiny_table, target_bytes=TARGET)
