@@ -69,23 +69,42 @@ def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket_signature(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
-                         vec_col: str = "embedding"):
-    """Random-hyperplane signature column: bit p = sign(v · plane_p)."""
+def lsh_bucket_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    center: list[float] | None = None,
+):
+    """Random-hyperplane signature column: bit p = sign((v−center)·plane_p).
+
+    ``center`` (the dataset mean) matters: embedding corpora often live in
+    one orthant, where origin hyperplanes separate nothing — centering
+    restores the sign-random-projection guarantees."""
     bits = []
+    c = center or [0.0] * dim
     for p in range(n_planes):
         plane = _hyperplane(seed, p, dim)
+        shifted = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(*[F.lit(m) for m in c]),
+            lambda x, m: x - m,
+        )
         dot = F.aggregate(
-            F.zip_with(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(shifted, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).alias("bucket")
+
+
+def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension mean (one distributed agg; result is tiny)."""
+    aggs = [F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)]
+    row = df.agg(*aggs).collect()[0]
+    return [float(row[f"m{i}"]) for i in range(dim)]
 
 
 def lsh_ann_topk(
@@ -94,23 +113,35 @@ def lsh_ann_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, exact
-    cosine re-rank within. Recall < 1 by design; bucket fan-out is the
-    knob (fewer planes → bigger buckets → higher recall, more compute)."""
-    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).withColumn(
-        "bucket", lsh_bucket_signature(vectors, dim, n_planes, seed, "nv")
-    )
-    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col).withColumn(
-        "bucket", lsh_bucket_signature(queries, dim, n_planes, seed, "qv")
-    )
+    """Approximate top-k: multi-table sign-LSH (mean-centered), union of
+    bucket-collision candidates, exact cosine re-rank. Recall < 1 by
+    design; knobs: fewer planes → bigger buckets, more tables → higher
+    recall at proportional candidate cost (classic L-table LSH)."""
+    center = dataset_mean(vectors, dim, vec_col)
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col)
+    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col)
+    cands = None
+    for t in range(n_tables):
+        vt = v.withColumn(
+            "bucket", lsh_bucket_signature(v, dim, n_planes, seed + 1000 * t, "nv", center)
+        )
+        qt = q.withColumn(
+            "bucket", lsh_bucket_signature(q, dim, n_planes, seed + 1000 * t, "qv", center)
+        )
+        c = vt.join(F.broadcast(qt.select(query_id_col, "bucket")), "bucket").select(
+            query_id_col, "neighbor_id"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.where(F.col("neighbor_id") != F.col(query_id_col)).distinct()
     scored = (
-        v.join(F.broadcast(q), "bucket")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        cands.join(v, "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
         .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))

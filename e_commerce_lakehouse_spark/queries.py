@@ -340,7 +340,7 @@ def q26_lsh_ann_topk(spark, sf_dir):
     records a rows-only check. Recall vs q25 is asserted in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
-    return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6)
+    return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
 def q30_maintenance_lifecycle(spark, sf_dir):

@@ -1,0 +1,116 @@
+"""Thin spark-submit driver for the lakehouse maintenance engine.
+
+Ships per the north rule as::
+
+    make package
+    spark-submit --py-files dist/engine.zip run_maintenance.py \
+        --table /path/to/table --op compact --target-mb 128
+
+Replaces the reference's Step Functions orchestration
+(`/root/reference/src/step_functions/etl_orchestrator.json`): control flow
+is a deterministic driver; resumability comes from the operators' own
+file-group checkpoints, not retry states.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="lakehouse table maintenance")
+    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=[
+            "create", "compact", "cluster", "merge", "rewrite-manifests",
+            "expire", "ingest", "inspect",
+        ],
+    )
+    p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
+    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--shards", type=int, default=1, help="cluster: resumable shard count")
+    p.add_argument("--source", help="merge: corrections parquet path; ingest: landing dir")
+    p.add_argument("--checkpoint", help="checkpoint path (ops) / dir (ingest)")
+    p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--n-turns", type=int, default=100_000, help="create: synthetic turns")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--snapshot", type=int, default=None, help="inspect: pin a snapshot id")
+    args = p.parse_args(argv)
+
+    from e_commerce_lakehouse_spark.operators import (
+        cluster, compact, expire_snapshots, merge_into, rewrite_manifests,
+    )
+    from e_commerce_lakehouse_spark.session import get_spark
+    from e_commerce_lakehouse_spark.table.meta import Table
+
+    target_bytes = args.target_mb << 20
+    result: dict
+
+    if args.op == "expire":  # metadata-only: no Spark session needed
+        result = expire_snapshots(Table.load(args.table), keep_last=args.keep_last,
+                                  dry_run=args.dry_run)
+    elif args.op == "rewrite-manifests":
+        result = rewrite_manifests(Table.load(args.table))
+    else:
+        spark = get_spark(app_name=f"maintenance-{args.op}")
+        if args.op == "create":
+            from e_commerce_lakehouse_spark.synth import transcripts_df
+            from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+            df = transcripts_df(spark, args.n_turns, seed=args.seed)
+            t = create_transcripts_table(spark, args.table, df)
+            result = {"snapshot": t.current_snapshot_id(), "rows": t.total_rows(),
+                      "files": len(t.entries())}
+        elif args.op == "compact":
+            result = compact(spark, Table.load(args.table), target_bytes=target_bytes,
+                             checkpoint_path=args.checkpoint)
+        elif args.op == "cluster":
+            result = cluster(spark, Table.load(args.table), curve=args.curve,
+                             target_bytes=target_bytes, shards=args.shards,
+                             checkpoint_path=args.checkpoint)
+        elif args.op == "merge":
+            if not args.source:
+                p.error("--op merge requires --source")
+            src = spark.read.parquet(args.source)
+            result = merge_into(spark, Table.load(args.table), src,
+                                target_bytes=target_bytes)
+        elif args.op == "ingest":
+            from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now
+
+            if not (args.source and args.checkpoint):
+                p.error("--op ingest requires --source and --checkpoint")
+            t = Table.load(args.table) if _is_table(args.table) else Table.create(args.table)
+            result = ingest_available_now(spark, t, args.source, args.checkpoint)
+        elif args.op == "inspect":
+            t = Table.load(args.table)
+            snap = t.snapshot(args.snapshot)
+            result = {
+                "snapshots": t.snapshot_ids(),
+                "current": t.current_snapshot_id(),
+                "operation": snap.operation,
+                "files": len(t.entries(args.snapshot)),
+                "rows": t.total_rows(args.snapshot),
+                "bytes": t.total_bytes(args.snapshot),
+                "manifests": len(snap.manifests),
+                "tombstones": len(snap.removed_files),
+            }
+        else:  # pragma: no cover
+            raise AssertionError(args.op)
+
+    print(json.dumps(result, default=str))
+    return 0
+
+
+def _is_table(root: str) -> bool:
+    import os
+
+    return os.path.isdir(os.path.join(root, "metadata"))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

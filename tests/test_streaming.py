@@ -1,0 +1,77 @@
+"""Streaming ingestion: AvailableNow drain → MERGE, idempotent re-delivery,
+windowed agg with watermark (SURVEY.md §2.8 re-expressed Spark-first)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now, windowed_counts
+from e_commerce_lakehouse_spark.synth import transcripts_df
+from e_commerce_lakehouse_spark.table import Table, scan
+
+
+def _write_csv_batch(spark, df, path):
+    (
+        df.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+def test_stream_ingest_bootstrap_merge_and_idempotent_redelivery(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    troot = str(tmp_path / "tbl")
+    table = Table.create(troot)
+
+    df = transcripts_df(spark, 500, seed=7).cache()
+    _write_csv_batch(spark, df, os.path.join(landing, "batch1"))
+
+    m1 = ingest_available_now(spark, table, landing + "/*", ckpt)
+    assert m1["snapshot"] == 1
+    assert scan(spark, table).count() == 500
+
+    # batch 2: corrections for an existing conv + brand-new rows
+    fixed = (
+        df.where(F.col("turn_idx") == 0)
+        .limit(5)
+        .withColumn("text", F.lit("streamed-fix"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    _write_csv_batch(spark, fixed, os.path.join(landing, "batch2"))
+    m2 = ingest_available_now(spark, table, landing + "/*", ckpt)
+    got = scan(spark, table).cache()
+    assert got.count() == 500  # updates, no inserts
+    assert got.where(F.col("text") == "streamed-fix").count() == 5
+
+    # re-run with the same checkpoint: nothing new → no table change
+    snap_before = table.current_snapshot_id()
+    ingest_available_now(spark, table, landing + "/*", ckpt)
+    assert table.current_snapshot_id() == snap_before
+    got.unpersist()
+
+
+def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
+    df = transcripts_df(spark, 800, seed=9).cache()
+    batch = windowed_counts(df)
+    batch_rows = {(r["window_start"], r["role"]): r["n"] for r in batch.collect()}
+
+    pq_dir = str(tmp_path / "events_pq")
+    df.write.parquet(pq_dir)
+    stream = spark.readStream.schema(df.schema).parquet(pq_dir)
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        (r["window_start"], r["role"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert stream_rows == batch_rows

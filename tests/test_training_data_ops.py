@@ -1,0 +1,120 @@
+"""Training-data operators: dedup family, similarity, text analysis.
+Planted-duplicate fixtures with known answers; LSH recall asserted
+against the brute-force baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import dedup as dd
+from e_commerce_lakehouse_spark.operators import similarity as sim
+from e_commerce_lakehouse_spark.operators import text as tx
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different words entirely here now"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "der hund und die katze und der vogel"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_planted_duplicate(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dd.exact_dedup(docs).collect()}
+    assert out[0] == 2          # doc 3 collapsed into doc 0
+    assert 3 not in out
+    assert out[1] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard_est"] for r in
+             dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # high overlap → most minhashes agree
+
+
+def test_simhash_hamming(docs, spark):
+    sigs = {r["id"]: r["sig"] for r in dd.simhash_signatures_df(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical text → identical simhash
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dd.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs and 0 < pairs[(0, 1)] <= 10
+
+
+def test_embedding_neardup_and_ann(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]) for r in dd.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = sim.brute_force_topk(emb, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])] == [1, 4]
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    # deterministic pseudo-vectors; recall@5 of bucketed ANN vs exact
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest() * 4
+        return [b / 255.0 for b in h[:16]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id long, embedding array<double>"
+    ).cache()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    approx = sim.lsh_ann_topk(emb, queries, dim=16, k=5, n_planes=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6  # mean-centered 8-table LSH
+
+
+def test_text_analysis_fields(docs):
+    out = {r["doc_id"]: r for r in tx.analyze_documents(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["lang_guess"] == "en"
+    assert out[4]["lang_guess"] == "de"
+    assert out[0]["fingerprint"] == out[3]["fingerprint"]
+    assert out[0]["fingerprint"] != out[1]["fingerprint"]
+    assert 0.0 <= out[2]["quality"] <= 1.0
+
+
+def test_fingerprint_shingle_min_matches_python_oracle(spark):
+    import hashlib
+
+    text = "The quick  brown fox JUMPS over the lazy dog near the river bank"
+    norm = " ".join(text.lower().strip().split())
+    k = 16
+    expected = min(
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()
+        for i in range(max(1, len(norm) - k + 1))
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = df.select(tx.fingerprint_shingle_min(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert got == expected
