@@ -104,10 +104,13 @@ def split_valid_invalid(df: DataFrame, predicate: Column) -> tuple[DataFrame, Da
     The reference computes ``invalid = df.subtract(valid)``
     (orders_etl.py:145) — an EXCEPT DISTINCT that silently deduplicates
     invalid rows and shuffles twice. Negating the predicate is shuffle-free
-    and keeps duplicates. NULL-safe: a row where the predicate evaluates
-    to NULL is invalid, so we negate with ``~coalesce(p, false)``."""
-    p = F.coalesce(predicate, F.lit(False))
-    return df.where(p), df.where(~p)
+    and keeps duplicates.
+
+    The VALID side uses the bare predicate (already null-safe: WHERE drops
+    null evaluations) so every conjunct pushes down to the parquet scan;
+    only the INVALID complement needs the ``~coalesce(p, false)`` wrapper
+    to classify null-predicate rows as invalid."""
+    return df.where(predicate), df.where(~F.coalesce(predicate, F.lit(False)))
 
 
 def with_rejection_audit(invalid: DataFrame, reason: str, job_run_id: str) -> DataFrame:
@@ -136,7 +139,7 @@ def transform_orders(df: DataFrame, ts_col: str = "order_timestamp") -> DataFram
     """orders_etl.py:162-174: type coercions + date parts + value bucket.
     (processing_timestamp is parameterized out of tests for determinism)."""
     t = F.to_timestamp(F.col(ts_col))
-    return (
+    out = (
         df.withColumn(ts_col, t)
         .withColumn("year", F.year(t))
         .withColumn("month", F.month(t))
@@ -147,6 +150,9 @@ def transform_orders(df: DataFrame, ts_col: str = "order_timestamp") -> DataFram
             bucketize(F.col("total_amount"), [50.0, 200.0], ["Low", "Medium", "High"]),
         )
     )
+    if "date" in df.columns:  # orders_etl.py:165: date string → DateType
+        out = out.withColumn("date", F.to_date(F.col("date")))
+    return out
 
 
 def transform_products(df: DataFrame) -> DataFrame:

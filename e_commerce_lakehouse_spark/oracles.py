@@ -93,6 +93,17 @@ ALL: dict[str, str] = {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
+    "q31_sql_over_views": """
+        SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "q02_join_agg": """
         SELECT o_orderkey, o_totalprice,
             count(l_linenumber) AS n_items, round(sum(l_quantity), 2) AS sum_qty

@@ -343,6 +343,26 @@ def q26_lsh_ann_topk(spark, sf_dir):
     return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
+def q31_sql_over_views(spark, sf_dir):
+    """§3.3 SQL entry point: catalog-registered views + spark.sql —
+    Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
+    form (q01). Replaces the reference's Athena/Glue-Catalog surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q30_maintenance_lifecycle(spark, sf_dir):
     """The five maintenance operators end-to-end (rows-only check — the
     generator isn't SQL-expressible): synthesize → ingest small files →
@@ -398,4 +418,5 @@ ALL = {
     "q28_asof_join": q28_asof_join,
     "q29_keep_latest_dedup": q29_keep_latest_dedup,
     "q30_maintenance_lifecycle": q30_maintenance_lifecycle,
+    "q31_sql_over_views": q31_sql_over_views,
 }
