@@ -97,6 +97,10 @@ def _with_cluster_key(
     return df.withColumn(_KEY, key)
 
 
+class SimulatedCrash(RuntimeError):
+    """Raised by fail_after_shards to exercise kill/resume in tests."""
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -106,6 +110,7 @@ def cluster(
     checkpoint_path: str | None = None,
     schema=TRANSCRIPTS_SCHEMA,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+    fail_after_shards: int | None = None,
 ) -> dict:
     base_snapshot = table.current_snapshot_id()
     if base_snapshot is None:
@@ -140,7 +145,7 @@ def cluster(
     else:
         added = _cluster_sharded(
             spark, table, keyed, base_snapshot, curve, shards, n_files,
-            checkpoint_path, stat_columns,
+            checkpoint_path, stat_columns, fail_after_shards,
         )
 
     removed = [e.path for e in entries]
@@ -162,7 +167,8 @@ def cluster(
 
 
 def _cluster_sharded(
-    spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path, stat_columns
+    spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path,
+    stat_columns, fail_after_shards=None,
 ) -> list[DataFileEntry]:
     """Stage temp copy bucketed by key-quantile shard, then sort/write each
     shard as a checkpointed, resumable file group."""
@@ -195,6 +201,7 @@ def _cluster_sharded(
 
     files_per_shard = max(1, math.ceil(n_files / shards))
     added: list[DataFileEntry] = []
+    completed_this_run = 0
     for s in range(shards):
         if s in done:
             added.extend(DataFileEntry.from_dict(d) for d in done[s]["outputs"])
@@ -228,6 +235,9 @@ def _cluster_sharded(
             }
         )
         added.extend(outs)
+        completed_this_run += 1
+        if fail_after_shards is not None and completed_this_run >= fail_after_shards:
+            raise SimulatedCrash(f"simulated crash after {completed_this_run} shards")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     ckpt.clear()
     return added

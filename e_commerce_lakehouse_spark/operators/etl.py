@@ -122,6 +122,12 @@ def with_rejection_audit(invalid: DataFrame, reason: str, job_run_id: str) -> Da
     )
 
 
+def write_rejected(invalid: DataFrame, dest_dir: str, reason: str, job_run_id: str) -> None:
+    """S8 parquet-append rejected-rows sink (orders_etl.py:204-209): the
+    audit trail survives across job runs via append mode."""
+    with_rejection_audit(invalid, reason, job_run_id).write.mode("append").parquet(dest_dir)
+
+
 # ---------------------------------------------------------------- transforms
 
 
