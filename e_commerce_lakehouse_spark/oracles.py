@@ -283,6 +283,34 @@ ALL: dict[str, str] = {
                 ON v.vec_id <> q.vec_id)
         WHERE rank <= 5
     """,
+    "q27_range_join": """
+        SELECT b.event_id AS buy_id, count(e.event_id) AS n_prior_events
+        FROM events b JOIN events e
+            ON b.user_id = e.user_id
+           AND e.ts >= b.ts - INTERVAL 30 MINUTES
+           AND e.ts < b.ts
+        WHERE b.event_type = 'purchase'
+        GROUP BY b.event_id
+    """,
+    "q32_rollup": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "q33_conditional_pivot": """
+        SELECT user_id,
+            round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS sum_view,
+            round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS sum_click,
+            round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS sum_purchase,
+            round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS sum_signup,
+            round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS sum_error
+        FROM events GROUP BY user_id
+    """,
+    "q34_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
     "q28_asof_join": """
         WITH u AS (
             SELECT user_id AS k, ts, NULL::BIGINT AS o_orderkey, event_id, 'e' AS side FROM events

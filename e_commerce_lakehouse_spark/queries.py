@@ -343,6 +343,54 @@ def q26_lsh_ann_topk(spark, sf_dir):
     return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
+def q27_range_join(spark, sf_dir):
+    """Range join (reference lacks one — SURVEY §2.3): for each purchase,
+    the same user's events in the preceding 30 minutes. Equi key (user) +
+    range predicate → SortMergeJoin plus residual filter; at scale,
+    bucketize ts if the equi key alone is too hot."""
+    e = _t(spark, sf_dir, "events")
+    buys = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("user_id").alias("buyer"),
+        F.col("ts").alias("buy_ts"),
+    )
+    cond = (
+        (buys.buyer == e.user_id)
+        & (e.ts >= buys.buy_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (e.ts < buys.buy_ts)
+    )
+    return buys.join(e, cond).groupBy("buy_id").agg(
+        F.count("event_id").alias("n_prior_events")
+    )
+
+
+def q32_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (SURVEY §2.4 'not implemented' → implemented):
+    revenue by (priority, status) with subtotal and grand-total rows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+def q33_conditional_pivot(spark, sf_dir):
+    """Pivot via conditional aggregation (portable form of .pivot())."""
+    e = _t(spark, sf_dir, "events")
+    cases = {
+        t: F.round(F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2).alias(f"sum_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    }
+    return e.groupBy("user_id").agg(*cases.values())
+
+
+def q34_intersect(spark, sf_dir):
+    """INTERSECT set op (SURVEY §2.6 'not implemented' → implemented):
+    customers having both a click and a purchase event."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.where(F.col("event_type") == "click").select("user_id")
+    buyers = e.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -419,4 +467,8 @@ ALL = {
     "q29_keep_latest_dedup": q29_keep_latest_dedup,
     "q30_maintenance_lifecycle": q30_maintenance_lifecycle,
     "q31_sql_over_views": q31_sql_over_views,
+    "q27_range_join": q27_range_join,
+    "q32_rollup": q32_rollup,
+    "q33_conditional_pivot": q33_conditional_pivot,
+    "q34_intersect": q34_intersect,
 }
