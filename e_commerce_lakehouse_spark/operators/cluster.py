@@ -119,6 +119,14 @@ def cluster(
     total_bytes = sum(e.bytes for e in entries)
     n_files = max(1, math.ceil(total_bytes / target_bytes))
 
+    # Scan parallelism: a freshly-compacted table may have only ~total/32MB
+    # file-split partitions — fewer than the executor pool, so the map stage
+    # underutilizes a wide cluster. Size maxPartitionBytes so the scan yields
+    # ≥3 map tasks per core slot (restored after the job).
+    par = spark.sparkContext.defaultParallelism
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    mpb = max(4 << 20, min(128 << 20, total_bytes // max(1, par * 3)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
     bounds = _ts_bounds_from_manifest(entries)
     if bounds is None:  # fall back to a data-scan agg (min/max only)
@@ -129,24 +137,33 @@ def cluster(
     keyed = _with_cluster_key(df, curve, *bounds, conv_proj=_conv_projection(entries))
 
     t0 = monotonic()
-    if shards <= 1:
-        subdir = f"cluster-{base_snapshot:08d}-{curve}"
-        out_dir = os.path.join(table.data_dir, subdir)
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        (
-            keyed.repartitionByRange(n_files, F.col(_KEY))
-            .sortWithinPartitions(_KEY)
-            .drop(_KEY)
-            .write.mode("error")
-            .parquet(out_dir)
-        )
-        added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
-    else:
-        added = _cluster_sharded(
-            spark, table, keyed, base_snapshot, curve, shards, n_files,
-            checkpoint_path, stat_columns, fail_after_shards,
-        )
+    try:
+        if shards <= 1:
+            subdir = f"cluster-{base_snapshot:08d}-{curve}"
+            out_dir = os.path.join(table.data_dir, subdir)
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            (
+                keyed.repartitionByRange(n_files, F.col(_KEY))
+                .sortWithinPartitions(_KEY)
+                .drop(_KEY)
+                .write.mode("error")
+                # zstd: clustered files are the cold, read-many end state —
+                # ~30% smaller than snappy and the extra compress CPU
+                # parallelizes where tmpfs page allocation does not
+                .option("compression", "zstd")
+                .parquet(out_dir)
+            )
+            added = collect_entries(
+                list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+            )
+        else:
+            added = _cluster_sharded(
+                spark, table, keyed, base_snapshot, curve, shards, n_files,
+                checkpoint_path, stat_columns, fail_after_shards,
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     removed = [e.path for e in entries]
     snap = table.commit_rewrite(
@@ -222,6 +239,7 @@ def _cluster_sharded(
             .sortWithinPartitions(_KEY)
             .drop(_KEY)
             .write.mode("error")
+            .option("compression", "zstd")
             .parquet(out_dir)
         )
         outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)

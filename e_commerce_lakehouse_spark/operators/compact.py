@@ -46,6 +46,7 @@ def _rewrite_wave_arrow(
     specs: list[dict],
     base_snapshot: int,
     stat_columns,
+    codec: str = "zstd",
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -93,7 +94,12 @@ def _rewrite_wave_arrow(
             t_read = _mono()
             merged = pa.concat_tables(parts, promote_options="none")
             out_path = os.path.join(out_dir, "part-00000.parquet")
-            pq.write_table(merged, out_path, compression="snappy")
+            # zstd, not snappy: compacted files are cold, read-many data, and
+            # zstd both shrinks them ~30% and keeps the rewrite CPU-bound —
+            # measured FASTER than snappy here and scales 0.85 vs 0.72 from
+            # 4→16 workers (snappy's larger write buffers hit the host's
+            # contended fresh-page allocation path; see BENCH/BASELINE.md)
+            pq.write_table(merged, out_path, compression=codec)
             t_write = _mono()
             e = file_stats_dict(out_path, table_root, cols)
             yield {
@@ -106,7 +112,12 @@ def _rewrite_wave_arrow(
             }
 
     sc = spark.sparkContext
-    return sc.parallelize(specs, len(specs)).mapPartitions(run).collect()
+    # ~150 ms fixed dispatch cost per PySpark RDD task (measured, all
+    # configs): with one group per task a 64-group wave spends more wall on
+    # dispatch than on bytes. Pack multiple groups per task — 3 tasks per
+    # core slot keeps waves balanced while amortizing dispatch ~4-8×.
+    n_slices = max(1, min(len(specs), sc.defaultParallelism * 3))
+    return sc.parallelize(specs, n_slices).mapPartitions(run).collect()
 
 
 def _rewrite_group(
@@ -145,18 +156,26 @@ def _rewrite_group(
 
 
 def _run_arrow(
-    spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups
+    spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
+    codec: str = "zstd",
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
-    overhead amortized over the wave)."""
+    overhead amortized over the wave). Returns phase metrics."""
     completed = 0
+    phase = {"wave_sec": 0.0, "task_read_sec": 0.0, "task_write_sec": 0.0, "waves": 0}
     for w in range(0, len(todo), wave_size):
         wave = todo[w : w + wave_size]
         specs = [{"group_id": g.group_id, "paths": g.paths} for g in wave]
         t0 = monotonic()
-        results = _rewrite_wave_arrow(spark, table.root, specs, base_snapshot, stat_columns)
+        results = _rewrite_wave_arrow(
+            spark, table.root, specs, base_snapshot, stat_columns, codec=codec
+        )
         wall = int((monotonic() - t0) * 1000)
+        phase["wave_sec"] += wall / 1000
+        phase["task_read_sec"] += sum(r["task_read_ms"] for r in results) / 1000
+        phase["task_write_sec"] += sum(r["task_write_ms"] for r in results) / 1000
+        phase["waves"] += 1
         for r in sorted(results, key=lambda r: r["group_id"]):
             e = r["entry"]
             ckpt.record(
@@ -174,6 +193,9 @@ def _run_arrow(
             completed += 1
             if fail_after_groups is not None and completed >= fail_after_groups:
                 raise SimulatedCrash(f"simulated crash after {completed} groups")
+    for k in ("wave_sec", "task_read_sec", "task_write_sec"):
+        phase[k] = round(phase[k], 2)
+    return phase
 
 
 def _run_jobs(
@@ -213,6 +235,7 @@ def compact(
     schema=TRANSCRIPTS_SCHEMA,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     mode: str = "arrow",
+    codec: str = "zstd",
 ) -> dict:
     """Compact small files; returns metrics. Resumable: re-running with the
     same checkpoint path after a crash skips finished groups and commits.
@@ -244,15 +267,18 @@ def compact(
     done = ckpt.done()
     todo = [g for g in groups if g.group_id not in done]
 
+    t_plan_done = monotonic()
     if mode == "arrow":
-        _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
-                   wave_size=max(8, max_concurrent_groups) * 4,
-                   fail_after_groups=fail_after_groups)
+        phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
+                           wave_size=max(8, max_concurrent_groups) * 4,
+                           fail_after_groups=fail_after_groups, codec=codec)
+        metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
                   stat_columns, ckpt, max_concurrent_groups, fail_after_groups)
     else:
         raise ValueError(f"unknown compaction mode: {mode}")
+    t_rewrite_done = monotonic()
 
     done = ckpt.done()
     removed, added = [], []
@@ -274,6 +300,8 @@ def compact(
             "rewritten_bytes": sum(e.bytes for e in added),
             "rewritten_rows": sum(e.rows for e in added),
             "resumed_groups": len(groups) - len(todo),
+            "rewrite_sec": round(t_rewrite_done - t_plan_done, 2),
+            "commit_sec": round(monotonic() - t_rewrite_done, 2),
         }
     )
     return metrics
