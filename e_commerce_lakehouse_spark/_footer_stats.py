@@ -23,8 +23,10 @@ def norm_stat(v):
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        epoch = _dt.datetime(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        # exact integer micros: float total_seconds()*1e6 truncates by 1µs
+        # at epoch-scale magnitudes, which could wrongly prune a file whose
+        # max stat lands exactly on a query boundary
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v

@@ -195,6 +195,18 @@ def _cluster_sharded(
     )
     tmp_dir = os.path.join(table.data_dir, f"_tmp-cluster-{base_snapshot:08d}-{curve}")
     done = ckpt.done()
+    # trust-but-verify resume (mirrors compact): drop checkpointed shards
+    # whose recorded outputs no longer exist on disk, and redo stage 1 if
+    # its temp copy vanished
+    done = {
+        gid: rec
+        for gid, rec in done.items()
+        if (gid == -1 and os.path.isdir(rec.get("tmp_dir", tmp_dir)))
+        or (gid != -1 and all(
+            os.path.exists(os.path.join(table.root, d["path"]))
+            for d in rec.get("outputs") or []
+        ))
+    }
 
     # stage 1 (group_id = -1): keyed temp copy partitioned by shard id
     if -1 not in done:

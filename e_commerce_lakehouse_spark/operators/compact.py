@@ -113,10 +113,13 @@ def _rewrite_wave_arrow(
 
     sc = spark.sparkContext
     # ~150 ms fixed dispatch cost per PySpark RDD task (measured, all
-    # configs): with one group per task a 64-group wave spends more wall on
-    # dispatch than on bytes. Pack multiple groups per task — 3 tasks per
-    # core slot keeps waves balanced while amortizing dispatch ~4-8×.
-    n_slices = max(1, min(len(specs), sc.defaultParallelism * 3))
+    # configs): with one group per task a 64-group wave spends more wall
+    # on dispatch than on bytes; with one giant task per core stragglers
+    # gate the wave. 5 slices per core slot measured best on both narrow
+    # and wide pools (68 groups: 2-core 15.7s, 8-core 5.4s — vs 11.6s at
+    # 1×/8-core and 15.1s at 3×/2-core): dispatch amortized ~3×, still
+    # fine-grained enough for the scheduler to even out skewed groups.
+    n_slices = max(1, min(len(specs), sc.defaultParallelism * 5))
     return sc.parallelize(specs, n_slices).mapPartitions(run).collect()
 
 
@@ -265,6 +268,13 @@ def compact(
         or os.path.join(table.metadata_dir, f"compact-{base_snapshot:08d}.ckpt.jsonl")
     )
     done = ckpt.done()
+    # trust-but-verify resume: a checkpointed group whose output files no
+    # longer exist (e.g. an interleaved GC) is re-run, never re-committed
+    done = {
+        gid: rec
+        for gid, rec in done.items()
+        if all(os.path.exists(os.path.join(table.root, p)) for p in rec["output_files"])
+    }
     todo = [g for g in groups if g.group_id not in done]
 
     t_plan_done = monotonic()

@@ -67,18 +67,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
-    inter via shingle equi-join, union via |A|+|B|−inter. ``max_df`` cuts
-    stop-shingles before the join (scale path)."""
+    inter via shingle equi-join, union via |A|+|B|−inter. The df-cut is ON
+    BY DEFAULT (``max_df_frac=0.5``: drop shingles present in more than
+    half the corpus) — on web-scale text the shingle self-join explodes
+    quadratically on stop-shingles, so running without a cut is the
+    opt-in (``max_df_frac=None, max_df=None``), not the default. An
+    absolute ``max_df`` overrides the fraction. NOTE: the cut changes
+    each document's surviving-shingle set, so Jaccard here is over the
+    CUT sets — the exact-over-full-sets variant is the opt-in."""
     sh = _shingle_table(df, text_col, id_col, n)
+    limit = None
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("df_"))
-            .where(F.col("df_") <= max_df)
-            .select("shingle")
-        )
+        limit = F.lit(max_df)
+    elif max_df_frac is not None:
+        n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+        limit = F.col("n_docs") * F.lit(max_df_frac)
+    if limit is not None:
+        dfreq = sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("df_"))
+        if max_df is None:
+            dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        rare = dfreq.where(F.col("df_") <= limit).select("shingle")
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -281,6 +293,57 @@ def vec_norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.40,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: sign-LSH bucket candidates (mean-centered, multi-table),
+    then EXACT cosine verify — never an all-pairs join. Deterministic:
+    hyperplanes derive from md5(seed, plane, dim) and the center is the
+    6-dp-rounded dataset mean, so the result is a pure function of the
+    input that a SQL oracle can mirror plane-by-plane (oracles.py does).
+
+    Recall < 1 by design (candidates only from colliding buckets); the
+    exact O(n²) baseline remains ``embedding_neardup_pairs``. At 100 TB
+    the candidate join is an equi-join on a 6-bit bucket key per table —
+    shuffle cost ~n·T, verify cost ~collisions, no quadratic stage."""
+    from .similarity import dataset_mean, lsh_bucket_signature
+
+    center = dataset_mean(df, dim, vec_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", vec_norm(F.col("v")))
+    cands = None
+    for t in range(n_tables):
+        bt = base.withColumn(
+            "bucket", lsh_bucket_signature(base, dim, n_planes, seed + 1000 * t, "v", center)
+        )
+        left = bt.select(F.col("id").alias("a"), F.col("bucket"))
+        right = bt.select(F.col("id").alias("b"), F.col("bucket"))
+        c = left.join(right, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -288,7 +351,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pairs (a<b) with cosine ≥ threshold. Brute-force O(n²) baseline —
-    the LSH-bucketed scale path lives in operators/similarity.py.
+    the LSH-bucketed scale path is ``embedding_neardup_lsh``.
 
     Norms are computed ONCE per row before the pair join (O(n) folds, not
     O(n²)); only the dot product runs per pair — same arithmetic shape as

@@ -50,6 +50,10 @@ def orders_valid_predicate(
         & (F.col(amount_col) > 0)
         & (F.col(amount_col) <= amount_cap)
         & F.col(ts_col).isNotNull()
+        # parseability (orders_etl.py:139): a non-null string that fails
+        # to_timestamp is invalid; on an already-timestamp column this
+        # reduces to the isNotNull above (to_timestamp is identity there)
+        & F.to_timestamp(F.col(ts_col)).isNotNull()
     )
     if num_col is not None:
         p = p & F.col(num_col).isNotNull()
@@ -143,13 +147,20 @@ def bucketize(col: Column, bounds: list[float], labels: list[str]) -> Column:
 
 def transform_orders(df: DataFrame, ts_col: str = "order_timestamp") -> DataFrame:
     """orders_etl.py:162-174: type coercions + date parts + value bucket.
-    (processing_timestamp is parameterized out of tests for determinism)."""
+    (processing_timestamp is parameterized out of tests for determinism).
+
+    Partition-part parity: the reference derives year/month/day from the
+    separate ``date`` column (orders_etl.py:166-169), not the timestamp —
+    when ``date`` is present we do the same (they can disagree when an
+    order's date differs from its timestamp's date); ``hour`` always comes
+    from the timestamp (the date has none)."""
     t = F.to_timestamp(F.col(ts_col))
+    d = F.to_date(F.col("date")) if "date" in df.columns else t
     out = (
         df.withColumn(ts_col, t)
-        .withColumn("year", F.year(t))
-        .withColumn("month", F.month(t))
-        .withColumn("day", F.dayofmonth(t))
+        .withColumn("year", F.year(d))
+        .withColumn("month", F.month(d))
+        .withColumn("day", F.dayofmonth(d))
         .withColumn("hour", F.hour(t))
         .withColumn(
             "order_value_category",

@@ -52,6 +52,23 @@ def expire_snapshots(
         for e in table.entries(sid):
             live_rel.add(e.path)
 
+    # files referenced by LIVE resume checkpoints are protected: a crashed
+    # compact/cluster has committed nothing, but its finished groups'
+    # outputs (recorded in metadata/*.ckpt.jsonl) are exactly what resume
+    # reuses — GC'ing them would let resume commit a snapshot pointing at
+    # deleted files (the operators also re-verify on resume, belt+braces)
+    import glob
+
+    from ..checkpoint import Checkpoint
+
+    for ck in glob.glob(os.path.join(table.metadata_dir, "*.ckpt.jsonl")):
+        for rec in Checkpoint(ck).records():
+            for p in rec.get("output_files") or []:
+                live_rel.add(p)
+            for d in rec.get("outputs") or []:
+                if isinstance(d, dict) and d.get("path"):
+                    live_rel.add(d["path"])
+
     # orphan data files = on disk but in no retained snapshot
     on_disk = []
     for dirpath, _dirs, files in os.walk(table.data_dir):

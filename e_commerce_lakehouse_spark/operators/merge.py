@@ -75,7 +75,15 @@ def merge_upsert_dataframes(
 
 def _touched_paths(spark: SparkSession, table: Table, source: DataFrame, key: str) -> list[str]:
     """Manifest-stat pruning: files whose [min,max] range of ``key``
-    overlaps any source key. Files lacking stats are conservatively touched."""
+    overlaps any source key. Files lacking stats are conservatively touched.
+
+    The range compare runs in the stat values' NATIVE type (schema inferred
+    from the manifest values): casting a numeric key to string would order
+    lexicographically ('10' < '9') and silently miss touched files.
+    Timestamp keys are compared as epoch micros (the manifest's normalized
+    stat form, table/stats.py)."""
+    from pyspark.sql import types as T
+
     entries = table.entries()
     stat_rows, no_stats = [], []
     for e in entries:
@@ -86,9 +94,14 @@ def _touched_paths(spark: SparkSession, table: Table, source: DataFrame, key: st
             stat_rows.append((e.path, rng[0], rng[1]))
     if not stat_rows:
         return no_stats
-    files_df = spark.createDataFrame(stat_rows, f"path string, lo string, hi string")
+    files_df = spark.createDataFrame(stat_rows, ["path", "lo", "hi"])  # native types
+    k = F.col(key)
+    if isinstance(source.schema[key].dataType, T.TimestampType) and isinstance(
+        files_df.schema["lo"].dataType, (T.LongType, T.IntegerType)
+    ):
+        k = F.unix_micros(k)
     touched = (
-        source.select(F.col(key).cast("string").alias("k"))
+        source.select(k.alias("k"))
         .distinct()
         .join(
             F.broadcast(files_df),

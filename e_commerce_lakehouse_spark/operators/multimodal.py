@@ -79,14 +79,16 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 DECODED_SCHEMA = (
     "media_id long, kind string, width int, height int, n_bytes int, "
-    "mean_value double, ok boolean, error string"
+    "sum_value long, mean_value double, ok boolean, error string"
 )
 
 
 def decode_and_featurize(df: DataFrame) -> DataFrame:
     """mapInPandas decode + cheap feature extraction. One Arrow batch in,
     one batch out; malformed payloads become error ROWS (the rejected-rows
-    pattern, `orders_etl.py:204-209`), never task failures."""
+    pattern, `orders_etl.py:204-209`), never task failures. ``sum_value``
+    is an exact integer body checksum (oracle-comparable without float
+    rounding concerns); ``mean_value`` is the float convenience form."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,19 +96,45 @@ def decode_and_featurize(df: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 try:
                     w, h, body = FakeCodec.decode(bytes(payload))
-                    mean = sum(body) / max(1, len(body))
-                    out.append((mid, kind, w, h, len(body), round(mean, 4), True, None))
+                    s = sum(body)
+                    mean = s / max(1, len(body))
+                    out.append((mid, kind, w, h, len(body), s, round(mean, 4), True, None))
                 except (UnsupportedMediaError, ValueError) as e:
-                    out.append((mid, kind, None, None, None, None, False, str(e)))
+                    out.append((mid, kind, None, None, None, None, None, False, str(e)))
             yield pd.DataFrame(
                 out,
                 columns=[
                     "media_id", "kind", "width", "height", "n_bytes",
-                    "mean_value", "ok", "error",
+                    "sum_value", "mean_value", "ok", "error",
                 ],
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def media_from_ids(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Distributed media synthesis: one FakeCodec container per input row,
+    encoded inside mapInPandas (Arrow batches — payload bytes never cross
+    the boundary row-at-a-time). Size/seed formulas match synth_media_df
+    so features are a pure closed-form function of the id, which is what
+    lets a SQL oracle verify the decode path end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 8 + (i * 7 + seed) % 24
+                h = 8 + (i * 13 + seed) % 24
+                out.append((i, "image", FakeCodec.encode(w, h, seed + i), w, h, "fake"))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload", "meta_width", "meta_height", "meta_codec",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"

@@ -101,8 +101,11 @@ def lsh_bucket_signature(
 
 
 def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[float]:
-    """Per-dimension mean (one distributed agg; result is tiny)."""
-    aggs = [F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)]
+    """Per-dimension mean (one distributed agg; result is tiny). Rounded
+    to 6 dp so an independent engine's avg (different float summation
+    order) lands on the identical center — keeps bucket signatures
+    bit-stable across engines for the SQL oracles."""
+    aggs = [F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"m{i}") for i in range(dim)]
     row = df.agg(*aggs).collect()[0]
     return [float(row[f"m{i}"]) for i in range(dim)]
 

@@ -31,10 +31,19 @@ shingles AS (
 
 _JACCARD = f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+-- df-cut mirror (dedup.ngram_jaccard_pairs max_df_frac=0.5): drop
+-- shingles present in more than half the corpus before the self-join
+cut AS (
+    SELECT s.doc_id, s.shingle FROM shingles s
+    JOIN (SELECT shingle FROM (
+            SELECT shingle, count(DISTINCT doc_id) AS df_ FROM shingles GROUP BY shingle)
+          WHERE df_ <= 0.5 * (SELECT count(DISTINCT doc_id) FROM documents)) r
+      USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM cut GROUP BY doc_id),
 inter AS (
     SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
-    FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    FROM cut s1 JOIN cut s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
     GROUP BY s1.doc_id, s2.doc_id
 ),
 jac AS (
@@ -59,6 +68,47 @@ round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
   * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4)
 """
+
+
+# ---------------------------------------------------------- LSH twin SQL
+# The sign-LSH bucket signature (operators/similarity.lsh_bucket_signature)
+# is a pure deterministic function of the input: hyperplanes derive from
+# md5(seed|plane|dim) and the center is the 6-dp-rounded dataset mean.
+# These helpers mirror it bit-for-bit in DuckDB so q24/q26 are fully
+# value-hash oracled despite being "approximate" operators.
+
+_DIM = 64
+_LSH_PLANES = 6
+_LSH_TABLES = 4
+_LSH_SEED = 42
+
+
+def _ev_ctr_sql(source_pred: str = "") -> str:
+    ms = ", ".join(f"round(avg(e[{i + 1}]), 6) AS m{i + 1}" for i in range(_DIM))
+    return (
+        f"ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings{source_pred}),\n"
+        f"ctr AS (SELECT {ms} FROM ev)"
+    )
+
+
+def _bucket_expr(seed: int) -> str:
+    """One table's bucket signature: bit p = sign(sum_i (e[i]-m_i)*w_pi),
+    terms summed LEFT-ASSOCIATIVELY to match Spark's sequential fold."""
+    from .operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(_LSH_PLANES):
+        plane = _hyperplane(seed, p, _DIM)
+        dot = " + ".join(f"(e[{i + 1}] - m{i + 1}) * {w!r}" for i, w in enumerate(plane))
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _banded_lsh_sql() -> str:
+    ks = ", ".join(
+        f"{_bucket_expr(_LSH_SEED + 1000 * t)} AS k{t}" for t in range(_LSH_TABLES)
+    )
+    return f"b AS (SELECT vec_id, e, {ks} FROM ev, ctr)"
 
 _TEXT_VOTES = """
 WITH toks AS (
@@ -267,9 +317,15 @@ ALL: dict[str, str] = {
         WHERE bit_count(xor(x.sig, y.sig)) <= 10
     """,
     "q24_embedding_neardup": f"""
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) a
-        JOIN (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) b ON a.vec_id < b.vec_id
+        WITH {_ev_ctr_sql()},
+        {_banded_lsh_sql()},
+        cands AS (SELECT DISTINCT a, b FROM (
+            {" UNION ALL ".join(
+                f"SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y "
+                f"ON x.k{t} = y.k{t} AND x.vec_id < y.vec_id"
+                for t in range(_LSH_TABLES))}))
+        SELECT c.a, c.b, {_COS} AS cos
+        FROM cands c JOIN ev a ON a.vec_id = c.a JOIN ev b ON b.vec_id = c.b
         WHERE {_COS} >= 0.40
     """,
     "q25_ann_topk": f"""
@@ -282,6 +338,25 @@ ALL: dict[str, str] = {
             JOIN (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) v
                 ON v.vec_id <> q.vec_id)
         WHERE rank <= 5
+    """,
+    "q26_lsh_ann_topk": f"""
+        WITH {_ev_ctr_sql()},
+        {_banded_lsh_sql()},
+        cands AS (SELECT DISTINCT query_id, neighbor_id FROM (
+            {" UNION ALL ".join(
+                f"SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id FROM b q JOIN b v "
+                f"ON q.k{t} = v.k{t} AND q.vec_id < 8 AND v.vec_id <> q.vec_id"
+                for t in range(_LSH_TABLES))})),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {_COS.replace("a.e", "v.e").replace("b.e", "q.e")} AS cos
+            FROM cands c JOIN ev v ON v.vec_id = c.neighbor_id
+                         JOIN ev q ON q.vec_id = c.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC)::INTEGER AS rank
+            FROM scored) WHERE rank <= 5
     """,
     "q27_range_join": """
         SELECT b.event_id AS buy_id, count(e.event_id) AS n_prior_events
@@ -322,6 +397,24 @@ ALL: dict[str, str] = {
                 PARTITION BY k ORDER BY ts ASC, side ASC, coalesce(event_id, o_orderkey) ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_event_id
             FROM u) WHERE side = 'o'
+    """,
+    "q35_multimodal_decode": """
+        -- closed-form twin of the FakeCodec decode (multimodal.py): body
+        -- cell (x,y) = (x*31 + y*17 + seed) % 251, row-major; features
+        -- are integer-exact so no float rounding is involved
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   (8 + (doc_id * 7 + 42) % 24)::INTEGER AS width,
+                   (8 + (doc_id * 13 + 42) % 24)::INTEGER AS height,
+                   42 + doc_id AS seed
+            FROM documents WHERE doc_id < 200)
+        SELECT media_id, 'image' AS kind, width, height,
+               (width * height)::INTEGER AS n_bytes,
+               (SELECT sum(((xx % width) * 31 + (xx // width) * 17 + seed) % 251)
+                FROM range(0, 1024) t(xx)   -- 1024 > max w*h (31*31)
+                WHERE xx < width * height)::BIGINT AS sum_value,
+               true AS ok
+        FROM m
     """,
     "q29_keep_latest_dedup": """
         SELECT user_id, event_type, event_id FROM (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as dd
 from .operators import etl
+from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import text as tx
 from .operators.merge import dedup_keep_latest, merge_upsert_dataframes
@@ -325,8 +326,14 @@ def q23_simhash(spark, sf_dir):
 
 
 def q24_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup: candidates only from colliding sign-LSH
+    buckets (equi-join per table, never a cartesian), exact cosine
+    verify. Deterministic planes + 6-dp-rounded center make the result a
+    pure function of the input, mirrored plane-by-plane by the DuckDB
+    oracle. The exact O(n²) baseline stays available as
+    ``dd.embedding_neardup_pairs`` (opt-in, not the 100 TB path)."""
     e = _t(spark, sf_dir, "embeddings")
-    return dd.embedding_neardup_pairs(e, threshold=0.40)
+    return dd.embedding_neardup_lsh(e, threshold=0.40, n_planes=6, n_tables=4, dim=64)
 
 
 def q25_ann_topk(spark, sf_dir):
@@ -336,8 +343,10 @@ def q25_ann_topk(spark, sf_dir):
 
 
 def q26_lsh_ann_topk(spark, sf_dir):
-    """Approximate ANN — no oracle (approximation is the point); the driver
-    records a rows-only check. Recall vs q25 is asserted in pytest."""
+    """Approximate ANN over multi-table sign-LSH buckets. Approximate ≠
+    unverifiable: planes and center are deterministic, so the DuckDB
+    oracle mirrors the bucketing plane-by-plane and the result is fully
+    value-hash checked. Recall vs exact top-k (q25) asserted in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6, n_tables=4)
@@ -391,6 +400,22 @@ def q34_intersect(spark, sf_dir):
     return clickers.intersect(buyers)
 
 
+def q35_multimodal_decode(spark, sf_dir):
+    """Multimodal binary-column plumbing, end-to-end in the correctness
+    gate: synthesize one FakeCodec container per document id inside
+    mapInPandas (Arrow batches), decode + featurize with a second
+    mapInPandas pass, emit integer-exact features. The DuckDB oracle
+    computes the same features CLOSED-FORM from the id (the codec is a
+    deterministic toy — operators/multimodal.py), so the whole
+    binary→Arrow→decode path is value-hash verified. A real build swaps
+    FakeCodec for PIL/ffmpeg at the marked seam."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = mm.media_from_ids(d, id_col="doc_id", seed=42)
+    return mm.decode_and_featurize(media).select(
+        "media_id", "kind", "width", "height", "n_bytes", "sum_value", "ok"
+    )
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -416,24 +441,48 @@ def q30_maintenance_lifecycle(spark, sf_dir):
     generator isn't SQL-expressible): synthesize → ingest small files →
     compact → Z-order cluster → MERGE corrections → manifest rewrite →
     expire; returns the post-maintenance scan. Determinism of every cell
-    is the invariant the driver hashes."""
+    is the invariant the driver hashes.
+
+    Robustness (this is the flagship — it must survive a 34-query sweep):
+    each invocation uses a UNIQUE temp dir (no collisions with concurrent
+    or stale runs), and a transient executor/environment failure triggers
+    one full retry in a fresh dir — the output is deterministic either
+    way, mirroring how the reference orchestrator retries a failed stage
+    (/root/reference/src/step_functions/etl_orchestrator.json:133-159)."""
+    import os
     import shutil
+    import uuid
 
     from .operators import cluster, compact, expire_snapshots, merge_into, rewrite_manifests
     from .synth import corrections_df, transcripts_df
     from .table import scan
     from .table.writer import create_transcripts_table
 
-    root = "/tmp/spark_graft_q30_table"
-    shutil.rmtree(root, ignore_errors=True)
-    df = transcripts_df(spark, 3000, seed=42)
-    t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
-    compact(spark, t, target_bytes=1 << 20)
-    cluster(spark, t, curve="zorder", target_bytes=1 << 19)
-    merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
-    rewrite_manifests(t)
-    expire_snapshots(t, keep_last=2)
-    return scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+    def run_once():
+        root = os.path.join(base, f"spark_graft_q30_{uuid.uuid4().hex[:12]}")
+        df = transcripts_df(spark, 3000, seed=42)
+        t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
+        compact(spark, t, target_bytes=1 << 20)
+        cluster(spark, t, curve="zorder", target_bytes=1 << 19)
+        merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
+        rewrite_manifests(t)
+        expire_snapshots(t, keep_last=2)
+        # materialize the deterministic result BEFORE this function returns,
+        # so a transient failure surfaces here (where the retry can catch
+        # it) rather than when the driver later consumes the lazy plan —
+        # then serve it back as a DataFrame independent of the temp table
+        out = scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+        shutil.rmtree(root, ignore_errors=True)
+        return result
+
+    try:
+        return run_once()
+    except Exception:
+        return run_once()
 
 
 ALL = {
@@ -471,4 +520,5 @@ ALL = {
     "q32_rollup": q32_rollup,
     "q33_conditional_pivot": q33_conditional_pivot,
     "q34_intersect": q34_intersect,
+    "q35_multimodal_decode": q35_multimodal_decode,
 }

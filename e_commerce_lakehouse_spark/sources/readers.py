@@ -2,10 +2,14 @@
 
 - S1 CSV scan: explicit schema — the reference pays an inferSchema
   double-scan on every read (`orders_etl.py:81-83`); we never infer.
-- S2/S3 Excel: no Spark-native Excel source exists; like the reference's
-  Lambda (`s3_event_trigger.py:151-175`) we go through pandas —
-  one DataFrame per non-empty sheet — then ``spark.createDataFrame``
-  (Arrow path). Gated behind import-try: openpyxl may be absent.
+- S2/S3 Excel: no Spark-native Excel source exists; the reference's
+  Lambda goes through pandas+openpyxl (`s3_event_trigger.py:151-175`).
+  Here xlsx is parsed with a self-contained stdlib reader (zipfile +
+  xml.etree over ECMA-376 SpreadsheetML: sharedStrings, workbook rels,
+  worksheet cell refs) — one DataFrame per non-empty sheet via
+  ``spark.createDataFrame`` — so Excel ingestion has NO optional
+  dependency. Date-styled numeric cells are surfaced as their raw serial
+  numbers (callers convert; out of scope here).
 - S4 fallback reader: on Excel parse failure retry as CSV
   (`orders_etl.py:102-112`).
 
@@ -16,8 +20,17 @@ contract and fail fast with the missing columns named.
 
 from __future__ import annotations
 
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKGREL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
 class SchemaContractError(ValueError):
@@ -49,35 +62,112 @@ def read_csv(
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27 (0-based column from an A1-style ref)."""
+    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    out = []
+    for si in root.iter(f"{_SSML}si"):
+        # plain <t> or rich-text runs <r><t> — concatenate all text nodes
+        out.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+    return out
+
+
+def _cell_value(c: ET.Element, shared: list[str]):
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(x.text or "" for x in c.iter(f"{_SSML}t"))
+    v = c.find(f"{_SSML}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t in ("str",):  # formula cached string
+        return v.text
+    if t == "b":
+        return v.text == "1"
+    # numeric: int when integral, else float (date serials surface raw)
+    f = float(v.text)
+    return int(f) if f.is_integer() else f
+
+
+def _sheet_rows(z: zipfile.ZipFile, part: str, shared: list[str]) -> list[list]:
+    root = ET.fromstring(z.read(part))
+    rows = []
+    for row in root.iter(f"{_SSML}row"):
+        vals: dict[int, object] = {}
+        for c in row.iter(f"{_SSML}c"):
+            ref = c.get("r")
+            ci = _col_index(ref) if ref else len(vals)
+            vals[ci] = _cell_value(c, shared)
+        width = max(vals) + 1 if vals else 0
+        rows.append([vals.get(i) for i in range(width)])
+    return rows
+
+
+def read_xlsx_stdlib(path: str) -> dict[str, tuple[list[str], list[list]]]:
+    """Parse an xlsx with the stdlib only: {sheet_name: (header, rows)}.
+
+    Implements the subset of ECMA-376 SpreadsheetML real exports use:
+    shared/inline/formula-cached strings, booleans, numerics, sparse rows
+    (placed by A1 cell ref). First row is the header."""
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = {
+            r.get("Id"): r.get("Target").lstrip("/")
+            for r in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")).iter(
+                f"{_PKGREL}Relationship"
+            )
+        }
+        out: dict[str, tuple[list[str], list[list]]] = {}
+        for sh in wb.iter(f"{_SSML}sheet"):
+            target = rels[sh.get(f"{_REL}id")]
+            part = target if target.startswith("xl/") else f"xl/{target}"
+            rows = _sheet_rows(z, part, shared)
+            if not rows:
+                continue
+            header = [str(h) if h is not None else "" for h in rows[0]]
+            body = [r + [None] * (len(header) - len(r)) for r in rows[1:]]
+            out[sh.get("name")] = (header, [r[: len(header)] for r in body])
+    return out
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
     sheet_name=None,
 ) -> list[tuple[str, DataFrame]]:
-    """S2/S3: one (sheet_name, DataFrame) per non-empty sheet.
-
-    Requires pandas' Excel engine (openpyxl); raises ImportError with a
-    clear message when absent — the Spark-side plumbing is independent of
-    the decoder."""
-    import pandas as pd
-
-    try:
-        sheets = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as e:  # openpyxl not installed in this image
-        raise ImportError(
-            "Excel ingestion needs openpyxl; convert to CSV upstream or "
-            "install the engine"
-        ) from e
-    if not isinstance(sheets, dict):
-        sheets = {"Sheet1": sheets}
+    """S2/S3: one (sheet_name, DataFrame) per non-empty sheet, parsed by
+    the stdlib xlsx reader (no openpyxl needed). Cells arrive as parsed
+    scalars; each column is cast to its contract type, mirroring the
+    reference's per-sheet explode (`s3_event_trigger.py:151-175`)."""
+    parsed = read_xlsx_stdlib(path)
+    names = [f.name for f in schema.fields]
     out = []
-    for name, pdf in sheets.items():
-        if pdf.empty:
+    for name, (header, rows) in parsed.items():
+        if sheet_name is not None and name != sheet_name:
             continue
-        _check_headers(list(pdf.columns), schema, f"{path}#{name}")
-        names = [f.name for f in schema.fields]
-        out.append((name, spark.createDataFrame(pdf[names], schema=schema)))
+        if not rows:
+            continue
+        _check_headers(header, schema, f"{path}#{name}")
+        raw = spark.createDataFrame(
+            [[str(v) if v is not None else None for v in r] for r in rows],
+            T.StructType([T.StructField(h, T.StringType()) for h in header]),
+        )
+        typed = raw.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+        out.append((name, typed))
     return out
 
 
@@ -90,6 +180,8 @@ def read_with_fallback(spark: SparkSession, path: str, schema: T.StructType) -> 
                 from ..operators.etl import union_align
 
                 return union_align(frames)
-        except (ImportError, ValueError):
+        except (ValueError, KeyError, ET.ParseError, zipfile.BadZipFile):
+            # not a parseable xlsx (mislabeled CSV, truncated upload, or
+            # malformed parts) — reference behavior: retry as CSV
             pass
     return read_csv(spark, path, schema)

@@ -34,6 +34,12 @@ dataset too — one Glue job per table, see
 Atomicity comes from writing the snapshot file first and flipping VERSION
 with os.replace last; a crash before the flip leaves the old snapshot
 current and the new files orphaned (cleaned by expire_snapshots GC).
+The single-writer boundary is ENFORCED, not assumed: every commit takes
+an O_EXCL lock file (metadata/COMMIT.lock) for its read-parent→flip
+critical section, so a second concurrent writer fails fast with
+CommitConflictError instead of silently losing the other's snapshot
+(optimistic-concurrency shape of Iceberg's commit). A lock older than
+``_LOCK_STALE_S`` (crashed holder) is broken and retaken.
 
 Reference analogs: Delta initial write / MERGE sink
 (`orders_etl.py:191-194,179-188`), archival lifecycle
@@ -43,10 +49,17 @@ Reference analogs: Delta initial write / MERGE sink
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
 from dataclasses import dataclass, field
+
+_LOCK_STALE_S = 300.0  # a lock this old belongs to a crashed writer
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer holds this table's commit lock (single-writer rule)."""
 
 
 @dataclass
@@ -180,6 +193,43 @@ class Table:
 
     # ---------- commits ----------
 
+    def _lock_path(self) -> str:
+        return os.path.join(self.metadata_dir, "COMMIT.lock")
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """O_EXCL lock around the read-parent→flip critical section. The
+        parent snapshot id is (re)read INSIDE the lock, so two racing
+        writers serialize instead of both building on the same parent and
+        one silently clobbering the other's VERSION flip."""
+        path = self._lock_path()
+        for attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(path).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released — retry O_EXCL
+                if age > _LOCK_STALE_S and attempt == 0:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(path)  # break a crashed writer's lock
+                    continue
+                raise CommitConflictError(
+                    f"{self.root}: another writer holds COMMIT.lock "
+                    f"(age {age:.0f}s); this table is single-writer"
+                ) from None
+        else:  # pragma: no cover - both attempts collided
+            raise CommitConflictError(f"{self.root}: could not acquire COMMIT.lock")
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+
     def _write_manifest(self, sid: int, k: int, entries: list[DataFileEntry]) -> str:
         name = f"manifest-{sid:08d}-{k:04d}.json"
         tmp = os.path.join(self.metadata_dir, name + ".tmp")
@@ -205,14 +255,15 @@ class Table:
 
     def commit_append(self, added: list[DataFileEntry], summary: dict | None = None) -> Snapshot:
         """O(delta) append: parent manifests + one new manifest."""
-        sid = self._next_id()
-        parent = self.current_snapshot_id()
-        manifests = list(self.snapshot(parent).manifests) if parent else []
-        removed = list(self.snapshot(parent).removed_files) if parent else []
-        manifests.append(self._write_manifest(sid, len(manifests), added))
-        snap = Snapshot(sid, parent, "append", manifests, removed,
-                        _summarize(added, summary), int(time.time() * 1000))
-        return self._commit(snap)
+        with self._commit_lock():
+            sid = self._next_id()
+            parent = self.current_snapshot_id()
+            manifests = list(self.snapshot(parent).manifests) if parent else []
+            removed = list(self.snapshot(parent).removed_files) if parent else []
+            manifests.append(self._write_manifest(sid, len(manifests), added))
+            snap = Snapshot(sid, parent, "append", manifests, removed,
+                            _summarize(added, summary), int(time.time() * 1000))
+            return self._commit(snap)
 
     def commit_rewrite(
         self,
@@ -224,27 +275,29 @@ class Table:
         """Copy-on-write commit: drop ``removed_paths``, add ``added``.
 
         Used by compaction, clustering and MERGE. O(changed files)."""
-        sid = self._next_id()
-        parent = self.current_snapshot_id()
-        manifests = list(self.snapshot(parent).manifests) if parent else []
-        removed = list(self.snapshot(parent).removed_files) if parent else []
-        removed = sorted(set(removed) | set(removed_paths))
-        if added:
-            manifests.append(self._write_manifest(sid, len(manifests), added))
-        snap = Snapshot(sid, parent, operation, manifests, removed,
-                        _summarize(added, summary), int(time.time() * 1000))
-        return self._commit(snap)
+        with self._commit_lock():
+            sid = self._next_id()
+            parent = self.current_snapshot_id()
+            manifests = list(self.snapshot(parent).manifests) if parent else []
+            removed = list(self.snapshot(parent).removed_files) if parent else []
+            removed = sorted(set(removed) | set(removed_paths))
+            if added:
+                manifests.append(self._write_manifest(sid, len(manifests), added))
+            snap = Snapshot(sid, parent, operation, manifests, removed,
+                            _summarize(added, summary), int(time.time() * 1000))
+            return self._commit(snap)
 
     def commit_manifests(
         self, manifests: list[str], operation: str, summary: dict | None = None
     ) -> Snapshot:
         """Commit a snapshot that references pre-written manifests verbatim
         with an empty removed set (used by rewrite_manifests)."""
-        sid = self._next_id()
-        parent = self.current_snapshot_id()
-        snap = Snapshot(sid, parent, operation, manifests, [], summary or {},
-                        int(time.time() * 1000))
-        return self._commit(snap)
+        with self._commit_lock():
+            sid = self._next_id()
+            parent = self.current_snapshot_id()
+            snap = Snapshot(sid, parent, operation, manifests, [], summary or {},
+                            int(time.time() * 1000))
+            return self._commit(snap)
 
     def write_manifest_for(self, entries: list[DataFileEntry], k: int = 0) -> str:
         """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""

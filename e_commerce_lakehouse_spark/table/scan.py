@@ -24,7 +24,9 @@ def _ts_to_micros(v) -> int:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        # exact integer micros (see _footer_stats.norm_stat): float
+        # total_seconds() can truncate 1µs at epoch-scale magnitudes
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     return int(v)
 
 

@@ -9,7 +9,11 @@ Ships per the north rule as::
 Replaces the reference's Step Functions orchestration
 (`/root/reference/src/step_functions/etl_orchestrator.json`): control flow
 is a deterministic driver; resumability comes from the operators' own
-file-group checkpoints, not retry states.
+file-group checkpoints. Transient failures (executor loss, filesystem
+hiccup) additionally RETRY with exponential backoff — the reference's
+Retry states (`etl_orchestrator.json:133-159`, IntervalSeconds 30,
+BackoffRate 2.0) — and because every maintenance op checkpoints per file
+group, a retried stage re-runs only its unfinished groups.
 """
 
 from __future__ import annotations
@@ -17,6 +21,23 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
+
+
+def with_retries(fn, attempts: int = 3, backoff_s: float = 2.0, rate: float = 2.0):
+    """Run ``fn`` with exponential-backoff retries; composes with the
+    operators' file-group checkpoints (retry = resume, not redo)."""
+    last = None
+    for i in range(max(1, attempts)):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — orchestrator boundary
+            last = e
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (rate**i))
+    raise last
 
 
 def main(argv=None) -> int:
@@ -39,6 +60,10 @@ def main(argv=None) -> int:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--n-turns", type=int, default=100_000, help="create: synthetic turns")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--retries", type=int, default=3,
+                   help="attempts per stage with exponential backoff (checkpoint-resumed)")
+    p.add_argument("--retry-backoff", type=float, default=2.0,
+                   help="initial backoff seconds (doubles per attempt)")
     p.add_argument("--snapshot", type=int, default=None, help="inspect: pin a snapshot id")
     args = p.parse_args(argv)
 
@@ -67,18 +92,24 @@ def main(argv=None) -> int:
             result = {"snapshot": t.current_snapshot_id(), "rows": t.total_rows(),
                       "files": len(t.entries())}
         elif args.op == "compact":
-            result = compact(spark, Table.load(args.table), target_bytes=target_bytes,
-                             checkpoint_path=args.checkpoint)
+            result = with_retries(
+                lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,
+                                checkpoint_path=args.checkpoint),
+                attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "cluster":
-            result = cluster(spark, Table.load(args.table), curve=args.curve,
-                             target_bytes=target_bytes, shards=args.shards,
-                             checkpoint_path=args.checkpoint)
+            result = with_retries(
+                lambda: cluster(spark, Table.load(args.table), curve=args.curve,
+                                target_bytes=target_bytes, shards=args.shards,
+                                checkpoint_path=args.checkpoint),
+                attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "merge":
             if not args.source:
                 p.error("--op merge requires --source")
             src = spark.read.parquet(args.source)
-            result = merge_into(spark, Table.load(args.table), src,
-                                target_bytes=target_bytes)
+            result = with_retries(
+                lambda: merge_into(spark, Table.load(args.table), src,
+                                   target_bytes=target_bytes),
+                attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "ingest":
             from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now
 

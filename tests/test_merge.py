@@ -88,3 +88,50 @@ def test_merge_upsert_dataframes_pure(spark):
     out = merge_upsert_dataframes(target, source, ("conv_id", "turn_idx"))
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in out.collect()}
     assert got == {("c1", 0): "t0", ("c1", 1): "t1-fixed", ("c2", 0): "new"}
+
+
+def test_touched_paths_numeric_key_native_compare(spark):
+    """ADVICE r1: a lexicographic string compare would order '10' < '9'
+    and miss the touched file for numeric keys; the range join must run
+    in the stat values' native type."""
+    from e_commerce_lakehouse_spark.operators.merge import _touched_paths
+    from e_commerce_lakehouse_spark.table.meta import DataFileEntry
+
+    class StubTable:
+        def entries(self):
+            return [
+                DataFileEntry(path="data/f1.parquet", rows=10, bytes=1,
+                              stats={"k": [9, 20]}),
+                DataFileEntry(path="data/f2.parquet", rows=10, bytes=1,
+                              stats={"k": [100, 120]}),
+                DataFileEntry(path="data/f3.parquet", rows=10, bytes=1, stats={}),
+            ]
+
+    source = spark.createDataFrame([(10,)], "k long")
+    touched = sorted(_touched_paths(spark, StubTable(), source, "k"))
+    # f1 overlaps 10 (9<=10<=20); f2 does not; f3 has no stats -> touched
+    assert touched == ["data/f1.parquet", "data/f3.parquet"]
+
+
+def test_touched_paths_timestamp_key_micros(spark):
+    """Timestamp keys compare as epoch micros (the manifest stat form)."""
+    from e_commerce_lakehouse_spark.operators.merge import _touched_paths
+    from e_commerce_lakehouse_spark.table.meta import DataFileEntry
+
+    lo = 1_700_000_000 * 1_000_000
+    hi = lo + 3_600 * 1_000_000
+
+    class StubTable:
+        def entries(self):
+            return [
+                DataFileEntry(path="data/t1.parquet", rows=1, bytes=1,
+                              stats={"ts": [lo, hi]}),
+                DataFileEntry(path="data/t2.parquet", rows=1, bytes=1,
+                              stats={"ts": [hi + 1, hi + 10]}),
+            ]
+
+    source = spark.createDataFrame(
+        [("2023-11-14 22:30:00",)], "ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))  # 1700001000 epoch — inside [lo, hi]
+    touched = _touched_paths(spark, StubTable(), source, "ts")
+    assert touched == ["data/t1.parquet"]

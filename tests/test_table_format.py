@@ -48,3 +48,26 @@ def test_atomic_version_flip(tiny_table, tmp_path):
     snap = t.snapshot()
     assert snap.operation == "append"
     assert snap.parent_id == 2
+
+
+def test_commit_lock_enforces_single_writer(tiny_table):
+    import os
+    import time
+
+    from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+
+    t = Table.load(tiny_table.root)
+    lock = os.path.join(t.metadata_dir, "COMMIT.lock")
+    # a FRESH foreign lock blocks commits (second writer fails fast)
+    with open(lock, "w") as f:
+        f.write("99999 held")
+    import pytest
+
+    with pytest.raises(CommitConflictError):
+        t.commit_manifests([t.snapshot().manifests[0]], operation="reset")
+    # a STALE lock (crashed writer) is broken and the commit proceeds
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    snap = t.commit_manifests(list(t.snapshot().manifests), operation="reset")
+    assert snap.snapshot_id == 4
+    assert not os.path.exists(lock)  # released after commit

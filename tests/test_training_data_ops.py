@@ -31,11 +31,32 @@ def test_exact_dedup_finds_planted_duplicate(docs):
 
 
 def test_ngram_jaccard_finds_near_dup(docs):
+    # exact full-set Jaccard is the opt-in path (no df-cut)
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in
-             dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+             dd.ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=None).collect()}
     assert pairs[(0, 3)] == 1.0
     assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
     assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_df_cut_default(spark):
+    # a stop-shingle present in >half the corpus must be cut by default:
+    # docs 0..3 share 'the cat sat'; only 0,1 share the rest of the text
+    rows = [
+        (0, "the cat sat on a red mat tonight"),
+        (1, "the cat sat on a red mat today"),
+        (2, "the cat sat under a blue box alone"),
+        (3, "the cat sat with a green hat again"),
+        (4, "completely different words everywhere now truly"),
+        (5, "another unrelated document body text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in dd.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    # 'the cat sat' (and 'cat sat on' etc. appearing in ≤3 docs survive the
+    # 0.5 cut at n=6 docs; 'the cat sat' appears in 4 > 3 → cut), so the
+    # 0-1 pair must rest on their genuinely-shared tail, not the stop-gram
+    assert (0, 1) in got
+    assert (2, 3) not in got  # only the cut stop-gram linked them
 
 
 def test_minhash_lsh_finds_exact_and_near_dup(docs):
@@ -65,6 +86,16 @@ def test_embedding_neardup_and_ann(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = {(r["a"], r["b"]) for r in dd.embedding_neardup_pairs(emb, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+    # LSH-bucketed scale path: found pairs are a SUBSET of the exact pairs
+    # (recall < 1 by design) with identical verified cosine, and the plan
+    # contains no cartesian/nested-loop stage
+    lsh = dd.embedding_neardup_lsh(emb, threshold=0.95, n_planes=2, n_tables=4, dim=4)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lsh_pairs = {(r["a"], r["b"]) for r in lsh.collect()}
+    assert lsh_pairs <= pairs
 
     queries = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
