@@ -116,6 +116,20 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ MinHash+LSH
 
 
+# Carter-Wegman multipliers/offsets for the derived minhash family: odd
+# constants < 2^31 from a fixed table (deterministic, engine-portable)
+_MH_PRIME = (1 << 61) - 1  # Mersenne prime 2^61-1
+
+
+def _mh_params(j: int) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(f"mh|{j}".encode()).hexdigest()
+    a = (int(h[:8], 16) | 1) & 0x7FFFFFFF  # odd, < 2^31
+    b = int(h[8:16], 16) & 0x7FFFFFFF
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 12,
@@ -123,13 +137,25 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """num_hashes MinHash values per doc: h_j = min over shingles of
-    md5(j || '|' || shingle) — portable string-min minhash."""
+    """num_hashes MinHash values per doc.
+
+    ONE md5 per (doc, shingle) row, split into two 30-bit words, then
+    h_j = min over shingles of (a_j*w1 + b_j*w2 + j) mod (2^61-1) — a
+    2-universal integer family. vs. the naive num_hashes-md5s-per-shingle
+    scheme this is ~4× cheaper at the same shuffle shape (the min agg is
+    over BIGINTs, not 32-char strings), and every term stays < 2^63 so
+    Spark bigint and the DuckDB oracle wrap identically (they don't —
+    they never overflow)."""
     sh = _shingle_table(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
+    md5 = F.md5(F.col("shingle"))
+    w1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % F.lit(1 << 30)
+    w2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") % F.lit(1 << 30)
+    sh = sh.select(id_col, w1.alias("w1"), w2.alias("w2"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _mh_params(j)
+        hj = (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(j)) % F.lit(_MH_PRIME)
+        aggs.append(F.min(hj).alias(f"h{j}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -54,12 +54,28 @@ jac AS (
 )
 """
 
-_MINHASH_SIG = ",\nsig AS (SELECT doc_id, " + ", ".join(
-    f"min(md5('{j}' || '|' || shingle)) AS h{j}" for j in range(12)
-) + " FROM shingles GROUP BY doc_id)"
+def _minhash_sig_sql() -> str:
+    """Twin of dedup.minhash_signatures: one md5 per shingle, split into
+    two 30-bit words, 12 Carter-Wegman min-aggs over BIGINTs."""
+    from .operators.dedup import _MH_PRIME, _mh_params
+
+    aggs = []
+    for j in range(12):
+        a, b = _mh_params(j)
+        aggs.append(f"min(({a} * w1 + {b} * w2 + {j}) % {_MH_PRIME}) AS h{j}")
+    return (
+        ",\nshw AS (SELECT doc_id,"
+        " ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 1073741824 AS w1,"
+        " ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 1073741824 AS w2"
+        " FROM shingles)"
+        ",\nsig AS (SELECT doc_id, " + ", ".join(aggs) + " FROM shw GROUP BY doc_id)"
+    )
+
+
+_MINHASH_SIG = _minhash_sig_sql()
 
 _BANDS = ",\nbanded AS (SELECT doc_id, " + ", ".join(
-    "md5(" + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + f") AS band{b}"
+    "md5(" + " || '|' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4)) + f") AS band{b}"
     for b in range(3)
 ) + " FROM sig)"
 
@@ -314,7 +330,7 @@ ALL: dict[str, str] = {
         SELECT x.doc_id AS a, y.doc_id AS b,
                bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.sig, y.sig)) <= 10
+        WHERE bit_count(xor(x.sig, y.sig)) <= 3
     """,
     "q24_embedding_neardup": f"""
         WITH {_ev_ctr_sql()},

@@ -321,8 +321,12 @@ def q22_minhash_lsh(spark, sf_dir):
 
 
 def q23_simhash(spark, sf_dir):
+    """Manku-style near-dup radius (3 of 60 bits, WWW'07 uses 3 of 64):
+    pigeonhole banding needs only max_hamming+1=4 chunk self-joins on
+    15-bit keys — at radius 10 it needed 12 joins on 5-bit keys, which is
+    near-quadratic (5-bit chunks collide constantly)."""
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_pairs(d, max_hamming=10)
+    return dd.simhash_pairs(d, max_hamming=3)
 
 
 def q24_embedding_neardup(spark, sf_dir):
