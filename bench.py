@@ -311,6 +311,7 @@ def main() -> None:
     n_cores = max(2, CPUS // 16)
     four_n = n_cores * 4
 
+    t_start = time.monotonic()
     with page_reporting_guard() as guarded:
         spark = get_spark(app_name="bench-queries", cores=CPUS, shuffle_partitions=max(CPUS, 32))
         queries = run_headline_queries(spark, SF_DIR)
@@ -318,7 +319,10 @@ def main() -> None:
 
         # Residual host interference still exists (shared host): run up to
         # two attempts, report ALL of them with their interference
-        # sentinel, and headline the best — transparent, not hidden.
+        # sentinel, and headline the best — transparent, not hidden. A
+        # soft deadline guards the retry so the bench always emits its
+        # JSON line well inside any external timeout.
+        deadline_s = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "700"))
         attempts = []
         for attempt in range(2):
             sentinel = _interference_sentinel()
@@ -326,7 +330,7 @@ def main() -> None:
             m["sentinel_tmpfs_gbps"] = sentinel
             m["page_reporting_suspended"] = guarded
             attempts.append(m)
-            if m["scaling_efficiency"] >= 0.8:
+            if m["scaling_efficiency"] >= 0.8 or time.monotonic() - t_start > deadline_s:
                 break
         maintenance = max(attempts, key=lambda m: m["scaling_efficiency"])
         maintenance = dict(maintenance, attempts=attempts)

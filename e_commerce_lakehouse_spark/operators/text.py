@@ -34,6 +34,19 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct split,
+# restricted to the Java-regex ∩ RE2 common subset so Spark and DuckDB
+# count identically: disjoint alternatives, no lookarounds)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization (words / digit runs
+    / single punctuation), the usual cheap proxy for LLM token budgeting
+    when the real tokenizer is too expensive for a 100 TB scan."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def stopword_ratio(col: Column, stopwords=STOPWORDS_EN) -> Column:
     toks = tokens(col)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
@@ -97,6 +110,7 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_tokens_bpe"),
         F.length(c).alias("n_chars_computed"),
         stopword_ratio(c).alias("stopword_ratio"),
         punct_ratio(c).alias("punct_ratio"),

@@ -272,6 +272,8 @@ ALL: dict[str, str] = {
     "q19_text_analysis": _TEXT_VOTES + """
         SELECT doc_id,
             len(w)::INTEGER AS n_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER
+                AS n_tokens_bpe,
             length(text)::INTEGER AS n_chars_computed,
             swr AS stopword_ratio,
             pr AS punct_ratio,
@@ -431,6 +433,11 @@ ALL: dict[str, str] = {
                 WHERE xx < width * height)::BIGINT AS sum_value,
                true AS ok
         FROM m
+    """,
+    "q36_skew_salted_agg": """
+        SELECT user_id, count(*) AS n, min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY user_id
     """,
     "q29_keep_latest_dedup": """
         SELECT user_id, event_type, event_id FROM (

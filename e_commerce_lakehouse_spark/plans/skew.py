@@ -32,6 +32,36 @@ def salted_repartition(
     return salted.repartition(n_partitions, F.col(key), F.col(salt_col)).drop(salt_col)
 
 
+def salted_two_phase_agg(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: partial agg on (key, salt), final agg on
+    key. A hot key's partial state spreads over ``salt_buckets`` reducers
+    instead of hammering one; semantics are identical to a plain
+    ``groupBy(key)`` (count/min/max compose exactly), so a plain GROUP BY
+    oracle verifies it. This is the non-join complement of AQE's
+    skew-join split (session.py) for the north rule's hot-conversation
+    skew."""
+    salt = F.pmod(F.xxhash64(F.col(key), F.col(value_col)), salt_buckets)
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__n").alias("n"),
+        F.min("__mn").alias("min_value"),
+        F.max("__mx").alias("max_value"),
+    )
+
+
 def skew_report(df: DataFrame, key: str, top_n: int = 5) -> dict:
     """Diagnostic: share of rows held by the hottest keys."""
     total = df.count()

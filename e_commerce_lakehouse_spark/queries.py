@@ -420,6 +420,17 @@ def q35_multimodal_decode(spark, sf_dir):
     )
 
 
+def q36_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (plans/skew.py): partial agg on
+    (key, salt) then final on key — the non-join skew mitigation the
+    north rule asks for. Exact-composable aggregates (count/min/max) so
+    the plain-GROUP-BY oracle matches value-for-value."""
+    from .plans.skew import salted_two_phase_agg
+
+    e = _t(spark, sf_dir, "events")
+    return salted_two_phase_agg(e, key="user_id", value_col="value", salt_buckets=16)
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -525,4 +536,5 @@ ALL = {
     "q33_conditional_pivot": q33_conditional_pivot,
     "q34_intersect": q34_intersect,
     "q35_multimodal_decode": q35_multimodal_decode,
+    "q36_skew_salted_agg": q36_skew_salted_agg,
 }
