@@ -92,6 +92,10 @@ def ngram_jaccard_pairs(
             dfreq = dfreq.crossJoin(F.broadcast(n_docs))
         rare = dfreq.where(F.col("df_") <= limit).select("shingle")
         sh = sh.join(rare, "shingle")
+    # NOT persisted: the explode+cut recomputes per branch but is cheaper
+    # than materializing 3 copies of the exploded strings (measured 12s
+    # vs 16s first-run at sf0.1); at corpus scale stage the cut shingle
+    # table to a temp parquet instead
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -176,7 +180,12 @@ def minhash_lsh_pairs(
     pipelines use. For exact Jaccard use ``ngram_jaccard_pairs``."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # persist the signatures: they fan out into ``bands`` self-joins plus
+    # two verification joins, and Spark does NOT reuse the exchange across
+    # branches (measured: 16 full input scans without this, 1 with). The
+    # cached set is num_hashes longs per doc — tiny relative to the
+    # corpus; at petabyte doc counts write it to a temp table instead.
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -277,7 +286,10 @@ def simhash_pairs(
     while SIMHASH_BITS % n_chunks != 0:  # align to a divisor of 60
         n_chunks += 1
     chunk_bits = SIMHASH_BITS // n_chunks
-    sigs = simhash_signatures_df(df, text_col, id_col)
+    # persist: the signature table feeds n_chunks self-joins and Spark
+    # won't reuse the exchange across them (one 60-agg token pass instead
+    # of 2×n_chunks); one long per doc — tiny
+    sigs = simhash_signatures_df(df, text_col, id_col).persist()
     chunks = [
         F.shiftright(F.col("sig"), chunk_bits * c)
         .bitwiseAND(F.lit((1 << chunk_bits) - 1))
@@ -345,7 +357,7 @@ def embedding_neardup_lsh(
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", vec_norm(F.col("v")))
+    ).withColumn("nrm", vec_norm(F.col("v"))).persist()  # feeds 2T+2 branches
     cands = None
     for t in range(n_tables):
         bt = base.withColumn(

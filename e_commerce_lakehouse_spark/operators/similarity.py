@@ -127,8 +127,10 @@ def lsh_ann_topk(
     design; knobs: fewer planes → bigger buckets, more tables → higher
     recall at proportional candidate cost (classic L-table LSH)."""
     center = dataset_mean(vectors, dim, vec_col)
-    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col)
-    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col)
+    # persist both sides: v feeds n_tables bucket branches + the re-rank
+    # join and Spark won't reuse exchanges across them; q is tiny
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
+    q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col).persist()
     cands = None
     for t in range(n_tables):
         vt = v.withColumn(
