@@ -265,6 +265,36 @@ def run_scaling(n_cores: int, four_n: int, n_turns: int, reps: int = 3) -> dict:
     }
 
 
+def _hilbert_info_cycle(cores: int, n_turns: int) -> float | None:
+    """Informational: one compact+HILBERT-cluster cycle at 4N — evidences
+    the Arrow-vectorized pandas-UDF key path (functions/zorder.py) at
+    bench scale alongside the JVM Z-order the scaling metric uses."""
+    from e_commerce_lakehouse_spark.operators.cluster import cluster
+    from e_commerce_lakehouse_spark.operators.compact import compact
+    from e_commerce_lakehouse_spark.session import get_spark, stop_spark
+    from e_commerce_lakehouse_spark.table.meta import Table
+
+    root = os.path.join(BENCH_TMP, f"tbl-shared-{n_turns}")
+    if not os.path.isdir(os.path.join(root, "metadata")):
+        return None
+    stop_spark()
+    spark = get_spark(app_name="bench-hilbert", cores=cores, shuffle_partitions=max(cores, 32))
+    _warm_workers(spark, cores)
+    _warm_cycle(spark, cores)
+    table = Table.load(root)
+    base = table.entries(1)
+    table.commit_manifests([table.write_manifest_for(base)], operation="reset")
+    tb = table.total_bytes()
+    t0 = time.monotonic()
+    compact(spark, table, target_bytes=max(1 << 20, tb // 64),
+            max_concurrent_groups=max(8, cores))
+    cluster(spark, table, curve="hilbert", target_bytes=max(1 << 19, tb // 96))
+    sec = round(time.monotonic() - t0, 3)
+    _cleanup_cycle_outputs(table)
+    stop_spark()
+    return sec
+
+
 def _sentinel_burn(i):
     import time as _t
 
@@ -334,6 +364,8 @@ def main() -> None:
                 break
         maintenance = max(attempts, key=lambda m: m["scaling_efficiency"])
         maintenance = dict(maintenance, attempts=attempts)
+        if time.monotonic() - t_start < deadline_s:
+            maintenance["hilbert_4n_sec"] = _hilbert_info_cycle(four_n, n_turns)
 
     shutil.rmtree(os.path.join(BENCH_TMP, f"tbl-shared-{n_turns}"), ignore_errors=True)
     shutil.rmtree(os.path.join(BENCH_TMP, "tbl-mini"), ignore_errors=True)
