@@ -365,7 +365,11 @@ def main() -> None:
         maintenance = max(attempts, key=lambda m: m["scaling_efficiency"])
         maintenance = dict(maintenance, attempts=attempts)
         if time.monotonic() - t_start < deadline_s:
-            maintenance["hilbert_4n_sec"] = _hilbert_info_cycle(four_n, n_turns)
+            try:
+                maintenance["hilbert_4n_sec"] = _hilbert_info_cycle(four_n, n_turns)
+            except Exception as e:  # informational metric must never kill the bench
+                maintenance["hilbert_4n_sec"] = None
+                maintenance["hilbert_err"] = str(e)[:200]
 
     shutil.rmtree(os.path.join(BENCH_TMP, f"tbl-shared-{n_turns}"), ignore_errors=True)
     shutil.rmtree(os.path.join(BENCH_TMP, "tbl-mini"), ignore_errors=True)
