@@ -171,6 +171,36 @@ def read_excel(
     return out
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    reject_corrupt: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan with explicit schema (transcripts' usual wire format):
+    returns (good, corrupt) — corrupt lines become audit rows (the
+    rejected-rows pattern, `orders_etl.py:204-209`), never task failures.
+    Never inferSchema: one pass, stable types."""
+    extended = T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType())])
+    df = (
+        spark.read.schema(extended)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        # Spark disallows queries that reference ONLY the corrupt-record
+        # column of a raw JSON scan (SPARK-38053-documented behavior); the
+        # documented remedy is caching the parsed batch before splitting
+        .cache()
+    )
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt").select(
+        *[f.name for f in schema.fields]
+    )
+    corrupt = df.where(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, corrupt
+
+
 def read_with_fallback(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """S4: try Excel, fall back to CSV (orders_etl.py:102-112)."""
     if path.endswith((".xlsx", ".xls")):

@@ -305,6 +305,25 @@ class Table:
 
     # ---------- convenience ----------
 
+    def snapshot_diff(self, from_id: int, to_id: int) -> dict:
+        """Metadata-only diff between two snapshots: which files were
+        added/removed and the row/byte deltas — the observability surface
+        for 'what did that maintenance run actually do'. Reads manifests,
+        never data (O(manifest), any table size)."""
+        a = {e.path: e for e in self.entries(from_id)}
+        b = {e.path: e for e in self.entries(to_id)}
+        added = sorted(set(b) - set(a))
+        removed = sorted(set(a) - set(b))
+        return {
+            "from": from_id,
+            "to": to_id,
+            "operation": self.snapshot(to_id).operation,
+            "added_files": added,
+            "removed_files": removed,
+            "rows_delta": sum(b[p].rows for p in added) - sum(a[p].rows for p in removed),
+            "bytes_delta": sum(b[p].bytes for p in added) - sum(a[p].bytes for p in removed),
+        }
+
     def relpath(self, abs_path: str) -> str:
         return os.path.relpath(abs_path, self.root)
 

@@ -48,7 +48,7 @@ def main(argv=None) -> int:
         required=True,
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
-            "expire", "ingest", "inspect",
+            "expire", "ingest", "inspect", "diff",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -64,7 +64,9 @@ def main(argv=None) -> int:
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
     p.add_argument("--retry-backoff", type=float, default=2.0,
                    help="initial backoff seconds (doubles per attempt)")
-    p.add_argument("--snapshot", type=int, default=None, help="inspect: pin a snapshot id")
+    p.add_argument("--snapshot", type=int, default=None,
+                   help="inspect: pin a snapshot id; diff: the FROM snapshot")
+    p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
     args = p.parse_args(argv)
 
     from e_commerce_lakehouse_spark.operators import (
@@ -81,6 +83,15 @@ def main(argv=None) -> int:
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
         result = rewrite_manifests(Table.load(args.table))
+    elif args.op == "diff":  # metadata-only
+        t = Table.load(args.table)
+        to_id = args.to_snapshot if args.to_snapshot is not None else t.current_snapshot_id()
+        from_id = args.snapshot if args.snapshot is not None else t.snapshot(to_id).parent_id
+        if from_id is None:
+            p.error("--op diff needs --snapshot (no parent to diff against)")
+        result = t.snapshot_diff(from_id, to_id)
+        result["added_files"] = len(result["added_files"])
+        result["removed_files"] = len(result["removed_files"])
     else:
         spark = get_spark(app_name=f"maintenance-{args.op}")
         if args.op == "create":

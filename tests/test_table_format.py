@@ -71,3 +71,15 @@ def test_commit_lock_enforces_single_writer(tiny_table):
     snap = t.commit_manifests(list(t.snapshot().manifests), operation="reset")
     assert snap.snapshot_id == 4
     assert not os.path.exists(lock)  # released after commit
+
+
+def test_snapshot_diff_tracks_maintenance(spark, tiny_table):
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    before = tiny_table.current_snapshot_id()
+    m = compact(spark, tiny_table, target_bytes=96 * 1024)
+    d = tiny_table.snapshot_diff(before, m["committed_snapshot"])
+    assert d["operation"] == "replace"
+    assert len(d["added_files"]) == m["output_files"]
+    assert len(d["removed_files"]) == m["input_files"]
+    assert d["rows_delta"] == 0  # compaction moves bytes, never rows

@@ -159,3 +159,20 @@ def test_fallback_mislabeled_csv(spark, tmp_path):
     df = read_with_fallback(spark, str(p), SCHEMA)
     row = df.collect()[0]
     assert (row["order_id"], row["customer"]) == (7, "zed")
+
+
+def test_read_jsonl_good_and_corrupt(spark, tmp_path):
+    from e_commerce_lakehouse_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "turns.jsonl"
+    p.write_text(
+        '{"order_id": 1, "customer": "acme corp", "amount": 9.5, "rush": true}\n'
+        'NOT JSON AT ALL\n'
+        '{"order_id": 2, "customer": "zed", "amount": 1.25, "rush": false}\n'
+    )
+    good, corrupt = read_jsonl(spark, str(p), SCHEMA)
+    rows = {r["order_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["customer"] == "acme corp" and rows[1]["rush"] is True
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["raw_line"]
