@@ -35,37 +35,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
     def run_once() -> DataFrame:
         # unique per-invocation dir: no collisions with concurrent or stale
-        # runs; result is materialized then served independent of the dir
+        # runs; result is materialized then served independent of the dir;
+        # cleanup happens on failure too (no tmpfs leak across retries)
         root = os.path.join(base, f"spark_graft_entry_{uuid.uuid4().hex[:12]}")
-        df = transcripts_df(spark, 2000, seed=42)
-        table = create_transcripts_table(spark, root, df, rows_per_file=200, n_append_commits=2)
-        compact(spark, table, target_bytes=1 << 20)
-        cluster(spark, table, curve="zorder", target_bytes=1 << 19)
-        merge_into(spark, table, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=8))
-        out = (
-            scan(spark, table)
-            .groupBy("role")
-            .agg(
-                F.count("*").alias("n_turns"),
-                F.round(F.avg(F.length("text")), 2).alias("avg_text_len"),
-                F.countDistinct("conv_id").alias("n_convs"),
-                F.sum(F.when(F.col("text").startswith("[corrected] "), 1).otherwise(0)).alias(
-                    "n_corrected"
-                ),
+        try:
+            df = transcripts_df(spark, 2000, seed=42)
+            table = create_transcripts_table(
+                spark, root, df, rows_per_file=200, n_append_commits=2
             )
-        )
-        # touch the driver testdata path too (flagship must run on sf0.001)
-        sf_dir = "/root/testdata/sf0.001"
-        if os.path.isdir(sf_dir):
-            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            stats = li.agg(F.count("*").alias("li_rows")).select(
-                F.lit("all").alias("join_key"), "li_rows"
+            compact(spark, table, target_bytes=1 << 20)
+            cluster(spark, table, curve="zorder", target_bytes=1 << 19)
+            merge_into(spark, table, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=8))
+            out = (
+                scan(spark, table)
+                .groupBy("role")
+                .agg(
+                    F.count("*").alias("n_turns"),
+                    F.round(F.avg(F.length("text")), 2).alias("avg_text_len"),
+                    F.countDistinct("conv_id").alias("n_convs"),
+                    F.sum(F.when(F.col("text").startswith("[corrected] "), 1).otherwise(0)).alias(
+                        "n_corrected"
+                    ),
+                )
             )
-            out = out.withColumn("join_key", F.lit("all")).join(stats, "join_key").drop("join_key")
-        rows = out.collect()
-        result = spark.createDataFrame(rows, out.schema)
-        shutil.rmtree(root, ignore_errors=True)
-        return result
+            # touch the driver testdata path too (flagship must run on sf0.001)
+            sf_dir = "/root/testdata/sf0.001"
+            if os.path.isdir(sf_dir):
+                li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                stats = li.agg(F.count("*").alias("li_rows")).select(
+                    F.lit("all").alias("join_key"), "li_rows"
+                )
+                out = out.withColumn("join_key", F.lit("all")).join(stats, "join_key").drop(
+                    "join_key"
+                )
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
     try:
         return run_once()

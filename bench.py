@@ -236,11 +236,10 @@ def run_scaling(n_cores: int, four_n: int, n_turns: int, reps: int = 3) -> dict:
 
     root = build_shared_table(n_turns)
     best: dict[int, dict] = {}
-    # one extra rep on the 4N side: it is the volatile one (absolute walls
-    # are small, so one interference blip costs proportionally more) and
-    # an extra cycle there is ~4x cheaper than at N
+    # SYMMETRIC reps per level: min over more samples is stochastically
+    # smaller, so an extra rep on only one side would bias the efficiency
+    # ratio — both levels get exactly ``reps`` interleaved cycles
     schedule = [(rep, c) for rep in range(max(1, reps)) for c in (n_cores, four_n)]
-    schedule.append((max(1, reps), four_n))
     for rep, cores in schedule:
         stop_spark()
         spark = get_spark(
@@ -305,7 +304,8 @@ def _sentinel_burn(i):
     import time as _t
 
     buf = b"\xab" * (1 << 20)
-    path = f"/dev/shm/spark_graft_sentinel-{i}.bin"
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    path = os.path.join(BENCH_TMP, f"sentinel-{i}.bin")
     t0 = _t.monotonic()
     with open(path, "wb") as f:
         for _ in range(128):

@@ -119,14 +119,6 @@ def cluster(
     total_bytes = sum(e.bytes for e in entries)
     n_files = max(1, math.ceil(total_bytes / target_bytes))
 
-    # Scan parallelism: a freshly-compacted table may have only ~total/32MB
-    # file-split partitions — fewer than the executor pool, so the map stage
-    # underutilizes a wide cluster. Size maxPartitionBytes so the scan yields
-    # ≥3 map tasks per core slot (restored after the job).
-    par = spark.sparkContext.defaultParallelism
-    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    mpb = max(4 << 20, min(128 << 20, total_bytes // max(1, par * 3)))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
     bounds = _ts_bounds_from_manifest(entries)
     if bounds is None:  # fall back to a data-scan agg (min/max only)
@@ -136,8 +128,18 @@ def cluster(
         bounds = (row["lo"], row["hi"])
     keyed = _with_cluster_key(df, curve, *bounds, conv_proj=_conv_projection(entries))
 
+    # Scan parallelism: a freshly-compacted table may have only ~total/32MB
+    # file-split partitions — fewer than the executor pool, so the map stage
+    # underutilizes a wide cluster. Size maxPartitionBytes so the scan yields
+    # ≥3 map tasks per core slot. Set INSIDE the try (the conf applies at
+    # action time, the plans above are lazy) so any failure restores it.
+    par = spark.sparkContext.defaultParallelism
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    mpb = max(4 << 20, min(128 << 20, total_bytes // max(1, par * 3)))
+
     t0 = monotonic()
     try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         if shards <= 1:
             subdir = f"cluster-{base_snapshot:08d}-{curve}"
             out_dir = os.path.join(table.data_dir, subdir)
@@ -196,12 +198,21 @@ def _cluster_sharded(
     tmp_dir = os.path.join(table.data_dir, f"_tmp-cluster-{base_snapshot:08d}-{curve}")
     done = ckpt.done()
     # trust-but-verify resume (mirrors compact): drop checkpointed shards
-    # whose recorded outputs no longer exist on disk, and redo stage 1 if
-    # its temp copy vanished
+    # whose recorded outputs no longer exist on disk. Stage 1 is valid
+    # only if the temp dir still holds EXACTLY the shard subdirs it
+    # recorded — a partially-deleted temp copy must not be mistaken for
+    # "those shards were empty" (that would commit silent data loss).
+    def _stage1_intact(rec: dict) -> bool:
+        td = rec.get("tmp_dir", tmp_dir)
+        if not os.path.isdir(td):
+            return False
+        present = sorted(d for d in os.listdir(td) if d.startswith("__shard="))
+        return present == sorted(rec.get("shard_dirs", []))
+
     done = {
         gid: rec
         for gid, rec in done.items()
-        if (gid == -1 and os.path.isdir(rec.get("tmp_dir", tmp_dir)))
+        if (gid == -1 and _stage1_intact(rec))
         or (gid != -1 and all(
             os.path.exists(os.path.join(table.root, d["path"]))
             for d in rec.get("outputs") or []
@@ -210,6 +221,13 @@ def _cluster_sharded(
 
     # stage 1 (group_id = -1): keyed temp copy partitioned by shard id
     if -1 not in done:
+        if done:
+            # a redone stage 1 re-derives the quantile cuts; rows may land
+            # in different shards than the ones old outputs were built
+            # from, so ALL shard progress is invalidated together —
+            # correctness over rework
+            done = {}
+            ckpt.clear()
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
         cuts = keyed.stat.approxQuantile(
@@ -225,7 +243,9 @@ def _cluster_sharded(
             .partitionBy("__shard")
             .parquet(tmp_dir)
         )
-        ckpt.record({"group_id": -1, "status": "done", "tmp_dir": tmp_dir})
+        shard_dirs = sorted(d for d in os.listdir(tmp_dir) if d.startswith("__shard="))
+        ckpt.record({"group_id": -1, "status": "done", "tmp_dir": tmp_dir,
+                     "shard_dirs": shard_dirs})
         done = ckpt.done()
 
     files_per_shard = max(1, math.ceil(n_files / shards))

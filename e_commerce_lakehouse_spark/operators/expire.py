@@ -61,6 +61,7 @@ def expire_snapshots(
 
     from ..checkpoint import Checkpoint
 
+    protected_dirs: set[str] = set()
     for ck in glob.glob(os.path.join(table.metadata_dir, "*.ckpt.jsonl")):
         for rec in Checkpoint(ck).records():
             for p in rec.get("output_files") or []:
@@ -68,13 +69,20 @@ def expire_snapshots(
             for d in rec.get("outputs") or []:
                 if isinstance(d, dict) and d.get("path"):
                     live_rel.add(d["path"])
+            td = rec.get("tmp_dir")
+            if td:  # sharded cluster's stage-1 copy: GC'ing it forces a
+                # full stage-1 redo on resume (correct but wasted work)
+                protected_dirs.add(os.path.relpath(td, table.root))
 
     # orphan data files = on disk but in no retained snapshot
     on_disk = []
     for dirpath, _dirs, files in os.walk(table.data_dir):
         for fn in files:
             p = os.path.join(dirpath, fn)
-            on_disk.append(os.path.relpath(p, table.root))
+            rel = os.path.relpath(p, table.root)
+            if any(rel.startswith(d + os.sep) for d in protected_dirs):
+                continue
+            on_disk.append(rel)
     orphans = sorted(set(on_disk) - live_rel)
 
     # manifests referenced only by expired snapshots

@@ -477,22 +477,25 @@ def q30_maintenance_lifecycle(spark, sf_dir):
 
     def run_once():
         root = os.path.join(base, f"spark_graft_q30_{uuid.uuid4().hex[:12]}")
-        df = transcripts_df(spark, 3000, seed=42)
-        t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
-        compact(spark, t, target_bytes=1 << 20)
-        cluster(spark, t, curve="zorder", target_bytes=1 << 19)
-        merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
-        rewrite_manifests(t)
-        expire_snapshots(t, keep_last=2)
-        # materialize the deterministic result BEFORE this function returns,
-        # so a transient failure surfaces here (where the retry can catch
-        # it) rather than when the driver later consumes the lazy plan —
-        # then serve it back as a DataFrame independent of the temp table
-        out = scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
-        rows = out.collect()
-        result = spark.createDataFrame(rows, out.schema)
-        shutil.rmtree(root, ignore_errors=True)
-        return result
+        try:
+            df = transcripts_df(spark, 3000, seed=42)
+            t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
+            compact(spark, t, target_bytes=1 << 20)
+            cluster(spark, t, curve="zorder", target_bytes=1 << 19)
+            merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
+            rewrite_manifests(t)
+            expire_snapshots(t, keep_last=2)
+            # materialize the deterministic result BEFORE this function
+            # returns, so a transient failure surfaces here (where the retry
+            # can catch it) rather than when the driver later consumes the
+            # lazy plan — then serve it back independent of the temp table
+            out = scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            # also on failure: a crashed attempt must not leak its table
+            # dir on tmpfs (RAM) — the retry builds a fresh one
+            shutil.rmtree(root, ignore_errors=True)
 
     try:
         return run_once()

@@ -154,7 +154,10 @@ def read_excel(
     scalars; each column is cast to its contract type, mirroring the
     reference's per-sheet explode (`s3_event_trigger.py:151-175`)."""
     parsed = read_xlsx_stdlib(path)
-    names = [f.name for f in schema.fields]
+    if sheet_name is not None and sheet_name not in parsed:
+        raise ValueError(
+            f"{path}: no sheet named {sheet_name!r} (found {sorted(parsed)})"
+        )
     out = []
     for name, (header, rows) in parsed.items():
         if sheet_name is not None and name != sheet_name:
@@ -180,7 +183,12 @@ def read_jsonl(
     """JSONL scan with explicit schema (transcripts' usual wire format):
     returns (good, corrupt) — corrupt lines become audit rows (the
     rejected-rows pattern, `orders_etl.py:204-209`), never task failures.
-    Never inferSchema: one pass, stable types."""
+    Never inferSchema: one pass, stable types.
+
+    Lifetime note: the parsed batch is cached (Spark requires it to query
+    the corrupt-record column); the cache lives until the caller's
+    session ends or `good.unpersist()`-via-parent — for repeated large
+    ingests, drain a batch then start the next rather than holding many."""
     extended = T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType())])
     df = (
         spark.read.schema(extended)

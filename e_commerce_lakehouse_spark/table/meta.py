@@ -201,8 +201,16 @@ class Table:
         """O_EXCL lock around the read-parent→flip critical section. The
         parent snapshot id is (re)read INSIDE the lock, so two racing
         writers serialize instead of both building on the same parent and
-        one silently clobbering the other's VERSION flip."""
+        one silently clobbering the other's VERSION flip.
+
+        Stale-lock breaking is ATOMIC: the breaker renames the stale lock
+        to a unique tombstone first (os.rename — only one racing breaker
+        can win; a remove-then-create window would let two writers both
+        acquire). Release removes the lock only if it still carries OUR
+        token, so a writer whose lock was broken as stale mid-commit
+        cannot delete the new holder's lock."""
         path = self._lock_path()
+        token = f"{os.getpid()}-{time.time_ns()}"
         for attempt in range(2):
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -213,8 +221,9 @@ class Table:
                 except FileNotFoundError:
                     continue  # holder just released — retry O_EXCL
                 if age > _LOCK_STALE_S and attempt == 0:
-                    with contextlib.suppress(FileNotFoundError):
-                        os.remove(path)  # break a crashed writer's lock
+                    with contextlib.suppress(FileNotFoundError, OSError):
+                        os.rename(path, f"{path}.broken-{token}")
+                        os.remove(f"{path}.broken-{token}")
                     continue
                 raise CommitConflictError(
                     f"{self.root}: another writer holds COMMIT.lock "
@@ -223,12 +232,18 @@ class Table:
         else:  # pragma: no cover - both attempts collided
             raise CommitConflictError(f"{self.root}: could not acquire COMMIT.lock")
         try:
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(fd, token.encode())
             os.close(fd)
             yield
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(path)
+            try:
+                with open(path) as f:
+                    still_ours = f.read() == token
+            except FileNotFoundError:
+                still_ours = False
+            if still_ours:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
 
     def _write_manifest(self, sid: int, k: int, entries: list[DataFileEntry]) -> str:
         name = f"manifest-{sid:08d}-{k:04d}.json"

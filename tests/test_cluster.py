@@ -50,3 +50,34 @@ def test_sharded_cluster_matches_single_pass(spark, tiny_table):
     assert_same_rows(before, scan(spark, tiny_table))
     # sharded output still skips on a cold-conversation point query
     assert _skip_ratio(tiny_table, "conv-000000000150") >= 0.3
+
+
+def test_sharded_resume_rejects_partially_deleted_tmp(spark, tiny_table):
+    """A partially-GC'd stage-1 temp copy must NOT be mistaken for 'those
+    shards were empty' (that would commit a truncated table): resume
+    detects the missing shard dir, invalidates all shard progress, and
+    redoes the run — result stays byte-equal."""
+    import os
+    import shutil
+
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators.cluster import SimulatedCrash
+
+    before = scan(spark, tiny_table).cache()
+    n_before = before.count()
+    ckpt = os.path.join(tiny_table.metadata_dir, "shard-test.ckpt.jsonl")
+    with pytest.raises(SimulatedCrash):
+        cluster(spark, tiny_table, curve="zorder", target_bytes=TARGET,
+                shards=3, checkpoint_path=ckpt, fail_after_shards=1)
+    tmp = [d for d in os.listdir(tiny_table.data_dir) if d.startswith("_tmp-cluster-")]
+    assert tmp, "crash must leave the stage-1 temp copy"
+    tmp_dir = os.path.join(tiny_table.data_dir, tmp[0])
+    shard_dirs = [d for d in os.listdir(tmp_dir) if d.startswith("__shard=")]
+    assert len(shard_dirs) >= 2
+    shutil.rmtree(os.path.join(tmp_dir, shard_dirs[0]))  # partial GC
+
+    m = cluster(spark, tiny_table, curve="zorder", target_bytes=TARGET,
+                shards=3, checkpoint_path=ckpt)
+    assert m["rows"] == n_before  # nothing silently dropped
+    assert_same_rows(scan(spark, tiny_table), before)

@@ -176,3 +176,8 @@ def test_read_jsonl_good_and_corrupt(spark, tmp_path):
     assert rows[1]["customer"] == "acme corp" and rows[1]["rush"] is True
     bad = corrupt.collect()
     assert len(bad) == 1 and "NOT JSON" in bad[0]["raw_line"]
+
+
+def test_read_excel_unknown_sheet_raises(spark, xlsx_path):
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_excel(spark, xlsx_path, SCHEMA, sheet_name="Orders")  # case-sensitive
