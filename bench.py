@@ -330,9 +330,11 @@ def _interference_sentinel(procs: int = 16) -> float:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
-    # 120M * sf: large enough that real rewrite work dominates fixed
-    # dispatch overhead (~150ms per PySpark task) at both levels
-    n_turns = max(400_000, int(120_000_000 * sf))
+    # 120M * sf with an 8M floor: the scaling input is synthetic (not read
+    # from SF_DIR), and below ~8M turns fixed per-job overheads dominate
+    # the rewrite work and the efficiency number measures overhead, not
+    # the engine (0.52 at 1.2M turns vs 0.85 at 12M, same code)
+    n_turns = max(8_000_000, int(120_000_000 * sf))
 
     from e_commerce_lakehouse_spark.session import get_spark, stop_spark
 
