@@ -78,8 +78,18 @@ def ngram_jaccard_pairs(
     opt-in (``max_df_frac=None, max_df=None``), not the default. An
     absolute ``max_df`` overrides the fraction. NOTE: the cut changes
     each document's surviving-shingle set, so Jaccard here is over the
-    CUT sets — the exact-over-full-sets variant is the opt-in."""
-    sh = _shingle_table(df, text_col, id_col, n)
+    CUT sets — the exact-over-full-sets variant is the opt-in.
+
+    Shingles are carried as 60-bit md5-prefix ints, not strings: the
+    self-join shuffles 8-byte keys instead of ~25-char text (~3× less
+    shuffle volume; collision odds ~n²/2^60 are negligible and the
+    DuckDB oracle hashes identically)."""
+    sh = _shingle_table(df, text_col, id_col, n).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shingle"),
+    )
     limit = None
     if max_df is not None:
         limit = F.lit(max_df)
@@ -92,10 +102,11 @@ def ngram_jaccard_pairs(
             dfreq = dfreq.crossJoin(F.broadcast(n_docs))
         rare = dfreq.where(F.col("df_") <= limit).select("shingle")
         sh = sh.join(rare, "shingle")
-    # NOT persisted: the explode+cut recomputes per branch but is cheaper
-    # than materializing 3 copies of the exploded strings (measured 12s
-    # vs 16s first-run at sf0.1); at corpus scale stage the cut shingle
-    # table to a temp parquet instead
+    # persist the CUT int-shingle table: it feeds sizes + both self-join
+    # sides, and as (long, long) rows it caches ~3× cheaper than the
+    # string form (which made caching a net loss); at corpus scale stage
+    # it to a temp parquet instead
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

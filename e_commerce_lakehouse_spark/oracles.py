@@ -31,12 +31,18 @@ shingles AS (
 
 _JACCARD = f"""
 WITH {_SHINGLES},
--- df-cut mirror (dedup.ngram_jaccard_pairs max_df_frac=0.5): drop
--- shingles present in more than half the corpus before the self-join
+-- 60-bit md5-prefix int shingle keys (mirror of dedup.ngram_jaccard_pairs:
+-- the self-join runs on 8-byte ints, not strings)
+shing AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+    FROM shingles
+),
+-- df-cut mirror (max_df_frac=0.5): drop shingles present in more than
+-- half the corpus before the self-join
 cut AS (
-    SELECT s.doc_id, s.shingle FROM shingles s
+    SELECT s.doc_id, s.shingle FROM shing s
     JOIN (SELECT shingle FROM (
-            SELECT shingle, count(DISTINCT doc_id) AS df_ FROM shingles GROUP BY shingle)
+            SELECT shingle, count(DISTINCT doc_id) AS df_ FROM shing GROUP BY shingle)
           WHERE df_ <= 0.5 * (SELECT count(DISTINCT doc_id) FROM documents)) r
       USING (shingle)
 ),
