@@ -76,7 +76,15 @@ def entry(spark: SparkSession) -> DataFrame:
     try:
         return run_once()
     except Exception:
-        # one full retry in a fresh dir — output is deterministic either way
+        # one full retry in a fresh dir — output is deterministic either
+        # way — but surface the FIRST failure's full traceback to stderr
+        # first, so a deterministic bug shows its root-cause frame instead
+        # of hiding behind 'transient' framing
+        import sys
+        import traceback
+
+        print("entry first attempt failed; full traceback before retry:", file=sys.stderr)
+        traceback.print_exc()
         return run_once()
 
 

@@ -99,7 +99,22 @@ def _rewrite_wave_arrow(
             # measured FASTER than snappy here and scales 0.85 vs 0.72 from
             # 4→16 workers (snappy's larger write buffers hit the host's
             # contended fresh-page allocation path; see BENCH/BASELINE.md)
-            pq.write_table(merged, out_path, compression=codec)
+            #
+            # coerce_timestamps="us": the rewrite's output annotation must be
+            # independent of whatever the upstream writer produced. A default
+            # SparkSession writes timestamps as INT96; pyarrow reads INT96 as
+            # timestamp[ns] and would re-emit INT64 TIMESTAMP(NANOS), which
+            # Spark's vectorized parquet reader rejects against TimestampType
+            # (SchemaColumnConvertNotSupportedException on the very next scan
+            # of compact output). Pinning to micros keeps compact output
+            # readable under ANY session config, not just the repo's own.
+            pq.write_table(
+                merged,
+                out_path,
+                compression=codec,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
             t_write = _mono()
             e = file_stats_dict(out_path, table_root, cols)
             yield {

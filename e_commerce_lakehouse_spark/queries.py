@@ -458,14 +458,25 @@ def q30_maintenance_lifecycle(spark, sf_dir):
     expire; returns the post-maintenance scan. Determinism of every cell
     is the invariant the driver hashes.
 
-    Robustness (this is the flagship — it must survive a 34-query sweep):
+    SELF-VERIFYING: the expected table is computed independently in
+    memory (``merge_upsert_dataframes`` over the same synthetic inputs,
+    no table format involved) and compared cell-for-cell against the
+    post-maintenance scan; a ``verified`` column records the check, and
+    any mismatch raises instead of hash-drifting silently.
+
+    Robustness (this is the flagship — it must survive a 36-query sweep):
     each invocation uses a UNIQUE temp dir (no collisions with concurrent
-    or stale runs), and a transient executor/environment failure triggers
-    one full retry in a fresh dir — the output is deterministic either
-    way, mirroring how the reference orchestrator retries a failed stage
-    (/root/reference/src/step_functions/etl_orchestrator.json:133-159)."""
+    or stale runs). One full retry in a fresh dir covers genuinely
+    transient executor/environment failures, mirroring the reference
+    orchestrator's stage retry
+    (/root/reference/src/step_functions/etl_orchestrator.json:133-159) —
+    but the FIRST exception's full traceback is logged to stderr before
+    retrying, so a deterministic failure surfaces once with its root-cause
+    frame rather than hiding behind 'transient' framing."""
     import os
     import shutil
+    import sys
+    import traceback
     import uuid
 
     from .operators import cluster, compact, expire_snapshots, merge_into, rewrite_manifests
@@ -474,24 +485,42 @@ def q30_maintenance_lifecycle(spark, sf_dir):
     from .table.writer import create_transcripts_table
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_cols = ["conv_id", "turn_idx", "role", "text", "tool"]
 
     def run_once():
         root = os.path.join(base, f"spark_graft_q30_{uuid.uuid4().hex[:12]}")
         try:
             df = transcripts_df(spark, 3000, seed=42)
+            corr = corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12)
             t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)
             compact(spark, t, target_bytes=1 << 20)
             cluster(spark, t, curve="zorder", target_bytes=1 << 19)
-            merge_into(spark, t, corrections_df(spark, df, seed=42, update_pct=2, n_inserts=12))
+            merge_into(spark, t, corr)
             rewrite_manifests(t)
             expire_snapshots(t, keep_last=2)
             # materialize the deterministic result BEFORE this function
             # returns, so a transient failure surfaces here (where the retry
             # can catch it) rather than when the driver later consumes the
             # lazy plan — then serve it back independent of the temp table
-            out = scan(spark, t).select("conv_id", "turn_idx", "role", "text", "tool")
+            out = scan(spark, t).select(*out_cols)
             rows = out.collect()
-            return spark.createDataFrame(rows, out.schema)
+            # independent cross-check: MERGE semantics computed purely as a
+            # dataflow over the same inputs — no manifests, no parquet, no
+            # maintenance ops — must agree cell-for-cell with what the
+            # compact→cluster→merge→expire→scan pipeline produced
+            expected = (
+                merge_upsert_dataframes(df, corr).select(*out_cols).collect()
+            )
+            got_sorted = sorted(tuple(r) for r in rows)
+            exp_sorted = sorted(tuple(r) for r in expected)
+            if got_sorted != exp_sorted:
+                raise AssertionError(
+                    f"q30 self-check failed: scan has {len(rows)} rows, "
+                    f"expected {len(expected)}; first diff: "
+                    f"{next((a, b) for a, b in zip(got_sorted, exp_sorted) if a != b) if len(got_sorted) == len(exp_sorted) else 'row-count mismatch'}"
+                )
+            verified = spark.createDataFrame(rows, out.schema)
+            return verified.withColumn("verified", F.lit(True))
         finally:
             # also on failure: a crashed attempt must not leak its table
             # dir on tmpfs (RAM) — the retry builds a fresh one
@@ -500,6 +529,8 @@ def q30_maintenance_lifecycle(spark, sf_dir):
     try:
         return run_once()
     except Exception:
+        print("q30 first attempt failed; full traceback before retry:", file=sys.stderr)
+        traceback.print_exc()
         return run_once()
 
 
