@@ -21,6 +21,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _finish_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` eagerly (localCheckpoint: blocks sized to the
+    threshold-filtered OUTPUT — orders of magnitude smaller than the
+    corpus — lineage to the cached intermediates cut), then unpersist the
+    intermediates. Without this, every ``persist()`` below leaks cached
+    blocks for the life of the session, and a long multi-query sweep
+    accumulates executor storage pressure (round-2 finding). The returned
+    checkpoint blocks are owned by the caller and are GC-cleaned by
+    Spark's ContextCleaner once dereferenced; at corpus scale, stage the
+    result to a temp parquet instead and unpersist after the write."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -67,18 +84,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
-    max_df_frac: float | None = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
-    inter via shingle equi-join, union via |A|+|B|−inter. The df-cut is ON
-    BY DEFAULT (``max_df_frac=0.5``: drop shingles present in more than
-    half the corpus) — on web-scale text the shingle self-join explodes
-    quadratically on stop-shingles, so running without a cut is the
-    opt-in (``max_df_frac=None, max_df=None``), not the default. An
-    absolute ``max_df`` overrides the fraction. NOTE: the cut changes
-    each document's surviving-shingle set, so Jaccard here is over the
-    CUT sets — the exact-over-full-sets variant is the opt-in.
+    inter via shingle equi-join, union via |A|+|B|−inter. The DEFAULT is
+    EXACT Jaccard over the full shingle sets — what the function name
+    promises. On web-scale text the shingle self-join explodes
+    quadratically on stop-shingles, so production callers should OPT IN
+    to the df-cut (``max_df_frac=0.5``: drop shingles present in more
+    than half the corpus — the standard df-cut; an absolute ``max_df``
+    overrides the fraction). The cut changes each document's
+    surviving-shingle set, so Jaccard with a cut is over the CUT sets —
+    visible at the call site because the caller passed the knob
+    (round-2 advice: the cut must never be a silent default).
 
     Shingles are carried as 60-bit md5-prefix ints, not strings: the
     self-join shuffles 8-byte keys instead of ~25-char text (~3× less
@@ -116,7 +135,7 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
@@ -126,6 +145,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return _finish_release(result, sh)
 
 
 # ------------------------------------------------------------ MinHash+LSH
@@ -216,13 +236,14 @@ def minhash_lsh_pairs(
     matches = sum(
         (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int") for j in range(num_hashes)
     )
-    return (
+    result = (
         cands.join(sa, "a")
         .join(sb, "b")
         .withColumn("jaccard_est", F.round(matches / F.lit(num_hashes), 6))
         .where(F.col("jaccard_est") >= threshold)
         .select("a", "b", "jaccard_est")
     )
+    return _finish_release(result, sig)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -314,12 +335,13 @@ def simhash_pairs(
         right = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), F.col(f"c{c}").alias("ck"))
         j = left.join(right, "ck").where(F.col("a") < F.col("b")).select("a", "b", "siga", "sigb")
         cands = j if cands is None else cands.unionByName(j)
-    return (
+    result = (
         cands.distinct()
         .withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    return _finish_release(result, sigs)
 
 
 # ------------------------------------------------- embedding-cosine near-dup
@@ -384,13 +406,14 @@ def embedding_neardup_lsh(
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
-    return (
+    result = (
         cands.join(va, "a")
         .join(vb, "b")
         .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+    return _finish_release(result, base)
 
 
 def embedding_neardup_pairs(

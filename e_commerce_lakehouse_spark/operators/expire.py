@@ -27,11 +27,21 @@ import os
 from ..table.meta import Table
 
 
+#: checkpoints untouched for this long are considered ABANDONED (not a
+#: live resume-in-progress): their protection lapses and the checkpoint
+#: file itself is pruned, so the orphan outputs it pinned become
+#: collectable. Without a bound, a compact/cluster killed once and never
+#: resumed pins its outputs (and the _tmp-cluster stage-1 copy) forever —
+#: on tmpfs-backed tables that is unreclaimable RAM (round-2 advice).
+DEFAULT_STALE_CHECKPOINT_MS = 24 * 3600 * 1000
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int = 2,
     older_than_ms: int | None = None,
     dry_run: bool = False,
+    stale_checkpoint_ms: int | None = DEFAULT_STALE_CHECKPOINT_MS,
 ) -> dict:
     ids = table.snapshot_ids()
     current = table.current_snapshot_id()
@@ -56,13 +66,27 @@ def expire_snapshots(
     # compact/cluster has committed nothing, but its finished groups'
     # outputs (recorded in metadata/*.ckpt.jsonl) are exactly what resume
     # reuses — GC'ing them would let resume commit a snapshot pointing at
-    # deleted files (the operators also re-verify on resume, belt+braces)
+    # deleted files (the operators also re-verify on resume, belt+braces).
+    # Protection is AGE-BOUNDED: a checkpoint whose file hasn't been
+    # touched in stale_checkpoint_ms is an abandoned run, not a pending
+    # resume — it is pruned and its outputs fall through to orphan GC
+    # (resume after pruning is still correct: the operator re-runs the
+    # groups whose outputs vanished — see compact's trust-but-verify).
     import glob
+    import time
 
     from ..checkpoint import Checkpoint
 
     protected_dirs: set[str] = set()
+    stale_checkpoints: list[str] = []
+    now_ms = time.time() * 1000
     for ck in glob.glob(os.path.join(table.metadata_dir, "*.ckpt.jsonl")):
+        if (
+            stale_checkpoint_ms is not None
+            and now_ms - os.path.getmtime(ck) * 1000 > stale_checkpoint_ms
+        ):
+            stale_checkpoints.append(ck)
+            continue
         for rec in Checkpoint(ck).records():
             for p in rec.get("output_files") or []:
                 live_rel.add(p)
@@ -92,6 +116,8 @@ def expire_snapshots(
     dead_manifests -= live_manifests
 
     if not dry_run:
+        for ck in stale_checkpoints:
+            os.remove(ck)
         for rel in orphans:
             os.remove(os.path.join(table.root, rel))
         # remove now-empty data subdirectories
@@ -110,5 +136,6 @@ def expire_snapshots(
         "expired_snapshots": expired,
         "deleted_data_files": len(orphans),
         "deleted_manifests": len(dead_manifests),
+        "pruned_stale_checkpoints": len(stale_checkpoints),
         "dry_run": dry_run,
     }

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_sim, vec_norm  # noqa: F401 (cosine_sim is public API here too)
+from .dedup import _finish_release, cosine_sim, vec_norm  # noqa: F401 (cosine_sim is public API here too)
 
 
 def _norms(df: DataFrame, id_out: str, vec_out: str, norm_out: str, id_col: str, vec_col: str):
@@ -150,8 +150,9 @@ def lsh_ann_topk(
         .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos")
     )
+    return _finish_release(result, v, q)

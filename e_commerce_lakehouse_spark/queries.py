@@ -311,8 +311,11 @@ def q20_exact_dedup(spark, sf_dir):
 
 
 def q21_ngram_jaccard(spark, sf_dir):
+    """df-cut EXPLICIT at the call site (max_df_frac=0.5): Jaccard over
+    the cut shingle sets — the web-scale configuration, mirrored exactly
+    by the DuckDB oracle."""
     d = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, threshold=0.12, n=3)
+    return dd.ngram_jaccard_pairs(d, threshold=0.12, n=3, max_df_frac=0.5)
 
 
 def q22_minhash_lsh(spark, sf_dir):

@@ -102,3 +102,42 @@ def test_resume_reverifies_missing_outputs(spark, tiny_table):
         os.path.exists(os.path.join(tiny_table.root, e.path)) for e in tiny_table.entries()
     )
     assert_same_rows(scan(spark, tiny_table), before)
+
+
+def test_expire_prunes_stale_abandoned_checkpoints(spark, tiny_table):
+    """An abandoned run's checkpoint (older than stale_checkpoint_ms) must
+    lose its GC protection: the .ckpt.jsonl is pruned and the orphan
+    outputs it pinned are collected in the same pass (ADVICE r2: without
+    an age bound, a never-resumed crash pins tmpfs RAM forever)."""
+    before = scan(spark, tiny_table).cache()
+    before.count()
+    with pytest.raises(SimulatedCrash):
+        compact(spark, tiny_table, target_bytes=TARGET, fail_after_groups=2,
+                max_concurrent_groups=4)
+    ckpts = [f for f in os.listdir(tiny_table.metadata_dir) if f.endswith(".ckpt.jsonl")]
+    assert ckpts
+    ck_path = os.path.join(tiny_table.metadata_dir, ckpts[0])
+    from e_commerce_lakehouse_spark.checkpoint import Checkpoint
+
+    outputs = [p for r in Checkpoint(ck_path).records() for p in r.get("output_files", [])]
+    assert outputs
+
+    # FRESH checkpoint: protected even with a tight bound parameter
+    m = expire_snapshots(tiny_table, keep_last=1, stale_checkpoint_ms=3_600_000)
+    assert m["pruned_stale_checkpoints"] == 0
+    for p in outputs:
+        assert os.path.exists(os.path.join(tiny_table.root, p)), p
+
+    # age the checkpoint past the bound -> pruned, outputs collected
+    old = os.path.getmtime(ck_path) - 7200
+    os.utime(ck_path, (old, old))
+    m = expire_snapshots(tiny_table, keep_last=1, stale_checkpoint_ms=3_600_000)
+    assert m["pruned_stale_checkpoints"] == 1
+    assert not os.path.exists(ck_path)
+    for p in outputs:
+        assert not os.path.exists(os.path.join(tiny_table.root, p)), p
+
+    # resume-after-prune is still correct: compact re-runs from scratch
+    m2 = compact(spark, tiny_table, target_bytes=TARGET, max_concurrent_groups=4)
+    assert m2["committed_snapshot"] > m2["base_snapshot"]
+    assert_same_rows(scan(spark, tiny_table), before)

@@ -31,16 +31,17 @@ def test_exact_dedup_finds_planted_duplicate(docs):
 
 
 def test_ngram_jaccard_finds_near_dup(docs):
-    # exact full-set Jaccard is the opt-in path (no df-cut)
+    # exact full-set Jaccard is the DEFAULT (matches the function name)
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in
-             dd.ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=None).collect()}
+             dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 3)] == 1.0
     assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
     assert (0, 2) not in pairs
 
 
-def test_ngram_jaccard_df_cut_default(spark):
-    # a stop-shingle present in >half the corpus must be cut by default:
+def test_ngram_jaccard_df_cut_opt_in(spark):
+    # a stop-shingle present in >half the corpus must be cut when the
+    # caller opts in with max_df_frac=0.5:
     # docs 0..3 share 'the cat sat'; only 0,1 share the rest of the text
     rows = [
         (0, "the cat sat on a red mat tonight"),
@@ -51,7 +52,8 @@ def test_ngram_jaccard_df_cut_default(spark):
         (5, "another unrelated document body text here"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {(r["a"], r["b"]) for r in dd.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    got = {(r["a"], r["b"]) for r in
+           dd.ngram_jaccard_pairs(df, threshold=0.3, max_df_frac=0.5).collect()}
     # 'the cat sat' (and 'cat sat on' etc. appearing in ≤3 docs survive the
     # 0.5 cut at n=6 docs; 'the cat sat' appears in 4 > 3 → cut), so the
     # 0-1 pair must rest on their genuinely-shared tail, not the stop-gram
