@@ -452,4 +452,60 @@ ALL: dict[str, str] = {
                                    ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
     """,
+    "q37_cube": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "q38_exact_percentiles": """
+        -- quantile_cont = Spark's exact `percentile`: linear interpolation
+        -- on the sorted values
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q39_semi_anti_join": """
+        WITH w AS (
+            SELECT c_mktsegment, count(*) AS n_with_orders FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment),
+        wo AS (
+            SELECT c_mktsegment, count(*) AS n_without_orders FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment)
+        SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+               coalesce(n_with_orders, 0) AS n_with_orders,
+               coalesce(n_without_orders, 0) AS n_without_orders
+        FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+    """,
+    "q40_explode_token_counts": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents)
+        GROUP BY token HAVING count(*) >= 50
+    """,
+    "q41_running_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        FROM events
+    """,
+    "q42_collect_sorted_set": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    """,
+    "q43_ntile_buckets": """
+        SELECT o_orderpriority, q, count(*) AS n,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS q
+            FROM orders)
+        GROUP BY o_orderpriority, q
+    """,
 }

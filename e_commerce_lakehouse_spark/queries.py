@@ -434,6 +434,98 @@ def q36_skew_salted_agg(spark, sf_dir):
     return salted_two_phase_agg(e, key="user_id", value_col="value", salt_buckets=16)
 
 
+def q37_cube(spark, sf_dir):
+    """CUBE grouping sets (completes the grouping-sets family next to
+    q32's ROLLUP): all subtotal combinations of (priority, status)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+def q38_exact_percentiles(spark, sf_dir):
+    """Exact percentiles per group (Spark `percentile` = linear
+    interpolation on the sorted values, the same definition DuckDB's
+    quantile_cont uses)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q39_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins (existence predicates without
+    row duplication): per market segment, customers with vs without
+    orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return with_orders.join(without, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+        F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+    )
+
+
+def q40_explode_token_counts(spark, sf_dir):
+    """explode/unnest: corpus token frequencies (the flatten step every
+    text pipeline needs before token-level stats)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("n")).where(F.col("n") >= 50)
+
+
+def q41_running_sum(spark, sf_dir):
+    """Cumulative window frame (running total per user over time) with a
+    deterministic tiebreak. Both engines add doubles in identical frame
+    order, so the running sum is bit-stable."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+def q42_collect_sorted_set(spark, sf_dir):
+    """Array aggregation: the sorted distinct event-type set per user,
+    serialized to a comparable string (collect_set order is
+    nondeterministic — sort_array makes the result a pure function)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.count("*").alias("n"),
+    )
+
+
+def q43_ntile_buckets(spark, sf_dir):
+    """ntile window bucketing: quartiles of order value per priority,
+    deterministic order, avg per bucket."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("q", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "q")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -574,4 +666,11 @@ ALL = {
     "q34_intersect": q34_intersect,
     "q35_multimodal_decode": q35_multimodal_decode,
     "q36_skew_salted_agg": q36_skew_salted_agg,
+    "q37_cube": q37_cube,
+    "q38_exact_percentiles": q38_exact_percentiles,
+    "q39_semi_anti_join": q39_semi_anti_join,
+    "q40_explode_token_counts": q40_explode_token_counts,
+    "q41_running_sum": q41_running_sum,
+    "q42_collect_sorted_set": q42_collect_sorted_set,
+    "q43_ntile_buckets": q43_ntile_buckets,
 }

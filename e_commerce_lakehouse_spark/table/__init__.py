@@ -1,5 +1,13 @@
 from .meta import DataFileEntry, Snapshot, Table
-from .scan import prune_entries, scan
+from .scan import planned_entries, prune_entries, scan
 from .stats import collect_entries
 
-__all__ = ["DataFileEntry", "Snapshot", "Table", "scan", "prune_entries", "collect_entries"]
+__all__ = [
+    "DataFileEntry",
+    "Snapshot",
+    "Table",
+    "scan",
+    "planned_entries",
+    "prune_entries",
+    "collect_entries",
+]

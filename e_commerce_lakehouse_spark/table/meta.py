@@ -22,11 +22,15 @@ plus a delta set of removed paths. The live file set of a snapshot is
 single fresh manifest — that is the op's whole purpose, exactly like
 Iceberg's RewriteManifests action.
 
-Scale notes (100 TB / 10^12 turns): manifests here are JSON for
-debuggability at sandbox scale; the format is column-shaped (fixed stat
-columns) so swapping the manifest codec to Parquet is a serialization
-change, not a format change. Stats collection is distributed
-(table/stats.py reads only Parquet footers, on executors).
+Scale notes (100 TB / 10^12 turns): manifests are PARQUET by default
+(typed columns: path/rows/bytes + stat_min_<col>/stat_max_<col>) — at
+~800 k files a JSON manifest costs seconds of driver-side parse per
+planning pass, the parquet form tens of ms (measured table in
+BENCH/BASELINE.md "Metadata plan time"). JSON manifests remain fully
+READABLE (codec dispatch is by file extension), so existing tables keep
+working and `SPARK_GRAFT_MANIFEST_CODEC=json` restores the debuggable
+form. Stats collection is distributed (table/stats.py reads only
+Parquet footers, on executors).
 
 Concurrency: single-writer per table (the reference is single-writer per
 dataset too — one Glue job per table, see
@@ -56,6 +60,10 @@ import time
 from dataclasses import dataclass, field
 
 _LOCK_STALE_S = 300.0  # a lock this old belongs to a crashed writer
+
+#: manifest serialization for NEW manifests; reads dispatch on extension,
+#: so json and parquet manifests coexist within one table (upgrade-safe)
+MANIFEST_CODEC = os.environ.get("SPARK_GRAFT_MANIFEST_CODEC", "parquet")
 
 
 class CommitConflictError(RuntimeError):
@@ -172,7 +180,10 @@ class Table:
         return sorted(out)
 
     def manifest_entries(self, manifest_path: str) -> list[DataFileEntry]:
-        with open(os.path.join(self.metadata_dir, manifest_path)) as f:
+        full = os.path.join(self.metadata_dir, manifest_path)
+        if manifest_path.endswith(".parquet"):
+            return _read_manifest_parquet(full)
+        with open(full) as f:
             return [DataFileEntry.from_dict(d) for d in json.load(f)["entries"]]
 
     def entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
@@ -246,10 +257,14 @@ class Table:
                     os.remove(path)
 
     def _write_manifest(self, sid: int, k: int, entries: list[DataFileEntry]) -> str:
-        name = f"manifest-{sid:08d}-{k:04d}.json"
+        ext = "parquet" if MANIFEST_CODEC == "parquet" else "json"
+        name = f"manifest-{sid:08d}-{k:04d}.{ext}"
         tmp = os.path.join(self.metadata_dir, name + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"entries": [e.to_dict() for e in entries]}, f)
+        if ext == "parquet":
+            _write_manifest_parquet(tmp, entries)
+        else:
+            with open(tmp, "w") as f:
+                json.dump({"entries": [e.to_dict() for e in entries]}, f)
         os.replace(tmp, os.path.join(self.metadata_dir, name))
         return name
 
@@ -347,6 +362,82 @@ class Table:
 
     def total_rows(self, snapshot_id: int | None = None) -> int:
         return sum(e.rows for e in self.entries(snapshot_id))
+
+
+_STAT_MIN = "stat_min_"
+_STAT_MAX = "stat_max_"
+
+
+def _arrow_stat_type(values):
+    import pyarrow as pa
+
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):  # before int check: bool is an int subclass
+            return pa.bool_()
+        if isinstance(v, int):
+            return pa.int64()
+        if isinstance(v, float):
+            return pa.float64()
+        return pa.string()
+    return pa.string()
+
+
+def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
+    """Typed columnar manifest: path/rows/bytes + stat_min_<col>/
+    stat_max_<col> per stat key (type inferred from the values — ts is
+    epoch-micros int64, conv_id string). No per-row parse on read: at
+    800 k files this plans in tens of ms vs seconds for JSON."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stat_keys: list[str] = []
+    seen: set[str] = set()
+    for e in entries:
+        for k in e.stats:
+            if k not in seen:
+                seen.add(k)
+                stat_keys.append(k)
+    arrays = {
+        "path": pa.array([e.path for e in entries], pa.string()),
+        "rows": pa.array([e.rows for e in entries], pa.int64()),
+        "bytes": pa.array([e.bytes for e in entries], pa.int64()),
+    }
+    for k in stat_keys:
+        mins = [e.stats[k][0] if k in e.stats else None for e in entries]
+        maxs = [e.stats[k][1] if k in e.stats else None for e in entries]
+        typ = _arrow_stat_type(mins + maxs)
+        arrays[_STAT_MIN + k] = pa.array(mins, typ)
+        arrays[_STAT_MAX + k] = pa.array(maxs, typ)
+    pq.write_table(pa.table(arrays), path, compression="zstd")
+
+
+def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
+    """Materialize DataFileEntry objects from an (optionally pre-filtered)
+    arrow manifest table. Python-object cost is O(rows materialized) — the
+    planning fast path (scan.planned_entries) filters vectorized FIRST so
+    this loop only ever runs over pruning survivors."""
+    stat_keys = [c[len(_STAT_MIN):] for c in t.column_names if c.startswith(_STAT_MIN)]
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    out: list[DataFileEntry] = []
+    for i in range(t.num_rows):
+        stats = {}
+        for k in stat_keys:
+            mn, mx = cols[_STAT_MIN + k][i], cols[_STAT_MAX + k][i]
+            if mn is not None or mx is not None:
+                stats[k] = [mn, mx]
+        out.append(
+            DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
+                          bytes=cols["bytes"][i], stats=stats)
+        )
+    return out
+
+
+def _read_manifest_parquet(path: str) -> list[DataFileEntry]:
+    import pyarrow.parquet as pq
+
+    return arrow_manifest_to_entries(pq.read_table(path))
 
 
 def _summarize(added: list[DataFileEntry], extra: dict | None) -> dict:

@@ -65,6 +65,81 @@ def prune_entries(
     return out
 
 
+def _arrow_pruned_entries(manifest_path: str, conv_id_range, ts_range) -> list[DataFileEntry]:
+    """Vectorized manifest pruning: evaluate the stat-range predicates on
+    the parquet manifest's typed columns (pyarrow.compute) and materialize
+    Python entries ONLY for survivors. At 800k files this plans a point
+    scan in ~0.3 s where materialize-then-prune costs 6-7 s either codec
+    (numbers: BENCH/BASELINE.md 'Metadata plan time'). Missing stats are
+    conservative (kept), matching _overlaps."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .meta import arrow_manifest_to_entries
+
+    t = pq.read_table(manifest_path)
+    cols = set(t.column_names)
+
+    def _range_mask(col: str, lo, hi):
+        m = None
+        if lo is not None and f"stat_max_{col}" in cols:
+            keep = pc.fill_null(pc.greater_equal(t.column(f"stat_max_{col}"), lo), True)
+            m = keep
+        if hi is not None and f"stat_min_{col}" in cols:
+            keep = pc.fill_null(pc.less_equal(t.column(f"stat_min_{col}"), hi), True)
+            m = keep if m is None else pc.and_(m, keep)
+        return m
+
+    mask = None
+    if conv_id_range is not None:
+        mask = _range_mask("conv_id", conv_id_range[0], conv_id_range[1])
+    if ts_range is not None:
+        lo = _ts_to_micros(ts_range[0]) if ts_range[0] is not None else None
+        hi = _ts_to_micros(ts_range[1]) if ts_range[1] is not None else None
+        m2 = _range_mask("ts", lo, hi)
+        if m2 is not None:
+            mask = m2 if mask is None else pc.and_(mask, m2)
+    if mask is not None:
+        t = t.filter(mask)
+    return arrow_manifest_to_entries(t)
+
+
+def planned_entries(
+    table: Table,
+    snapshot_id: int | None = None,
+    conv_id: str | None = None,
+    conv_id_range: tuple | None = None,
+    ts_range: tuple | None = None,
+) -> list[DataFileEntry]:
+    """Plan a (possibly predicate-pruned) scan: the live file set of a
+    snapshot restricted to files whose stat ranges overlap the predicates.
+    Parquet manifests are filtered vectorized BEFORE any Python entry
+    object exists; JSON manifests fall back to materialize-then-prune.
+    Semantics identical to prune_entries(table.entries(sid), ...)."""
+    if conv_id is not None:
+        conv_id_range = (conv_id, conv_id)
+    snap = table.snapshot(snapshot_id)
+    removed = set(snap.removed_files)
+    out: list[DataFileEntry] = []
+    seen: set[str] = set()
+    import os
+
+    for m in snap.manifests:
+        if m.endswith(".parquet") and (conv_id_range is not None or ts_range is not None):
+            ents = _arrow_pruned_entries(
+                os.path.join(table.metadata_dir, m), conv_id_range, ts_range
+            )
+        else:
+            ents = prune_entries(
+                table.manifest_entries(m), conv_id_range=conv_id_range, ts_range=ts_range
+            )
+        for e in ents:
+            if e.path not in removed and e.path not in seen:
+                seen.add(e.path)
+                out.append(e)
+    return out
+
+
 def scan(
     spark: SparkSession,
     table: Table,
@@ -78,8 +153,7 @@ def scan(
     """Read a pinned snapshot with manifest-level file skipping.
 
     Returns an empty typed DataFrame when everything prunes away."""
-    entries = table.entries(snapshot_id)
-    entries = prune_entries(entries, conv_id, conv_id_range, ts_range)
+    entries = planned_entries(table, snapshot_id, conv_id, conv_id_range, ts_range)
     if not entries:
         df = spark.createDataFrame([], schema)
     else:

@@ -45,6 +45,57 @@ def write_files(
     return collect_entries(paths, table.root, stat_columns, spark=spark)
 
 
+class NonAcidFallbackWarning(RuntimeWarning):
+    """Emitted when a write degrades to the non-transactional parquet sink."""
+
+
+def write_with_parquet_fallback(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    rows_per_file: int = 10_000,
+    partition_by: tuple[str, ...] | None = None,
+    allow_non_acid_fallback: bool = False,
+) -> dict:
+    """S9: the reference's parquet-overwrite fallback sink
+    (`/root/reference/src/glue_jobs/orders_etl.py:196-199`) — there, ANY
+    Delta write error silently degrades to a plain parquet overwrite,
+    losing ACID, MERGE history and snapshot isolation without the caller
+    ever knowing. Re-expressed here with the failure mode made explicit:
+
+    - default (``allow_non_acid_fallback=False``): a failed table-format
+      write RAISES — no silent downgrade (rounds 1-2 documented why the
+      reference's behavior is a correctness hazard);
+    - opt-in: the fallback writes plain parquet to a CLEARLY SEPARATE
+      path (``<root>-parquet-fallback``), emits NonAcidFallbackWarning,
+      and returns ``{"mode": "parquet-fallback", "acid": False, ...}`` so
+      orchestration can quarantine the output.
+    """
+    import warnings
+
+    try:
+        t = create_transcripts_table(spark, root, df, rows_per_file=rows_per_file)
+        return {"mode": "table", "acid": True, "path": root,
+                "snapshot": t.current_snapshot_id()}
+    except Exception as e:
+        if not allow_non_acid_fallback:
+            raise
+        out = root.rstrip("/") + "-parquet-fallback"
+        warnings.warn(
+            f"table-format write to {root} failed ({e!r}); degrading to a "
+            f"NON-TRANSACTIONAL parquet overwrite at {out} — no snapshots, "
+            f"no MERGE, no isolation",
+            NonAcidFallbackWarning,
+            stacklevel=2,
+        )
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        return {"mode": "parquet-fallback", "acid": False, "path": out,
+                "error": repr(e)[:200]}
+
+
 def create_transcripts_table(
     spark: SparkSession,
     root: str,

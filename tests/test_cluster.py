@@ -81,3 +81,30 @@ def test_sharded_resume_rejects_partially_deleted_tmp(spark, tiny_table):
                 shards=3, checkpoint_path=ckpt)
     assert m["rows"] == n_before  # nothing silently dropped
     assert_same_rows(scan(spark, tiny_table), before)
+
+
+def test_cluster_int96_stat_fallback(spark, tiny_df, tmp_path):
+    """INT96 parquet carries no min/max footer stats for ts, so the
+    manifest has no ts range and cluster must fall back to a data-scan
+    min/max agg (cluster.py bounds fallback) — and still produce
+    byte-identical content."""
+    from e_commerce_lakehouse_spark.operators.cluster import _ts_bounds_from_manifest
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        t = create_transcripts_table(
+            spark, str(tmp_path / "int96tbl"), tiny_df.limit(1000), rows_per_file=200
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    entries = t.entries()
+    assert _ts_bounds_from_manifest(entries) is None, (
+        "precondition: INT96 files must have no manifest ts stats"
+    )
+    before = scan(spark, t).cache()
+    before.count()
+    m = cluster(spark, t, curve="zorder", target_bytes=64 * 1024)
+    assert m["committed_snapshot"] > m["base_snapshot"]
+    assert_same_rows(scan(spark, t), before)

@@ -1,5 +1,6 @@
 """Table format: commits, snapshot pinning, stat-based pruning (SURVEY.md §5)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.table import Table, prune_entries, scan
@@ -83,3 +84,46 @@ def test_snapshot_diff_tracks_maintenance(spark, tiny_table):
     assert len(d["added_files"]) == m["output_files"]
     assert len(d["removed_files"]) == m["input_files"]
     assert d["rows_delta"] == 0  # compaction moves bytes, never rows
+
+
+def test_parquet_fallback_sink_raises_by_default(spark, tiny_df, tmp_path):
+    """S9 (orders_etl.py:196-199): default is NO silent ACID downgrade."""
+    import os
+
+    from e_commerce_lakehouse_spark.table.writer import write_with_parquet_fallback
+
+    root = str(tmp_path / "s9tbl")
+    # force the table write to fail deterministically: the ingest subdir
+    # already exists, so write_files refuses to overwrite it
+    os.makedirs(os.path.join(root, "data", "ingest-00000001-0000"))
+    with pytest.raises(FileExistsError):
+        write_with_parquet_fallback(spark, root, tiny_df.limit(100))
+
+
+def test_parquet_fallback_sink_opt_in_degrades_loudly(spark, tiny_df, tmp_path):
+    import os
+    import warnings
+
+    from e_commerce_lakehouse_spark.table.writer import (
+        NonAcidFallbackWarning,
+        write_with_parquet_fallback,
+    )
+
+    root = str(tmp_path / "s9tbl")
+    os.makedirs(os.path.join(root, "data", "ingest-00000001-0000"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = write_with_parquet_fallback(
+            spark, root, tiny_df.limit(100), allow_non_acid_fallback=True
+        )
+    assert res["mode"] == "parquet-fallback" and res["acid"] is False
+    assert any(issubclass(w.category, NonAcidFallbackWarning) for w in caught)
+    back = spark.read.parquet(res["path"])
+    assert back.count() == 100
+
+
+def test_parquet_fallback_sink_happy_path_is_acid(spark, tiny_df, tmp_path):
+    from e_commerce_lakehouse_spark.table.writer import write_with_parquet_fallback
+
+    res = write_with_parquet_fallback(spark, str(tmp_path / "s9ok"), tiny_df.limit(100))
+    assert res["mode"] == "table" and res["acid"] is True and res["snapshot"] == 1

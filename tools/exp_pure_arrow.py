@@ -54,7 +54,10 @@ def _task(spec):
     t1 = time.monotonic()
     merged = pa.concat_tables(parts, promote_options="none")
     out = os.path.join(spec["out_dir"], f"g{spec['gid']:05d}.parquet")
-    pq.write_table(merged, out, compression=spec["codec"])
+    # same timestamp pinning as the production rewrite (compact.py): the
+    # A/B must measure identical work
+    pq.write_table(merged, out, compression=spec["codec"],
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
     t2 = time.monotonic()
     return {"gid": spec["gid"], "read_ms": int((t1 - t0) * 1000),
             "write_ms": int((t2 - t1) * 1000), "pid": os.getpid()}
