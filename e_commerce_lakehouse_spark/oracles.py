@@ -498,6 +498,79 @@ ALL: dict[str, str] = {
                count(*) AS n
         FROM events GROUP BY user_id
     """,
+    "q44_multiway_dim_join": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
+    "q45_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "q46_above_customer_avg": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT round(avg(o2.o_totalprice), 4)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "q47_argmax_per_group": """
+        -- deterministic arg-max/min: ties broken by orderkey, mirroring
+        -- Spark's max(struct(price, orderkey))
+        WITH r AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rhi,
+                row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rlo
+            FROM orders)
+        SELECT hi.o_orderpriority,
+               hi.o_orderkey AS max_orderkey, round(hi.o_totalprice, 2) AS max_price,
+               lo.o_orderkey AS min_orderkey, round(lo.o_totalprice, 2) AS min_price
+        FROM (SELECT * FROM r WHERE rhi = 1) hi
+        JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (o_orderpriority)
+    """,
+    "q48_date_spine_gapfill": """
+        WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+        daily AS (SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1)
+        SELECT spine.day AS day, coalesce(cnt, 0) AS n_events
+        FROM spine LEFT JOIN daily USING (day)
+    """,
+    "q49_rank_distributions": """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    "q50_embedding_centroids": """
+        SELECT label, (dim - 1)::INTEGER AS dim,
+               round(avg(x), 5) AS centroid, count(*) AS n
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim
+    """,
+    "q51_deterministic_sample": """
+        SELECT source, count(*) AS n_sampled, sum(n_chars) AS chars_sampled
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              < (0.25 * 4294967296)::BIGINT
+        GROUP BY source
+    """,
     "q43_ntile_buckets": """
         SELECT o_orderpriority, q, count(*) AS n,
                round(avg(o_totalprice), 2) AS avg_price

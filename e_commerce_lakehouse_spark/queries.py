@@ -526,6 +526,146 @@ def q43_ntile_buckets(spark, sf_dir):
     )
 
 
+def q44_multiway_dim_join(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table star join: revenue per nation within one
+    region for a one-year window. Scale path: region/nation/customer/
+    supplier are broadcast (no shuffle of the fact tables on dim keys);
+    only the orders⋈lineitem equi-join shuffles, on the order key."""
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q45_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form next to q32 ROLLUP /
+    q37 CUBE): per-priority, per-status, and grand-total rows in one
+    pass (one shuffle; Spark expands the sets map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q45_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM q45_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def q46_above_customer_avg(spark, sf_dir):
+    """Correlated-scalar-subquery semantics (orders above their own
+    customer's average), expressed Spark-first as agg + equi-join so it
+    stays one shuffle on o_custkey instead of a per-row subquery. The
+    avg is rounded to 4 dp in BOTH engines so accumulation-order ulps
+    can't flip boundary rows."""
+    o = _t(spark, sf_dir, "orders")
+    cust_avg = o.groupBy("o_custkey").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("cust_avg")
+    )
+    return (
+        o.join(cust_avg, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q47_argmax_per_group(spark, sf_dir):
+    """Deterministic arg-max/arg-min per group via max/min of a
+    (value, key) struct — tie-broken by key, so it is a pure function
+    (plain max_by/arg_max are indeterminate under value ties). One
+    partial-aggregable shuffle; no window sort."""
+    o = _t(spark, sf_dir, "orders")
+    hi = F.max(F.struct("o_totalprice", "o_orderkey"))
+    lo = F.min(F.struct("o_totalprice", "o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        hi.getField("o_orderkey").alias("max_orderkey"),
+        F.round(hi.getField("o_totalprice"), 2).alias("max_price"),
+        lo.getField("o_orderkey").alias("min_orderkey"),
+        F.round(lo.getField("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+def q48_date_spine_gapfill(spark, sf_dir):
+    """Gap-filled daily counts: generate the full day spine with
+    sequence+explode (distributed, no driver loop), left-join daily
+    event counts, coalesce missing days to 0."""
+    e = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    bounds = e.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = e.groupBy("day").agg(F.count("*").alias("cnt"))
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("n_events")
+    )
+
+
+def q49_rank_distributions(spark, sf_dir):
+    """percent_rank + cume_dist window ranks (tie-stable: both are pure
+    functions of the sort key, so value ties rank identically in any
+    engine)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q50_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid, computed the scalable way:
+    posexplode to (label, dim, component) rows and average — a plain
+    partial-aggregable shuffle on (label, dim), never collecting whole
+    vectors to one place (an `aggregate(collect_list(...))` centroid
+    would OOM at corpus scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 5).alias("centroid"), F.count("*").alias("n"))
+    )
+
+
+def q51_deterministic_sample(spark, sf_dir):
+    """Reproducible corpus sampling — the training-data primitive that
+    `df.sample()` can't give you (its seed is partition-layout
+    dependent): keep a document iff the first 8 hex chars of
+    md5(doc_id) fall below a fixed threshold (~25%). Bit-identical
+    across engines, cluster sizes, and re-runs; sampling decision
+    happens at the scan, so it composes with pushdown."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        d.where(bucket < int(0.25 * 2**32))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("chars_sampled"))
+    )
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -673,4 +813,12 @@ ALL = {
     "q41_running_sum": q41_running_sum,
     "q42_collect_sorted_set": q42_collect_sorted_set,
     "q43_ntile_buckets": q43_ntile_buckets,
+    "q44_multiway_dim_join": q44_multiway_dim_join,
+    "q45_grouping_sets": q45_grouping_sets,
+    "q46_above_customer_avg": q46_above_customer_avg,
+    "q47_argmax_per_group": q47_argmax_per_group,
+    "q48_date_spine_gapfill": q48_date_spine_gapfill,
+    "q49_rank_distributions": q49_rank_distributions,
+    "q50_embedding_centroids": q50_embedding_centroids,
+    "q51_deterministic_sample": q51_deterministic_sample,
 }

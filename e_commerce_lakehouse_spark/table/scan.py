@@ -118,6 +118,14 @@ def planned_entries(
     Semantics identical to prune_entries(table.entries(sid), ...)."""
     if conv_id is not None:
         conv_id_range = (conv_id, conv_id)
+    if conv_id_range is not None:
+        for v in conv_id_range:
+            # fail here with a clear message instead of deep inside the
+            # arrow kernel (string stats vs non-string predicate)
+            if v is not None and not isinstance(v, str):
+                raise TypeError(
+                    f"conv_id predicates must be strings (schema: conv_id string), got {type(v).__name__}: {v!r}"
+                )
     snap = table.snapshot(snapshot_id)
     removed = set(snap.removed_files)
     out: list[DataFileEntry] = []

@@ -127,3 +127,12 @@ def test_parquet_fallback_sink_happy_path_is_acid(spark, tiny_df, tmp_path):
 
     res = write_with_parquet_fallback(spark, str(tmp_path / "s9ok"), tiny_df.limit(100))
     assert res["mode"] == "table" and res["acid"] is True and res["snapshot"] == 1
+
+
+def test_scan_rejects_nonstring_conv_id(spark, tiny_table):
+    """conv_id is a string column; a non-string predicate must fail with
+    a clear TypeError at plan time, not an arrow kernel error mid-scan."""
+    with pytest.raises(TypeError, match="conv_id predicates must be strings"):
+        scan(spark, tiny_table, conv_id=42)
+    with pytest.raises(TypeError, match="conv_id predicates must be strings"):
+        scan(spark, tiny_table, conv_id_range=(1, 99))
