@@ -45,7 +45,7 @@ from ..functions.zorder import (
     str31_py,
     zorder_key_col,
 )
-from ..schema import TRANSCRIPTS_SCHEMA, TRANSCRIPTS_STAT_COLUMNS
+from ..schema import TRANSCRIPTS_STAT_COLUMNS
 from ..table.meta import DataFileEntry, Table
 from ..table.scan import scan
 from ..table.stats import collect_entries, list_parquet_files
@@ -108,7 +108,7 @@ def cluster(
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     shards: int = 1,
     checkpoint_path: str | None = None,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     fail_after_shards: int | None = None,
 ) -> dict:

@@ -30,7 +30,7 @@ from pyspark.sql import SparkSession
 
 from ..checkpoint import Checkpoint
 from ..plans.binpack import FileGroup, plan_bin_packing
-from ..schema import TRANSCRIPTS_SCHEMA, TRANSCRIPTS_STAT_COLUMNS
+from ..schema import TRANSCRIPTS_STAT_COLUMNS
 from ..table.meta import DataFileEntry, Table
 from ..table.stats import collect_entries, list_parquet_files
 from ..table.writer import DEFAULT_TARGET_FILE_BYTES
@@ -47,6 +47,7 @@ def _rewrite_wave_arrow(
     base_snapshot: int,
     stat_columns,
     codec: str = "zstd",
+    field_spec: list | None = None,
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -91,6 +92,14 @@ def _rewrite_wave_arrow(
             out_dir = os.path.join(table_root, "data", f"compact-{snap:08d}-g{gid:05d}")
             os.makedirs(out_dir, exist_ok=True)
             parts = [pq.read_table(os.path.join(table_root, p)) for p in spec["paths"]]
+            if field_spec:
+                # schema evolution: one group can mix files written under
+                # different schema versions — align each onto the current
+                # schema (nulls for added cols, dropped cols projected
+                # away) so concat sees one shape. No-op when uniform.
+                from e_commerce_lakehouse_spark._arrow_align import align_table
+
+                parts = [align_table(p, field_spec) for p in parts]
             t_read = _mono()
             merged = pa.concat_tables(parts, promote_options="none")
             out_path = os.path.join(out_dir, "part-00000.parquet")
@@ -175,7 +184,7 @@ def _rewrite_group(
 
 def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
-    codec: str = "zstd",
+    codec: str = "zstd", field_spec: list | None = None,
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
@@ -187,7 +196,8 @@ def _run_arrow(
         specs = [{"group_id": g.group_id, "paths": g.paths} for g in wave]
         t0 = monotonic()
         results = _rewrite_wave_arrow(
-            spark, table.root, specs, base_snapshot, stat_columns, codec=codec
+            spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
+            field_spec=field_spec,
         )
         wall = int((monotonic() - t0) * 1000)
         phase["wave_sec"] += wall / 1000
@@ -250,7 +260,7 @@ def compact(
     checkpoint_path: str | None = None,
     max_concurrent_groups: int = 16,
     fail_after_groups: int | None = None,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     mode: str = "arrow",
     codec: str = "zstd",
@@ -266,6 +276,12 @@ def compact(
     base_snapshot = table.current_snapshot_id()
     if base_snapshot is None:
         raise ValueError("cannot compact an empty table")
+    from ..table.scan import resolve_schema
+
+    schema = resolve_schema(table, schema=schema)
+    # plain-string (name, spark simple type) pairs: picklable, and the
+    # executor-side align stays pyspark-free (_arrow_align)
+    field_spec = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     entries = table.entries()
     groups, kept = plan_bin_packing(entries, target_bytes, small_file_ratio)
     metrics = {
@@ -296,7 +312,8 @@ def compact(
     if mode == "arrow":
         phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
                            wave_size=max(8, max_concurrent_groups) * 4,
-                           fail_after_groups=fail_after_groups, codec=codec)
+                           fail_after_groups=fail_after_groups, codec=codec,
+                           field_spec=field_spec)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,

@@ -31,7 +31,7 @@ from time import monotonic
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..schema import TRANSCRIPTS_SCHEMA, TRANSCRIPTS_STAT_COLUMNS
+from ..schema import TRANSCRIPTS_STAT_COLUMNS
 from ..table.meta import Table
 from ..table.stats import collect_entries, list_parquet_files
 from ..table.writer import DEFAULT_TARGET_FILE_BYTES
@@ -122,12 +122,15 @@ def merge_into(
     keys=DEFAULT_KEYS,
     order_col: str = "ts",
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
 ) -> dict:
     base_snapshot = table.current_snapshot_id()
     if base_snapshot is None:
         raise ValueError("cannot merge into an empty table")
+    from ..table.scan import resolve_schema
+
+    schema = resolve_schema(table, schema=schema)
     t0 = monotonic()
     source = dedup_keep_latest(source.select([f.name for f in schema.fields]), keys, order_col)
 

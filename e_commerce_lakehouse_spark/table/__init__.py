@@ -1,5 +1,5 @@
 from .meta import DataFileEntry, Snapshot, Table
-from .scan import planned_entries, prune_entries, scan
+from .scan import incremental_scan, planned_entries, prune_entries, scan
 from .stats import collect_entries
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "Snapshot",
     "Table",
     "scan",
+    "incremental_scan",
     "planned_entries",
     "prune_entries",
     "collect_entries",

@@ -318,14 +318,20 @@ class Table:
             return self._commit(snap)
 
     def commit_manifests(
-        self, manifests: list[str], operation: str, summary: dict | None = None
+        self,
+        manifests: list[str],
+        operation: str,
+        summary: dict | None = None,
+        removed_files: list[str] | None = None,
     ) -> Snapshot:
         """Commit a snapshot that references pre-written manifests verbatim
-        with an empty removed set (used by rewrite_manifests)."""
+        (used by rewrite_manifests with an empty removed set, and by
+        rollback_to, which replays the target's removed set)."""
         with self._commit_lock():
             sid = self._next_id()
             parent = self.current_snapshot_id()
-            snap = Snapshot(sid, parent, operation, manifests, [], summary or {},
+            snap = Snapshot(sid, parent, operation, manifests,
+                            sorted(removed_files or []), summary or {},
                             int(time.time() * 1000))
             return self._commit(snap)
 
@@ -333,7 +339,72 @@ class Table:
         """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""
         return self._write_manifest(self._next_id(), k, entries)
 
+    # ---------- schema evolution ----------
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.metadata_dir, "schema.json")
+
+    def schema_versions(self) -> list[dict]:
+        """Schema history: [{"schema": <StructType.jsonValue()>,
+        "as_of_snapshot": sid, "version": k}, ...] oldest-first. Empty if
+        the table has never evolved (callers fall back to the default
+        transcripts schema). Kept pyspark-free: this module returns raw
+        JSON; table/scan.py converts to StructType."""
+        try:
+            with open(self._schema_path()) as f:
+                return json.load(f)["versions"]
+        except FileNotFoundError:
+            return []
+
+    def table_schema_json(self, snapshot_id: int | None = None) -> dict | None:
+        """The schema current AT ``snapshot_id`` (default: now): latest
+        version whose as_of_snapshot <= sid — so pinned time-travel reads
+        see the schema the data had then, Iceberg-style."""
+        versions = self.schema_versions()
+        if not versions:
+            return None
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        best = None
+        for v in versions:
+            if v["as_of_snapshot"] <= sid:
+                best = v
+        return best["schema"] if best else None
+
+    def append_schema_version(self, schema_json: dict, as_of_snapshot: int) -> int:
+        """Record a new schema version (atomic os.replace). Returns the
+        version number."""
+        versions = self.schema_versions()
+        versions.append(
+            {
+                "version": len(versions) + 1,
+                "as_of_snapshot": as_of_snapshot,
+                "schema": schema_json,
+            }
+        )
+        tmp = self._schema_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": versions}, f)
+        os.replace(tmp, self._schema_path())
+        return len(versions)
+
     # ---------- convenience ----------
+
+    def snapshot_id_as_of(self, ts_ms: int) -> int:
+        """Time travel: the snapshot that was current at wall-clock
+        ``ts_ms`` (latest snapshot with timestamp_ms <= ts_ms) — Iceberg's
+        ``FOR SYSTEM_TIME AS OF``. O(snapshots) metadata reads, no data.
+        Raises ValueError if the table didn't exist yet at that time."""
+        best = None
+        for sid in self.snapshot_ids():
+            snap = self.snapshot(sid)
+            if snap.timestamp_ms <= ts_ms and (best is None or sid > best):
+                best = sid
+        if best is None:
+            raise ValueError(
+                f"{self.root}: no snapshot at or before ts_ms={ts_ms} "
+                f"(earliest is {self.snapshot_ids()[:1]})"
+            )
+        return best
 
     def snapshot_diff(self, from_id: int, to_id: int) -> dict:
         """Metadata-only diff between two snapshots: which files were

@@ -148,6 +148,22 @@ def planned_entries(
     return out
 
 
+def resolve_schema(table: Table, snapshot_id: int | None = None, schema=None):
+    """Effective read schema: explicit arg > the table's evolved schema
+    current at the pinned snapshot (meta.table_schema_json) > the default
+    transcripts schema. Spark's read-with-schema fills columns missing
+    from older files with NULL and projects away dropped ones, so
+    evolution needs no data rewrite."""
+    if schema is not None:
+        return schema
+    sj = table.table_schema_json(snapshot_id)
+    if sj is not None:
+        from pyspark.sql import types as T
+
+        return T.StructType.fromJson(sj)
+    return TRANSCRIPTS_SCHEMA
+
+
 def scan(
     spark: SparkSession,
     table: Table,
@@ -156,11 +172,21 @@ def scan(
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
     columns: list[str] | None = None,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
+    as_of_ts_ms: int | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot with manifest-level file skipping.
 
-    Returns an empty typed DataFrame when everything prunes away."""
+    ``as_of_ts_ms`` time-travels to the snapshot current at that
+    wall-clock time (mutually exclusive with ``snapshot_id``).
+    ``schema=None`` resolves the table's schema as of the pinned snapshot
+    (see resolve_schema). Returns an empty typed DataFrame when
+    everything prunes away."""
+    if as_of_ts_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_ts_ms, not both")
+        snapshot_id = table.snapshot_id_as_of(as_of_ts_ms)
+    schema = resolve_schema(table, snapshot_id, schema)
     entries = planned_entries(table, snapshot_id, conv_id, conv_id_range, ts_range)
     if not entries:
         df = spark.createDataFrame([], schema)
@@ -187,3 +213,35 @@ def scan(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def incremental_scan(
+    spark: SparkSession,
+    table: Table,
+    from_id: int,
+    to_id: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """CDC-style incremental read: the rows in files ADDED between two
+    snapshots (exclusive of from_id, inclusive of to_id) — the input a
+    downstream consumer needs to catch up from from_id without re-reading
+    the table. Planning is O(manifest) metadata only.
+
+    Append snapshots yield exactly the appended rows. Copy-on-write
+    rewrites (compact/cluster/merge) add whole rewritten files, so their
+    rows appear even where values are unchanged — same contract as
+    Iceberg's incremental append scan, which refuses rewrites; we surface
+    them instead, conservatively, because a transcript consumer must
+    re-key on (conv_id, turn_idx) anyway."""
+    import os
+
+    to_id = to_id if to_id is not None else table.current_snapshot_id()
+    schema = resolve_schema(table, to_id, schema)
+    if to_id <= from_id:
+        raise ValueError(f"to_id ({to_id}) must be > from_id ({from_id})")
+    before = {e.path for e in table.entries(from_id)}
+    added = [e for e in table.entries(to_id) if e.path not in before]
+    if not added:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table.root, e.path) for e in added]
+    return spark.read.schema(schema).parquet(*paths)

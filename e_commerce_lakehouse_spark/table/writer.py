@@ -11,11 +11,12 @@ change what is live (copy-on-write, like Iceberg/Delta).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import TRANSCRIPTS_STAT_COLUMNS
-from .meta import DataFileEntry, Table
+from .meta import DataFileEntry, Snapshot, Table
 from .stats import collect_entries, list_parquet_files
 
 # default target data-file size for writes/compaction; small in the sandbox
@@ -43,6 +44,45 @@ def write_files(
     shaped.write.mode("error").parquet(out_dir)
     paths = list_parquet_files(out_dir)
     return collect_entries(paths, table.root, stat_columns, spark=spark)
+
+
+def append_dataframe(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    rows_per_file: int = 100_000,
+) -> "Snapshot":
+    """Append ``df`` to an existing table as one O(delta) commit.
+
+    The public single-batch append next to streaming/ingest.py's
+    foreachBatch path: write new immutable files under a unique subdir,
+    collect footer stats distributed, commit parent-manifests + one new
+    manifest. The frame is aligned to the table's CURRENT schema: extra
+    columns are rejected (typo protection), missing nullable columns
+    (e.g. a producer not yet updated after add_columns) fill with NULL."""
+    from pyspark.sql import functions as F
+
+    from .scan import resolve_schema
+
+    schema = resolve_schema(table)
+    expected = {f.name for f in schema.fields}
+    extra = set(df.columns) - expected
+    if extra:
+        raise ValueError(f"columns not in table schema: {sorted(extra)}")
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(f"append is missing non-nullable column: {f.name}")
+    df = df.select(cols)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // max(1, rows_per_file)))
+    subdir = f"append-{uuid.uuid4().hex[:12]}"
+    entries = write_files(spark, table, df, n_files, subdir)
+    return table.commit_append(entries, summary={"appended-rows": n_rows})
 
 
 class NonAcidFallbackWarning(RuntimeWarning):

@@ -48,7 +48,8 @@ def main(argv=None) -> int:
         required=True,
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
-            "expire", "ingest", "inspect", "diff",
+            "expire", "ingest", "inspect", "diff", "rollback",
+            "add-columns", "drop-columns",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -65,7 +66,11 @@ def main(argv=None) -> int:
     p.add_argument("--retry-backoff", type=float, default=2.0,
                    help="initial backoff seconds (doubles per attempt)")
     p.add_argument("--snapshot", type=int, default=None,
-                   help="inspect: pin a snapshot id; diff: the FROM snapshot")
+                   help="inspect: pin a snapshot id; diff: the FROM snapshot; "
+                        "rollback: the snapshot to restore")
+    p.add_argument("--columns", default=None,
+                   help="add-columns: name:type[,name:type...]; "
+                        "drop-columns: name[,name...]")
     p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
     args = p.parse_args(argv)
 
@@ -83,6 +88,31 @@ def main(argv=None) -> int:
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
         result = rewrite_manifests(Table.load(args.table))
+    elif args.op in ("add-columns", "drop-columns"):  # metadata-only
+        from e_commerce_lakehouse_spark.operators.schema_evolution import (
+            add_columns, drop_columns,
+        )
+
+        if not args.columns:
+            p.error(f"--op {args.op} requires --columns")
+        if args.op == "add-columns":
+            fields = []
+            for spec in args.columns.split(","):
+                name, _, type_str = spec.partition(":")
+                if not type_str:
+                    p.error(f"--columns for add-columns is name:type[,...]; got {spec!r}")
+                fields.append((name.strip(), type_str.strip()))
+            result = add_columns(Table.load(args.table), fields)
+        else:
+            result = drop_columns(
+                Table.load(args.table), [c.strip() for c in args.columns.split(",")]
+            )
+    elif args.op == "rollback":  # metadata-only: no Spark session needed
+        from e_commerce_lakehouse_spark.operators.rollback import rollback_to
+
+        if args.snapshot is None:
+            p.error("--op rollback requires --snapshot (the id to restore)")
+        result = rollback_to(Table.load(args.table), args.snapshot)
     elif args.op == "diff":  # metadata-only
         t = Table.load(args.table)
         to_id = args.to_snapshot if args.to_snapshot is not None else t.current_snapshot_id()

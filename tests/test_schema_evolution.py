@@ -1,0 +1,90 @@
+"""Schema evolution: add/drop columns without rewriting data.
+
+Invariants: old files read with NULL for added columns; dropped columns
+disappear from every read immediately; pinned pre-evolution snapshots
+keep their old shape; compaction merges mixed-vintage files onto the
+current schema; the PK/stat core columns are protected.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import add_columns, compact, drop_columns
+from e_commerce_lakehouse_spark.operators.schema_evolution import current_schema
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.writer import append_dataframe
+from tests.conftest import N_TURNS
+
+
+def test_add_column_old_rows_read_null(spark, tiny_table):
+    t = tiny_table
+    pre_sid = t.current_snapshot_id()
+    res = add_columns(t, [("quality", "double")])
+    assert res["schema_version"] == 2  # v1 pins the original shape
+    assert "quality" in res["columns"]
+    df = scan(spark, t)
+    assert df.schema["quality"].dataType.simpleString() == "double"
+    assert df.where(F.col("quality").isNotNull()).count() == 0
+    assert df.count() == N_TURNS
+    # pinned pre-evolution read keeps the 6-column shape
+    old = scan(spark, t, snapshot_id=pre_sid)
+    assert "quality" not in old.columns and old.count() == N_TURNS
+
+
+def test_append_and_compact_mixed_vintage_files(spark, tiny_table, tiny_df):
+    t = tiny_table
+    add_columns(t, [("quality", "double")])
+    extra = tiny_df.limit(400).select(
+        F.concat(F.lit("conv-ev-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+        F.lit(0.5).alias("quality"),
+    )
+    append_dataframe(spark, t, extra)
+    # a producer not yet updated: 6-col append fills quality with NULL
+    legacy = tiny_df.limit(100).select(
+        F.concat(F.lit("conv-legacy-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    append_dataframe(spark, t, legacy)
+
+    before = scan(spark, t).collect()
+    # compacting now merges pre-evolution files (no quality), evolved
+    # files (quality=0.5) and legacy appends in the SAME groups — the
+    # arrow align must unify them
+    compact(spark, t, target_bytes=1 << 20)
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    got = scan(spark, t)
+    assert got.where(F.col("quality") == 0.5).count() == 400
+    assert got.where(F.col("quality").isNull()).count() == N_TURNS + 100
+
+
+def test_drop_column_projects_away_without_rewrite(spark, tiny_table):
+    t = tiny_table
+    n_files_before = len(t.entries())
+    res = drop_columns(t, ["tool"])
+    assert "tool" not in res["columns"]
+    assert len(t.entries()) == n_files_before  # metadata-only
+    df = scan(spark, t)
+    assert "tool" not in df.columns and df.count() == N_TURNS
+    assert current_schema(t).fieldNames() == ["conv_id", "turn_idx", "role", "text", "ts"]
+
+
+def test_evolution_guards(tiny_table):
+    t = tiny_table
+    with pytest.raises(ValueError, match="cannot drop core column"):
+        drop_columns(t, ["conv_id"])
+    with pytest.raises(ValueError, match="no such column"):
+        drop_columns(t, ["nope"])
+    with pytest.raises(ValueError, match="already exists"):
+        add_columns(t, [("text", "string")])
+    with pytest.raises(ValueError, match="unsupported type"):
+        add_columns(t, [("m", "map<string,string>")])
+
+
+def test_append_rejects_unknown_columns(spark, tiny_table, tiny_df):
+    extra = tiny_df.limit(10).withColumn("mystery", F.lit(1))
+    with pytest.raises(ValueError, match="not in table schema"):
+        append_dataframe(spark, tiny_table, extra)
