@@ -52,6 +52,8 @@ def expire_snapshots(
         for sid in ids:
             if table.snapshot(sid).timestamp_ms >= older_than_ms:
                 retained.add(sid)
+    # tagged snapshots are pinned until untagged (Iceberg tag semantics)
+    retained |= {sid for sid in table.tags().values() if sid in set(ids)}
     expired = [sid for sid in ids if sid not in retained]
 
     live_rel: set[str] = set()

@@ -339,6 +339,53 @@ class Table:
         """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""
         return self._write_manifest(self._next_id(), k, entries)
 
+    # ---------- named refs (tags) ----------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.metadata_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: {"tag-name": snapshot_id}. Tagged
+        snapshots are protected from expire_snapshots until untagged
+        (Iceberg tag semantics)."""
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)["tags"]
+        except FileNotFoundError:
+            return {}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tags": tags}, f)
+        os.replace(tmp, self._refs_path())
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (default: current). Fails on duplicate names —
+        a tag is immutable; delete it first to move it."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        self.snapshot(sid)  # validate it exists (FileNotFoundError otherwise)
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"tag already exists: {name} -> {tags[name]}")
+        tags[name] = sid
+        self._write_tags(tags)
+        return sid
+
+    def delete_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no such tag: {name}")
+        sid = tags.pop(name)
+        self._write_tags(tags)
+        return sid
+
+    def resolve_ref(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no such tag: {name}")
+        return tags[name]
+
     # ---------- schema evolution ----------
 
     def _schema_path(self) -> str:

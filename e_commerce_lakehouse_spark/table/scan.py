@@ -174,18 +174,22 @@ def scan(
     columns: list[str] | None = None,
     schema=None,
     as_of_ts_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot with manifest-level file skipping.
 
     ``as_of_ts_ms`` time-travels to the snapshot current at that
-    wall-clock time (mutually exclusive with ``snapshot_id``).
+    wall-clock time; ``ref`` pins a named tag — each is mutually
+    exclusive with ``snapshot_id``.
     ``schema=None`` resolves the table's schema as of the pinned snapshot
     (see resolve_schema). Returns an empty typed DataFrame when
     everything prunes away."""
+    if sum(x is not None for x in (snapshot_id, as_of_ts_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ts_ms / ref")
     if as_of_ts_ms is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR as_of_ts_ms, not both")
         snapshot_id = table.snapshot_id_as_of(as_of_ts_ms)
+    if ref is not None:
+        snapshot_id = table.resolve_ref(ref)
     schema = resolve_schema(table, snapshot_id, schema)
     entries = planned_entries(table, snapshot_id, conv_id, conv_id_range, ts_range)
     if not entries:

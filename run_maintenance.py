@@ -49,7 +49,7 @@ def main(argv=None) -> int:
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "inspect", "diff", "rollback",
-            "add-columns", "drop-columns",
+            "add-columns", "drop-columns", "tag", "untag",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -71,6 +71,7 @@ def main(argv=None) -> int:
     p.add_argument("--columns", default=None,
                    help="add-columns: name:type[,name:type...]; "
                         "drop-columns: name[,name...]")
+    p.add_argument("--tag-name", default=None, help="tag/untag: the ref name")
     p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
     args = p.parse_args(argv)
 
@@ -88,6 +89,16 @@ def main(argv=None) -> int:
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
         result = rewrite_manifests(Table.load(args.table))
+    elif args.op in ("tag", "untag"):  # metadata-only
+        if not args.tag_name:
+            p.error(f"--op {args.op} requires --tag-name")
+        t = Table.load(args.table)
+        if args.op == "tag":
+            sid = t.create_tag(args.tag_name, snapshot_id=args.snapshot)
+            result = {"tag": args.tag_name, "snapshot": sid, "tags": t.tags()}
+        else:
+            sid = t.delete_tag(args.tag_name)
+            result = {"untagged": args.tag_name, "was": sid, "tags": t.tags()}
     elif args.op in ("add-columns", "drop-columns"):  # metadata-only
         from e_commerce_lakehouse_spark.operators.schema_evolution import (
             add_columns, drop_columns,

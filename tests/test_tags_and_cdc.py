@@ -1,0 +1,154 @@
+"""Named tags (GC-protected refs) and the at-least-once CDC consumer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import compact, expire_snapshots
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.cdc import IncrementalConsumer
+from e_commerce_lakehouse_spark.table.writer import append_dataframe
+from tests.conftest import N_TURNS, assert_same_rows
+
+
+def _relabeled(tiny_df, prefix, n):
+    return tiny_df.limit(n).select(
+        F.concat(F.lit(prefix), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+
+
+def test_tag_pins_snapshot_through_expire(spark, tiny_table, tiny_df):
+    t = tiny_table
+    tagged_sid = t.current_snapshot_id()
+    t.create_tag("v1.0")
+    baseline = scan(spark, t, ref="v1.0")
+    n0 = baseline.count()
+
+    # churn several snapshots past keep_last
+    compact(spark, t, target_bytes=1 << 20)
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-a-", 100))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-b-", 100))
+    expire_snapshots(t, keep_last=1)
+
+    # the tagged snapshot survived expiry and still reads in full
+    assert tagged_sid in t.snapshot_ids()
+    assert scan(spark, t, ref="v1.0").count() == n0
+
+    # untag -> next expire ages it out
+    t.delete_tag("v1.0")
+    expire_snapshots(t, keep_last=1)
+    assert tagged_sid not in t.snapshot_ids()
+
+
+def test_tag_guards(tiny_table):
+    t = tiny_table
+    t.create_tag("x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("x")
+    with pytest.raises(KeyError):
+        t.resolve_ref("missing")
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("y", snapshot_id=9999)
+    assert t.delete_tag("x") == t.current_snapshot_id()
+
+
+def test_cdc_initial_then_appends_then_caught_up(spark, tiny_table, tiny_df, tmp_path):
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+
+    b0 = c.poll(spark)
+    assert b0["mode"] == "initial" and b0["df"].count() == N_TURNS
+    c.ack()
+    assert c.poll(spark) is None  # caught up
+
+    extra = _relabeled(tiny_df, "conv-cdc-", 250)
+    append_dataframe(spark, t, extra)
+    b1 = c.poll(spark)
+    assert b1["mode"] == "chain"
+    assert_same_rows(b1["df"], extra)
+    c.ack()
+    assert c.poll(spark) is None
+
+
+def test_cdc_skips_compaction_rewrites(spark, tiny_table, tiny_df, tmp_path):
+    """The whole point of chain mode: a compaction rewrite of the entire
+    table must deliver ZERO rows downstream."""
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+
+    compact(spark, t, target_bytes=1 << 20)
+    b = c.poll(spark)
+    assert b["mode"] == "chain" and b["df"].count() == 0
+    c.ack()
+
+    # and an append AFTER the compaction delivers exactly the new rows
+    extra = _relabeled(tiny_df, "conv-post-", 120)
+    append_dataframe(spark, t, extra)
+    b2 = c.poll(spark)
+    assert b2["mode"] == "chain"
+    assert_same_rows(b2["df"], extra)
+
+
+def test_cdc_at_least_once_redelivery(spark, tiny_table, tiny_df, tmp_path):
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-r-", 80))
+
+    b1 = c.poll(spark)  # crash before ack: poll again re-delivers
+    c2 = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    b2 = c2.poll(spark)
+    assert_same_rows(b1["df"], b2["df"])
+    with pytest.raises(RuntimeError, match="nothing polled"):
+        IncrementalConsumer(t, str(tmp_path / "cursor.json")).ack()
+
+
+def test_cdc_fileset_diff_when_intermediates_expired(
+    spark, tiny_table, tiny_df, tmp_path
+):
+    """Chain broken mid-way but the cursor snapshot survives (tagged):
+    poll degrades to the conservative file-set diff, which still carries
+    every new row (plus possibly rewrites)."""
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+    t.create_tag("cursor-pin", c.position())
+
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-x-", 60))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-y-", 60))
+    expire_snapshots(t, keep_last=1)  # expires the intermediate appends
+    assert c.position() in t.snapshot_ids()
+
+    b = c.poll(spark)
+    assert b["mode"] == "fileset-diff"
+    assert b["df"].where(
+        F.col("conv_id").startswith("conv-x-") | F.col("conv_id").startswith("conv-y-")
+    ).count() == 120
+    c.ack()
+
+
+def test_cdc_reloads_when_cursor_snapshot_expired(
+    spark, tiny_table, tiny_df, tmp_path
+):
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+    cursor_sid = c.position()
+
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-x-", 60))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-y-", 60))
+    expire_snapshots(t, keep_last=1)  # expires the cursor snapshot
+    assert cursor_sid not in t.snapshot_ids()
+
+    b = c.poll(spark)
+    # the cursor snapshot itself expired -> no diff basis remains; the
+    # consumer re-delivers the whole table (at-least-once, never loses)
+    assert b["mode"] == "reload"
+    assert b["df"].count() == N_TURNS + 120

@@ -73,7 +73,7 @@ def test_scan_as_of_timestamp(spark, tiny_table):
         t.snapshot_id_as_of(t.snapshot(sids[0]).timestamp_ms - 1)
     df = scan(spark, t, as_of_ts_ms=int(time.time() * 1000) + 10_000)
     assert df.count() == scan(spark, t).count()
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         scan(spark, t, snapshot_id=sids[0], as_of_ts_ms=1)
 
 
