@@ -582,3 +582,24 @@ ALL: dict[str, str] = {
         GROUP BY o_orderpriority, q
     """,
 }
+
+# q52: the q22 pair list wrapped in a recursive min-label CTE. The
+# `cc.label < e.dst` guard prunes propagation of non-minimal labels —
+# the component's min id m reaches every member (all other ids > m), so
+# min(label) per node is exact while the recursion stays near-linear.
+ALL["q52_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({ALL["q22_minhash_lsh"]}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+cc AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT e.dst AS node, cc.label FROM cc
+    JOIN edges e ON cc.node = e.src WHERE cc.label < e.dst
+),
+final AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM final
+"""

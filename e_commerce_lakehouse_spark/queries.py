@@ -666,6 +666,18 @@ def q51_deterministic_sample(spark, sf_dir):
     )
 
 
+def q52_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: MinHash-LSH near-dup pairs → connected
+    components (min-label propagation, operators/graph.py) → canonical
+    cluster assignment (doc_id, cluster_id = min id in component,
+    cluster_size). Oracle: the same pair SQL wrapped in a recursive CTE."""
+    from .operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d)
+    return dedup_clusters(pairs)
+
+
 def q31_sql_over_views(spark, sf_dir):
     """§3.3 SQL entry point: catalog-registered views + spark.sql —
     Catalyst parse→analyze→optimize→codegen, same plan as the DataFrame
@@ -821,4 +833,5 @@ ALL = {
     "q49_rank_distributions": q49_rank_distributions,
     "q50_embedding_centroids": q50_embedding_centroids,
     "q51_deterministic_sample": q51_deterministic_sample,
+    "q52_dedup_clusters": q52_dedup_clusters,
 }

@@ -1,0 +1,45 @@
+"""Connected components / dedup clusters on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from e_commerce_lakehouse_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a: long, b: long")
+
+
+def test_cc_cliques_chains_singleton_components(spark):
+    # component {1,2,3} (clique), {10,11,12,13} (chain), {20,21} (pair)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)]
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    # worst case for label propagation: a 30-node path, min id at one end
+    edges = [(i, i + 1) for i in range(100, 130)]
+    labels = connected_components(_pairs(spark, edges)).collect()
+    assert all(r["label"] == 100 for r in labels) and len(labels) == 31
+
+
+def test_cc_max_iter_raises(spark):
+    edges = [(i, i + 1) for i in range(1, 12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, edges), max_iter=2)
+
+
+def test_dedup_clusters_sizes_and_canonical(spark):
+    edges = [(5, 9), (9, 7), (30, 31)]
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters(_pairs(spark, edges)).collect()}
+    assert rows == {5: (5, 3), 9: (5, 3), 7: (5, 3), 30: (30, 2), 31: (30, 2)}
