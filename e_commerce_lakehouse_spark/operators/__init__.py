@@ -1,3 +1,4 @@
+from .analyze import analyze, read_stats
 from .cluster import cluster
 from .compact import compact
 from .expire import expire_snapshots
@@ -8,6 +9,8 @@ from .schema_evolution import add_columns, drop_columns
 
 __all__ = [
     "add_columns",
+    "analyze",
+    "read_stats",
     "drop_columns",
     "compact",
     "cluster",

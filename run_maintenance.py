@@ -49,7 +49,7 @@ def main(argv=None) -> int:
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "inspect", "diff", "rollback",
-            "add-columns", "drop-columns", "tag", "untag",
+            "add-columns", "drop-columns", "tag", "untag", "analyze",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -169,6 +169,11 @@ def main(argv=None) -> int:
                 p.error("--op ingest requires --source and --checkpoint")
             t = Table.load(args.table) if _is_table(args.table) else Table.create(args.table)
             result = ingest_available_now(spark, t, args.source, args.checkpoint)
+        elif args.op == "analyze":
+            from e_commerce_lakehouse_spark.operators import analyze
+
+            cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+            result = analyze(spark, Table.load(args.table), columns=cols)
         elif args.op == "inspect":
             t = Table.load(args.table)
             snap = t.snapshot(args.snapshot)
