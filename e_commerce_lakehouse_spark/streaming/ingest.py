@@ -100,3 +100,26 @@ def windowed_counts(
         F.window(F.col(ts_col), window).getField("start").alias("window_start"),
         *group_cols,
     ).agg(F.count("*").alias("n"))
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming key-dedup with BOUNDED state: keep the first arrival of
+    each key, dropping redeliveries that land within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` — state for a key is
+    evicted once the watermark passes it, so the operator never
+    accumulates unbounded key state the way plain ``dropDuplicates``
+    does on a stream). This is the at-source half of exactly-once for a
+    redelivering transport; the foreachBatch MERGE sink
+    (ingest_available_now) is the idempotent other half — together
+    duplicate deliveries can't double-append.
+
+    On a batch DataFrame the same call degrades to plain dropDuplicates
+    (watermarks are a streaming concept)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(keys))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))

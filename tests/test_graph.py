@@ -43,3 +43,40 @@ def test_dedup_clusters_sizes_and_canonical(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
             for r in dedup_clusters(_pairs(spark, edges)).collect()}
     assert rows == {5: (5, 3), 9: (5, 3), 7: (5, 3), 30: (30, 2), 31: (30, 2)}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property: CC labels equal a pure-Python union-find's min-id labels
+    on randomized graphs (seeded, deterministic)."""
+    import random
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_nodes = rng.randint(8, 40)
+        nodes = rng.sample(range(1, 1000), n_nodes)
+        edges = [
+            tuple(rng.sample(nodes, 2))
+            for _ in range(rng.randint(n_nodes // 2, n_nodes * 2))
+        ]
+        expected = union_find_labels(edges)
+        got = {
+            (r["node"], r["label"])
+            for r in connected_components(_pairs(spark, edges)).collect()
+        }
+        assert got == set(expected.items()), f"trial {trial} diverged"

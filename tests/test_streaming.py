@@ -75,3 +75,34 @@ def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_out").collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_dedup_drops_redeliveries_with_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate deliveries of the same
+    (conv_id, turn_idx) within the watermark horizon reach the sink
+    exactly once; key state is watermark-evicted (bounded)."""
+    from e_commerce_lakehouse_spark.streaming.ingest import stream_dedup
+
+    src_dir = str(tmp_path / "dup-src")
+    base = transcripts_df(spark, 200, seed=11).cache()
+    # each row delivered twice (a redelivering transport)
+    doubled = base.unionByName(base)
+    doubled.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    assert spark.read.parquet(src_dir).count() == 400
+
+    stream = spark.readStream.schema(base.schema).parquet(src_dir)
+    out: list = []
+    q = (
+        stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dup-ckpt"))
+        .foreachBatch(lambda bdf, bid: out.extend(bdf.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(out) == 200
+    assert len({(r["conv_id"], r["turn_idx"]) for r in out}) == 200
+    # batch degradation: same helper on a batch frame
+    assert stream_dedup(doubled).count() == 200
+    base.unpersist()
