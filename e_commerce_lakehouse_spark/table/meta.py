@@ -268,23 +268,39 @@ class Table:
         os.replace(tmp, os.path.join(self.metadata_dir, name))
         return name
 
-    def _commit(self, snap: Snapshot) -> Snapshot:
+    def _commit(self, snap: Snapshot, publish: bool = True) -> Snapshot:
         tmp = self._snap_path(snap.snapshot_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snap.to_dict(), f)
         os.replace(tmp, self._snap_path(snap.snapshot_id))
-        vtmp = self._version_path() + ".tmp"
-        with open(vtmp, "w") as f:
-            f.write(str(snap.snapshot_id))
-        os.replace(vtmp, self._version_path())  # the atomic flip
+        if publish:
+            vtmp = self._version_path() + ".tmp"
+            with open(vtmp, "w") as f:
+                f.write(str(snap.snapshot_id))
+            os.replace(vtmp, self._version_path())  # the atomic flip
         return snap
 
     def _next_id(self) -> int:
+        # max over snapshot FILES, not VERSION: a staged (write-audit-
+        # publish) snapshot exists on disk above the published pointer,
+        # and a later commit must never reuse its id
+        ids = self.snapshot_ids()
         cur = self.current_snapshot_id()
-        return 1 if cur is None else cur + 1
+        floor = cur if cur is not None else 0
+        return max([floor, *ids]) + 1
 
-    def commit_append(self, added: list[DataFileEntry], summary: dict | None = None) -> Snapshot:
-        """O(delta) append: parent manifests + one new manifest."""
+    def commit_append(
+        self,
+        added: list[DataFileEntry],
+        summary: dict | None = None,
+        publish: bool = True,
+    ) -> Snapshot:
+        """O(delta) append: parent manifests + one new manifest.
+
+        ``publish=False`` STAGES the snapshot (write-audit-publish): the
+        snapshot file lands but VERSION does not flip, so readers keep
+        seeing the parent until ``publish_snapshot`` — audit the staged
+        id with ``scan(snapshot_id=...)`` first."""
         with self._commit_lock():
             sid = self._next_id()
             parent = self.current_snapshot_id()
@@ -293,7 +309,30 @@ class Table:
             manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, "append", manifests, removed,
                             _summarize(added, summary), int(time.time() * 1000))
-            return self._commit(snap)
+            return self._commit(snap, publish=publish)
+
+    def publish_snapshot(self, snapshot_id: int) -> Snapshot:
+        """Publish a staged snapshot (the P of write-audit-publish):
+        atomically flip VERSION to it. Refuses if the table advanced past
+        the staged snapshot's parent meanwhile (CommitConflictError) —
+        re-stage on the new head instead of silently dropping the
+        intervening commit."""
+        with self._commit_lock():
+            snap = self.snapshot(snapshot_id)  # FileNotFoundError if unknown
+            current = self.current_snapshot_id()
+            if current == snapshot_id:
+                raise ValueError(f"snapshot {snapshot_id} is already published")
+            if snap.parent_id != current:
+                raise CommitConflictError(
+                    f"staged snapshot {snapshot_id} was built on parent "
+                    f"{snap.parent_id} but the table is now at {current}; "
+                    f"re-stage on the current head"
+                )
+            vtmp = self._version_path() + ".tmp"
+            with open(vtmp, "w") as f:
+                f.write(str(snapshot_id))
+            os.replace(vtmp, self._version_path())
+            return snap
 
     def commit_rewrite(
         self,

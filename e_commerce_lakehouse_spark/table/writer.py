@@ -51,6 +51,7 @@ def append_dataframe(
     table: Table,
     df: DataFrame,
     rows_per_file: int = 100_000,
+    publish: bool = True,
 ) -> "Snapshot":
     """Append ``df`` to an existing table as one O(delta) commit.
 
@@ -82,7 +83,9 @@ def append_dataframe(
     n_files = max(1, -(-n_rows // max(1, rows_per_file)))
     subdir = f"append-{uuid.uuid4().hex[:12]}"
     entries = write_files(spark, table, df, n_files, subdir)
-    return table.commit_append(entries, summary={"appended-rows": n_rows})
+    return table.commit_append(
+        entries, summary={"appended-rows": n_rows}, publish=publish
+    )
 
 
 class NonAcidFallbackWarning(RuntimeWarning):

@@ -1,0 +1,72 @@
+"""Write-audit-publish: stage an append invisibly, audit it pinned,
+publish atomically — or abandon it and let GC reclaim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import expire_snapshots
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+from e_commerce_lakehouse_spark.table.writer import append_dataframe
+from tests.conftest import N_TURNS
+
+
+def _extra(tiny_df, prefix, n):
+    return tiny_df.limit(n).select(
+        F.concat(F.lit(prefix), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+
+
+def test_stage_audit_publish(spark, tiny_table, tiny_df):
+    t = tiny_table
+    head = t.current_snapshot_id()
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-wap-", 200), publish=False)
+
+    # invisible to readers until published
+    assert t.current_snapshot_id() == head
+    assert scan(spark, t).count() == N_TURNS
+    # auditable pinned
+    audit = scan(spark, t, snapshot_id=staged.snapshot_id)
+    assert audit.count() == N_TURNS + 200
+    assert audit.where(F.col("conv_id").startswith("conv-wap-")).count() == 200
+
+    t.publish_snapshot(staged.snapshot_id)
+    assert t.current_snapshot_id() == staged.snapshot_id
+    assert scan(spark, t).count() == N_TURNS + 200
+
+
+def test_publish_conflicts_if_head_moved(spark, tiny_table, tiny_df):
+    t = tiny_table
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-s-", 50), publish=False)
+    # another writer advances the head before the audit finishes
+    append_dataframe(spark, t, _extra(tiny_df, "conv-w-", 50))
+    with pytest.raises(CommitConflictError, match="re-stage"):
+        t.publish_snapshot(staged.snapshot_id)
+    with pytest.raises(ValueError, match="already published"):
+        t.publish_snapshot(t.current_snapshot_id())
+
+
+def test_staged_ids_never_collide_with_later_commits(spark, tiny_table, tiny_df):
+    t = tiny_table
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-s-", 50), publish=False)
+    later = append_dataframe(spark, t, _extra(tiny_df, "conv-w-", 50))
+    assert later.snapshot_id != staged.snapshot_id
+    # the staged snapshot's content survived the later commit untouched
+    assert scan(spark, t, snapshot_id=staged.snapshot_id).where(
+        F.col("conv_id").startswith("conv-s-")
+    ).count() == 50
+
+
+def test_abandoned_staged_snapshot_is_gcd(spark, tiny_table, tiny_df):
+    t = tiny_table
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-dead-", 80), publish=False)
+    # churn the table past retention, never publishing the staged snap
+    append_dataframe(spark, t, _extra(tiny_df, "conv-a-", 10))
+    append_dataframe(spark, t, _extra(tiny_df, "conv-b-", 10))
+    res = expire_snapshots(t, keep_last=1)
+    assert staged.snapshot_id not in t.snapshot_ids()
+    assert res["deleted_data_files"] >= 1  # the staged append's files
+    assert scan(spark, t).where(F.col("conv_id").startswith("conv-dead-")).count() == 0
