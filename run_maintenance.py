@@ -50,6 +50,7 @@ def main(argv=None) -> int:
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "inspect", "diff", "rollback",
             "add-columns", "drop-columns", "tag", "untag", "analyze",
+            "consume",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -169,6 +170,20 @@ def main(argv=None) -> int:
                 p.error("--op ingest requires --source and --checkpoint")
             t = Table.load(args.table) if _is_table(args.table) else Table.create(args.table)
             result = ingest_available_now(spark, t, args.source, args.checkpoint)
+        elif args.op == "consume":
+            from e_commerce_lakehouse_spark.table.cdc import IncrementalConsumer
+
+            if not args.checkpoint:
+                p.error("--op consume requires --checkpoint (the cursor file)")
+            consumer = IncrementalConsumer(Table.load(args.table), args.checkpoint)
+            batch = consumer.poll(spark)
+            if batch is None:
+                result = {"caught_up": True, "cursor": consumer.position()}
+            else:
+                n = batch["df"].count()  # a real consumer processes here
+                consumer.ack()
+                result = {"rows": n, "mode": batch["mode"],
+                          "from": batch["from"], "to": batch["to"]}
         elif args.op == "analyze":
             from e_commerce_lakehouse_spark.operators import analyze
 

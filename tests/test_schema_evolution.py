@@ -88,3 +88,39 @@ def test_append_rejects_unknown_columns(spark, tiny_table, tiny_df):
     extra = tiny_df.limit(10).withColumn("mystery", F.lit(1))
     with pytest.raises(ValueError, match="not in table schema"):
         append_dataframe(spark, tiny_table, extra)
+
+
+def test_cluster_and_merge_on_evolved_table(spark, tiny_table, tiny_df):
+    """The remaining maintenance ops must survive an evolved schema:
+    cluster rewrites through the resolved schema; MERGE aligns an
+    evolved-source correction batch."""
+    from e_commerce_lakehouse_spark.operators import cluster, merge_into
+
+    t = tiny_table
+    add_columns(t, [("quality", "double")])
+    extra = tiny_df.limit(200).select(
+        F.concat(F.lit("conv-ev-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+        F.lit(0.9).alias("quality"),
+    )
+    append_dataframe(spark, t, extra)
+    before = scan(spark, t).collect()
+
+    cluster(spark, t, curve="zorder", target_bytes=1 << 20)
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    assert scan(spark, t).where(F.col("quality") == 0.9).count() == 200
+
+    # MERGE an evolved-shape correction: update text+quality of 50 rows
+    corr = (
+        scan(spark, t).where(F.col("conv_id").startswith("conv-ev-"))
+        .limit(50)
+        .withColumn("text", F.lit("evolved-fix"))
+        .withColumn("quality", F.lit(0.1))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    merge_into(spark, t, corr)
+    got = scan(spark, t)
+    assert got.where(F.col("text") == "evolved-fix").count() == 50
+    assert got.where(F.col("quality") == 0.1).count() == 50
+    assert got.count() == len(before)
