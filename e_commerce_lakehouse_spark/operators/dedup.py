@@ -69,6 +69,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # shingling + the per-shingle md5 downstream are the CPU-heaviest
+    # map-side work in the engine; a single-file input would run them on
+    # one core (see plans/parallelism.py — measured 12× on sf0.1)
+    from ..plans.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
@@ -283,7 +289,9 @@ def simhash_signatures_df(
     """(id, sig) via explode + ONE grouped aggregation pass: 60
     sum(sign(bit)) aggs over (doc, token) rows — map-side combinable,
     whole-stage codegen, no per-row array re-walks."""
-    toks = df.select(
+    from ..plans.parallelism import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("tok"),
     ).withColumn("h", _token_hash60(F.col("tok")))

@@ -20,7 +20,11 @@ from .dedup import _finish_release, cosine_sim, vec_norm  # noqa: F401 (cosine_s
 
 def _norms(df: DataFrame, id_out: str, vec_out: str, norm_out: str, id_col: str, vec_col: str):
     """Project (id, double-vector, L2 norm): norms computed once per row,
-    never per pair."""
+    never per pair. Deliberately NOT widened via plans/parallelism: the
+    ANN paths are join/dispatch-bound at small scale (measured: widening
+    the scan made q26 ~2× slower — extra exchanges across the 4 bucket
+    branches outweigh the map-side win; the 64-dim float math is light
+    next to a shingle/md5 pipeline)."""
     return df.select(
         F.col(id_col).alias(id_out),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_out),

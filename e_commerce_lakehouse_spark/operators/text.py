@@ -106,6 +106,11 @@ def fingerprint_shingle_min(col: Column, k: int = 16) -> Column:
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # regex-heavy per-row features: widen a narrow single-file scan so
+    # the map stage uses the whole pool (plans/parallelism.py)
+    from ..plans.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     return df.select(
         "doc_id",
