@@ -82,10 +82,23 @@ def add_columns(table: Table, fields: list[tuple[str, str]]) -> dict:
     binary}. Existing rows read as NULL; no data file is touched."""
     schema = current_schema(table)
     existing = {f.name for f in schema.fields}
+    # names from ANY prior schema version are burned: data files written
+    # before a drop still carry the old column's bytes, and by-name
+    # parquet resolution would silently RESURRECT those values into the
+    # re-added column (the hazard Iceberg avoids with field-ids)
+    ever_used = set(existing)
+    for v in table.schema_versions():
+        ever_used.update(f["name"] for f in v["schema"]["fields"])
     new_fields = list(schema.fields)
     for name, type_str in fields:
         if name in existing:
             raise ValueError(f"column already exists: {name}")
+        if name in ever_used:
+            raise ValueError(
+                f"column name {name!r} was used by an earlier schema version; "
+                f"old data files may still carry its values and by-name reads "
+                f"would resurrect them — pick a fresh name"
+            )
         if type_str not in _ALLOWED_TYPES:
             raise ValueError(
                 f"unsupported type {type_str!r} for {name}; "

@@ -1,0 +1,170 @@
+"""Model-based lifecycle fuzzing: a random program of table operations
+checked step-by-step against a pure-Python model.
+
+The model is the ground truth a lakehouse must preserve: the CURRENT
+table is a multiset of rows; maintenance ops (compact / cluster /
+rewrite-manifests) must not change it; MERGE applies upserts; schema
+evolution reshapes every row; rollback restores an earlier model state;
+expire only forgets history. After EVERY op the real scan must equal
+the model exactly — any divergence pinpoints the op and seed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from e_commerce_lakehouse_spark.operators import (
+    add_columns,
+    analyze,
+    cluster,
+    compact,
+    drop_columns,
+    expire_snapshots,
+    merge_into,
+    rewrite_manifests,
+    rollback_to,
+)
+from e_commerce_lakehouse_spark.operators.schema_evolution import current_schema
+from e_commerce_lakehouse_spark.table import Table, scan
+from e_commerce_lakehouse_spark.table.writer import append_dataframe, create_transcripts_table
+
+_BASE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _mkrow(rng, conv, turn, extra_cols):
+    row = {
+        "conv_id": f"conv-{conv:06d}",
+        "turn_idx": turn,
+        "role": rng.choice(["user", "assistant", "tool"]),
+        "text": f"text-{rng.randrange(10**9)}",
+        "tool": rng.choice([None, "search", "calc"]),
+        "ts": _T0 + dt.timedelta(seconds=rng.randrange(10**7)),
+    }
+    for name, _typ in extra_cols:
+        row[name] = round(rng.random(), 6)
+    return row
+
+
+def _to_df(spark, rows, cols):
+    fields = []
+    for c in cols:
+        if c == "turn_idx":
+            fields.append(T.StructField(c, T.IntegerType()))
+        elif c == "ts":
+            fields.append(T.StructField(c, T.TimestampType()))
+        elif c.startswith("extra"):
+            fields.append(T.StructField(c, T.DoubleType()))
+        else:
+            fields.append(T.StructField(c, T.StringType()))
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(data, T.StructType(fields))
+
+
+def _assert_equal(spark, table, model_rows, cols, step):
+    got = sorted(tuple(r) for r in scan(spark, table).select(*cols).collect())
+    want = sorted(tuple(r.get(c) for c in cols) for r in model_rows)
+    assert got == want, (
+        f"step {step}: scan diverged from model "
+        f"({len(got)} vs {len(want)} rows; first diff: "
+        f"{next(((a, b) for a, b in zip(got, want) if a != b), 'row count')})"
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 91])
+def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    extra_cols: list[tuple[str, str]] = []
+    next_extra = [0]  # names never reused (add_columns burns dropped names)
+    next_conv = [0]
+
+    def fresh_rows(n):
+        rows = []
+        for _ in range(n):
+            conv = next_conv[0]
+            next_conv[0] += 1
+            for turn in range(rng.randint(1, 4)):
+                rows.append(_mkrow(rng, conv, turn, extra_cols))
+        return rows
+
+    root = str(tmp_path / f"fuzz-{seed}")
+    model = fresh_rows(40)
+    t = create_transcripts_table(
+        spark, root, _to_df(spark, model, _BASE_COLS), rows_per_file=30, n_append_commits=2
+    )
+    # snapshot-id -> (rows, cols) so rollback can restore model state
+    history = {t.current_snapshot_id(): ([dict(r) for r in model], list(_BASE_COLS))}
+    cols = list(_BASE_COLS)
+
+    ops = ["append", "compact", "cluster", "merge", "rewrite", "expire",
+           "rollback", "add_col", "drop_col", "analyze"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "append":
+            rows = fresh_rows(rng.randint(2, 6))
+            append_dataframe(spark, t, _to_df(spark, rows, cols))
+            model = model + rows
+        elif op == "compact":
+            compact(spark, t, target_bytes=1 << 20)
+        elif op == "cluster":
+            cluster(spark, t, curve=rng.choice(["zorder", "hilbert"]),
+                    target_bytes=1 << 19)
+        elif op == "merge":
+            victims = rng.sample(model, min(5, len(model)))
+            corr = []
+            seen_keys = set()
+            for v in victims:
+                key = (v["conv_id"], v["turn_idx"])
+                if key in seen_keys:
+                    continue
+                seen_keys.add(key)
+                c = dict(v)
+                c["text"] = f"fixed-{rng.randrange(10**9)}"
+                c["ts"] = v["ts"] + dt.timedelta(hours=1)
+                corr.append(c)
+            corr.extend(fresh_rows(2))  # inserts
+            merge_into(spark, t, _to_df(spark, corr, cols))
+            by_key = {(c["conv_id"], c["turn_idx"]): c for c in corr}
+            model = [by_key.pop((r["conv_id"], r["turn_idx"]), r) for r in model]
+            model += list(by_key.values())
+        elif op == "rewrite":
+            rewrite_manifests(t)
+        elif op == "expire":
+            expire_snapshots(t, keep_last=2)
+            history = {s: v for s, v in history.items() if s in set(t.snapshot_ids())}
+        elif op == "rollback":
+            cands = [s for s in history if s != t.current_snapshot_id()]
+            if cands:
+                target = rng.choice(cands)
+                rollback_to(t, target)
+                rows, rb_cols = history[target]
+                model = [dict(r) for r in rows]
+                # schema does NOT roll back (documented) — current cols stay
+                for r in model:
+                    for c in cols:
+                        r.setdefault(c, None)
+        elif op == "add_col" and len(extra_cols) < 2:
+            name = f"extra{next_extra[0]}"
+            next_extra[0] += 1
+            add_columns(t, [(name, "double")])
+            extra_cols.append((name, "double"))
+            cols.append(name)
+            for r in model:
+                r.setdefault(name, None)
+        elif op == "drop_col" and extra_cols:
+            name, _ = extra_cols.pop()
+            drop_columns(t, [name])
+            cols.remove(name)
+            for r in model:
+                r.pop(name, None)
+        elif op == "analyze":
+            res = analyze(spark, t, columns=["conv_id"])
+            assert res["rows"] == len(model)
+        cols_now = current_schema(t).fieldNames()
+        assert cols_now == cols, f"step {step}: schema drift {cols_now} vs {cols}"
+        _assert_equal(spark, t, model, cols, f"{step}:{op}")
+        history[t.current_snapshot_id()] = ([dict(r) for r in model], list(cols))

@@ -124,3 +124,13 @@ def test_cluster_and_merge_on_evolved_table(spark, tiny_table, tiny_df):
     assert got.where(F.col("text") == "evolved-fix").count() == 50
     assert got.where(F.col("quality") == 0.1).count() == 50
     assert got.count() == len(before)
+
+
+def test_add_column_refuses_resurrecting_dropped_name(tiny_table):
+    """Old files still carry a dropped column's bytes; re-adding the name
+    would silently resurrect those values via by-name reads."""
+    t = tiny_table
+    add_columns(t, [("score", "double")])
+    drop_columns(t, ["score"])
+    with pytest.raises(ValueError, match="earlier schema version"):
+        add_columns(t, [("score", "double")])
