@@ -264,9 +264,16 @@ def compact(
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     mode: str = "arrow",
     codec: str = "zstd",
+    conv_id_range: tuple | None = None,
+    ts_range: tuple | None = None,
 ) -> dict:
     """Compact small files; returns metrics. Resumable: re-running with the
     same checkpoint path after a crash skips finished groups and commits.
+
+    ``conv_id_range``/``ts_range`` scope the rewrite to files whose stat
+    ranges overlap the predicate (Iceberg's rewrite_data_files WHERE):
+    on a 100 TB table a hot-partition cleanup touches only that slice's
+    files — everything else stays byte-identical and uncommitted.
 
     mode="arrow" (default, scale path): group rewrites are TASKS of one
     Spark job per checkpoint wave — per-group overhead is a task launch.
@@ -283,6 +290,18 @@ def compact(
     # executor-side align stays pyspark-free (_arrow_align)
     field_spec = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     entries = table.entries()
+    _scope_tag = ""
+    if conv_id_range is not None or ts_range is not None:
+        from ..table.scan import prune_entries
+
+        entries = prune_entries(entries, conv_id_range=conv_id_range, ts_range=ts_range)
+        # scoped runs get their OWN default checkpoint: group ids from a
+        # scoped plan must never be resumed against a full plan's groups
+        import hashlib
+
+        _scope_tag = "-scope" + hashlib.md5(
+            repr((conv_id_range, ts_range)).encode()
+        ).hexdigest()[:8]
     groups, kept = plan_bin_packing(entries, target_bytes, small_file_ratio)
     metrics = {
         "base_snapshot": base_snapshot,
@@ -296,7 +315,9 @@ def compact(
 
     ckpt = Checkpoint(
         checkpoint_path
-        or os.path.join(table.metadata_dir, f"compact-{base_snapshot:08d}.ckpt.jsonl")
+        or os.path.join(
+            table.metadata_dir, f"compact-{base_snapshot:08d}{_scope_tag}.ckpt.jsonl"
+        )
     )
     done = ckpt.done()
     # trust-but-verify resume: a checkpointed group whose output files no

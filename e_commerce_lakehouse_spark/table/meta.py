@@ -378,6 +378,31 @@ class Table:
         """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""
         return self._write_manifest(self._next_id(), k, entries)
 
+    def history(self) -> list[dict]:
+        """The snapshot log, oldest-first — Iceberg's ``table.history``:
+        one dict per retained snapshot (id, parent, operation, timestamp,
+        summary, current flag, tags pointing at it). O(metadata)."""
+        current = self.current_snapshot_id()
+        tags_by_sid: dict[int, list[str]] = {}
+        for name, sid in self.tags().items():
+            tags_by_sid.setdefault(sid, []).append(name)
+        out = []
+        for sid in self.snapshot_ids():
+            s = self.snapshot(sid)
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "parent_id": s.parent_id,
+                    "operation": s.operation,
+                    "timestamp_ms": s.timestamp_ms,
+                    "is_current": sid == current,
+                    "staged": sid > (current or 0),
+                    "tags": sorted(tags_by_sid.get(sid, [])),
+                    "summary": s.summary,
+                }
+            )
+        return out
+
     # ---------- named refs (tags) ----------
 
     def _refs_path(self) -> str:

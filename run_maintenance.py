@@ -50,7 +50,7 @@ def main(argv=None) -> int:
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "inspect", "diff", "rollback",
             "add-columns", "drop-columns", "tag", "untag", "analyze",
-            "consume",
+            "consume", "history",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -90,6 +90,8 @@ def main(argv=None) -> int:
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
         result = rewrite_manifests(Table.load(args.table))
+    elif args.op == "history":  # metadata-only
+        result = {"history": Table.load(args.table).history()}
     elif args.op in ("tag", "untag"):  # metadata-only
         if not args.tag_name:
             p.error(f"--op {args.op} requires --tag-name")

@@ -66,3 +66,61 @@ def test_compact_noop_when_healthy(spark, tiny_table):
     compact(spark, tiny_table, target_bytes=TARGET)
     m2 = compact(spark, tiny_table, target_bytes=TARGET)
     assert m2.get("noop") or m2["planned_groups"] <= 1
+
+
+def test_scoped_compact_touches_only_overlapping_files(spark, tiny_table):
+    """conv_id_range-scoped compaction (rewrite_data_files WHERE): files
+    outside the predicate stay byte-identical AND uncommitted."""
+    from e_commerce_lakehouse_spark.table import scan
+
+    t = tiny_table
+    before_rows = scan(spark, t).collect()
+    all_entries = {e.path for e in t.entries()}
+    # scope: first half of the conv id space
+    convs = sorted({r["conv_id"] for r in before_rows})
+    scope = (convs[0], convs[len(convs) // 2])
+    in_scope = {
+        e.path for e in t.entries()
+        if not (e.stats["conv_id"][1] < scope[0] or e.stats["conv_id"][0] > scope[1])
+    }
+    res = compact(spark, t, target_bytes=1 << 20, conv_id_range=scope)
+    assert 0 < res["input_files"] <= len(in_scope)
+    after_entries = {e.path for e in t.entries()}
+    # every out-of-scope file is still the SAME physical file
+    assert (all_entries - in_scope) <= after_entries
+    # content identical
+    after_rows = scan(spark, t).collect()
+    assert sorted(map(tuple, after_rows)) == sorted(map(tuple, before_rows))
+
+
+def test_scoped_and_full_compact_use_distinct_checkpoints(spark, tiny_table):
+    """A crashed scoped run leaves a scope-tagged checkpoint so a later
+    FULL compact at the same snapshot can never resume the scoped plan's
+    group ids against its own different groups."""
+    import glob
+    import os
+
+    from e_commerce_lakehouse_spark.operators.compact import SimulatedCrash
+
+    t = tiny_table
+    convs = sorted({e.stats["conv_id"][0] for e in t.entries()})
+    with pytest.raises(SimulatedCrash):
+        compact(spark, t, target_bytes=1 << 20,
+                conv_id_range=(convs[0], convs[-1]), fail_after_groups=1)
+    cks = glob.glob(os.path.join(t.metadata_dir, "compact-*-scope*.ckpt.jsonl"))
+    assert cks, "scoped run must use a scope-tagged checkpoint"
+    full_default = glob.glob(
+        os.path.join(t.metadata_dir, "compact-????????.ckpt.jsonl")
+    )
+    assert not full_default, "scoped checkpoint must not shadow the full one"
+
+
+def test_history_log(spark, tiny_table):
+    t = tiny_table
+    compact(spark, t, target_bytes=1 << 20)
+    t.create_tag("after-compact")
+    h = t.history()
+    assert [e["snapshot_id"] for e in h] == t.snapshot_ids()
+    assert h[-1]["is_current"] and h[-1]["operation"] == "replace"
+    assert h[-1]["tags"] == ["after-compact"]
+    assert all(e["timestamp_ms"] > 0 for e in h)
