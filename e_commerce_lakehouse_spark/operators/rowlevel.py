@@ -1,0 +1,193 @@
+"""Row-level DELETE WHERE / UPDATE SET — copy-on-write, O(touched files).
+
+The reference expresses row-level change only as full-table Delta MERGE
+(`/root/reference/src/glue_jobs/orders_etl.py:179-188`); Delta Lake's own
+DELETE/UPDATE are the public model for the physical plan here (find the
+files that contain matching rows, rewrite only those). Spark-first:
+
+1. FIND-TOUCHED: one predicate-filtered scan over the current snapshot's
+   files tagged with ``input_file_name()``, collecting the DISTINCT file
+   set (file-count-sized, driver-safe). Parquet predicate pushdown +
+   row-group stats prune this scan, so on a 100 TB table it reads only
+   stat-overlapping row groups — and the rewrite then touches only files
+   that PROVABLY contain matching rows (stat overlap alone would rewrite
+   false positives).
+2. REWRITE: read the touched files once; DELETE keeps ``NOT predicate``
+   rows; UPDATE maps matching rows through the SET expressions (built-in
+   column expressions — whole-stage codegen, no Python in the row path).
+3. COMMIT one atomic snapshot (removed = touched, added = rewrites).
+   Zero-row outputs are dropped from the manifest, so deleting every row
+   of a file shrinks the table instead of committing empty files.
+
+Untouched files are never read twice, never rewritten, and keep their
+manifest stats — a 0.01 % deletion on a 100 TB table is a ~0.01 % job.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from time import monotonic
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import TRANSCRIPTS_STAT_COLUMNS
+from ..table.meta import Table
+from ..table.stats import collect_entries, list_parquet_files
+from ..table.writer import DEFAULT_TARGET_FILE_BYTES
+
+
+def _as_column(predicate) -> Column:
+    return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def _touched_by_predicate(
+    spark: SparkSession, table: Table, predicate: Column, schema
+) -> list[str]:
+    """Relative paths of current files containing >=1 matching row."""
+    entries = table.entries()
+    if not entries:
+        return []
+    abs_paths = [os.path.join(table.root, e.path) for e in entries]
+    hits = (
+        spark.read.schema(schema)
+        .parquet(*abs_paths)
+        .where(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    root_uri = "file://" + table.root + "/"
+    out = []
+    for r in hits:
+        f = r["f"]
+        for prefix in (root_uri, "file:" + table.root + "/", table.root + "/"):
+            if f.startswith(prefix):
+                out.append(f[len(prefix):])
+                break
+        else:  # unexpected URI shape: conservative (rewrite it anyway)
+            out.append(os.path.relpath(f.split("://", 1)[-1], table.root))
+    return sorted(out)
+
+
+def _rewrite_and_commit(
+    spark: SparkSession,
+    table: Table,
+    touched: list[str],
+    rewritten_df,
+    operation: str,
+    target_bytes: int,
+    stat_columns,
+    extra_summary: dict,
+    t0: float,
+) -> dict:
+    entries_by_path = {e.path: e for e in table.entries()}
+    touched_bytes = sum(entries_by_path[p].bytes for p in touched)
+    subdir = f"{operation}-{table.current_snapshot_id():08d}"
+    out_dir = os.path.join(table.data_dir, subdir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    n_out = max(1, math.ceil(touched_bytes / target_bytes))
+    rewritten_df.repartition(n_out).write.mode("error").parquet(out_dir)
+    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
+    live = [e for e in added if e.rows > 0]
+    for e in added:
+        if e.rows == 0:
+            os.remove(os.path.join(table.root, e.path))
+    snap = table.commit_rewrite(
+        touched,
+        live,
+        operation=operation,
+        summary={"op": operation, "touched_files": len(touched), "added_files": len(live),
+                 **extra_summary},
+    )
+    return {
+        "committed_snapshot": snap.snapshot_id,
+        "touched_files": len(touched),
+        "total_files": len(entries_by_path),
+        "added_files": len(live),
+        "wall_ms": int((monotonic() - t0) * 1000),
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    table: Table,
+    predicate,
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    schema=None,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> dict:
+    """DELETE FROM table WHERE predicate, as an atomic copy-on-write snapshot.
+
+    ``predicate`` is a SQL string or a Column. Returns a metrics dict; a
+    predicate matching nothing is a no-op (no new snapshot)."""
+    from ..table.scan import resolve_schema
+
+    t0 = monotonic()
+    if table.current_snapshot_id() is None:
+        raise ValueError("cannot delete from an empty table")
+    schema = resolve_schema(table, schema=schema)
+    pred = _as_column(predicate)
+    touched = _touched_by_predicate(spark, table, pred, schema)
+    if not touched:
+        return {"committed_snapshot": None, "touched_files": 0,
+                "total_files": len(table.entries()), "added_files": 0,
+                "wall_ms": int((monotonic() - t0) * 1000)}
+    abs_paths = [os.path.join(table.root, p) for p in touched]
+    kept = spark.read.schema(schema).parquet(*abs_paths).where(~pred)
+    return _rewrite_and_commit(
+        spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: Table,
+    predicate,
+    assignments: dict,
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    schema=None,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> dict:
+    """UPDATE table SET col = expr, ... WHERE predicate (copy-on-write).
+
+    ``assignments`` maps existing column name -> SQL string or Column.
+    Assigning to a column absent from the table schema raises (UPDATE
+    never evolves the schema; use operators/schema_evolution for that)."""
+    from ..table.scan import resolve_schema
+
+    t0 = monotonic()
+    if table.current_snapshot_id() is None:
+        raise ValueError("cannot update an empty table")
+    schema = resolve_schema(table, schema=schema)
+    names = [f.name for f in schema.fields]
+    unknown = sorted(set(assignments) - set(names))
+    if unknown:
+        raise ValueError(f"UPDATE assigns to non-existent column(s): {unknown}")
+    pred = _as_column(predicate)
+    touched = _touched_by_predicate(spark, table, pred, schema)
+    if not touched:
+        return {"committed_snapshot": None, "touched_files": 0,
+                "total_files": len(table.entries()), "added_files": 0,
+                "wall_ms": int((monotonic() - t0) * 1000)}
+    abs_paths = [os.path.join(table.root, p) for p in touched]
+    src = spark.read.schema(schema).parquet(*abs_paths)
+    projected = src.select(
+        *[
+            (
+                F.when(pred, _as_column(assignments[c]).cast(schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in names
+        ]
+    )
+    return _rewrite_and_commit(
+        spark, table, touched, projected, "update", target_bytes, stat_columns,
+        {"set_columns": sorted(assignments)}, t0
+    )

@@ -50,7 +50,7 @@ def main(argv=None) -> int:
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "inspect", "diff", "rollback",
             "add-columns", "drop-columns", "tag", "untag", "analyze",
-            "consume", "history",
+            "consume", "history", "delete", "update",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -74,6 +74,10 @@ def main(argv=None) -> int:
                         "drop-columns: name[,name...]")
     p.add_argument("--tag-name", default=None, help="tag/untag: the ref name")
     p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
+    p.add_argument("--predicate", default=None,
+                   help="delete/update: SQL WHERE predicate (required)")
+    p.add_argument("--set", default=None, dest="set_exprs",
+                   help="update: semicolon-separated col=SQL-expr assignments")
     args = p.parse_args(argv)
 
     from e_commerce_lakehouse_spark.operators import (
@@ -186,6 +190,31 @@ def main(argv=None) -> int:
                 consumer.ack()
                 result = {"rows": n, "mode": batch["mode"],
                           "from": batch["from"], "to": batch["to"]}
+        elif args.op in ("delete", "update"):
+            from e_commerce_lakehouse_spark.operators.rowlevel import (
+                delete_where, update_where,
+            )
+
+            if not args.predicate:
+                p.error(f"--op {args.op} requires --predicate")
+            if args.op == "delete":
+                result = with_retries(
+                    lambda: delete_where(spark, Table.load(args.table), args.predicate,
+                                         target_bytes=target_bytes),
+                    attempts=args.retries, backoff_s=args.retry_backoff)
+            else:
+                if not args.set_exprs:
+                    p.error("--op update requires --set col=expr[;col=expr...]")
+                assignments = {}
+                for part in args.set_exprs.split(";"):
+                    if "=" not in part:
+                        p.error(f"--set entry missing '=': {part!r}")
+                    k, v = part.split("=", 1)
+                    assignments[k.strip()] = v.strip()
+                result = with_retries(
+                    lambda: update_where(spark, Table.load(args.table), args.predicate,
+                                         assignments, target_bytes=target_bytes),
+                    attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "analyze":
             from e_commerce_lakehouse_spark.operators import analyze
 

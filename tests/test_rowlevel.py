@@ -1,0 +1,110 @@
+"""Row-level DELETE WHERE / UPDATE SET: only matching rows change, only
+files that contain matches are rewritten, commits are atomic snapshots
+that compose with time travel and the maintenance lifecycle."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators.cluster import cluster
+from e_commerce_lakehouse_spark.operators.rowlevel import delete_where, update_where
+from e_commerce_lakehouse_spark.table import scan
+from tests.conftest import assert_same_rows
+
+
+def test_delete_where_removes_only_matches(spark, tiny_df, tiny_table):
+    before = tiny_table.total_rows()
+    n_match = tiny_df.where("role = 'tool'").count()
+    assert 0 < n_match < before
+    m = delete_where(spark, tiny_table, "role = 'tool'")
+    assert m["committed_snapshot"] is not None
+    after = scan(spark, tiny_table).cache()
+    assert after.count() == before - n_match
+    assert after.where("role = 'tool'").count() == 0
+    # survivors byte-identical (per-turn text invariant)
+    assert_same_rows(
+        tiny_df.where("role <> 'tool'").select("conv_id", "turn_idx", "text"),
+        after.select("conv_id", "turn_idx", "text"),
+    )
+    after.unpersist()
+
+
+def test_delete_prunes_untouched_files(spark, tiny_df, tiny_table):
+    cluster(spark, tiny_table, curve="zorder", target_bytes=24 * 1024)
+    m = delete_where(spark, tiny_table, "conv_id = 'conv-000000000003'")
+    assert m["touched_files"] < m["total_files"]
+    assert scan(spark, tiny_table).where("conv_id = 'conv-000000000003'").count() == 0
+
+
+def test_delete_no_match_is_noop(spark, tiny_table):
+    sid = tiny_table.current_snapshot_id()
+    m = delete_where(spark, tiny_table, "conv_id = 'no-such-conv'")
+    assert m["committed_snapshot"] is None and m["touched_files"] == 0
+    assert tiny_table.current_snapshot_id() == sid
+
+
+def test_delete_entire_file_drops_it(spark, tiny_df, tiny_table):
+    before_rows = tiny_table.total_rows()
+    pre_sid = tiny_table.current_snapshot_id()
+    m = delete_where(spark, tiny_table, F.lit(True))
+    assert m["added_files"] == 0  # zero-row rewrites never hit the manifest
+    assert tiny_table.total_rows() == 0
+    # time travel still sees the pre-delete snapshot
+    prev = scan(spark, tiny_table, snapshot_id=pre_sid)
+    assert prev.count() == before_rows
+    # and no empty parquet files were left behind in data/
+    for e in tiny_table.entries():
+        assert e.rows > 0
+
+
+def test_update_where_sets_only_matches(spark, tiny_df, tiny_table):
+    pred = "role = 'assistant' AND turn_idx <= 3"
+    n_match = tiny_df.where(pred).count()
+    assert n_match > 0
+    m = update_where(
+        spark, tiny_table, pred,
+        {"text": "upper(text)", "tool": F.lit("patched")},
+    )
+    after = scan(spark, tiny_table).cache()
+    assert after.count() == tiny_df.count()
+    got = after.where(pred)
+    assert got.count() == n_match
+    assert got.where(F.col("tool") != "patched").count() == 0
+    # matched text transformed exactly; everything else untouched
+    exp_match = tiny_df.where(pred).select("conv_id", "turn_idx",
+                                           F.upper("text").alias("text"))
+    assert_same_rows(exp_match, got.select("conv_id", "turn_idx", "text"))
+    assert_same_rows(
+        tiny_df.where(f"NOT ({pred})").select("conv_id", "turn_idx", "text", "tool"),
+        after.where(f"NOT ({pred})").select("conv_id", "turn_idx", "text", "tool"),
+    )
+    after.unpersist()
+
+
+def test_update_unknown_column_raises(spark, tiny_table):
+    import pytest
+
+    with pytest.raises(ValueError, match="non-existent"):
+        update_where(spark, tiny_table, "turn_idx = 0", {"nope": F.lit(1)})
+
+
+def test_update_preserves_column_types(spark, tiny_df, tiny_table):
+    update_where(spark, tiny_table, "turn_idx = 1", {"turn_idx": "turn_idx + 100"})
+    after = scan(spark, tiny_table)
+    assert dict(after.dtypes)["turn_idx"] == dict(tiny_df.dtypes)["turn_idx"]
+    expected_101 = tiny_df.where("turn_idx = 1").count() + tiny_df.where("turn_idx = 101").count()
+    assert after.where("turn_idx = 101").count() == expected_101
+    assert after.where("turn_idx = 1").count() == 0
+
+
+def test_delete_then_maintenance_lifecycle(spark, tiny_df, tiny_table):
+    """Row-level ops compose with compact+cluster: the lifecycle sees the
+    post-delete table and never resurrects deleted rows."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    delete_where(spark, tiny_table, "turn_idx >= 8")
+    compact(spark, tiny_table, target_bytes=64 * 1024)
+    cluster(spark, tiny_table, curve="zorder", target_bytes=64 * 1024)
+    after = scan(spark, tiny_table)
+    assert after.where("turn_idx >= 8").count() == 0
+    assert after.count() == tiny_df.where("turn_idx < 8").count()
