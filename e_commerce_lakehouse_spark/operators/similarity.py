@@ -114,6 +114,125 @@ def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[fl
     return [float(row[f"m{i}"]) for i in range(dim)]
 
 
+def _centroid_argmax(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
+    """cell id of the max-cosine centroid, as a PURE PROJECTION: the
+    centroids are literals, so assignment is whole-stage-codegen'd per
+    row with ZERO shuffle — the IVF analog of a broadcast join, minus
+    even the join. Cosine rounded to 6 dp before the argmax (cross-engine
+    float-assoc safety); ties break to the SMALLEST cell id via the
+    (cos, -cell) struct max."""
+    entries = []
+    for cell, c_vec, c_norm in cents:
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), F.array(*[F.lit(x) for x in c_vec]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos = F.round(dot / (F.col(norm) * F.lit(c_norm)), 6)
+        entries.append(F.struct(cos.alias("cos"), F.lit(-cell).alias("negcell")))
+    best = F.array_max(F.array(*entries))
+    return (-best["negcell"]).alias("cell")
+
+
+def _probe_cells(cents: list[tuple[int, list[float], float]], vec: str, norm: str, nprobe: int):
+    """Array of the nprobe nearest cell ids (cos desc, cell asc) — also a
+    pure projection: sort the literal-centroid struct array ascending on
+    (-cos, cell) and slice."""
+    entries = []
+    for cell, c_vec, c_norm in cents:
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), F.array(*[F.lit(x) for x in c_vec]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos = F.round(dot / (F.col(norm) * F.lit(c_norm)), 6)
+        entries.append(F.struct((-cos).alias("negcos"), F.lit(cell).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cell"]).alias("probe_cells")
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer of
+    ``n_cells`` centroids partitions the corpus into cells; each query
+    probes its ``nprobe`` nearest cells and re-ranks exactly within them.
+    The standard billion-vector scale path (FAISS IVF-Flat shape),
+    expressed Spark-first:
+
+    * seeds = the ``n_cells`` vectors with smallest md5(id) — the same
+      deterministic-sampling trick as q51, so seeding is reproducible
+      across engines/cluster sizes and SQL-mirrorable (no RNG, no
+      kmeans|| nondeterminism);
+    * ONE Lloyd refinement: assign-all (zero-shuffle literal projection),
+      then per-(cell, dim) mean via posexplode — a partial-aggregable
+      shuffle of scalar components, never whole vectors to one place;
+      means rounded to 6 dp so an independent engine lands on identical
+      centroids; empty cells drop out;
+    * final assignment and query probing are again pure projections;
+      candidates come from an equi-join on cell (query side broadcast) —
+      the fact table shuffles ZERO times end-to-end.
+
+    Recall < 1 by design (a true neighbor in an unprobed cell is missed);
+    knobs: more cells → smaller cells (faster, lower recall at fixed
+    nprobe), more probes → higher recall, linear candidate cost."""
+    spark = vectors.sparkSession
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
+    try:
+        seeds = (
+            v.orderBy(F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id"))
+            .limit(n_cells)
+            .collect()
+        )  # n_cells rows of dim doubles — trivially driver-safe
+        cents0 = [
+            (i + 1, [float(x) for x in r["nv"]], float(r["nn"])) for i, r in enumerate(seeds)
+        ]
+        assigned0 = v.select("neighbor_id", "nv", _centroid_argmax(cents0, "nv", "nn"))
+        mean_rows = (
+            assigned0.select("cell", F.posexplode("nv").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )  # <= n_cells*dim scalars
+        by_cell: dict[int, list] = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["m"])
+        import math as _math
+
+        cents = [
+            (cell, vec, _math.sqrt(sum(x * x for x in vec)))
+            for cell, vec in sorted(by_cell.items())
+        ]
+        assigned = v.select("neighbor_id", "nv", "nn", _centroid_argmax(cents, "nv", "nn"))
+        q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col)
+        probes = q.select(
+            query_id_col, "qv", "qn", _probe_cells(cents, "qv", "qn", nprobe)
+        ).select(query_id_col, "qv", "qn", F.explode("probe_cells").alias("cell"))
+        scored = (
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col(query_id_col))
+            .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        result = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "rank", "cos")
+        )
+        return _finish_release(result, v)
+    except Exception:
+        v.unpersist()
+        raise
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

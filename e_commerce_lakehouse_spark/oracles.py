@@ -603,3 +603,61 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM final
 """
+
+
+# q53: IVF ANN mirror. Every stage of operators/similarity.ivf_ann_topk
+# is deterministic: seeds = n_cells smallest md5(vec_id) rows; one Lloyd
+# step with per-(cell, dim) means rounded to 6 dp; argmax assignment /
+# probe ranking on 6-dp cosines with cell-asc tiebreak; exact 4-dp
+# re-rank within probed cells.
+def _ivf_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    cos6 = """
+round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+ / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)
+"""
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+    SELECT vec_id, e,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cell
+    FROM ev QUALIFY cell <= {n_cells}),
+assign0 AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT a.vec_id, a.e, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+        FROM ev a CROSS JOIN (SELECT cell, e FROM seeds) b) WHERE rn = 1),
+cent AS (
+    SELECT cell, i, round(avg(e[i]), 6) AS m
+    FROM assign0 CROSS JOIN (SELECT unnest(range(1, len((SELECT e FROM ev LIMIT 1)) + 1)) AS i)
+    GROUP BY cell, i),
+centl AS (SELECT cell, list(m ORDER BY i) AS e FROM cent GROUP BY cell),
+assign AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT a.vec_id, a.e, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+        FROM ev a CROSS JOIN centl b) WHERE rn = 1),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT a.vec_id AS query_id, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+        FROM (SELECT * FROM ev WHERE vec_id < 8) a CROSS JOIN centl b)
+    WHERE rn <= {nprobe}),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_COS.replace("a.e", "a.e").replace("b.e", "q.e")} AS cos
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN ev q ON q.vec_id = p.query_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC)::INTEGER AS rank
+    FROM scored) WHERE rank <= {k}
+"""
+
+
+ALL["q53_ivf_ann_topk"] = _ivf_sql()

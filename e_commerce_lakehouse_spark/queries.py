@@ -359,6 +359,17 @@ def q26_lsh_ann_topk(spark, sf_dir):
     return sim.lsh_ann_topk(e, queries, dim=64, k=5, n_planes=6, n_tables=4)
 
 
+def q53_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: deterministic md5-sampled coarse centroids + one Lloyd
+    refinement, per-query nprobe cell probe, exact re-rank within probed
+    cells. Fully value-hash oracled: seeding/means/argmax are all
+    deterministic, so DuckDB mirrors every stage (seed window →
+    per-dim avg CTE → argmax windows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_ann_topk(e, queries, dim=64, k=5, n_cells=16, nprobe=4)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -834,4 +845,5 @@ ALL = {
     "q50_embedding_centroids": q50_embedding_centroids,
     "q51_deterministic_sample": q51_deterministic_sample,
     "q52_dedup_clusters": q52_dedup_clusters,
+    "q53_ivf_ann_topk": q53_ivf_ann_topk,
 }

@@ -128,6 +128,35 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.6  # mean-centered 8-table LSH
 
 
+def test_ivf_ann_deterministic_and_recall(spark):
+    # IVF with few cells + high nprobe approaches exact; identical across runs
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest() * 4
+        return [b / 255.0 for b in h[:16]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id long, embedding array<double>"
+    ).cache()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, sim.ivf_ann_topk(emb, queries, dim=16, k=5,
+                                           n_cells=8, nprobe=4).collect()))
+    b = sorted(map(tuple, sim.ivf_ann_topk(emb, queries, dim=16, k=5,
+                                           n_cells=8, nprobe=4).collect()))
+    assert a == b  # deterministic seeding/means/argmax
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r[0], r[1]) for r in a}
+    assert len(exact_set & got) / len(exact_set) >= 0.6
+    # probing ALL cells must be exact (IVF degenerates to brute force)
+    full = sim.ivf_ann_topk(emb, queries, dim=16, k=5, n_cells=8, nprobe=8).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact_set
+    emb.unpersist()
+
+
 def test_text_analysis_fields(docs):
     out = {r["doc_id"]: r for r in tx.analyze_documents(docs).collect()}
     assert out[0]["n_tokens"] == 9
