@@ -66,6 +66,7 @@ HEADLINE = [
     "q23_simhash",
     "q25_ann_topk",
     "q28_asof_join",
+    "q53_ivf_ann_topk",
     "q44_multiway_dim_join",
 ]
 

@@ -133,6 +133,9 @@ def merge_into(
     schema = resolve_schema(table, schema=schema)
     t0 = monotonic()
     source = dedup_keep_latest(source.select([f.name for f in schema.fields]), keys, order_col)
+    from .constraints import enforce_constraints
+
+    source = enforce_constraints(source, table, context="merge")  # O(batch), no-op w/o constraints
 
     touched = _touched_paths(spark, table, source, keys[0])
     entries_by_path = {e.path: e for e in table.entries()}

@@ -175,6 +175,8 @@ def update_where(
                 "wall_ms": int((monotonic() - t0) * 1000)}
     abs_paths = [os.path.join(table.root, p) for p in touched]
     src = spark.read.schema(schema).parquet(*abs_paths)
+    from .constraints import enforce_constraints
+
     projected = src.select(
         *[
             (
@@ -187,6 +189,9 @@ def update_where(
             for c in names
         ]
     )
+    # SET expressions can break table invariants: enforce on the post-
+    # assignment rows before any file is written (O(touched), not O(table))
+    projected = enforce_constraints(projected, table, context="update")
     return _rewrite_and_commit(
         spark, table, touched, projected, "update", target_bytes, stat_columns,
         {"set_columns": sorted(assignments)}, t0

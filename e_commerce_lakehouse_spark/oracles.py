@@ -661,3 +661,18 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 
 
 ALL["q53_ivf_ann_topk"] = _ivf_sql()
+
+
+# q54: the row-level lifecycle's final table state, purely relationally —
+# delete predicate as a WHERE complement, SET expressions as CASEs.
+ALL["q54_rowlevel_lifecycle"] = """
+WITH final AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'zh' THEN upper(source) ELSE lang END AS lang,
+           source,
+           CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE NOT (lang = 'de' OR n_chars < 150))
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS chars
+FROM final GROUP BY source, lang
+"""

@@ -370,6 +370,46 @@ def q53_ivf_ann_topk(spark, sf_dir):
     return sim.ivf_ann_topk(e, queries, dim=64, k=5, n_cells=16, nprobe=4)
 
 
+def q54_rowlevel_lifecycle(spark, sf_dir):
+    """Row-level DELETE WHERE + UPDATE SET driven through the REAL table
+    format (copy-on-write snapshots, touched-file pruning) — and, unlike
+    q30, fully value-hash oracled: the final table state is relationally
+    expressible (documents minus deleted rows, with the SET expressions
+    as a CASE), so DuckDB checks the copy-on-write machinery itself.
+    Aggregated per (source, lang) to keep the compared frame small."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.rowlevel import delete_where, update_where
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q54_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
+                              stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": "initial-ingest"})
+        delete_where(spark, t, "lang = 'de' OR n_chars < 150",
+                     schema=docs.schema, stat_columns=("doc_id",))
+        update_where(spark, t, "lang = 'zh'",
+                     {"lang": "upper(source)", "n_chars": "n_chars + 1000"},
+                     schema=docs.schema, stat_columns=("doc_id",))
+        result = (
+            scan(spark, t, schema=docs.schema)
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+        )
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -846,4 +886,5 @@ ALL = {
     "q51_deterministic_sample": q51_deterministic_sample,
     "q52_dedup_clusters": q52_dedup_clusters,
     "q53_ivf_ann_topk": q53_ivf_ann_topk,
+    "q54_rowlevel_lifecycle": q54_rowlevel_lifecycle,
 }

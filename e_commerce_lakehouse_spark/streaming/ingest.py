@@ -60,8 +60,10 @@ def ingest_available_now(
         if table.current_snapshot_id() is None:
             # first batch bootstraps the table (Delta initial write analog,
             # orders_etl.py:191-194)
+            from ..operators.constraints import enforce_constraints
             from ..table.writer import write_files
 
+            batch_df = enforce_constraints(batch_df, table, context="stream-bootstrap")
             entries = write_files(
                 spark, table, batch_df, n_files=max(1, batch_df.rdd.getNumPartitions()),
                 subdir=f"stream-{epoch_id:08d}",

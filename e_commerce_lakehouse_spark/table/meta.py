@@ -450,6 +450,29 @@ class Table:
             raise KeyError(f"no such tag: {name}")
         return tags[name]
 
+    # ---------- CHECK constraints ----------
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.metadata_dir, "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints: {"name": "<SQL predicate>"}. Enforced
+        on every write path (append / MERGE / UPDATE / streaming ingest)
+        by operators/constraints.py — Delta `ALTER TABLE ADD CONSTRAINT`
+        semantics: a row violates iff the predicate evaluates to FALSE
+        (NULL passes, SQL CHECK semantics)."""
+        try:
+            with open(self._constraints_path()) as f:
+                return json.load(f)["constraints"]
+        except FileNotFoundError:
+            return {}
+
+    def _write_constraints(self, constraints: dict[str, str]) -> None:
+        tmp = self._constraints_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"constraints": constraints}, f)
+        os.replace(tmp, self._constraints_path())
+
     # ---------- schema evolution ----------
 
     def _schema_path(self) -> str:

@@ -79,6 +79,9 @@ def append_dataframe(
         else:
             raise ValueError(f"append is missing non-nullable column: {f.name}")
     df = df.select(cols)
+    from ..operators.constraints import enforce_constraints  # deferred: avoids import cycle
+
+    df = enforce_constraints(df, table, context="append")
     n_rows = df.count()
     n_files = max(1, -(-n_rows // max(1, rows_per_file)))
     subdir = f"append-{uuid.uuid4().hex[:12]}"

@@ -51,6 +51,7 @@ def main(argv=None) -> int:
             "expire", "ingest", "inspect", "diff", "rollback",
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
+            "add-constraint", "drop-constraint", "constraints",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -75,7 +76,10 @@ def main(argv=None) -> int:
     p.add_argument("--tag-name", default=None, help="tag/untag: the ref name")
     p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
     p.add_argument("--predicate", default=None,
-                   help="delete/update: SQL WHERE predicate (required)")
+                   help="delete/update: SQL WHERE predicate; "
+                        "add-constraint: the CHECK predicate")
+    p.add_argument("--constraint-name", default=None,
+                   help="add-constraint/drop-constraint: the constraint name")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
     args = p.parse_args(argv)
@@ -125,6 +129,14 @@ def main(argv=None) -> int:
             result = drop_columns(
                 Table.load(args.table), [c.strip() for c in args.columns.split(",")]
             )
+    elif args.op == "drop-constraint":  # metadata-only
+        from e_commerce_lakehouse_spark.operators.constraints import drop_constraint
+
+        if not args.constraint_name:
+            p.error("--op drop-constraint requires --constraint-name")
+        result = drop_constraint(Table.load(args.table), args.constraint_name)
+    elif args.op == "constraints":  # metadata-only
+        result = {"constraints": Table.load(args.table).constraints()}
     elif args.op == "rollback":  # metadata-only: no Spark session needed
         from e_commerce_lakehouse_spark.operators.rollback import rollback_to
 
@@ -215,6 +227,13 @@ def main(argv=None) -> int:
                     lambda: update_where(spark, Table.load(args.table), args.predicate,
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "add-constraint":
+            from e_commerce_lakehouse_spark.operators.constraints import add_constraint
+
+            if not (args.constraint_name and args.predicate):
+                p.error("--op add-constraint requires --constraint-name and --predicate")
+            result = add_constraint(spark, Table.load(args.table),
+                                    args.constraint_name, args.predicate)
         elif args.op == "analyze":
             from e_commerce_lakehouse_spark.operators import analyze
 
