@@ -676,3 +676,12 @@ WITH final AS (
 SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS chars
 FROM final GROUP BY source, lang
 """
+
+
+# q55: the streaming windowed agg on a bounded replay equals the batch
+# GROUP BY — same SQL as q15 with the window-start column name.
+ALL["q55_streaming_windowed_agg"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

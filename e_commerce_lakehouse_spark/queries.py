@@ -410,6 +410,60 @@ def q54_rowlevel_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q55_streaming_windowed_agg(spark, sf_dir):
+    """REAL Structured Streaming in the value-hash gate (streaming was
+    pytest-only before): readStream over the events file, 1-hour
+    watermark + tumbling window, Trigger.AvailableNow, memory sink in
+    complete mode. On a bounded replay the watermark drops nothing, so
+    the streaming result must equal the batch GROUP BY — which is
+    exactly what the DuckDB oracle states (q15's SQL). At scale the same
+    plan runs unbounded with an append-mode table sink; state is
+    per-(window, event_type), pruned by the watermark."""
+    import os
+    import shutil
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q55_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q55_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+        # watermarks require TIMESTAMP (tz); the data is NTZ — cast through
+        # session time (UTC) and cast the window start back to NTZ
+        stream = stream.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        # watermark on the tz-cast column; the window key is date_trunc of
+        # the NTZ original, so hour alignment never depends on session tz
+        agg = (
+            stream.withWatermark("ts_evt", "1 hour")
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        )
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -887,4 +941,5 @@ ALL = {
     "q52_dedup_clusters": q52_dedup_clusters,
     "q53_ivf_ann_topk": q53_ivf_ann_topk,
     "q54_rowlevel_lifecycle": q54_rowlevel_lifecycle,
+    "q55_streaming_windowed_agg": q55_streaming_windowed_agg,
 }

@@ -343,10 +343,31 @@ class Table:
     ) -> Snapshot:
         """Copy-on-write commit: drop ``removed_paths``, add ``added``.
 
-        Used by compaction, clustering and MERGE. O(changed files)."""
+        Used by compaction, clustering, MERGE, DELETE and UPDATE.
+        O(changed files).
+
+        SNAPSHOT-ISOLATION GUARD: every removed path must still be LIVE in
+        the head snapshot at commit time. If a concurrent writer already
+        rewrote one of them (its rows now live in that writer's output),
+        tombstoning it again would silently duplicate those rows — the
+        classic lost-update. Such a commit raises CommitConflictError;
+        the caller re-plans from the new head (the retry wrappers in
+        run_maintenance/with_retries do exactly that by re-loading the
+        Table). This is Iceberg's validate-no-conflicting-rewrites check
+        at file granularity."""
         with self._commit_lock():
             sid = self._next_id()
             parent = self.current_snapshot_id()
+            if removed_paths:
+                live = {e.path for e in self.entries(parent)} if parent else set()
+                stale = sorted(set(removed_paths) - live)
+                if stale:
+                    raise CommitConflictError(
+                        f"rewrite commit conflicts with a concurrent writer: "
+                        f"{len(stale)} of its input file(s) are no longer live in "
+                        f"head snapshot {parent} (e.g. {stale[:3]}); re-plan from "
+                        f"the current head and retry"
+                    )
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
             removed = sorted(set(removed) | set(removed_paths))
