@@ -266,9 +266,15 @@ def compact(
     codec: str = "zstd",
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
+    order_preserving: bool = False,
 ) -> dict:
     """Compact small files; returns metrics. Resumable: re-running with the
     same checkpoint path after a crash skips finished groups and commits.
+
+    ``order_preserving=True`` packs CONSECUTIVE files in conv_id-min order
+    instead of size-ordered FFD — use it on CLUSTERED tables, where FFD
+    would merge distant key ranges and destroy the narrow per-file stats
+    that make file skipping work (plans/binpack.plan_bin_packing_ordered).
 
     ``conv_id_range``/``ts_range`` scope the rewrite to files whose stat
     ranges overlap the predicate (Iceberg's rewrite_data_files WHERE):
@@ -302,7 +308,18 @@ def compact(
         _scope_tag = "-scope" + hashlib.md5(
             repr((conv_id_range, ts_range)).encode()
         ).hexdigest()[:8]
-    groups, kept = plan_bin_packing(entries, target_bytes, small_file_ratio)
+    if order_preserving:
+        from ..plans.binpack import plan_bin_packing_ordered
+
+        stat_key = stat_columns[0] if stat_columns else "conv_id"
+        groups, kept = plan_bin_packing_ordered(
+            entries, target_bytes, small_file_ratio, stat_key=stat_key
+        )
+        # ordered plans get their own checkpoint namespace: group ids from
+        # an ordered plan must never resume against an FFD plan's groups
+        _scope_tag += "-ordered"
+    else:
+        groups, kept = plan_bin_packing(entries, target_bytes, small_file_ratio)
     metrics = {
         "base_snapshot": base_snapshot,
         "planned_groups": len(groups),

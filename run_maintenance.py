@@ -80,6 +80,8 @@ def main(argv=None) -> int:
                         "add-constraint: the CHECK predicate")
     p.add_argument("--constraint-name", default=None,
                    help="add-constraint/drop-constraint: the constraint name")
+    p.add_argument("--order-preserving", action="store_true",
+                   help="compact: pack consecutive key ranges (use on clustered tables)")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
     args = p.parse_args(argv)
@@ -165,7 +167,8 @@ def main(argv=None) -> int:
         elif args.op == "compact":
             result = with_retries(
                 lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,
-                                checkpoint_path=args.checkpoint),
+                                checkpoint_path=args.checkpoint,
+                                order_preserving=args.order_preserving),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "cluster":
             result = with_retries(

@@ -124,3 +124,64 @@ def test_history_log(spark, tiny_table):
     assert h[-1]["is_current"] and h[-1]["operation"] == "replace"
     assert h[-1]["tags"] == ["after-compact"]
     assert all(e["timestamp_ms"] > 0 for e in h)
+
+
+def test_order_preserving_compact_keeps_stats_narrow(spark, tiny_df, tiny_table):
+    """On a clustered table, FFD packing merges distant conv_id ranges;
+    ordered packing must keep each output's stat range a union of
+    NEIGHBORS so point-scans still prune files."""
+    import shutil
+
+    from e_commerce_lakehouse_spark.operators.cluster import cluster
+    from e_commerce_lakehouse_spark.table.meta import Table
+
+    def stat_width(t):
+        widths = []
+        for e in t.entries():
+            rng = e.stats.get("conv_id")
+            if rng:
+                widths.append(int(rng[1][5:]) - int(rng[0][5:]))  # conv-%012d
+        return max(widths) if widths else 0
+
+    # two identical clustered copies
+    cluster(spark, tiny_table, curve="zorder", target_bytes=16 * 1024)
+    root2 = tiny_table.root + "-ffd"
+    shutil.rmtree(root2, ignore_errors=True)
+    shutil.copytree(tiny_table.root, root2)
+    t_ffd = Table.load(root2)
+
+    pre_files = len(tiny_table.entries())
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    m_ord = compact(spark, tiny_table, target_bytes=64 * 1024, order_preserving=True)
+    m_ffd = compact(spark, t_ffd, target_bytes=64 * 1024)
+    assert m_ord["planned_groups"] >= 1 and m_ffd["planned_groups"] >= 1
+    assert len(tiny_table.entries()) < pre_files  # it actually compacted
+    # ordered packing keeps ranges at least as narrow as FFD, and strictly
+    # narrower when FFD merged distant ranges
+    assert stat_width(tiny_table) <= stat_width(t_ffd)
+    # the table still reads identically
+    from e_commerce_lakehouse_spark.table import scan
+    from tests.conftest import assert_same_rows
+
+    assert_same_rows(
+        scan(spark, tiny_table).select("conv_id", "turn_idx", "text"),
+        tiny_df.select("conv_id", "turn_idx", "text"),
+    )
+    shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_order_preserving_checkpoint_namespace(spark, tiny_table):
+    """An ordered plan must not resume against an FFD plan's checkpoint
+    (different group ids): the default checkpoint name is tagged."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators.compact import SimulatedCrash, compact
+
+    try:
+        compact(spark, tiny_table, target_bytes=1 << 20, order_preserving=True,
+                fail_after_groups=1)
+    except SimulatedCrash:
+        pass
+    names = os.listdir(tiny_table.metadata_dir)
+    assert any("-ordered" in n and n.endswith(".ckpt.jsonl") for n in names)

@@ -44,6 +44,45 @@ def test_binpack_partition_of_inputs(entries, target):
             assert e.bytes < threshold
 
 
+entries_stats_st = st.lists(
+    st.builds(
+        DataFileEntry,
+        path=st.uuids().map(lambda u: f"data/{u}.parquet"),
+        rows=st.integers(1, 10_000),
+        bytes=st.integers(1, 1 << 28),
+        stats=st.one_of(
+            st.just({}),
+            st.tuples(st.integers(0, 10**6), st.integers(0, 10**6)).map(
+                lambda t: {"conv_id": [f"conv-{min(t):012d}", f"conv-{max(t):012d}"]}
+            ),
+        ),
+    ),
+    max_size=60,
+    unique_by=lambda e: e.path,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(entries=entries_stats_st, target=st.integers(1 << 10, 1 << 27))
+def test_binpack_ordered_partition_and_locality(entries, target):
+    from e_commerce_lakehouse_spark.plans.binpack import plan_bin_packing_ordered
+
+    groups, kept = plan_bin_packing_ordered(entries, target)
+    grouped = [e.path for g in groups for e in g.entries]
+    # partition invariant: every input in exactly one group or kept
+    assert sorted(grouped + [e.path for e in kept]) == sorted(e.path for e in entries)
+    threshold = int(target * 0.75)
+    for g in groups:
+        assert len(g.entries) >= 2
+        assert g.bytes <= target or len(g.entries) == 1
+        for e in g.entries:
+            assert e.bytes < threshold
+        # locality invariant: files WITH stats inside a group appear in
+        # non-decreasing conv_id-min order (consecutive-range packing)
+        mins = [e.stats["conv_id"][0] for e in g.entries if e.stats.get("conv_id")]
+        assert mins == sorted(mins)
+
+
 # ------------------------------------------------------------- xlsx helper
 
 
