@@ -685,3 +685,30 @@ ALL["q55_streaming_windowed_agg"] = """
            count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+
+# q56: the composed training-data pipeline — dedup survivors, quality
+# gate, deterministic sample, per-(source, lang) budget. Reuses the q19
+# quality/lang mirror (_TEXT_VOTES) and q20/q51's survivor/sample tricks.
+ALL["q56_training_pipeline"] = _TEXT_VOTES + """,
+surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+feats AS (
+    SELECT sc.doc_id, d.source,
+        round(CASE WHEN length(sc.text) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+              + least(swr * 5, 0.3)
+              + CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality,
+        CASE WHEN best = 0 OR ((v_en = best)::INT + (v_de = best)::INT
+                               + (v_fr = best)::INT + (v_es = best)::INT) > 1 THEN 'und'
+             WHEN v_en = best THEN 'en' WHEN v_de = best THEN 'de'
+             WHEN v_fr = best THEN 'fr' WHEN v_es = best THEN 'es'
+             ELSE 'und' END AS lang_guess,
+        len(sc.w)::INTEGER AS n_tokens
+    FROM scored sc
+    JOIN surv USING (doc_id)
+    JOIN documents d ON d.doc_id = sc.doc_id
+    WHERE ('0x' || substr(md5(sc.doc_id::VARCHAR), 1, 8))::BIGINT
+          < (0.5 * 4294967296)::BIGINT)
+SELECT source, lang_guess, count(*) AS n_docs, sum(n_tokens) AS tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM feats WHERE quality >= 0.7 GROUP BY source, lang_guess
+"""

@@ -464,6 +464,35 @@ def q55_streaming_windowed_agg(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q56_training_pipeline(spark, sf_dir):
+    """The LLM-data operators COMPOSED end-to-end, fully oracled: exact
+    dedup (min-id survivor per content hash) → quality gate
+    (deterministic score ≥ 0.7) → deterministic 50 % sample (md5 bucket,
+    q51's trick) → per-(source, lang) token budget. One shuffle for the
+    dedup groupBy, one for the survivor join (both keyed on doc-sized
+    rows, never corpus-wide pairs), one partial-aggregable final group —
+    the shape a 100 TB pre-training sweep actually runs."""
+    d = _t(spark, sf_dir, "documents")
+    survivors = dd.exact_dedup(d).select("doc_id")
+    kept = d.join(survivors, "doc_id")
+    feats = kept.select(
+        "doc_id",
+        "source",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.lang_guess(F.col("text")).alias("lang_guess"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    sampled = feats.where((F.col("quality") >= 0.7) & (bucket < int(0.5 * 2**32)))
+    return sampled.groupBy("source", "lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -942,4 +971,5 @@ ALL = {
     "q53_ivf_ann_topk": q53_ivf_ann_topk,
     "q54_rowlevel_lifecycle": q54_rowlevel_lifecycle,
     "q55_streaming_windowed_agg": q55_streaming_windowed_agg,
+    "q56_training_pipeline": q56_training_pipeline,
 }
