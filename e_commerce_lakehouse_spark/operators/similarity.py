@@ -114,40 +114,57 @@ def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[fl
     return [float(row[f"m{i}"]) for i in range(dim)]
 
 
+def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
+    """array<struct(cos, cell)> of 6-dp cosines against every literal
+    centroid — ONE zip_with over a literal array-of-arrays, not one fold
+    expression per cell (a 16-cell × 64-dim per-cell tree made Catalyst
+    analysis/codegen the dominant cost; this keeps the plan a single
+    nested-loop expression). Pure projection: zero shuffle, zero join."""
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c_vec]) for _, c_vec, _ in cents])
+    packed = F.array(
+        *[F.struct(F.lit(float(n)).alias("cn"), F.lit(cell).alias("cell"))
+          for cell, _, n in cents]
+    )
+    return F.zip_with(
+        cents_lit,
+        packed,
+        lambda c_vec, p: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col(vec), c_vec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col(norm) * p["cn"]),
+                6,
+            ).alias("cos"),
+            p["cell"].alias("cell"),
+        ),
+    )
+
+
 def _centroid_argmax(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
-    """cell id of the max-cosine centroid, as a PURE PROJECTION: the
-    centroids are literals, so assignment is whole-stage-codegen'd per
-    row with ZERO shuffle — the IVF analog of a broadcast join, minus
-    even the join. Cosine rounded to 6 dp before the argmax (cross-engine
-    float-assoc safety); ties break to the SMALLEST cell id via the
-    (cos, -cell) struct max."""
-    entries = []
-    for cell, c_vec, c_norm in cents:
-        dot = F.aggregate(
-            F.zip_with(F.col(vec), F.array(*[F.lit(x) for x in c_vec]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cos = F.round(dot / (F.col(norm) * F.lit(c_norm)), 6)
-        entries.append(F.struct(cos.alias("cos"), F.lit(-cell).alias("negcell")))
-    best = F.array_max(F.array(*entries))
+    """cell id of the max-cosine centroid, as a PURE PROJECTION (cosines
+    rounded to 6 dp before the argmax for cross-engine float-assoc
+    safety); ties break to the SMALLEST cell id via the (cos, -cell)
+    struct max."""
+    entries = F.transform(
+        _cell_cos_structs(cents, vec, norm),
+        lambda s: F.struct(s["cos"].alias("cos"), (-s["cell"]).alias("negcell")),
+    )
+    best = F.array_max(entries)
     return (-best["negcell"]).alias("cell")
 
 
 def _probe_cells(cents: list[tuple[int, list[float], float]], vec: str, norm: str, nprobe: int):
     """Array of the nprobe nearest cell ids (cos desc, cell asc) — also a
-    pure projection: sort the literal-centroid struct array ascending on
-    (-cos, cell) and slice."""
-    entries = []
-    for cell, c_vec, c_norm in cents:
-        dot = F.aggregate(
-            F.zip_with(F.col(vec), F.array(*[F.lit(x) for x in c_vec]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cos = F.round(dot / (F.col(norm) * F.lit(c_norm)), 6)
-        entries.append(F.struct((-cos).alias("negcos"), F.lit(cell).alias("cell")))
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    pure projection: sort the struct array ascending on (-cos, cell) and
+    slice."""
+    entries = F.transform(
+        _cell_cos_structs(cents, vec, norm),
+        lambda s: F.struct((-s["cos"]).alias("negcos"), s["cell"].alias("cell")),
+    )
+    ranked = F.slice(F.array_sort(entries), 1, nprobe)
     return F.transform(ranked, lambda s: s["cell"]).alias("probe_cells")
 
 
