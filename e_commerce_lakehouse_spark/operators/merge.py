@@ -131,6 +131,13 @@ def merge_into(
     from ..table.scan import resolve_schema
 
     schema = resolve_schema(table, schema=schema)
+    # apply pending merge-on-read tombstones first: an upsert of a
+    # tombstoned key must RESURRECT it — with the tombstone still live,
+    # the scan-side anti-join would silently kill the fresh row
+    from .rowlevel import materialize_deletes
+
+    materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
+                        stat_columns=stat_columns)
     t0 = monotonic()
     source = dedup_keep_latest(source.select([f.name for f in schema.fields]), keys, order_col)
     from .constraints import enforce_constraints

@@ -44,6 +44,7 @@ def rollback_to(table: Table, snapshot_id: int) -> dict:
             "restored-rows": sum(e.rows for e in restored),
         },
         removed_files=list(target.removed_files),
+        tombstones=list(target.tombstones),  # restore the target's MoR state too
     )
     return {
         "snapshot": snap.snapshot_id,

@@ -112,6 +112,9 @@ def _rewrite_and_commit(
     }
 
 
+DEFAULT_DELETE_KEYS = ("conv_id", "turn_idx")
+
+
 def delete_where(
     spark: SparkSession,
     table: Table,
@@ -119,11 +122,23 @@ def delete_where(
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+    mode: str = "copy-on-write",
+    keys=None,
 ) -> dict:
-    """DELETE FROM table WHERE predicate, as an atomic copy-on-write snapshot.
+    """DELETE FROM table WHERE predicate, as an atomic snapshot.
 
     ``predicate`` is a SQL string or a Column. Returns a metrics dict; a
-    predicate matching nothing is a no-op (no new snapshot)."""
+    predicate matching nothing is a no-op (no new snapshot).
+
+    ``mode="copy-on-write"`` (default): rewrite the touched files minus
+    matching rows — read-optimized, write cost O(touched bytes).
+    ``mode="merge-on-read"``: write only a KEY-tombstone parquet (columns
+    = ``keys``, default (conv_id, turn_idx)) and commit metadata — write
+    cost O(matching keys), the fast path for a small delete on a 100 TB
+    table. Scans anti-join live tombstones; ``materialize_deletes``
+    folds them back into files. Key-based tombstones survive compaction/
+    clustering rewrites; MERGE/UPDATE/cow-DELETE auto-materialize first
+    so an upsert can never resurrect-then-lose a key."""
     from ..table.scan import resolve_schema
 
     t0 = monotonic()
@@ -131,6 +146,13 @@ def delete_where(
         raise ValueError("cannot delete from an empty table")
     schema = resolve_schema(table, schema=schema)
     pred = _as_column(predicate)
+
+    if mode == "merge-on-read":
+        return _delete_merge_on_read(spark, table, pred, schema, keys, t0)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown delete mode: {mode!r}")
+    materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
+                        stat_columns=stat_columns)
     touched = _touched_by_predicate(spark, table, pred, schema)
     if not touched:
         return {"committed_snapshot": None, "touched_files": 0,
@@ -141,6 +163,108 @@ def delete_where(
     return _rewrite_and_commit(
         spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0
     )
+
+
+def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
+    names = [f.name for f in schema.fields]
+    keys = list(keys) if keys else [k for k in DEFAULT_DELETE_KEYS if k in names]
+    if not keys:
+        raise ValueError(
+            "merge-on-read delete needs key columns (pass keys=...); none of "
+            f"{DEFAULT_DELETE_KEYS} exist in the schema"
+        )
+    missing = sorted(set(keys) - set(names))
+    if missing:
+        raise ValueError(f"delete keys not in schema: {missing}")
+    entries = table.entries()
+    abs_paths = [os.path.join(table.root, e.path) for e in entries]
+    matched = (
+        spark.read.schema(schema).parquet(*abs_paths).where(pred)
+        .select(*keys).dropDuplicates()
+    )
+    subdir = f"tombstone-{table.current_snapshot_id():08d}"
+    out_dir = os.path.join(table.data_dir, subdir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    matched.coalesce(1).write.mode("error").parquet(out_dir)
+    tomb_files = [
+        os.path.relpath(os.path.join(out_dir, f), table.root)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    n_keys = spark.read.parquet(out_dir).count()
+    if n_keys == 0:
+        shutil.rmtree(out_dir)
+        return {"committed_snapshot": None, "mode": "merge-on-read",
+                "tombstoned_keys": 0, "wall_ms": int((monotonic() - t0) * 1000)}
+    snap = table.commit_tombstones(tomb_files, summary={"keys": keys,
+                                                       "tombstoned_keys": n_keys})
+    return {"committed_snapshot": snap.snapshot_id, "mode": "merge-on-read",
+            "tombstoned_keys": n_keys, "tombstone_files": len(tomb_files),
+            "live_tombstone_files": len(snap.tombstones),
+            "wall_ms": int((monotonic() - t0) * 1000)}
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    table: Table,
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    schema=None,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> dict:
+    """Fold accumulated merge-on-read tombstones into the data files: one
+    copy-on-write rewrite of the STAT-OVERLAPPING files only (manifest
+    range pruning on the first key, like MERGE), committed with the
+    tombstone list cleared. The cleared tombstone files stay on disk for
+    older pinned snapshots and fall to orphan GC once those expire.
+    No-op (no commit) when no tombstones are live."""
+    from ..table.scan import resolve_schema
+    from .merge import _touched_paths
+
+    t0 = monotonic()
+    tombs = table.tombstones()
+    if not tombs:
+        return {"committed_snapshot": None, "noop": True, "wall_ms": 0}
+    schema = resolve_schema(table, schema=schema)
+    tomb_df = spark.read.parquet(*[os.path.join(table.root, t) for t in tombs])
+    keys = list(tomb_df.columns)
+    tomb_df = tomb_df.dropDuplicates()
+    touched = _touched_paths(spark, table, tomb_df, keys[0])
+    if not touched:
+        snap = table.commit_rewrite([], [], operation="materialize-deletes",
+                                    summary={"applied_tombstone_files": len(tombs)},
+                                    clear_tombstones=True)
+        return {"committed_snapshot": snap.snapshot_id, "touched_files": 0,
+                "applied_tombstone_files": len(tombs),
+                "wall_ms": int((monotonic() - t0) * 1000)}
+    abs_paths = [os.path.join(table.root, p) for p in touched]
+    kept = (
+        spark.read.schema(schema).parquet(*abs_paths)
+        .join(tomb_df, on=keys, how="left_anti")
+    )
+    entries_by_path = {e.path: e for e in table.entries()}
+    touched_bytes = sum(entries_by_path[p].bytes for p in touched)
+    subdir = f"materialize-{table.current_snapshot_id():08d}"
+    out_dir = os.path.join(table.data_dir, subdir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    n_out = max(1, math.ceil(touched_bytes / target_bytes))
+    kept.repartition(n_out).write.mode("error").parquet(out_dir)
+    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
+                            spark=spark)
+    live = [e for e in added if e.rows > 0]
+    for e in added:
+        if e.rows == 0:
+            os.remove(os.path.join(table.root, e.path))
+    snap = table.commit_rewrite(
+        touched, live, operation="materialize-deletes",
+        summary={"applied_tombstone_files": len(tombs),
+                 "touched_files": len(touched)},
+        clear_tombstones=True,
+    )
+    return {"committed_snapshot": snap.snapshot_id, "touched_files": len(touched),
+            "added_files": len(live), "applied_tombstone_files": len(tombs),
+            "wall_ms": int((monotonic() - t0) * 1000)}
 
 
 def update_where(
@@ -167,6 +291,11 @@ def update_where(
     unknown = sorted(set(assignments) - set(names))
     if unknown:
         raise ValueError(f"UPDATE assigns to non-existent column(s): {unknown}")
+    # pending MoR tombstones must be applied first: updating a file that
+    # still contains tombstoned rows would otherwise rewrite (and via the
+    # cleared-key path potentially resurrect) deleted rows
+    materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
+                        stat_columns=stat_columns)
     pred = _as_column(predicate)
     touched = _touched_by_predicate(spark, table, pred, schema)
     if not touched:

@@ -672,7 +672,7 @@ WITH final AS (
            source,
            CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
     FROM documents
-    WHERE NOT (lang = 'de' OR n_chars < 150))
+    WHERE NOT (lang = 'de' OR n_chars < 150) AND source <> 'src0')
 SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS chars
 FROM final GROUP BY source, lang
 """

@@ -381,7 +381,7 @@ def q54_rowlevel_lifecycle(spark, sf_dir):
     import shutil
     import uuid
 
-    from .operators.rowlevel import delete_where, update_where
+    from .operators.rowlevel import delete_where, materialize_deletes, update_where
     from .table import scan
     from .table.meta import Table
     from .table.writer import write_files
@@ -399,6 +399,12 @@ def q54_rowlevel_lifecycle(spark, sf_dir):
         update_where(spark, t, "lang = 'zh'",
                      {"lang": "upper(source)", "n_chars": "n_chars + 1000"},
                      schema=docs.schema, stat_columns=("doc_id",))
+        # merge-on-read leg: key-tombstone delete (no data rewrite), then
+        # fold it back — the hashed result proves BOTH the anti-join scan
+        # and the materialization rewrite
+        delete_where(spark, t, "source = 'src0'", schema=docs.schema,
+                     mode="merge-on-read", keys=["doc_id"])
+        materialize_deletes(spark, t, schema=docs.schema, stat_columns=("doc_id",))
         result = (
             scan(spark, t, schema=docs.schema)
             .groupBy("source", "lang")

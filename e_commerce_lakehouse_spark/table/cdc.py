@@ -30,8 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from .meta import Table
 from .scan import resolve_schema
 
-#: snapshot operations that add MANIFESTS but no logical rows
-_NON_DATA_OPS = {"replace", "rewrite-manifests", "expire", "rollback", "evolve-schema"}
+#: snapshot operations that add MANIFESTS but no logical rows.
+#: materialize-deletes rewrites files to APPLY tombstones that were
+#: already logical at their delete-mor commit — physical-only, skip.
+#: (delete-mor itself adds no manifests, so chain mode naturally
+#: delivers zero rows for it; row DELETIONS are not pushed downstream —
+#: same at-least-once upsert contract as cow delete, documented.)
+_NON_DATA_OPS = {"replace", "rewrite-manifests", "expire", "rollback",
+                 "evolve-schema", "materialize-deletes", "delete-mor"}
 
 
 class IncrementalConsumer:

@@ -100,6 +100,11 @@ class Snapshot:
     removed_files: list[str]
     summary: dict
     timestamp_ms: int
+    #: merge-on-read KEY tombstones: table-relative parquet files whose
+    #: columns are the delete keys; scan anti-joins them. Key-based (not
+    #: positional), so copy-on-write rewrites never invalidate them.
+    #: Cleared only by materialize_deletes (operators/rowlevel.py).
+    tombstones: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict:
         return {
@@ -110,6 +115,7 @@ class Snapshot:
             "removed_files": self.removed_files,
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
+            "tombstones": self.tombstones,
         }
 
     @classmethod
@@ -122,6 +128,7 @@ class Snapshot:
             removed_files=d.get("removed_files", []),
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
+            tombstones=d.get("tombstones", []),
         )
 
 
@@ -306,9 +313,11 @@ class Table:
             parent = self.current_snapshot_id()
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
+            tombs = list(self.snapshot(parent).tombstones) if parent else []
             manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, "append", manifests, removed,
-                            _summarize(added, summary), int(time.time() * 1000))
+                            _summarize(added, summary), int(time.time() * 1000),
+                            tombstones=tombs)
             return self._commit(snap, publish=publish)
 
     def publish_snapshot(self, snapshot_id: int) -> Snapshot:
@@ -340,8 +349,14 @@ class Table:
         added: list[DataFileEntry],
         operation: str = "replace",
         summary: dict | None = None,
+        clear_tombstones: bool = False,
     ) -> Snapshot:
         """Copy-on-write commit: drop ``removed_paths``, add ``added``.
+
+        Parent merge-on-read tombstones PROPAGATE (key-based tombstones
+        stay valid across rewrites); ``clear_tombstones=True`` is for
+        materialize_deletes only — the commit whose rewrite has already
+        applied them.
 
         Used by compaction, clustering, MERGE, DELETE and UPDATE.
         O(changed files).
@@ -370,11 +385,15 @@ class Table:
                     )
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
+            tombs = [] if clear_tombstones else (
+                list(self.snapshot(parent).tombstones) if parent else []
+            )
             removed = sorted(set(removed) | set(removed_paths))
             if added:
                 manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, operation, manifests, removed,
-                            _summarize(added, summary), int(time.time() * 1000))
+                            _summarize(added, summary), int(time.time() * 1000),
+                            tombstones=tombs)
             return self._commit(snap)
 
     def commit_manifests(
@@ -383,17 +402,53 @@ class Table:
         operation: str,
         summary: dict | None = None,
         removed_files: list[str] | None = None,
+        tombstones: list[str] | None = None,
     ) -> Snapshot:
         """Commit a snapshot that references pre-written manifests verbatim
         (used by rewrite_manifests with an empty removed set, and by
-        rollback_to, which replays the target's removed set)."""
+        rollback_to, which replays the target's removed set).
+        ``tombstones=None`` propagates the parent's merge-on-read
+        tombstones; rollback passes the target snapshot's own list."""
         with self._commit_lock():
             sid = self._next_id()
             parent = self.current_snapshot_id()
+            if tombstones is None:
+                tombstones = list(self.snapshot(parent).tombstones) if parent else []
             snap = Snapshot(sid, parent, operation, manifests,
                             sorted(removed_files or []), summary or {},
-                            int(time.time() * 1000))
+                            int(time.time() * 1000), tombstones=list(tombstones))
             return self._commit(snap)
+
+    def commit_tombstones(
+        self,
+        tombstone_paths: list[str],
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Merge-on-read DELETE: add key-tombstone files, touch NO data
+        files — an O(1-metadata + tombstone-bytes) delete on a 100 TB
+        table. Scan anti-joins the accumulated tombstones;
+        materialize_deletes later folds them into a copy-on-write rewrite
+        and clears the list."""
+        with self._commit_lock():
+            sid = self._next_id()
+            parent = self.current_snapshot_id()
+            if parent is None:
+                raise ValueError("cannot delete from an empty table")
+            psnap = self.snapshot(parent)
+            snap = Snapshot(sid, parent, "delete-mor", list(psnap.manifests),
+                            list(psnap.removed_files),
+                            {"op": "delete-mor", "new_tombstones": len(tombstone_paths),
+                             **(summary or {})},
+                            int(time.time() * 1000),
+                            tombstones=list(psnap.tombstones) + list(tombstone_paths))
+            return self._commit(snap)
+
+    def tombstones(self, snapshot_id: int | None = None) -> list[str]:
+        """Live merge-on-read tombstone files at a snapshot (default now)."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return []
+        return list(self.snapshot(sid).tombstones)
 
     def write_manifest_for(self, entries: list[DataFileEntry], k: int = 0) -> str:
         """Pre-write a manifest for the NEXT snapshot id (rewrite_manifests)."""

@@ -214,6 +214,17 @@ def scan(
             df = df.where(F.col("ts") >= lo)
         if hi is not None:
             df = df.where(F.col("ts") <= hi)
+    # merge-on-read tombstones: anti-join the pinned snapshot's key
+    # tombstone files (their COLUMNS are the delete keys). Applied before
+    # the column projection so key columns need not be selected. The
+    # tombstone side is delete-batch-sized; Spark/AQE broadcasts it when
+    # small — the table side never shuffles for this.
+    tombs = table.tombstones(snapshot_id)
+    if tombs and entries:
+        import os
+
+        tomb_df = spark.read.parquet(*[os.path.join(table.root, t) for t in tombs])
+        df = df.join(tomb_df.dropDuplicates(), on=list(tomb_df.columns), how="left_anti")
     if columns:
         df = df.select(*columns)
     return df

@@ -52,6 +52,7 @@ def main(argv=None) -> int:
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
+            "materialize-deletes",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -82,6 +83,9 @@ def main(argv=None) -> int:
                    help="add-constraint/drop-constraint: the constraint name")
     p.add_argument("--order-preserving", action="store_true",
                    help="compact: pack consecutive key ranges (use on clustered tables)")
+    p.add_argument("--mode", default="copy-on-write",
+                   choices=["copy-on-write", "merge-on-read"],
+                   help="delete: cow rewrites touched files; mor writes key tombstones only")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
     args = p.parse_args(argv)
@@ -215,7 +219,7 @@ def main(argv=None) -> int:
             if args.op == "delete":
                 result = with_retries(
                     lambda: delete_where(spark, Table.load(args.table), args.predicate,
-                                         target_bytes=target_bytes),
+                                         target_bytes=target_bytes, mode=args.mode),
                     attempts=args.retries, backoff_s=args.retry_backoff)
             else:
                 if not args.set_exprs:
@@ -230,6 +234,13 @@ def main(argv=None) -> int:
                     lambda: update_where(spark, Table.load(args.table), args.predicate,
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "materialize-deletes":
+            from e_commerce_lakehouse_spark.operators.rowlevel import materialize_deletes
+
+            result = with_retries(
+                lambda: materialize_deletes(spark, Table.load(args.table),
+                                            target_bytes=target_bytes),
+                attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "add-constraint":
             from e_commerce_lakehouse_spark.operators.constraints import add_constraint
 

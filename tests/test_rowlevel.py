@@ -7,7 +7,11 @@ import os
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators.cluster import cluster
-from e_commerce_lakehouse_spark.operators.rowlevel import delete_where, update_where
+from e_commerce_lakehouse_spark.operators.rowlevel import (
+    delete_where,
+    materialize_deletes,
+    update_where,
+)
 from e_commerce_lakehouse_spark.table import scan
 from tests.conftest import assert_same_rows
 
@@ -108,3 +112,93 @@ def test_delete_then_maintenance_lifecycle(spark, tiny_df, tiny_table):
     after = scan(spark, tiny_table)
     assert after.where("turn_idx >= 8").count() == 0
     assert after.count() == tiny_df.where("turn_idx < 8").count()
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_mor_delete_hides_rows_without_rewriting(spark, tiny_df, tiny_table):
+    files_before = {e.path for e in tiny_table.entries()}
+    n_match = tiny_df.where("role = 'tool'").count()
+    m = delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    assert m["mode"] == "merge-on-read" and m["tombstoned_keys"] == n_match
+    # data files untouched — the whole point
+    assert {e.path for e in tiny_table.entries()} == files_before
+    after = scan(spark, tiny_table)
+    assert after.where("role = 'tool'").count() == 0
+    assert after.count() == tiny_df.count() - n_match
+    # time travel before the delete still sees the rows
+    pre = scan(spark, tiny_table, snapshot_id=m["committed_snapshot"] - 1)
+    assert pre.where("role = 'tool'").count() == n_match
+
+
+def test_mor_deletes_stack_and_materialize(spark, tiny_df, tiny_table):
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    delete_where(spark, tiny_table, "turn_idx >= 9", mode="merge-on-read")
+    assert len(tiny_table.tombstones()) >= 2
+    expected = tiny_df.where("role <> 'tool' AND turn_idx < 9")
+    logical = scan(spark, tiny_table)
+    assert logical.count() == expected.count()
+    mm = materialize_deletes(spark, tiny_table)
+    assert mm["committed_snapshot"] is not None
+    assert tiny_table.tombstones() == []
+    physical = scan(spark, tiny_table)
+    assert_same_rows(
+        expected.select("conv_id", "turn_idx", "text"),
+        physical.select("conv_id", "turn_idx", "text"),
+    )
+    # physical rows now match logical rows (manifest row counts honest again)
+    assert tiny_table.total_rows() == expected.count()
+
+
+def test_mor_survives_compaction_rewrite(spark, tiny_df, tiny_table):
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    n_match = tiny_df.where("role = 'tool'").count()
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    compact(spark, tiny_table, target_bytes=1 << 20)  # rewrites files
+    after = scan(spark, tiny_table)
+    assert after.where("role = 'tool'").count() == 0  # key tombstones still apply
+    assert after.count() == tiny_df.count() - n_match
+    assert tiny_table.tombstones()  # compaction propagates, never clears
+
+
+def test_merge_resurrects_tombstoned_key(spark, tiny_df, tiny_table):
+    """Upsert of a MoR-deleted key must come back: MERGE materializes the
+    tombstones first, so the fresh row is never anti-joined away."""
+    victim = tiny_df.where("conv_id = 'conv-000000000003' AND turn_idx = 1")
+    assert victim.count() == 1
+    delete_where(spark, tiny_table,
+                 "conv_id = 'conv-000000000003' AND turn_idx = 1",
+                 mode="merge-on-read")
+    assert scan(spark, tiny_table).where(
+        "conv_id = 'conv-000000000003' AND turn_idx = 1").count() == 0
+    from e_commerce_lakehouse_spark.operators.merge import merge_into
+
+    merge_into(spark, tiny_table, victim.withColumn("text", F.lit("resurrected")))
+    assert tiny_table.tombstones() == []  # materialized en route
+    got = scan(spark, tiny_table).where(
+        "conv_id = 'conv-000000000003' AND turn_idx = 1").collect()
+    assert len(got) == 1 and got[0]["text"] == "resurrected"
+
+
+def test_mor_noop_and_gc_protection(spark, tiny_df, tiny_table):
+    import os
+
+    m = delete_where(spark, tiny_table, "conv_id = 'nope'", mode="merge-on-read")
+    assert m["committed_snapshot"] is None and tiny_table.tombstones() == []
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    from e_commerce_lakehouse_spark.operators.expire import expire_snapshots
+
+    expire_snapshots(tiny_table, keep_last=1)
+    # live tombstone files survive GC
+    assert tiny_table.tombstones()
+    for t in tiny_table.tombstones():
+        assert os.path.exists(os.path.join(tiny_table.root, t))
+    assert scan(spark, tiny_table).where("role = 'tool'").count() == 0
+    # after materialization, once no retained snapshot references them,
+    # the applied tombstone files fall to orphan GC
+    materialize_deletes(spark, tiny_table)
+    expire_snapshots(tiny_table, keep_last=1)
+    data_dirs = os.listdir(os.path.join(tiny_table.root, "data"))
+    assert not any(d.startswith("tombstone-") for d in data_dirs)
