@@ -75,7 +75,7 @@ def _assert_equal(spark, table, model_rows, cols, step):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 91])
+@pytest.mark.parametrize("seed", [7, 91, 23])
 def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     extra_cols: list[tuple[str, str]] = []
@@ -100,9 +100,16 @@ def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
     history = {t.current_snapshot_id(): ([dict(r) for r in model], list(_BASE_COLS))}
     cols = list(_BASE_COLS)
 
+    from e_commerce_lakehouse_spark.operators.rowlevel import (
+        delete_where,
+        materialize_deletes,
+        update_where,
+    )
+
     ops = ["append", "compact", "cluster", "merge", "rewrite", "expire",
-           "rollback", "add_col", "drop_col", "analyze"]
-    for step in range(14):
+           "rollback", "add_col", "drop_col", "analyze",
+           "delete_cow", "delete_mor", "materialize", "update"]
+    for step in range(16):
         op = rng.choice(ops)
         if op == "append":
             rows = fresh_rows(rng.randint(2, 6))
@@ -161,6 +168,23 @@ def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
             cols.remove(name)
             for r in model:
                 r.pop(name, None)
+        elif op == "delete_cow" and model:
+            k = rng.randint(1, 3)
+            delete_where(spark, t, f"turn_idx >= {k}")
+            model = [r for r in model if r["turn_idx"] < k]
+        elif op == "delete_mor" and model:
+            role = rng.choice(["user", "assistant", "tool"])
+            delete_where(spark, t, f"role = '{role}'", mode="merge-on-read")
+            model = [r for r in model if r["role"] != role]
+        elif op == "materialize":
+            materialize_deletes(spark, t)  # logical no-op, physical fold
+        elif op == "update" and model:
+            k = rng.randint(0, 3)
+            update_where(spark, t, f"turn_idx = {k}", {"text": "concat(text, '!')"})
+            model = [
+                {**r, "text": (r["text"] or "") + "!"} if r["turn_idx"] == k else r
+                for r in model
+            ]
         elif op == "analyze":
             res = analyze(spark, t, columns=["conv_id"])
             assert res["rows"] == len(model)
