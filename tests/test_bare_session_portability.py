@@ -70,6 +70,46 @@ finally:
     spark.stop()
 """
 
+ROWLEVEL_SCRIPT = r"""
+import os
+import shutil
+import sys
+import uuid
+
+sys.path.insert(0, {repo!r})
+
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+
+from e_commerce_lakehouse_spark.operators.compact import compact
+from e_commerce_lakehouse_spark.operators.rowlevel import (
+    delete_where, materialize_deletes, update_where,
+)
+from e_commerce_lakehouse_spark.synth import transcripts_df
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+root = os.path.join(base, "bare_rowlevel_" + uuid.uuid4().hex[:12])
+try:
+    df = transcripts_df(spark, 1500, seed=11).cache()
+    expected = df.where("role <> 'tool' AND turn_idx < 6").count()
+    t = create_transcripts_table(spark, root, df, rows_per_file=200, n_append_commits=2)
+    delete_where(spark, t, "role = 'tool'")                      # cow rewrite (pyarrow-free path)
+    delete_where(spark, t, "turn_idx >= 6", mode="merge-on-read")  # tombstone
+    assert scan(spark, t).count() == expected, "tombstoned scan drifted"
+    update_where(spark, t, "turn_idx = 0", {{"text": "upper(text)"}})  # materializes first
+    compact(spark, t, target_bytes=1 << 20)  # INT96-input arrow rewrite post-MoR
+    got = scan(spark, t).count()
+    assert got == expected, "post-compact scan drifted: %d vs %d" % (got, expected)
+    assert t.tombstones() == [], "tombstones not cleared by update's materialize"
+    print("ROWLEVEL_OK rows=%d" % got)
+finally:
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+"""
+
 ENTRY_SCRIPT = r"""
 import sys
 
@@ -124,6 +164,15 @@ def test_full_lifecycle_under_bare_session():
     assert fields["hash"] == EXPECTED_LIFECYCLE_HASH, (
         f"bare-session lifecycle value hash drifted: {fields['hash']}"
     )
+
+
+def test_rowlevel_and_mor_under_bare_session():
+    """Row-level DELETE (both modes), UPDATE's auto-materialize, and a
+    post-MoR compaction must all survive a default-config session — the
+    tombstone anti-join and the materialize rewrite are exactly the kind
+    of path a session-config-masked incompatibility would hide."""
+    out = _run_subprocess(ROWLEVEL_SCRIPT.format(repo=REPO))
+    assert "ROWLEVEL_OK" in out
 
 
 def test_entry_under_bare_session():
