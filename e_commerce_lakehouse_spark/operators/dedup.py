@@ -288,10 +288,15 @@ def simhash_signatures_df(
 ) -> DataFrame:
     """(id, sig) via explode + ONE grouped aggregation pass: 60
     sum(sign(bit)) aggs over (doc, token) rows — map-side combinable,
-    whole-stage codegen, no per-row array re-walks."""
-    from ..plans.parallelism import ensure_min_parallelism
+    whole-stage codegen, no per-row array re-walks.
 
-    toks = ensure_min_parallelism(df).select(
+    Deliberately NOT widened via plans/parallelism (unlike the shingle
+    table): token split + one xxhash per token is far lighter than
+    shingle+md5, and the A/B at sf0.1 measured the widening repartition
+    COSTING ~15% at the warm floor (6.8 s vs 5.9 s) — the extra shuffle
+    outweighs the map-side win here. At corpus scale inputs arrive
+    pre-split, so this choice only affects small-input runs either way."""
+    toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("tok"),
     ).withColumn("h", _token_hash60(F.col("tok")))
