@@ -130,7 +130,20 @@ class IncrementalConsumer:
             sid = snap.parent_id
         if sid != last and last != 0:
             return None  # chain didn't reach the cursor (diverged history)
-        removed_now = set(t.snapshot(current).removed_files)
+        # who removed each path within this window? (chain is newest-first;
+        # walk oldest-first so the FIRST remover wins)
+        remover_op: dict[str, str] = {}
+        try:
+            for cid in reversed(chain):
+                snap = t.snapshot(cid)
+                parent_removed = (
+                    set(t.snapshot(snap.parent_id).removed_files)
+                    if snap.parent_id else set()
+                )
+                for p in set(snap.removed_files) - parent_removed:
+                    remover_op.setdefault(p, snap.operation)
+        except FileNotFoundError:
+            return None  # a parent (e.g. the cursor snapshot) expired
         for cid in chain:
             snap = t.snapshot(cid)
             if snap.operation in _NON_DATA_OPS:
@@ -143,8 +156,23 @@ class IncrementalConsumer:
         seen: set[str] = set()
         for m in new_manifests:
             for e in t.manifest_entries(m):
-                # skip rows whose files were already rewritten away again
-                if e.path not in removed_now and e.path not in seen:
+                op = remover_op.get(e.path)
+                if op is not None:
+                    if op in _NON_DATA_OPS:
+                        # A DATA op's file was rewritten away by a SKIPPED
+                        # rewrite within this window (append → cluster →
+                        # poll): its rows now live only in the skipped
+                        # op's output, so dropping the entry would
+                        # silently LOSE them (found by the medallion
+                        # pipeline test). No per-row lineage exists to
+                        # recover just those rows — degrade to the
+                        # conservative file-set diff (at-least-once).
+                        return None
+                    # removed by a later DATA op (e.g. a second MERGE):
+                    # its surviving rows ship in that op's own manifests —
+                    # skipping here loses nothing
+                    continue
+                if e.path not in seen:
                     seen.add(e.path)
                     entries.append(e)
         schema = resolve_schema(t, current)

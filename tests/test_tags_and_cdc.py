@@ -152,3 +152,93 @@ def test_cdc_reloads_when_cursor_snapshot_expired(
     # consumer re-delivers the whole table (at-least-once, never loses)
     assert b["mode"] == "reload"
     assert b["df"].count() == N_TURNS + 120
+
+
+def test_medallion_bronze_to_silver_pipeline(spark, tiny_table, tiny_df, tmp_path):
+    """End-to-end bronze → silver: a downstream table kept in sync purely
+    through the CDC consumer (poll → MERGE → ack). Compaction on bronze
+    ships zero rows; corrections flow as upserts; after drain, silver's
+    logical content equals bronze's scan exactly."""
+    from e_commerce_lakehouse_spark.operators.merge import merge_into
+    from e_commerce_lakehouse_spark.synth import corrections_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    bronze = tiny_table
+    c = IncrementalConsumer(bronze, str(tmp_path / "silver-cursor.json"))
+
+    def drain(silver):
+        rows_shipped = 0
+        while True:
+            b = c.poll(spark)
+            if b is None:
+                return silver, rows_shipped
+            if silver is None:
+                silver = create_transcripts_table(
+                    spark, str(tmp_path / "silver"), b["df"], rows_per_file=2000
+                )
+            else:
+                merge_into(spark, silver, b["df"])
+            rows_shipped += b["df"].count()
+            c.ack()
+
+    silver, shipped0 = drain(None)
+    assert shipped0 == N_TURNS
+
+    # bronze evolves, silver drains after each change (steady-state shape)
+    from e_commerce_lakehouse_spark.operators.cluster import cluster
+
+    extra = _relabeled(tiny_df, "conv-med-", 300)
+    append_dataframe(spark, bronze, extra)
+    silver, s_append = drain(silver)
+    assert s_append == 300  # chain: exactly the appended rows
+
+    cluster(spark, bronze, curve="zorder", target_bytes=24 * 1024)
+    silver, s_cluster = drain(silver)
+    assert s_cluster == 0  # chain: rewrites ship ZERO rows
+
+    # corrections confined to two conversations: stat pruning bites
+    corr = tiny_df.where(
+        F.col("conv_id").isin("conv-000000000003", "conv-000000000007")
+    ).withColumn("text", F.concat(F.lit("fixed-"), "text"))
+    merge_into(spark, bronze, corr)
+    silver, s_merge = drain(silver)
+    # merge ships only its touched (stat-pruned) files, never the table
+    assert 0 < s_merge < scan(spark, bronze).count()
+
+    assert_same_rows(
+        scan(spark, bronze).select("conv_id", "turn_idx", "text", "role"),
+        scan(spark, silver).select("conv_id", "turn_idx", "text", "role"),
+    )
+
+
+def test_cdc_append_absorbed_by_rewrite_not_lost(spark, tiny_table, tiny_df, tmp_path):
+    """Regression (real bug found by the medallion test): an append whose
+    files are rewritten by a later compact/cluster BEFORE the consumer
+    polls used to be silently dropped — chain mode skipped the rewrite as
+    non-data AND filtered the append's (now-removed) files. The fix
+    degrades that window to fileset-diff: over-delivery, never loss."""
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+
+    extra = _relabeled(tiny_df, "conv-lost-", 200)
+    append_dataframe(spark, t, extra)
+    compact(spark, t, target_bytes=1 << 20)  # absorbs the append's files
+
+    b = c.poll(spark)
+    assert b["mode"] == "fileset-diff"  # degraded, not silently pruned
+    got = b["df"].where(F.col("conv_id").startswith("conv-lost-"))
+    assert got.count() == 200  # every appended row delivered
+    c.ack()
+
+    # a later merge rewriting within the SAME window stays pure chain:
+    # the second data op re-delivers the first's surviving rows itself
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-ok-", 50))
+    from e_commerce_lakehouse_spark.operators.merge import merge_into
+
+    merge_into(spark, t, _relabeled(tiny_df, "conv-ok-", 50))
+    b2 = c.poll(spark)
+    assert b2["mode"] == "chain"
+    assert b2["df"].where(F.col("conv_id").startswith("conv-ok-")).count() == 50
