@@ -117,8 +117,11 @@ def drop_columns(table: Table, names: list[str]) -> dict:
     """Drop non-core columns. Metadata-only: readers project through the
     new schema immediately; the bytes in existing files age out as
     compaction rewrites them."""
+    import re
+
     schema = current_schema(table)
     existing = {f.name for f in schema.fields}
+    constraints = table.constraints()
     for name in names:
         if name in CORE_COLUMNS:
             raise ValueError(
@@ -127,5 +130,18 @@ def drop_columns(table: Table, names: list[str]) -> dict:
             )
         if name not in existing:
             raise ValueError(f"no such column: {name}")
+        # a CHECK constraint referencing the column would poison EVERY
+        # future write (enforce fails to resolve); refuse up front.
+        # Identifier-token match — conservatively flags the name even
+        # inside a string literal (err on the safe side).
+        offenders = [
+            c for c, pred in constraints.items()
+            if re.search(rf"\b{re.escape(name)}\b", pred, re.IGNORECASE)
+        ]
+        if offenders:
+            raise ValueError(
+                f"cannot drop column {name!r}: referenced by CHECK "
+                f"constraint(s) {sorted(offenders)}; drop the constraint(s) first"
+            )
     keep = [f for f in schema.fields if f.name not in set(names)]
     return _commit_evolution(table, T.StructType(keep), {"dropped": list(names)})

@@ -73,3 +73,24 @@ def test_duplicate_add_rejected(spark, tiny_table):
         add_constraint(spark, tiny_table, "c1", "turn_idx >= 1")
     with pytest.raises(KeyError):
         drop_constraint(tiny_table, "no-such")
+
+
+def test_drop_column_referenced_by_constraint_refused(spark, tiny_table):
+    """Dropping a constraint-referenced column would poison every future
+    write (enforce can't resolve) — refused at drop time instead."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns, drop_columns,
+    )
+
+    add_columns(tiny_table, [("quality", "double")])
+    add_constraint(spark, tiny_table, "q_range",
+                   "quality IS NULL OR quality BETWEEN 0 AND 1")
+    with pytest.raises(ValueError, match="q_range"):
+        drop_columns(tiny_table, ["quality"])
+    # dropping the constraint first unblocks the column drop, and writes
+    # against the post-drop schema still work
+    drop_constraint(tiny_table, "q_range")
+    drop_columns(tiny_table, ["quality"])
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+
+    append_dataframe(spark, tiny_table, transcripts_df(spark, 20, seed=3))
