@@ -111,15 +111,44 @@ def cluster(
     schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     fail_after_shards: int | None = None,
+    conv_id_range: tuple | None = None,
+    ts_range: tuple | None = None,
 ) -> dict:
+    """Cluster the table (or, with ``conv_id_range``/``ts_range``, ONLY
+    the files whose stat ranges overlap the predicate — a hot-slice
+    re-cluster on a 100 TB table rewrites that slice and leaves the rest
+    byte-identical and uncommitted, like compact's WHERE scoping).
+
+    Full-table clustering reads through ``scan`` — which applies any live
+    merge-on-read tombstones — so its rewrite has the deletes physically
+    applied and the commit CLEARS the tombstone list (clustering doubles
+    as materialize_deletes). A SCOPED run reads its files raw instead
+    (filtering would drop out-of-scope rows from overlapping files), so
+    tombstones propagate untouched."""
     base_snapshot = table.current_snapshot_id()
     if base_snapshot is None:
         raise ValueError("cannot cluster an empty table")
     entries = table.entries()
+    scoped = conv_id_range is not None or ts_range is not None
+    if scoped:
+        from ..table.scan import prune_entries
+
+        entries = prune_entries(entries, conv_id_range=conv_id_range, ts_range=ts_range)
+        if not entries:
+            return {"base_snapshot": base_snapshot, "committed_snapshot": base_snapshot,
+                    "noop": True, "scoped_files": 0}
     total_bytes = sum(e.bytes for e in entries)
     n_files = max(1, math.ceil(total_bytes / target_bytes))
 
-    df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
+    if scoped:
+        from ..table.scan import resolve_schema
+
+        read_schema = resolve_schema(table, base_snapshot, schema)
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(table.root, e.path) for e in entries]
+        )
+    else:
+        df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
     bounds = _ts_bounds_from_manifest(entries)
     if bounds is None:  # fall back to a data-scan agg (min/max only)
         row = df.agg(
@@ -137,11 +166,19 @@ def cluster(
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     mpb = max(4 << 20, min(128 << 20, total_bytes // max(1, par * 3)))
 
+    _scope_tag = ""
+    if scoped:
+        import hashlib
+
+        _scope_tag = "-scope" + hashlib.md5(
+            repr((conv_id_range, ts_range)).encode()
+        ).hexdigest()[:8]
+
     t0 = monotonic()
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         if shards <= 1:
-            subdir = f"cluster-{base_snapshot:08d}-{curve}"
+            subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}"
             out_dir = os.path.join(table.data_dir, subdir)
             if os.path.exists(out_dir):
                 shutil.rmtree(out_dir)
@@ -163,6 +200,7 @@ def cluster(
             added = _cluster_sharded(
                 spark, table, keyed, base_snapshot, curve, shards, n_files,
                 checkpoint_path, stat_columns, fail_after_shards,
+                scope_tag=_scope_tag,
             )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
@@ -172,7 +210,11 @@ def cluster(
         removed,
         added,
         operation="replace",
-        summary={"op": f"cluster-{curve}", "output_files": len(added), "shards": shards},
+        summary={"op": f"cluster-{curve}", "output_files": len(added),
+                 "shards": shards, "scoped": scoped},
+        # full-table source was the tombstone-filtered scan: deletes are
+        # now physically applied. Scoped source was raw files: keep them.
+        clear_tombstones=not scoped,
     )
     return {
         "base_snapshot": base_snapshot,
@@ -187,15 +229,20 @@ def cluster(
 
 def _cluster_sharded(
     spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path,
-    stat_columns, fail_after_shards=None,
+    stat_columns, fail_after_shards=None, scope_tag="",
 ) -> list[DataFileEntry]:
     """Stage temp copy bucketed by key-quantile shard, then sort/write each
-    shard as a checkpointed, resumable file group."""
+    shard as a checkpointed, resumable file group. Scoped plans get their
+    own checkpoint/temp namespace (shard ids from a scoped plan must never
+    resume against a full plan's)."""
     ckpt = Checkpoint(
         checkpoint_path
-        or os.path.join(table.metadata_dir, f"cluster-{base_snapshot:08d}.ckpt.jsonl")
+        or os.path.join(table.metadata_dir,
+                        f"cluster-{base_snapshot:08d}{scope_tag}.ckpt.jsonl")
     )
-    tmp_dir = os.path.join(table.data_dir, f"_tmp-cluster-{base_snapshot:08d}-{curve}")
+    tmp_dir = os.path.join(
+        table.data_dir, f"_tmp-cluster-{base_snapshot:08d}-{curve}{scope_tag}"
+    )
     done = ckpt.done()
     # trust-but-verify resume (mirrors compact): drop checkpointed shards
     # whose recorded outputs no longer exist on disk. Stage 1 is valid
@@ -258,7 +305,7 @@ def _cluster_sharded(
         t0 = monotonic()
         shard_dir = os.path.join(tmp_dir, f"__shard={s}")
         out_dir = os.path.join(
-            table.data_dir, f"cluster-{base_snapshot:08d}-{curve}-s{s:04d}"
+            table.data_dir, f"cluster-{base_snapshot:08d}-{curve}{scope_tag}-s{s:04d}"
         )
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)

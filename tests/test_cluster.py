@@ -108,3 +108,54 @@ def test_cluster_int96_stat_fallback(spark, tiny_df, tmp_path):
     m = cluster(spark, t, curve="zorder", target_bytes=64 * 1024)
     assert m["committed_snapshot"] > m["base_snapshot"]
     assert_same_rows(scan(spark, t), before)
+
+
+def test_scoped_cluster_rewrites_only_the_slice(spark, tiny_df, tiny_table):
+    """cluster(conv_id_range=) re-clusters only stat-overlapping files;
+    everything else stays byte-identical (same paths), and the table's
+    full content is unchanged."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    # narrow per-file ranges first so the scope predicate prunes
+    cluster(spark, tiny_table, curve="zorder", target_bytes=24 * 1024)
+    before = {e.path for e in tiny_table.entries()}
+    lo, hi = "conv-000000000000", "conv-000000000004"
+    m = cluster(spark, tiny_table, curve="zorder", target_bytes=64 * 1024,
+                conv_id_range=(lo, hi))
+    after = {e.path for e in tiny_table.entries()}
+    untouched = before & after
+    assert untouched, "scoped cluster rewrote everything"
+    assert m["committed_snapshot"] != m["base_snapshot"]
+    from e_commerce_lakehouse_spark.table import scan
+    from tests.conftest import assert_same_rows
+
+    assert_same_rows(
+        scan(spark, tiny_table).select("conv_id", "turn_idx", "text"),
+        tiny_df.select("conv_id", "turn_idx", "text"),
+    )
+    # a no-overlap scope is a noop commit-wise
+    m2 = cluster(spark, tiny_table, curve="zorder",
+                 conv_id_range=("zzz", "zzzz"))
+    assert m2.get("noop") is True
+
+
+def test_full_cluster_materializes_tombstones(spark, tiny_df, tiny_table):
+    """Full-table clustering reads the tombstone-filtered scan, so its
+    commit clears the tombstone list (doubles as materialize_deletes);
+    a SCOPED run reads raw files and must keep them."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.table import scan
+
+    n_tool = tiny_df.where("role = 'tool'").count()
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    assert tiny_table.tombstones()
+    # scoped run first: tombstones must survive it
+    cluster(spark, tiny_table, curve="zorder", target_bytes=64 * 1024,
+            conv_id_range=("conv-000000000000", "conv-000000000004"))
+    assert tiny_table.tombstones(), "scoped cluster must not clear tombstones"
+    assert scan(spark, tiny_table).where("role = 'tool'").count() == 0
+    # full run: physically applies + clears
+    cluster(spark, tiny_table, curve="zorder", target_bytes=64 * 1024)
+    assert tiny_table.tombstones() == []
+    assert scan(spark, tiny_table).where("role = 'tool'").count() == 0
+    assert tiny_table.total_rows() == tiny_df.count() - n_tool
