@@ -86,6 +86,9 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="copy-on-write",
                    choices=["copy-on-write", "merge-on-read"],
                    help="delete: cow rewrites touched files; mor writes key tombstones only")
+    p.add_argument("--conv-id-range", default=None, metavar="LO:HI",
+                   help="compact/cluster: scope the rewrite to files whose conv_id "
+                        "stats overlap [LO, HI] (either side empty = unbounded)")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
     args = p.parse_args(argv)
@@ -160,6 +163,10 @@ def main(argv=None) -> int:
         result["removed_files"] = len(result["removed_files"])
     else:
         spark = get_spark(app_name=f"maintenance-{args.op}")
+        conv_range = None
+        if args.conv_id_range:
+            lo, _, hi = args.conv_id_range.partition(":")
+            conv_range = (lo or None, hi or None)
         if args.op == "create":
             from e_commerce_lakehouse_spark.synth import transcripts_df
             from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
@@ -172,13 +179,15 @@ def main(argv=None) -> int:
             result = with_retries(
                 lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,
                                 checkpoint_path=args.checkpoint,
-                                order_preserving=args.order_preserving),
+                                order_preserving=args.order_preserving,
+                                conv_id_range=conv_range),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "cluster":
             result = with_retries(
                 lambda: cluster(spark, Table.load(args.table), curve=args.curve,
                                 target_bytes=target_bytes, shards=args.shards,
-                                checkpoint_path=args.checkpoint),
+                                checkpoint_path=args.checkpoint,
+                                conv_id_range=conv_range),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "merge":
             if not args.source:
