@@ -52,7 +52,7 @@ def main(argv=None) -> int:
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
-            "materialize-deletes",
+            "materialize-deletes", "skipping-report",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -146,6 +146,27 @@ def main(argv=None) -> int:
         result = drop_constraint(Table.load(args.table), args.constraint_name)
     elif args.op == "constraints":  # metadata-only
         result = {"constraints": Table.load(args.table).constraints()}
+    elif args.op == "skipping-report":  # metadata-only planning probe
+        from e_commerce_lakehouse_spark.table.scan import prune_entries
+
+        t = Table.load(args.table)
+        conv_range = None
+        if args.conv_id_range:
+            lo, _, hi = args.conv_id_range.partition(":")
+            conv_range = (lo or None, hi or None)
+        entries = t.entries(args.snapshot)
+        kept = prune_entries(entries, conv_id_range=conv_range)
+        result = {
+            "snapshot": args.snapshot or t.current_snapshot_id(),
+            "conv_id_range": conv_range,
+            "total_files": len(entries),
+            "files_scanned": len(kept),
+            "files_skipped": len(entries) - len(kept),
+            "bytes_scanned": sum(e.bytes for e in kept),
+            "bytes_skipped": sum(e.bytes for e in entries) - sum(e.bytes for e in kept),
+            "rows_scanned_upper_bound": sum(e.rows for e in kept),
+            "skip_ratio": round(1 - len(kept) / max(1, len(entries)), 4),
+        }
     elif args.op == "rollback":  # metadata-only: no Spark session needed
         from e_commerce_lakehouse_spark.operators.rollback import rollback_to
 
