@@ -295,6 +295,8 @@ def main(argv=None) -> int:
                 "bytes": t.total_bytes(args.snapshot),
                 "manifests": len(snap.manifests),
                 "tombstones": len(snap.removed_files),
+                "mor_tombstone_files": len(snap.tombstones),
+                "constraints": t.constraints(),
             }
         else:  # pragma: no cover
             raise AssertionError(args.op)

@@ -70,3 +70,39 @@ def test_abandoned_staged_snapshot_is_gcd(spark, tiny_table, tiny_df):
     assert staged.snapshot_id not in t.snapshot_ids()
     assert res["deleted_data_files"] >= 1  # the staged append's files
     assert scan(spark, t).where(F.col("conv_id").startswith("conv-dead-")).count() == 0
+
+
+def test_staged_snapshot_carries_tombstones(spark, tiny_df, tiny_table):
+    """Write-audit-publish × merge-on-read: a STAGED append inherits the
+    parent's live tombstones, so auditing the staged snapshot sees the
+    logical (post-delete) view — publish then flips atomically."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import append_dataframe
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    n_tool = tiny_df.where("role = 'tool'").count()
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+
+    # appending at a TOMBSTONED key is refused loudly (it would be
+    # silently invisible to scans — the append analog of resurrection)
+    shadowed = tiny_df.where("role = 'tool'").limit(2)
+    with pytest.raises(ValueError, match="tombstoned key"):
+        append_dataframe(spark, tiny_table, shadowed)
+
+    # fresh keys stage cleanly and the audit sees the logical view
+    extra = transcripts_df(spark, 30, seed=9).select(
+        F.concat(F.lit("wap-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    n_extra = extra.count()
+    staged = append_dataframe(spark, tiny_table, extra, publish=False)
+    assert tiny_table.current_snapshot_id() == staged.parent_id
+    audited = scan(spark, tiny_table, snapshot_id=staged.snapshot_id)
+    assert audited.count() == tiny_df.count() - n_tool + n_extra
+    tiny_table.publish_snapshot(staged.snapshot_id)
+    assert tiny_table.tombstones()  # still live after publish
+    assert scan(spark, tiny_table).count() == audited.count()
