@@ -115,7 +115,7 @@ def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[fl
 
 
 def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
-    """array<struct(cos, cell)> of 6-dp cosines against every literal
+    """array<struct(cos, cell)> of 5-dp cosines against every literal
     centroid — ONE zip_with over a literal array-of-arrays, not one fold
     expression per cell (a 16-cell × 64-dim per-cell tree made Catalyst
     analysis/codegen the dominant cost; this keeps the plan a single
@@ -136,7 +136,12 @@ def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, nor
                     lambda acc, v: acc + v,
                 )
                 / (F.col(norm) * p["cn"]),
-                6,
+                # 5 dp, not 6: engines' fold orders differ by ~1e-16
+                # relative, so a comparison value this coarse makes a
+                # cross-engine rounding-boundary flip ~100× rarer than at
+                # 6 dp; extra ties break deterministically (cell asc) in
+                # both engines. Mirrored in the q53 oracle SQL.
+                5,
             ).alias("cos"),
             p["cell"].alias("cell"),
         ),

@@ -611,10 +611,11 @@ FROM final
 # probe ranking on 6-dp cosines with cell-asc tiebreak; exact 4-dp
 # re-rank within probed cells.
 def _ivf_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    # 5 dp to match the Spark side's coarsened comparison rounding
     cos6 = """
 round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)
+  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 5)
 """
     return f"""
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
