@@ -267,6 +267,7 @@ def compact(
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
     order_preserving: bool = False,
+    wave_size: int | None = None,
 ) -> dict:
     """Compact small files; returns metrics. Resumable: re-running with the
     same checkpoint path after a crash skips finished groups and commits.
@@ -348,8 +349,24 @@ def compact(
 
     t_plan_done = monotonic()
     if mode == "arrow":
+        # Wave sizing: the rdd runner bundles ~5 slices per core slot, so a
+        # wave must hold >= 5*parallelism groups for dispatch amortization
+        # to bite on a WIDE pool too — with a fixed small wave, the wide
+        # side ran one group per task while the narrow side got 3-4
+        # groups/task, an asymmetry that showed up directly as compact-
+        # phase scaling loss (0.50 measured; wave barriers also idle more
+        # cores the wider the pool). Checkpoint granularity is still per
+        # group; a crash loses at most one (bigger) wave's progress.
+        par = spark.sparkContext.defaultParallelism
+        if wave_size is None:
+            # interleaved A/B (min-of-3, 68 groups, 12 M turns): 80-group
+            # waves beat 32-group waves at BOTH 2 cores (14.35 vs 15.43 s)
+            # and 8 cores (4.72 vs 5.74 s) — fewer barriers, and the rdd
+            # runner's 5-slices-per-core bundling needs a big enough wave
+            # to amortize the ~150 ms/task dispatch floor on wide pools
+            wave_size = max(80, max(8, max_concurrent_groups) * 4, par * 10)
         phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
-                           wave_size=max(8, max_concurrent_groups) * 4,
+                           wave_size=wave_size,
                            fail_after_groups=fail_after_groups, codec=codec,
                            field_spec=field_spec)
         metrics["phase"] = phase
