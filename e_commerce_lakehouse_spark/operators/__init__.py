@@ -5,6 +5,9 @@ from .expire import expire_snapshots
 from .manifest_rewrite import rewrite_manifests
 from .merge import merge_into, merge_upsert_dataframes
 from .rollback import rollback_to
+from .rowlevel import delete_where, materialize_deletes, update_where
+from .verify import verify_table
+from .constraints import add_constraint, drop_constraint, enforce_constraints
 from .schema_evolution import add_columns, drop_columns
 
 __all__ = [
@@ -19,4 +22,11 @@ __all__ = [
     "merge_into",
     "merge_upsert_dataframes",
     "rollback_to",
+    "delete_where",
+    "update_where",
+    "materialize_deletes",
+    "verify_table",
+    "add_constraint",
+    "drop_constraint",
+    "enforce_constraints",
 ]

@@ -52,7 +52,7 @@ def main(argv=None) -> int:
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
-            "materialize-deletes", "skipping-report",
+            "materialize-deletes", "skipping-report", "verify",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -264,6 +264,11 @@ def main(argv=None) -> int:
                     lambda: update_where(spark, Table.load(args.table), args.predicate,
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "verify":
+            from e_commerce_lakehouse_spark.operators.verify import verify_table
+
+            result = verify_table(Table.load(args.table), snapshot_id=args.snapshot,
+                                  spark=spark)
         elif args.op == "materialize-deletes":
             from e_commerce_lakehouse_spark.operators.rowlevel import materialize_deletes
 
