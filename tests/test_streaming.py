@@ -106,3 +106,43 @@ def test_stream_dedup_drops_redeliveries_with_bounded_state(spark, tmp_path):
     # batch degradation: same helper on a batch frame
     assert stream_dedup(doubled).count() == 200
     base.unpersist()
+
+
+def test_stream_ingest_enforces_constraints_loudly(spark, tmp_path):
+    """A micro-batch violating a table CHECK constraint must FAIL the
+    stream (StreamingQueryException wrapping ConstraintViolation), never
+    silently land — and the table keeps its pre-batch snapshot. After
+    dropping the constraint, re-running the same checkpoint drains the
+    batch (at-least-once recovery)."""
+    from e_commerce_lakehouse_spark.operators.constraints import (
+        add_constraint, drop_constraint,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    table = Table.create(str(tmp_path / "tbl"))
+    df = transcripts_df(spark, 300, seed=7).cache()
+    _write_csv_batch(spark, df, os.path.join(landing, "b1"))
+    ingest_available_now(spark, table, landing + "/*", ckpt)
+    add_constraint(spark, table, "nonneg_turn", "turn_idx >= 0")
+
+    # 4 DISTINCT conversations (limit(4) alone can take 4 turns of one
+    # conv, which MERGE's keep-latest would collapse to a single key)
+    bad = (
+        df.where("turn_idx = 0").limit(4).withColumn("turn_idx", F.lit(-3))
+    )
+    _write_csv_batch(spark, bad, os.path.join(landing, "b2"))
+    snap_before = table.current_snapshot_id()
+    import pytest
+
+    with pytest.raises(Exception, match="nonneg_turn"):
+        ingest_available_now(spark, table, landing + "/*", ckpt)
+    assert table.current_snapshot_id() == snap_before  # nothing landed
+    assert scan(spark, table).where("turn_idx < 0").count() == 0
+
+    # operator drops the constraint; the SAME checkpoint re-delivers the
+    # failed batch and it lands (foreachBatch at-least-once semantics)
+    drop_constraint(table, "nonneg_turn")
+    ingest_available_now(spark, table, landing + "/*", ckpt)
+    assert scan(spark, table).where("turn_idx = -3").count() == 4
+    df.unpersist()
