@@ -47,6 +47,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--bare", action="store_true",
+                    help="use a DEFAULT-config SparkSession (driver-shaped) "
+                         "instead of the repo's get_spark — catches "
+                         "session-config-masked incompatibilities")
     args = ap.parse_args()
 
     import duckdb
@@ -55,7 +59,12 @@ def main():
     import __spark_entry__ as entrymod
     from e_commerce_lakehouse_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracles", cores=16, shuffle_partitions=16)
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").getOrCreate()
+    else:
+        spark = get_spark(app_name="check_oracles", cores=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
