@@ -214,7 +214,10 @@ def cluster(
                  "shards": shards, "scoped": scoped},
         # full-table source was the tombstone-filtered scan: deletes are
         # now physically applied. Scoped source was raw files: keep them.
+        # expected_tombstones: a delete-mor landing between our scan and
+        # this commit must CONFLICT, not be silently cleared unapplied.
         clear_tombstones=not scoped,
+        expected_tombstones=None if scoped else table.tombstones(base_snapshot),
     )
     return {
         "base_snapshot": base_snapshot,

@@ -133,6 +133,9 @@ def expire_snapshots(
                 os.remove(mp)
         for sid in expired:
             os.remove(os.path.join(table.metadata_dir, f"snap-{sid:08d}.json"))
+        # expired snapshots must fail reads immediately — drop any memoized
+        # entry lists so this instance can't serve a deleted snapshot
+        table._entries_cache.clear()
 
     return {
         "retained_snapshots": sorted(retained),

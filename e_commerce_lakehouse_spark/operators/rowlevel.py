@@ -82,6 +82,8 @@ def _rewrite_and_commit(
     stat_columns,
     extra_summary: dict,
     t0: float,
+    clear_tombstones: bool = False,
+    expected_tombstones: list[str] | None = None,
 ) -> dict:
     entries_by_path = {e.path: e for e in table.entries()}
     touched_bytes = sum(entries_by_path[p].bytes for p in touched)
@@ -102,6 +104,8 @@ def _rewrite_and_commit(
         operation=operation,
         summary={"op": operation, "touched_files": len(touched), "added_files": len(live),
                  **extra_summary},
+        clear_tombstones=clear_tombstones,
+        expected_tombstones=expected_tombstones,
     )
     return {
         "committed_snapshot": snap.snapshot_id,
@@ -159,7 +163,13 @@ def delete_where(
                 "total_files": len(table.entries()), "added_files": 0,
                 "wall_ms": int((monotonic() - t0) * 1000)}
     abs_paths = [os.path.join(table.root, p) for p in touched]
-    kept = spark.read.schema(schema).parquet(*abs_paths).where(~pred)
+    # SQL DELETE semantics: only pred=TRUE rows are deleted; a NULL
+    # predicate KEEPS the row. A bare ~pred would silently drop
+    # NULL-predicate rows (~NULL is NULL, filtered out) — found in review;
+    # the MoR path and UPDATE already had this right.
+    kept = spark.read.schema(schema).parquet(*abs_paths).where(
+        ~F.coalesce(pred, F.lit(False))
+    )
     return _rewrite_and_commit(
         spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0
     )
@@ -176,6 +186,24 @@ def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
     missing = sorted(set(keys) - set(names))
     if missing:
         raise ValueError(f"delete keys not in schema: {missing}")
+    # stacked tombstones must share ONE key set: scan anti-joins the
+    # UNION of all live tombstone files on the union of their columns, so
+    # a narrower-keyed earlier tombstone would read NULL in the extra key
+    # columns and match nothing — silently un-deleting its rows (review
+    # finding). Refuse the mix; materialize first to change key sets.
+    live = table.tombstones()
+    if live:
+        import pyarrow.parquet as pq
+
+        existing_keys = sorted(
+            pq.read_schema(os.path.join(table.root, live[0])).names
+        )
+        if existing_keys != sorted(keys):
+            raise ValueError(
+                f"live merge-on-read tombstones use keys {existing_keys} but this "
+                f"delete uses {sorted(keys)}; run materialize_deletes first, or "
+                f"use the same key set"
+            )
     entries = table.entries()
     abs_paths = [os.path.join(table.root, e.path) for e in entries]
     matched = (
@@ -233,7 +261,8 @@ def materialize_deletes(
     if not touched:
         snap = table.commit_rewrite([], [], operation="materialize-deletes",
                                     summary={"applied_tombstone_files": len(tombs)},
-                                    clear_tombstones=True)
+                                    clear_tombstones=True,
+                                    expected_tombstones=tombs)
         return {"committed_snapshot": snap.snapshot_id, "touched_files": 0,
                 "applied_tombstone_files": len(tombs),
                 "wall_ms": int((monotonic() - t0) * 1000)}
@@ -242,29 +271,13 @@ def materialize_deletes(
         spark.read.schema(schema).parquet(*abs_paths)
         .join(tomb_df, on=keys, how="left_anti")
     )
-    entries_by_path = {e.path: e for e in table.entries()}
-    touched_bytes = sum(entries_by_path[p].bytes for p in touched)
-    subdir = f"materialize-{table.current_snapshot_id():08d}"
-    out_dir = os.path.join(table.data_dir, subdir)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    n_out = max(1, math.ceil(touched_bytes / target_bytes))
-    kept.repartition(n_out).write.mode("error").parquet(out_dir)
-    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
-                            spark=spark)
-    live = [e for e in added if e.rows > 0]
-    for e in added:
-        if e.rows == 0:
-            os.remove(os.path.join(table.root, e.path))
-    snap = table.commit_rewrite(
-        touched, live, operation="materialize-deletes",
-        summary={"applied_tombstone_files": len(tombs),
-                 "touched_files": len(touched)},
-        clear_tombstones=True,
+    out = _rewrite_and_commit(
+        spark, table, touched, kept, "materialize-deletes", target_bytes,
+        stat_columns, {"applied_tombstone_files": len(tombs)}, t0,
+        clear_tombstones=True, expected_tombstones=tombs,
     )
-    return {"committed_snapshot": snap.snapshot_id, "touched_files": len(touched),
-            "added_files": len(live), "applied_tombstone_files": len(tombs),
-            "wall_ms": int((monotonic() - t0) * 1000)}
+    out["applied_tombstone_files"] = len(tombs)
+    return out
 
 
 def update_where(

@@ -150,7 +150,7 @@ def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, nor
 
 def _centroid_argmax(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
     """cell id of the max-cosine centroid, as a PURE PROJECTION (cosines
-    rounded to 6 dp before the argmax for cross-engine float-assoc
+    rounded to 5 dp before the argmax for cross-engine float-assoc
     safety); ties break to the SMALLEST cell id via the (cos, -cell)
     struct max."""
     entries = F.transform(

@@ -56,16 +56,37 @@ def verify_table(
         else:
             present.append(e)
 
-    # footer re-read: rows + stats must reproduce the manifest exactly
+    # footer re-read: rows + stats must reproduce the manifest exactly.
+    # An unreadable footer (bit rot, partial overwrite preserving length)
+    # is a FINDING, not a crash: fall back to per-file reads and report
+    # each failure as its own issue (review finding — the file class this
+    # audit most needs to flag must not abort it).
     stat_mismatch = []
+    unreadable = []
+    by_path = {}
     if present:
-        fresh = collect_entries(
-            [os.path.join(table.root, e.path) for e in present],
-            table.root, tuple(stat_columns), spark=spark,
-        )
-        by_path = {e.path: e for e in fresh}
+        try:
+            fresh = collect_entries(
+                [os.path.join(table.root, e.path) for e in present],
+                table.root, tuple(stat_columns), spark=spark,
+            )
+            by_path = {e.path: e for e in fresh}
+        except Exception:
+            from ..table.stats import file_entry
+
+            for e in present:
+                try:
+                    f = file_entry(os.path.join(table.root, e.path), table.root,
+                                   tuple(stat_columns))
+                    by_path[e.path] = f
+                except Exception as exc:
+                    unreadable.append(e.path)
+                    issues.append({"kind": "unreadable-footer", "path": e.path,
+                                   "error": str(exc)[:200]})
         for e in present:
-            f = by_path[e.path]
+            f = by_path.get(e.path)
+            if f is None:
+                continue
             if f.rows != e.rows:
                 stat_mismatch.append(e.path)
                 issues.append({"kind": "rowcount-mismatch", "path": e.path,
@@ -121,6 +142,7 @@ def verify_table(
         "files_checked": len(entries),
         "missing_files": len(missing),
         "size_mismatches": len(size_mismatch),
+        "unreadable_footers": len(unreadable),
         "stat_mismatches": len(stat_mismatch),
         "unresolvable_constraints": len(bad_constraints),
         "orphan_files": len(orphans),  # informational: GC's job, not an error

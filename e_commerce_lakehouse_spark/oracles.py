@@ -608,11 +608,11 @@ FROM final
 # q53: IVF ANN mirror. Every stage of operators/similarity.ivf_ann_topk
 # is deterministic: seeds = n_cells smallest md5(vec_id) rows; one Lloyd
 # step with per-(cell, dim) means rounded to 6 dp; argmax assignment /
-# probe ranking on 6-dp cosines with cell-asc tiebreak; exact 4-dp
+# probe ranking on 5-dp cosines with cell-asc tiebreak; exact 4-dp
 # re-rank within probed cells.
 def _ivf_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
     # 5 dp to match the Spark side's coarsened comparison rounding
-    cos6 = """
+    cos5 = """
 round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
   * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 5)
@@ -627,7 +627,7 @@ assign0 AS (
     SELECT vec_id, e, cell FROM (
         SELECT a.vec_id, a.e, b.cell,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
         FROM ev a CROSS JOIN (SELECT cell, e FROM seeds) b) WHERE rn = 1),
 cent AS (
     SELECT cell, i, round(avg(e[i]), 6) AS m
@@ -638,13 +638,13 @@ assign AS (
     SELECT vec_id, e, cell FROM (
         SELECT a.vec_id, a.e, b.cell,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
         FROM ev a CROSS JOIN centl b) WHERE rn = 1),
 probes AS (
     SELECT query_id, cell FROM (
         SELECT a.vec_id AS query_id, b.cell,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {cos6} DESC, b.cell ASC) AS rn
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
         FROM (SELECT * FROM ev WHERE vec_id < 8) a CROSS JOIN centl b)
     WHERE rn <= {nprobe}),
 scored AS (

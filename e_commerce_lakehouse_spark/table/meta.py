@@ -139,6 +139,12 @@ class Table:
         self.root = os.path.abspath(root)
         self.data_dir = os.path.join(self.root, "data")
         self.metadata_dir = os.path.join(self.root, "metadata")
+        # snapshot-id -> entry list. Snapshots are immutable once written,
+        # so caching is always sound; bounded to 2 so an 800k-file table
+        # holds at most ~2 entry lists in driver memory. Keeps the commit
+        # guard's entries(parent) O(1) when the op planned from the same
+        # snapshot it commits against (the normal single-writer path).
+        self._entries_cache: dict[int, list] = {}
 
     # ---------- lifecycle ----------
 
@@ -194,7 +200,11 @@ class Table:
             return [DataFileEntry.from_dict(d) for d in json.load(f)["entries"]]
 
     def entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
-        """Live data files of a snapshot: manifest union minus removed set."""
+        """Live data files of a snapshot: manifest union minus removed set.
+        Memoized per snapshot id (immutable once written)."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is not None and sid in self._entries_cache:
+            return list(self._entries_cache[sid])
         snap = self.snapshot(snapshot_id)
         removed = set(snap.removed_files)
         out: list[DataFileEntry] = []
@@ -204,7 +214,11 @@ class Table:
                 if e.path not in removed and e.path not in seen:
                     seen.add(e.path)
                     out.append(e)
-        return out
+        if sid is not None:
+            while len(self._entries_cache) >= 2:
+                self._entries_cache.pop(next(iter(self._entries_cache)))
+            self._entries_cache[sid] = out
+        return list(out)
 
     def file_paths(self, snapshot_id: int | None = None) -> list[str]:
         return [os.path.join(self.root, e.path) for e in self.entries(snapshot_id)]
@@ -350,6 +364,7 @@ class Table:
         operation: str = "replace",
         summary: dict | None = None,
         clear_tombstones: bool = False,
+        expected_tombstones: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: drop ``removed_paths``, add ``added``.
 
@@ -385,9 +400,19 @@ class Table:
                     )
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
-            tombs = [] if clear_tombstones else (
-                list(self.snapshot(parent).tombstones) if parent else []
-            )
+            head_tombs = list(self.snapshot(parent).tombstones) if parent else []
+            if clear_tombstones and expected_tombstones is not None and sorted(
+                head_tombs
+            ) != sorted(expected_tombstones):
+                # a delete-mor landed between this op's scan and its commit:
+                # clearing would silently discard the never-applied tombstone
+                # (lost-update) — same class the removed-paths guard covers
+                raise CommitConflictError(
+                    f"tombstone list changed since this rewrite planned "
+                    f"({len(expected_tombstones)} applied vs {len(head_tombs)} at "
+                    f"head); re-plan from the current head"
+                )
+            tombs = [] if clear_tombstones else head_tombs
             removed = sorted(set(removed) | set(removed_paths))
             if added:
                 manifests.append(self._write_manifest(sid, len(manifests), added))

@@ -202,3 +202,51 @@ def test_mor_noop_and_gc_protection(spark, tiny_df, tiny_table):
     expire_snapshots(tiny_table, keep_last=1)
     data_dirs = os.listdir(os.path.join(tiny_table.root, "data"))
     assert not any(d.startswith("tombstone-") for d in data_dirs)
+
+
+def test_cow_delete_null_predicate_keeps_rows(spark, tiny_df, tiny_table):
+    """SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    (review finding — a bare ~pred filtered them out). Both modes agree."""
+    n_null = tiny_df.where("tool IS NULL").count()
+    victim_tool = tiny_df.where("tool IS NOT NULL").select("tool").first()["tool"]
+    n_match = tiny_df.where(f"tool = '{victim_tool}'").count()
+    assert n_null > 0 and n_match > 0
+    delete_where(spark, tiny_table, f"tool = '{victim_tool}'")
+    after = scan(spark, tiny_table)
+    assert after.where("tool IS NULL").count() == n_null  # NULL rows kept
+    assert after.count() == tiny_df.count() - n_match
+
+
+def test_mor_mixed_key_sets_refused(spark, tiny_table):
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read",
+                 keys=["conv_id", "turn_idx"])
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize_deletes first"):
+        delete_where(spark, tiny_table, "turn_idx >= 9", mode="merge-on-read",
+                     keys=["conv_id"])
+    # after materializing, a different key set is fine
+    materialize_deletes(spark, tiny_table)
+    delete_where(spark, tiny_table, "turn_idx >= 9", mode="merge-on-read",
+                 keys=["conv_id"])
+
+
+def test_clear_tombstones_conflicts_on_concurrent_delete(spark, tiny_table):
+    """A delete-mor landing between an op's scan and its clearing commit
+    must CONFLICT (lost-update guard), not silently discard the new
+    tombstone."""
+    import pytest
+
+    from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+
+    delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
+    planned = tiny_table.tombstones()
+    # concurrent writer adds a second tombstone after our "scan"
+    delete_where(spark, tiny_table, "turn_idx >= 9", mode="merge-on-read")
+    with pytest.raises(CommitConflictError, match="tombstone list changed"):
+        tiny_table.commit_rewrite([], [], operation="materialize-deletes",
+                                  clear_tombstones=True,
+                                  expected_tombstones=planned)
+    # fresh plan succeeds
+    materialize_deletes(spark, tiny_table)
+    assert tiny_table.tombstones() == []
