@@ -139,7 +139,12 @@ def merge_into(
     materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
                         stat_columns=stat_columns)
     t0 = monotonic()
-    source = dedup_keep_latest(source.select([f.name for f in schema.fields]), keys, order_col)
+    # align like append_dataframe does (shared helper): a producer not yet
+    # updated after add_columns sends the old shape — missing nullable
+    # columns fill with NULL instead of failing analysis (review finding)
+    from ..table.writer import align_to_schema
+
+    source = dedup_keep_latest(align_to_schema(source, schema), keys, order_col)
     from .constraints import enforce_constraints
 
     source = enforce_constraints(source, table, context="merge")  # O(batch), no-op w/o constraints

@@ -484,6 +484,7 @@ class Table:
         one dict per retained snapshot (id, parent, operation, timestamp,
         summary, current flag, tags pointing at it). O(metadata)."""
         current = self.current_snapshot_id()
+        chain = self._published_ids()
         tags_by_sid: dict[int, list[str]] = {}
         for name, sid in self.tags().items():
             tags_by_sid.setdefault(sid, []).append(name)
@@ -497,7 +498,10 @@ class Table:
                     "operation": s.operation,
                     "timestamp_ms": s.timestamp_ms,
                     "is_current": sid == current,
-                    "staged": sid > (current or 0),
+                    # off the published parent chain = staged (pending OR
+                    # abandoned) — `sid > current` mislabeled an abandoned
+                    # stage as ordinary history once the head passed it
+                    "staged": sid not in chain,
                     "tags": sorted(tags_by_sid.get(sid, [])),
                     "summary": s.summary,
                 }
@@ -624,13 +628,39 @@ class Table:
 
     # ---------- convenience ----------
 
+    def _published_ids(self) -> set[int]:
+        """Ids of PUBLISHED snapshots among the retained set: everything on
+        the current head's parent chain, plus anything OLDER than the
+        oldest chain ancestor we could walk to (pre-gap history pinned by
+        tags — the chain breaks at expired ancestors, but a staged
+        write-audit-publish snapshot is always NEWER than its published
+        parent, so pre-gap ids cannot be staged). Excludes staged
+        snapshots pending or abandoned."""
+        chain: set[int] = set()
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            chain.add(sid)
+            try:
+                sid = self.snapshot(sid).parent_id
+            except FileNotFoundError:
+                break
+        floor = min(chain) if chain else 0
+        return chain | {s for s in self.snapshot_ids() if s < floor}
+
     def snapshot_id_as_of(self, ts_ms: int) -> int:
         """Time travel: the snapshot that was current at wall-clock
         ``ts_ms`` (latest snapshot with timestamp_ms <= ts_ms) — Iceberg's
         ``FOR SYSTEM_TIME AS OF``. O(snapshots) metadata reads, no data.
-        Raises ValueError if the table didn't exist yet at that time."""
+        Raises ValueError if the table didn't exist yet at that time.
+
+        Only PUBLISHED history qualifies: a staged (write-audit-publish)
+        snapshot was never current at any wall-clock time, so serving it
+        here would expose unaudited data (review finding)."""
+        chain = self._published_ids()
         best = None
         for sid in self.snapshot_ids():
+            if sid not in chain:
+                continue  # staged/abandoned — never current
             snap = self.snapshot(sid)
             if snap.timestamp_ms <= ts_ms and (best is None or sid > best):
                 best = sid

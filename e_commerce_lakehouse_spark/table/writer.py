@@ -46,6 +46,29 @@ def write_files(
     return collect_entries(paths, table.root, stat_columns, spark=spark)
 
 
+def align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Align a writer's frame to the table's schema: extra columns are
+    REJECTED (typo protection), missing nullable columns (a producer not
+    yet updated after add_columns) fill with NULL, and every column is
+    cast to the schema's type. Shared by append and MERGE so both write
+    paths tolerate schema-lagged producers identically."""
+    from pyspark.sql import functions as F
+
+    expected = {f.name for f in schema.fields}
+    extra = set(df.columns) - expected
+    if extra:
+        raise ValueError(f"columns not in table schema: {sorted(extra)}")
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(f"write is missing non-nullable column: {f.name}")
+    return df.select(cols)
+
+
 def append_dataframe(
     spark: SparkSession,
     table: Table,
@@ -60,56 +83,53 @@ def append_dataframe(
     collect footer stats distributed, commit parent-manifests + one new
     manifest. The frame is aligned to the table's CURRENT schema: extra
     columns are rejected (typo protection), missing nullable columns
-    (e.g. a producer not yet updated after add_columns) fill with NULL."""
-    from pyspark.sql import functions as F
+    (e.g. a producer not yet updated after add_columns) fill with NULL.
 
+    The aligned frame is persisted for the duration of the append: the
+    constraint pass, shadow-key guard, row count, and the write itself
+    would otherwise each recompute an expensive upstream plan (review
+    finding); unpersisted in a finally."""
     from .scan import resolve_schema
 
     schema = resolve_schema(table)
-    expected = {f.name for f in schema.fields}
-    extra = set(df.columns) - expected
-    if extra:
-        raise ValueError(f"columns not in table schema: {sorted(extra)}")
-    cols = []
-    for f in schema.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        elif f.nullable:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        else:
-            raise ValueError(f"append is missing non-nullable column: {f.name}")
-    df = df.select(cols)
+    df = align_to_schema(df, schema)
     from ..operators.constraints import enforce_constraints  # deferred: avoids import cycle
 
-    df = enforce_constraints(df, table, context="append")
-    # MoR-tombstone shadow guard: appending a row whose KEY is tombstoned
-    # would be silently invisible (the scan-side anti-join kills it) —
-    # the append analog of the MERGE resurrection hazard. Refuse loudly;
-    # the writer either materializes deletes first or uses MERGE (which
-    # auto-materializes). O(batch ⋈ tombstones), zero cost without MoR.
-    tombs = table.tombstones()
-    if tombs:
-        import os as _os
+    df = df.persist()
+    try:
+        df = enforce_constraints(df, table, context="append")
+        # MoR-tombstone shadow guard: appending a row whose KEY is
+        # tombstoned would be silently invisible (the scan-side anti-join
+        # kills it) — the append analog of the MERGE resurrection hazard.
+        # Refuse loudly; the writer either materializes deletes first or
+        # uses MERGE (which auto-materializes). O(batch ⋈ tombstones),
+        # zero cost without MoR.
+        tombs = table.tombstones()
+        if tombs:
+            import os as _os
 
-        tomb_df = df.sparkSession.read.parquet(
-            *[_os.path.join(table.root, t) for t in tombs]
-        )
-        shadow_keys = [c for c in tomb_df.columns if c in df.columns]
-        if shadow_keys:
-            n_shadowed = df.join(
-                tomb_df.select(*shadow_keys).dropDuplicates(), shadow_keys, "left_semi"
-            ).count()
-            if n_shadowed:
-                raise ValueError(
-                    f"append would write {n_shadowed} row(s) at merge-on-read "
-                    f"tombstoned key(s) — they would be invisible to scans. Run "
-                    f"materialize_deletes first, or upsert via merge_into "
-                    f"(which materializes automatically)."
-                )
-    n_rows = df.count()
-    n_files = max(1, -(-n_rows // max(1, rows_per_file)))
-    subdir = f"append-{uuid.uuid4().hex[:12]}"
-    entries = write_files(spark, table, df, n_files, subdir)
+            tomb_df = df.sparkSession.read.parquet(
+                *[_os.path.join(table.root, t) for t in tombs]
+            )
+            shadow_keys = [c for c in tomb_df.columns if c in df.columns]
+            if shadow_keys:
+                n_shadowed = df.join(
+                    tomb_df.select(*shadow_keys).dropDuplicates(),
+                    shadow_keys, "left_semi"
+                ).count()
+                if n_shadowed:
+                    raise ValueError(
+                        f"append would write {n_shadowed} row(s) at merge-on-read "
+                        f"tombstoned key(s) — they would be invisible to scans. Run "
+                        f"materialize_deletes first, or upsert via merge_into "
+                        f"(which materializes automatically)."
+                    )
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // max(1, rows_per_file)))
+        subdir = f"append-{uuid.uuid4().hex[:12]}"
+        entries = write_files(spark, table, df, n_files, subdir)
+    finally:
+        df.unpersist()
     return table.commit_append(
         entries, summary={"appended-rows": n_rows}, publish=publish
     )

@@ -134,3 +134,19 @@ def test_add_column_refuses_resurrecting_dropped_name(tiny_table):
     drop_columns(t, ["score"])
     with pytest.raises(ValueError, match="earlier schema version"):
         add_columns(t, [("score", "double")])
+
+
+def test_merge_accepts_schema_lagged_producer(spark, tiny_df, tiny_table):
+    """After add_columns, a MERGE source still in the OLD shape must
+    null-fill the new column like append does (shared align helper),
+    not fail analysis (review finding)."""
+    from e_commerce_lakehouse_spark.operators import add_columns, merge_into
+    from e_commerce_lakehouse_spark.table import scan
+
+    add_columns(tiny_table, [("quality2", "double")])
+    old_shape = tiny_df.limit(3).withColumn("text", F.lit("lagged-fix"))
+    assert "quality2" not in old_shape.columns
+    merge_into(spark, tiny_table, old_shape)
+    got = scan(spark, tiny_table).where("text = 'lagged-fix'")
+    assert got.count() >= 1
+    assert got.where(F.col("quality2").isNotNull()).count() == 0

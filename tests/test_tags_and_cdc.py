@@ -242,3 +242,24 @@ def test_cdc_append_absorbed_by_rewrite_not_lost(spark, tiny_table, tiny_df, tmp
     b2 = c.poll(spark)
     assert b2["mode"] == "chain"
     assert b2["df"].where(F.col("conv_id").startswith("conv-ok-")).count() == 50
+
+
+def test_cdc_degrades_when_cursor_parent_expired_mid_chain(
+    spark, tiny_table, tiny_df, tmp_path
+):
+    """Cursor snapshot expired but newer snapshots retained: the chain
+    walk completes yet the remover-attribution pass touches the expired
+    parent — must degrade (fileset-diff/reload), never crash (review
+    finding against the pre-session-2 code; fixed by the attribution
+    pass's FileNotFoundError guard)."""
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    c.poll(spark)
+    c.ack()
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-a-", 50))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-b-", 50))
+    expire_snapshots(t, keep_last=2)  # cursor snapshot gone, 2 newer kept
+    assert c.position() not in t.snapshot_ids()
+    b = c.poll(spark)  # must not raise
+    assert b["mode"] in ("fileset-diff", "reload")
+    assert b["df"].where(F.col("conv_id").startswith("conv-a-")).count() == 50

@@ -106,3 +106,34 @@ def test_staged_snapshot_carries_tombstones(spark, tiny_df, tiny_table):
     tiny_table.publish_snapshot(staged.snapshot_id)
     assert tiny_table.tombstones()  # still live after publish
     assert scan(spark, tiny_table).count() == audited.count()
+
+
+def test_abandoned_staged_snapshot_invisible_to_time_travel_and_history(
+    spark, tiny_df, tiny_table
+):
+    """A staged snapshot that was never published was never CURRENT at
+    any wall-clock time: timestamp time travel must not serve it, and
+    history must keep labeling it staged even after the head advances
+    past it (review findings)."""
+    import time
+
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import append_dataframe
+
+    base_rows = scan(spark, tiny_table).count()
+    staged = append_dataframe(spark, tiny_table, transcripts_df(spark, 25, seed=13),
+                              publish=False)
+    time.sleep(0.05)
+    ts_after_stage = int(time.time() * 1000)
+    # time travel to "now" resolves the PUBLISHED head, not the staged id
+    assert tiny_table.snapshot_id_as_of(ts_after_stage) == staged.parent_id
+    assert scan(spark, tiny_table, as_of_ts_ms=ts_after_stage).count() == base_rows
+    # abandon the stage; publish a different append past it
+    pub = append_dataframe(spark, tiny_table, transcripts_df(spark, 10, seed=14))
+    assert pub.snapshot_id > staged.snapshot_id
+    hist = {h["snapshot_id"]: h for h in tiny_table.history()}
+    assert hist[staged.snapshot_id]["staged"] is True  # still labeled staged
+    assert hist[pub.snapshot_id]["staged"] is False
+    # and time travel still never resolves the abandoned stage
+    assert tiny_table.snapshot_id_as_of(int(time.time() * 1000)) == pub.snapshot_id
