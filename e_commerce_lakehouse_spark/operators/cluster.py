@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import uuid
 from time import monotonic
 
 from pyspark.sql import SparkSession
@@ -175,13 +176,16 @@ def cluster(
         ).hexdigest()[:8]
 
     t0 = monotonic()
+    # per-run token keeps output dirs collision-free (append-{uuid} rule):
+    # a concurrent clusterer planned from the same snapshot must lose at
+    # commit time, never by deleting the winner's committed files; a
+    # crashed attempt's dir falls to expire's orphan GC (review finding)
+    run_token = uuid.uuid4().hex[:12]
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         if shards <= 1:
-            subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}"
+            subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}-{run_token}"
             out_dir = os.path.join(table.data_dir, subdir)
-            if os.path.exists(out_dir):
-                shutil.rmtree(out_dir)
             (
                 keyed.repartitionByRange(n_files, F.col(_KEY))
                 .sortWithinPartitions(_KEY)
@@ -200,7 +204,7 @@ def cluster(
             added = _cluster_sharded(
                 spark, table, keyed, base_snapshot, curve, shards, n_files,
                 checkpoint_path, stat_columns, fail_after_shards,
-                scope_tag=_scope_tag,
+                scope_tag=_scope_tag, run_token=run_token,
             )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
@@ -232,7 +236,7 @@ def cluster(
 
 def _cluster_sharded(
     spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path,
-    stat_columns, fail_after_shards=None, scope_tag="",
+    stat_columns, fail_after_shards=None, scope_tag="", run_token="",
 ) -> list[DataFileEntry]:
     """Stage temp copy bucketed by key-quantile shard, then sort/write each
     shard as a checkpointed, resumable file group. Scoped plans get their
@@ -307,11 +311,15 @@ def _cluster_sharded(
             continue
         t0 = monotonic()
         shard_dir = os.path.join(tmp_dir, f"__shard={s}")
+        # run token → no collision with a prior crashed attempt's partial
+        # output (resume reuses COMPLETED shards via their checkpointed
+        # paths; a redone shard just writes a fresh dir, the dead partial
+        # is orphan-GC'd). No rmtree: deterministic names + rmtree could
+        # delete a concurrent winner's committed files (review finding).
         out_dir = os.path.join(
-            table.data_dir, f"cluster-{base_snapshot:08d}-{curve}{scope_tag}-s{s:04d}"
+            table.data_dir,
+            f"cluster-{base_snapshot:08d}-{curve}{scope_tag}-s{s:04d}-{run_token}",
         )
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
         if not os.path.exists(shard_dir):  # empty shard
             ckpt.record({"group_id": s, "status": "done", "outputs": [], "rows": 0})
             continue

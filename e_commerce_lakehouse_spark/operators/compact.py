@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 import os
 import threading
+import uuid
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from time import monotonic
 
@@ -48,6 +49,7 @@ def _rewrite_wave_arrow(
     stat_columns,
     codec: str = "zstd",
     field_spec: list | None = None,
+    run_token: str = "",
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -60,6 +62,7 @@ def _rewrite_wave_arrow(
     pyarrow opens directly."""
     cols = tuple(stat_columns)
     snap = base_snapshot
+    tok = run_token
 
     def run(it):
         import os
@@ -89,7 +92,15 @@ def _rewrite_wave_arrow(
         for spec in it:
             t0 = _mono()
             gid = spec["group_id"]
-            out_dir = os.path.join(table_root, "data", f"compact-{snap:08d}-g{gid:05d}")
+            # run token: two compactors racing from one snapshot (or a
+            # resume after a crash) never write the same path — without it
+            # pq.write_table would silently overwrite a COMMITTED file in
+            # place while readers hold it (review finding); resume reuses
+            # finished groups via their checkpointed paths, so uniqueness
+            # per attempt is safe
+            out_dir = os.path.join(
+                table_root, "data", f"compact-{snap:08d}-g{gid:05d}-{tok}"
+            )
             os.makedirs(out_dir, exist_ok=True)
             parts = [pq.read_table(os.path.join(table_root, p)) for p in spec["paths"]]
             if field_spec:
@@ -155,15 +166,16 @@ def _rewrite_group(
     target_bytes: int,
     schema,
     stat_columns,
+    run_token: str = "",
 ) -> dict:
     t0 = monotonic()
-    subdir = f"compact-{base_snapshot:08d}-g{group.group_id:05d}"
+    # run token = collision-free per attempt: a prior crashed attempt's
+    # partial dir is left for orphan GC instead of rmtree'd (a rmtree on a
+    # deterministic name could delete a concurrent winner's committed
+    # files — review finding); resume reuses finished groups via their
+    # checkpointed output paths
+    subdir = f"compact-{base_snapshot:08d}-g{group.group_id:05d}-{run_token}"
     out_dir = os.path.join(table.data_dir, subdir)
-    if os.path.exists(out_dir):
-        # group died mid-write (no checkpoint line) — partial output is dead
-        import shutil
-
-        shutil.rmtree(out_dir)
     in_paths = [os.path.join(table.root, p) for p in group.paths]
     n_out = max(1, math.ceil(group.bytes / target_bytes))
     df = spark.read.schema(schema).parquet(*in_paths)
@@ -184,7 +196,7 @@ def _rewrite_group(
 
 def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
-    codec: str = "zstd", field_spec: list | None = None,
+    codec: str = "zstd", field_spec: list | None = None, run_token: str = "",
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
@@ -197,7 +209,7 @@ def _run_arrow(
         t0 = monotonic()
         results = _rewrite_wave_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
-            field_spec=field_spec,
+            field_spec=field_spec, run_token=run_token,
         )
         wall = int((monotonic() - t0) * 1000)
         phase["wave_sec"] += wall / 1000
@@ -228,7 +240,7 @@ def _run_arrow(
 
 def _run_jobs(
     spark, table, todo, base_snapshot, target_bytes, schema, stat_columns, ckpt,
-    max_concurrent_groups, fail_after_groups
+    max_concurrent_groups, fail_after_groups, run_token: str = "",
 ) -> None:
     """Jobs mode: one Spark SQL job per group, FAIR-scheduled from a
     thread pool (the generic path — works for any schema/transform)."""
@@ -236,7 +248,8 @@ def _run_jobs(
     lock = threading.Lock()
 
     def run_group(g: FileGroup) -> dict:
-        rec = _rewrite_group(spark, table, g, base_snapshot, target_bytes, schema, stat_columns)
+        rec = _rewrite_group(spark, table, g, base_snapshot, target_bytes, schema,
+                             stat_columns, run_token=run_token)
         nonlocal completed
         with lock:
             ckpt.record(rec)
@@ -346,6 +359,8 @@ def compact(
         if all(os.path.exists(os.path.join(table.root, p)) for p in rec["output_files"])
     }
     todo = [g for g in groups if g.group_id not in done]
+    # collision-free output dirs per attempt (see _rewrite_wave_arrow)
+    run_token = uuid.uuid4().hex[:12]
 
     t_plan_done = monotonic()
     if mode == "arrow":
@@ -368,11 +383,12 @@ def compact(
         phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
                            wave_size=wave_size,
                            fail_after_groups=fail_after_groups, codec=codec,
-                           field_spec=field_spec)
+                           field_spec=field_spec, run_token=run_token)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
-                  stat_columns, ckpt, max_concurrent_groups, fail_after_groups)
+                  stat_columns, ckpt, max_concurrent_groups, fail_after_groups,
+                  run_token=run_token)
     else:
         raise ValueError(f"unknown compaction mode: {mode}")
     t_rewrite_done = monotonic()

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
+import uuid
 from time import monotonic
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -160,10 +160,11 @@ def merge_into(
         target_df = spark.createDataFrame([], schema)
     merged = merge_upsert_dataframes(target_df, source, keys, order_col=None)
 
-    subdir = f"merge-{base_snapshot:08d}"
+    # collision-free output dir (append-{uuid} rule): a concurrent merge
+    # planned from the same snapshot must lose at COMMIT time, not by
+    # rmtree'ing the winner's committed files (review finding)
+    subdir = f"merge-{base_snapshot:08d}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.data_dir, subdir)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
     n_out = max(1, math.ceil(touched_bytes / target_bytes) or 1)
     merged.repartition(n_out).write.mode("error").parquet(out_dir)
     added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import uuid
 from time import monotonic
 
 from pyspark.sql import Column, SparkSession
@@ -87,10 +88,13 @@ def _rewrite_and_commit(
 ) -> dict:
     entries_by_path = {e.path: e for e in table.entries()}
     touched_bytes = sum(entries_by_path[p].bytes for p in touched)
-    subdir = f"{operation}-{table.current_snapshot_id():08d}"
+    # collision-free like append-{uuid}: two writers planning from the same
+    # snapshot must never share an output dir — a deterministic name plus
+    # rmtree let the loser delete the winner's already-COMMITTED files
+    # before its own commit was (correctly) rejected (review finding).
+    # A crashed attempt's dir becomes an orphan for expire's GC.
+    subdir = f"{operation}-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.data_dir, subdir)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
     n_out = max(1, math.ceil(touched_bytes / target_bytes))
     rewritten_df.repartition(n_out).write.mode("error").parquet(out_dir)
     added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
@@ -210,10 +214,10 @@ def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
         spark.read.schema(schema).parquet(*abs_paths).where(pred)
         .select(*keys).dropDuplicates()
     )
-    subdir = f"tombstone-{table.current_snapshot_id():08d}"
+    # uuid suffix: same collision-free rule as the rewrite dirs (two MoR
+    # deletes planned from one snapshot must not share/clobber a dir)
+    subdir = f"tombstone-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.data_dir, subdir)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
     matched.coalesce(1).write.mode("error").parquet(out_dir)
     tomb_files = [
         os.path.relpath(os.path.join(out_dir, f), table.root)

@@ -179,4 +179,14 @@ class IncrementalConsumer:
         if not entries:
             return {"df": spark.createDataFrame([], schema), "mode": "chain"}
         paths = [os.path.join(t.root, e.path) for e in entries]
-        return {"df": spark.read.schema(schema).parquet(*paths), "mode": "chain"}
+        df = spark.read.schema(schema).parquet(*paths)
+        # match scan-at-`current` semantics for merge-on-read deletes: a row
+        # appended and then MoR-deleted inside the polled window must NOT be
+        # delivered as a live insert (the cow-delete path already excludes
+        # it). Same anti-join scan() uses; tombstone side is delete-sized.
+        tombs = t.tombstones(current)
+        if tombs:
+            tomb_df = spark.read.parquet(*[os.path.join(t.root, p) for p in tombs])
+            df = df.join(tomb_df.dropDuplicates(), on=list(tomb_df.columns),
+                         how="left_anti")
+        return {"df": df, "mode": "chain"}

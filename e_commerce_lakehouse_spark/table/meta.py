@@ -203,9 +203,14 @@ class Table:
         """Live data files of a snapshot: manifest union minus removed set.
         Memoized per snapshot id (immutable once written)."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        if sid is not None and sid in self._entries_cache:
+        if sid is None:
+            raise ValueError("table has no snapshots")
+        if sid in self._entries_cache:
             return list(self._entries_cache[sid])
-        snap = self.snapshot(snapshot_id)
+        # resolve via the SAME sid the cache key uses — re-reading VERSION
+        # here raced a concurrent commit and could cache the new head's
+        # entry list under the old sid (review finding)
+        snap = self.snapshot(sid)
         removed = set(snap.removed_files)
         out: list[DataFileEntry] = []
         seen: set[str] = set()
@@ -214,10 +219,9 @@ class Table:
                 if e.path not in removed and e.path not in seen:
                     seen.add(e.path)
                     out.append(e)
-        if sid is not None:
-            while len(self._entries_cache) >= 2:
-                self._entries_cache.pop(next(iter(self._entries_cache)))
-            self._entries_cache[sid] = out
+        while len(self._entries_cache) >= 2:
+            self._entries_cache.pop(next(iter(self._entries_cache)))
+        self._entries_cache[sid] = out
         return list(out)
 
     def file_paths(self, snapshot_id: int | None = None) -> list[str]:
@@ -329,8 +333,15 @@ class Table:
             removed = list(self.snapshot(parent).removed_files) if parent else []
             tombs = list(self.snapshot(parent).tombstones) if parent else []
             manifests.append(self._write_manifest(sid, len(manifests), added))
+            s = _summarize(added, summary)
+            if not publish:
+                # record staged-ness EXPLICITLY: _published_ids must not
+                # have to infer it from id ordering, which misclassifies a
+                # tag-pinned abandoned stage once its contemporaries expire
+                # (review finding)
+                s["staged"] = True
             snap = Snapshot(sid, parent, "append", manifests, removed,
-                            _summarize(added, summary), int(time.time() * 1000),
+                            s, int(time.time() * 1000),
                             tombstones=tombs)
             return self._commit(snap, publish=publish)
 
@@ -351,6 +362,15 @@ class Table:
                     f"{snap.parent_id} but the table is now at {current}; "
                     f"re-stage on the current head"
                 )
+            if snap.summary.get("staged"):
+                # the snapshot is published from here on: drop the staged
+                # marker (atomic rewrite) BEFORE the flip so no observer
+                # ever sees a published-but-flagged snapshot
+                snap.summary = {k: v for k, v in snap.summary.items() if k != "staged"}
+                tmp = self._snap_path(snapshot_id) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(snap.to_dict(), f)
+                os.replace(tmp, self._snap_path(snapshot_id))
             vtmp = self._version_path() + ".tmp"
             with open(vtmp, "w") as f:
                 f.write(str(snapshot_id))
@@ -632,10 +652,12 @@ class Table:
         """Ids of PUBLISHED snapshots among the retained set: everything on
         the current head's parent chain, plus anything OLDER than the
         oldest chain ancestor we could walk to (pre-gap history pinned by
-        tags — the chain breaks at expired ancestors, but a staged
-        write-audit-publish snapshot is always NEWER than its published
-        parent, so pre-gap ids cannot be staged). Excludes staged
-        snapshots pending or abandoned."""
+        tags; the chain breaks at expired ancestors) that is not
+        explicitly flagged staged. The staged marker is recorded at
+        commit_append(publish=False) and cleared by publish_snapshot, so
+        a tag-pinned ABANDONED stage sitting below the chain floor is
+        still excluded — id ordering alone misclassified it (review
+        finding). Excludes staged snapshots pending or abandoned."""
         chain: set[int] = set()
         sid = self.current_snapshot_id()
         while sid is not None:
@@ -645,7 +667,11 @@ class Table:
             except FileNotFoundError:
                 break
         floor = min(chain) if chain else 0
-        return chain | {s for s in self.snapshot_ids() if s < floor}
+        return chain | {
+            s
+            for s in self.snapshot_ids()
+            if s < floor and not self.snapshot(s).summary.get("staged")
+        }
 
     def snapshot_id_as_of(self, ts_ms: int) -> int:
         """Time travel: the snapshot that was current at wall-clock

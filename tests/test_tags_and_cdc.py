@@ -263,3 +263,27 @@ def test_cdc_degrades_when_cursor_parent_expired_mid_chain(
     b = c.poll(spark)  # must not raise
     assert b["mode"] in ("fileset-diff", "reload")
     assert b["df"].where(F.col("conv_id").startswith("conv-a-")).count() == 50
+
+
+def test_cdc_chain_excludes_mor_deleted_rows(spark, tiny_table, tiny_df, tmp_path):
+    """A row appended then MoR-deleted inside the polled window must NOT be
+    delivered as a live insert: chain mode matches scan-at-`to` semantics
+    (the cow-delete path already excluded it — review finding)."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+
+    t = tiny_table
+    c = IncrementalConsumer(t, str(tmp_path / "cursor.json"))
+    b0 = c.poll(spark)
+    assert b0["mode"] == "initial"
+    c.ack()
+
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-mor-", 60))
+    delete_where(
+        spark, t, F.col("conv_id").startswith("conv-mor-"), mode="merge-on-read"
+    )
+    b1 = c.poll(spark)
+    assert b1["mode"] == "chain"
+    # the appended-then-deleted rows are invisible, like scan() at `to`
+    assert b1["df"].where(F.col("conv_id").startswith("conv-mor-")).count() == 0
+    c.ack()
+    assert scan(spark, t).where(F.col("conv_id").startswith("conv-mor-")).count() == 0

@@ -137,3 +137,44 @@ def test_abandoned_staged_snapshot_invisible_to_time_travel_and_history(
     assert hist[pub.snapshot_id]["staged"] is False
     # and time travel still never resolves the abandoned stage
     assert tiny_table.snapshot_id_as_of(int(time.time() * 1000)) == pub.snapshot_id
+
+
+def test_tag_pinned_abandoned_stage_stays_staged_below_chain_floor(
+    spark, tiny_table, tiny_df
+):
+    """An abandoned staged snapshot pinned by a tag can outlive its
+    contemporaries and sink below the walkable chain floor; the explicit
+    staged marker keeps snapshot_id_as_of/history from misclassifying it
+    as published history (review finding)."""
+    import time
+
+    t = tiny_table
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-pin-", 40), publish=False)
+    t.create_tag("audit-hold", staged.snapshot_id)
+    assert staged.summary.get("staged") is True
+
+    # churn far past retention and expire everything older than the head
+    append_dataframe(spark, t, _extra(tiny_df, "conv-a-", 10))
+    append_dataframe(spark, t, _extra(tiny_df, "conv-b-", 10))
+    append_dataframe(spark, t, _extra(tiny_df, "conv-c-", 10))
+    expire_snapshots(t, keep_last=1)
+
+    # tag pinned it below the chain floor...
+    assert staged.snapshot_id in t.snapshot_ids()
+    assert staged.snapshot_id < min(t._published_ids() or {0})
+    # ...but it is still excluded from published history
+    assert staged.snapshot_id not in t._published_ids()
+    future = int(time.time() * 1000) + 10_000
+    assert t.snapshot_id_as_of(future) != staged.snapshot_id
+    row = [h for h in t.history() if h["snapshot_id"] == staged.snapshot_id][0]
+    assert row["staged"] is True
+
+
+def test_published_stage_loses_staged_marker(spark, tiny_table, tiny_df):
+    """publish_snapshot clears the staged flag so published history below a
+    future chain break is still classified published."""
+    t = tiny_table
+    staged = append_dataframe(spark, t, _extra(tiny_df, "conv-pub-", 30), publish=False)
+    t.publish_snapshot(staged.snapshot_id)
+    assert t.snapshot(staged.snapshot_id).summary.get("staged") is None
+    assert staged.snapshot_id in t._published_ids()
