@@ -1,0 +1,138 @@
+"""Persistent, session-independent catalog of lakehouse tables.
+
+The reference registers its Delta tables in AWS Glue so external SQL
+engines can query them by name (crawler step,
+`/root/reference/src/step_functions/etl_orchestrator.json:354-377`).
+There is no metastore service in this environment (and no Hive jars are
+assumed), so — like the table format itself (table/meta.py) — the
+catalog is implemented from scratch as a tiny atomic JSON file:
+
+    {"tables": {"name": {"root": ..., "snapshot_id": int|null,
+                         "ref": str|null}}}
+
+- ``snapshot_id`` pins the registration to one snapshot (and the
+  registration TAGS that snapshot on the table, so ``expire_snapshots``
+  cannot age it out from under external readers — Iceberg tag
+  semantics).
+- ``ref`` registers a named tag instead (resolved at attach time).
+- neither → the registration follows the table head.
+
+``attach`` materializes the catalog into ANY SparkSession as temp views
+(one ``scan``-backed view per table), after which plain ``spark.sql``
+works by name. Cross-session persistence lives in the JSON file, not in
+Spark's in-memory session catalog — a second process attaches the same
+catalog file and sees the same pinned data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from .table.meta import Table
+from .table.scan import scan
+
+
+def _tag_name(name: str) -> str:
+    return f"catalog:{name}"
+
+
+class Catalog:
+    """A named-table registry persisted at ``path`` (atomic os.replace)."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+
+    # ---------- storage ----------
+
+    def entries(self) -> dict[str, dict]:
+        try:
+            with open(self.path) as f:
+                return json.load(f)["tables"]
+        except FileNotFoundError:
+            return {}
+
+    def _write(self, tables: dict[str, dict]) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tables": tables}, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # ---------- registration ----------
+
+    def register(
+        self,
+        name: str,
+        table: Table | str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        replace: bool = False,
+    ) -> dict:
+        """Register ``table`` under ``name``. ``snapshot_id`` pins (and
+        tags) that snapshot; ``ref`` stores a tag name; neither follows
+        the head. Duplicate names raise unless ``replace=True``."""
+        if snapshot_id is not None and ref is not None:
+            raise ValueError("pass at most one of snapshot_id / ref")
+        t = table if isinstance(table, Table) else Table.load(table)
+        tables = self.entries()
+        if name in tables and not replace:
+            raise ValueError(f"table already registered: {name!r} -> "
+                             f"{tables[name]['root']}")
+        if ref is not None:
+            t.resolve_ref(ref)  # KeyError if the tag doesn't exist
+        if snapshot_id is not None:
+            t.snapshot(snapshot_id)  # FileNotFoundError if unknown
+            # pin through expire: catalog registrations are external
+            # readers; their snapshot must not be GC'd (Iceberg tags)
+            if _tag_name(name) not in t.tags():
+                t.create_tag(_tag_name(name), snapshot_id)
+        entry = {"root": t.root, "snapshot_id": snapshot_id, "ref": ref}
+        tables[name] = entry
+        self._write(tables)
+        return entry
+
+    def unregister(self, name: str) -> dict:
+        """Remove a registration; drops the protective catalog tag (the
+        snapshot then ages out with normal retention)."""
+        tables = self.entries()
+        if name not in tables:
+            raise KeyError(f"no such catalog table: {name}")
+        entry = tables.pop(name)
+        try:
+            t = Table.load(entry["root"])
+            if _tag_name(name) in t.tags():
+                t.delete_tag(_tag_name(name))
+        except FileNotFoundError:
+            pass  # table dir gone: nothing to untag
+        self._write(tables)
+        return entry
+
+    # ---------- resolution / attach ----------
+
+    def resolve(self, name: str) -> tuple[Table, int | None]:
+        """(Table, pinned snapshot id or None-for-head) for a name."""
+        tables = self.entries()
+        if name not in tables:
+            raise KeyError(f"no such catalog table: {name}")
+        e = tables[name]
+        t = Table.load(e["root"])
+        if e.get("snapshot_id") is not None:
+            return t, e["snapshot_id"]
+        if e.get("ref"):
+            return t, t.resolve_ref(e["ref"])
+        return t, None
+
+    def attach(self, spark: SparkSession, names: list[str] | None = None) -> list[str]:
+        """Create one temp view per registration in THIS session, after
+        which ``spark.sql("SELECT ... FROM <name>")`` works. Head-mode
+        views re-resolve per attach (call again to advance); pinned views
+        are stable across sessions and table churn."""
+        out = []
+        for name in sorted(names if names is not None else self.entries()):
+            t, sid = self.resolve(name)
+            scan(spark, t, snapshot_id=sid).createOrReplaceTempView(name)
+            out.append(name)
+        return out

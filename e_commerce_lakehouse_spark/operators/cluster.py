@@ -131,13 +131,29 @@ def cluster(
         raise ValueError("cannot cluster an empty table")
     entries = table.entries()
     scoped = conv_id_range is not None or ts_range is not None
+    scoped_seq = None
     if scoped:
-        from ..table.scan import prune_entries
+        from ..table.scan import prune_entries, tombstone_classes
 
         entries = prune_entries(entries, conv_id_range=conv_id_range, ts_range=ts_range)
         if not entries:
             return {"base_snapshot": base_snapshot, "committed_snapshot": base_snapshot,
                     "noop": True, "scoped_files": 0}
+        # scoped runs read raw and propagate tombstones — the merged output
+        # carries ONE data-sequence number, so inputs spanning a tombstone
+        # seq boundary (different applicability classes) cannot be safely
+        # combined; full clustering (which applies + clears tombstones) or
+        # materialize_deletes resolves it
+        tomb_entries = table.tombstone_entries(base_snapshot)
+        if tomb_entries:
+            classes = tombstone_classes(entries, tomb_entries)
+            if len(classes) > 1:
+                raise ValueError(
+                    "scoped cluster over files in different merge-on-read "
+                    "tombstone applicability classes; run materialize_deletes "
+                    "(or a full cluster) first"
+                )
+            scoped_seq = max((e.seq or 0) for e in entries)
     total_bytes = sum(e.bytes for e in entries)
     n_files = max(1, math.ceil(total_bytes / target_bytes))
 
@@ -209,6 +225,9 @@ def cluster(
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
+    if scoped_seq is not None:
+        for e in added:  # preserve applicability of the propagated tombstones
+            e.seq = scoped_seq
     removed = [e.path for e in entries]
     snap = table.commit_rewrite(
         removed,

@@ -167,6 +167,7 @@ def _rewrite_group(
     schema,
     stat_columns,
     run_token: str = "",
+    out_seq: int | None = None,
 ) -> dict:
     t0 = monotonic()
     # run token = collision-free per attempt: a prior crashed attempt's
@@ -182,6 +183,8 @@ def _rewrite_group(
     # coalesce: no shuffle — small whole files concatenate into n_out files
     df.coalesce(n_out).write.mode("error").parquet(out_dir)
     outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
+    for e in outs:
+        e.seq = out_seq
     return {
         "group_id": group.group_id,
         "status": "done",
@@ -197,11 +200,13 @@ def _rewrite_group(
 def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
     codec: str = "zstd", field_spec: list | None = None, run_token: str = "",
+    group_seq: dict | None = None,
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
     overhead amortized over the wave). Returns phase metrics."""
     completed = 0
+    group_seq = group_seq or {}
     phase = {"wave_sec": 0.0, "task_read_sec": 0.0, "task_write_sec": 0.0, "waves": 0}
     for w in range(0, len(todo), wave_size):
         wave = todo[w : w + wave_size]
@@ -211,6 +216,8 @@ def _run_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
             field_spec=field_spec, run_token=run_token,
         )
+        for r in results:  # outputs carry the group's preserved seq
+            r["entry"]["seq"] = group_seq[r["group_id"]]
         wall = int((monotonic() - t0) * 1000)
         phase["wave_sec"] += wall / 1000
         phase["task_read_sec"] += sum(r["task_read_ms"] for r in results) / 1000
@@ -241,6 +248,7 @@ def _run_arrow(
 def _run_jobs(
     spark, table, todo, base_snapshot, target_bytes, schema, stat_columns, ckpt,
     max_concurrent_groups, fail_after_groups, run_token: str = "",
+    group_seq: dict | None = None,
 ) -> None:
     """Jobs mode: one Spark SQL job per group, FAIR-scheduled from a
     thread pool (the generic path — works for any schema/transform)."""
@@ -249,7 +257,8 @@ def _run_jobs(
 
     def run_group(g: FileGroup) -> dict:
         rec = _rewrite_group(spark, table, g, base_snapshot, target_bytes, schema,
-                             stat_columns, run_token=run_token)
+                             stat_columns, run_token=run_token,
+                             out_seq=(group_seq or {}).get(g.group_id))
         nonlocal completed
         with lock:
             ckpt.record(rec)
@@ -322,18 +331,47 @@ def compact(
         _scope_tag = "-scope" + hashlib.md5(
             repr((conv_id_range, ts_range)).encode()
         ).hexdigest()[:8]
+    # SEQ-CLASS partition (Iceberg v2 tombstone semantics): files in
+    # different tombstone-applicability classes must never share an output
+    # file — the merged file could carry only one sequence number, and a
+    # live tombstone with a seq between the inputs' would either resurrect
+    # deleted rows or kill exempt ones. One class (the common case — no
+    # live tombstones, or all files on one side of every tombstone) plans
+    # exactly as before; class partitioning is deterministic, so group ids
+    # stay resume-stable for a given base snapshot.
+    tomb_entries = table.tombstone_entries()
+    if tomb_entries:
+        from ..table.scan import tombstone_classes
+
+        _classes = tombstone_classes(entries, tomb_entries)
+        entry_parts = [_classes[k] for k in sorted(_classes)]
+    else:
+        entry_parts = [entries]
     if order_preserving:
         from ..plans.binpack import plan_bin_packing_ordered
 
         stat_key = stat_columns[0] if stat_columns else "conv_id"
-        groups, kept = plan_bin_packing_ordered(
-            entries, target_bytes, small_file_ratio, stat_key=stat_key
+        planner = lambda part: plan_bin_packing_ordered(  # noqa: E731
+            part, target_bytes, small_file_ratio, stat_key=stat_key
         )
         # ordered plans get their own checkpoint namespace: group ids from
         # an ordered plan must never resume against an FFD plan's groups
         _scope_tag += "-ordered"
     else:
-        groups, kept = plan_bin_packing(entries, target_bytes, small_file_ratio)
+        planner = lambda part: plan_bin_packing(  # noqa: E731
+            part, target_bytes, small_file_ratio
+        )
+    groups, kept = [], []
+    for part in entry_parts:
+        g_part, k_part = planner(part)
+        for g in g_part:
+            g.group_id = len(groups)
+            groups.append(g)
+        kept.extend(k_part)
+    # rewrite outputs inherit the MAX input data-sequence number (valid
+    # within a class): older tombstones keep applying to the carried rows,
+    # and nothing newer is wrongly exempted
+    group_seq = {g.group_id: max((e.seq or 0) for e in g.entries) for g in groups}
     metrics = {
         "base_snapshot": base_snapshot,
         "planned_groups": len(groups),
@@ -383,12 +421,13 @@ def compact(
         phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
                            wave_size=wave_size,
                            fail_after_groups=fail_after_groups, codec=codec,
-                           field_spec=field_spec, run_token=run_token)
+                           field_spec=field_spec, run_token=run_token,
+                           group_seq=group_seq)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
                   stat_columns, ckpt, max_concurrent_groups, fail_after_groups,
-                  run_token=run_token)
+                  run_token=run_token, group_seq=group_seq)
     else:
         raise ValueError(f"unknown compaction mode: {mode}")
     t_rewrite_done = monotonic()

@@ -290,12 +290,22 @@ def simhash_signatures_df(
     sum(sign(bit)) aggs over (doc, token) rows — map-side combinable,
     whole-stage codegen, no per-row array re-walks.
 
-    Deliberately NOT widened via plans/parallelism (unlike the shingle
-    table): token split + one xxhash per token is far lighter than
-    shingle+md5, and the A/B at sf0.1 measured the widening repartition
-    COSTING ~15% at the warm floor (6.8 s vs 5.9 s) — the extra shuffle
-    outweighs the map-side win here. At corpus scale inputs arrive
-    pre-split, so this choice only affects small-input runs either way."""
+    Input widening is CONDITIONAL (< pool/2): a narrow scan (sf0.1
+    documents = one parquet file = ONE partition) serializes the
+    token-explode+hash map stage on a single core regardless of pool
+    width — round 3 removed the widening after a warm-floor A/B showed
+    the repartition costing ~15% (6.8 s vs 5.9 s), and the very next
+    recorded bench paid 13× on the serial tail under contention (82.9 s
+    vs 6.2 s, VERDICT r3). The pool/2 guard keeps the warm-floor win
+    when the scan is already reasonably split, and only pays the one
+    round-robin shuffle when the map stage would otherwise idle most of
+    the cluster. At corpus scale inputs arrive in thousands of splits
+    and this is a no-op."""
+    pool = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, pool // 2):
+        from ..plans.parallelism import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("tok"),

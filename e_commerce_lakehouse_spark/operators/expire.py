@@ -61,7 +61,7 @@ def expire_snapshots(
     for sid in retained:
         snap = table.snapshot(sid)
         live_manifests.update(snap.manifests)
-        live_rel.update(snap.tombstones)  # MoR key-tombstone files
+        live_rel.update(snap.tombstone_paths)  # MoR key-tombstone files
         for e in table.entries(sid):
             live_rel.add(e.path)
 

@@ -73,9 +73,15 @@ def merge_upsert_dataframes(
     )
 
 
-def _touched_paths(spark: SparkSession, table: Table, source: DataFrame, key: str) -> list[str]:
+def _touched_paths(
+    spark: SparkSession, table: Table, source: DataFrame, key: str,
+    entries=None,
+) -> list[str]:
     """Manifest-stat pruning: files whose [min,max] range of ``key``
     overlaps any source key. Files lacking stats are conservatively touched.
+    ``entries`` restricts the candidate set (seq-aware materialize prunes
+    per tombstone-applicability class); default = the whole current
+    snapshot.
 
     The range compare runs in the stat values' NATIVE type (schema inferred
     from the manifest values): casting a numeric key to string would order
@@ -84,7 +90,8 @@ def _touched_paths(spark: SparkSession, table: Table, source: DataFrame, key: st
     stat form, table/stats.py)."""
     from pyspark.sql import types as T
 
-    entries = table.entries()
+    if entries is None:
+        entries = table.entries()
     stat_rows, no_stats = [], []
     for e in entries:
         rng = e.stats.get(key)

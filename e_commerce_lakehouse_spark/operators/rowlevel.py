@@ -208,10 +208,15 @@ def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
                 f"delete uses {sorted(keys)}; run materialize_deletes first, or "
                 f"use the same key set"
             )
-    entries = table.entries()
-    abs_paths = [os.path.join(table.root, e.path) for e in entries]
+    # evaluate pred on the LOGICAL view (seq-aware scan): a raw file read
+    # would match already-deleted rows — harmless under global key
+    # tombstones, but with update-mor post-images live a pre-image match
+    # would tombstone the key and kill the CURRENT row that no longer
+    # matches the predicate
+    from ..table.scan import scan
+
     matched = (
-        spark.read.schema(schema).parquet(*abs_paths).where(pred)
+        scan(spark, table, schema=schema).where(pred)
         .select(*keys).dropDuplicates()
     )
     # uuid suffix: same collision-free rule as the rewrite dirs (two MoR
@@ -247,22 +252,42 @@ def materialize_deletes(
     """Fold accumulated merge-on-read tombstones into the data files: one
     copy-on-write rewrite of the STAT-OVERLAPPING files only (manifest
     range pruning on the first key, like MERGE), committed with the
-    tombstone list cleared. The cleared tombstone files stay on disk for
-    older pinned snapshots and fall to orphan GC once those expire.
+    tombstone list cleared. SEQ-AWARE: each tombstone is applied only to
+    files with a smaller data sequence number (so an update-mor's
+    post-image files are rewritten only by LATER tombstones, never their
+    own). The cleared tombstone files stay on disk for older pinned
+    snapshots and fall to orphan GC once those expire.
     No-op (no commit) when no tombstones are live."""
-    from ..table.scan import resolve_schema
+    from ..table.scan import resolve_schema, tombstone_classes
     from .merge import _touched_paths
 
     t0 = monotonic()
-    tombs = table.tombstones()
+    tomb_entries = table.tombstone_entries()
+    tombs = [t["path"] for t in tomb_entries]
     if not tombs:
         return {"committed_snapshot": None, "noop": True, "wall_ms": 0}
     schema = resolve_schema(table, schema=schema)
-    tomb_df = spark.read.parquet(*[os.path.join(table.root, t) for t in tombs])
-    keys = list(tomb_df.columns)
-    tomb_df = tomb_df.dropDuplicates()
-    touched = _touched_paths(spark, table, tomb_df, keys[0])
-    if not touched:
+    classes = tombstone_classes(table.entries(), tomb_entries)
+    touched_all: list[str] = []
+    kept_parts = []
+    for ap in sorted(classes):
+        if not ap:
+            continue  # no tombstone applies to these files
+        ents = classes[ap]
+        tomb_df = spark.read.parquet(
+            *[os.path.join(table.root, p) for p in ap]
+        ).dropDuplicates()
+        keys = list(tomb_df.columns)
+        touched = _touched_paths(spark, table, tomb_df, keys[0], entries=ents)
+        if not touched:
+            continue
+        abs_paths = [os.path.join(table.root, p) for p in touched]
+        kept_parts.append(
+            spark.read.schema(schema).parquet(*abs_paths)
+            .join(tomb_df, on=keys, how="left_anti")
+        )
+        touched_all.extend(touched)
+    if not touched_all:
         snap = table.commit_rewrite([], [], operation="materialize-deletes",
                                     summary={"applied_tombstone_files": len(tombs)},
                                     clear_tombstones=True,
@@ -270,13 +295,11 @@ def materialize_deletes(
         return {"committed_snapshot": snap.snapshot_id, "touched_files": 0,
                 "applied_tombstone_files": len(tombs),
                 "wall_ms": int((monotonic() - t0) * 1000)}
-    abs_paths = [os.path.join(table.root, p) for p in touched]
-    kept = (
-        spark.read.schema(schema).parquet(*abs_paths)
-        .join(tomb_df, on=keys, how="left_anti")
-    )
+    kept = kept_parts[0]
+    for p in kept_parts[1:]:
+        kept = kept.unionByName(p)
     out = _rewrite_and_commit(
-        spark, table, touched, kept, "materialize-deletes", target_bytes,
+        spark, table, touched_all, kept, "materialize-deletes", target_bytes,
         stat_columns, {"applied_tombstone_files": len(tombs)}, t0,
         clear_tombstones=True, expected_tombstones=tombs,
     )
@@ -292,12 +315,25 @@ def update_where(
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+    mode: str = "copy-on-write",
+    keys=None,
 ) -> dict:
-    """UPDATE table SET col = expr, ... WHERE predicate (copy-on-write).
+    """UPDATE table SET col = expr, ... WHERE predicate.
 
     ``assignments`` maps existing column name -> SQL string or Column.
     Assigning to a column absent from the table schema raises (UPDATE
-    never evolves the schema; use operators/schema_evolution for that)."""
+    never evolves the schema; use operators/schema_evolution for that).
+
+    ``mode="copy-on-write"`` (default): rewrite the touched files with
+    the SET expressions applied — read-optimized, write cost O(touched
+    bytes).
+    ``mode="merge-on-read"``: ONE snapshot commits a key tombstone for
+    the matched rows plus a data file holding their post-images; the
+    tombstone's sequence number exempts the post-image file (strict
+    seq comparison), so scans see exactly the updated table. Write cost
+    O(matched rows) — the 100 TB fast path for a small UPDATE (Iceberg
+    v2 sequence-number semantics; reference analog whenMatchedUpdateAll,
+    /root/reference/src/glue_jobs/orders_etl.py:182-187)."""
     from ..table.scan import resolve_schema
 
     t0 = monotonic()
@@ -308,12 +344,18 @@ def update_where(
     unknown = sorted(set(assignments) - set(names))
     if unknown:
         raise ValueError(f"UPDATE assigns to non-existent column(s): {unknown}")
+    pred = _as_column(predicate)
+    if mode == "merge-on-read":
+        return _update_merge_on_read(
+            spark, table, pred, assignments, schema, names, keys, stat_columns, t0
+        )
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown update mode: {mode!r}")
     # pending MoR tombstones must be applied first: updating a file that
     # still contains tombstoned rows would otherwise rewrite (and via the
     # cleared-key path potentially resurrect) deleted rows
     materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
                         stat_columns=stat_columns)
-    pred = _as_column(predicate)
     touched = _touched_by_predicate(spark, table, pred, schema)
     if not touched:
         return {"committed_snapshot": None, "touched_files": 0,
@@ -342,3 +384,96 @@ def update_where(
         spark, table, touched, projected, "update", target_bytes, stat_columns,
         {"set_columns": sorted(assignments)}, t0
     )
+
+
+def _update_merge_on_read(
+    spark, table, pred, assignments, schema, names, keys, stat_columns, t0
+) -> dict:
+    """See update_where(mode="merge-on-read"). One atomic snapshot:
+    key tombstone (kills every older copy of the matched keys) + the
+    post-image data file (seq-exempt from that tombstone)."""
+    from ..table.scan import scan
+    from .constraints import enforce_constraints
+
+    keys = list(keys) if keys else [k for k in DEFAULT_DELETE_KEYS if k in names]
+    if not keys:
+        raise ValueError(
+            "merge-on-read update needs key columns (pass keys=...); none of "
+            f"{DEFAULT_DELETE_KEYS} exist in the schema"
+        )
+    missing = sorted(set(keys) - set(names))
+    if missing:
+        raise ValueError(f"update keys not in schema: {missing}")
+    if sorted(set(keys) & set(assignments)):
+        raise ValueError(
+            f"merge-on-read update cannot assign to its own key columns "
+            f"{sorted(set(keys) & set(assignments))} (the tombstone is keyed on "
+            f"the PRE-image); use copy-on-write mode"
+        )
+    # stacked tombstones must share ONE key set (same rule as MoR delete:
+    # scan anti-joins the union of a class's tombstone files on the union
+    # of their columns — a narrower earlier key set would read NULLs and
+    # silently un-delete)
+    live = table.tombstones()
+    if live:
+        import pyarrow.parquet as pq
+
+        existing_keys = sorted(pq.read_schema(os.path.join(table.root, live[0])).names)
+        if existing_keys != sorted(keys):
+            raise ValueError(
+                f"live merge-on-read tombstones use keys {existing_keys} but this "
+                f"update uses {sorted(keys)}; run materialize_deletes first, or "
+                f"use the same key set"
+            )
+    # matched rows through the LOGICAL view (seq-aware scan applies any
+    # live tombstones), so the post-image never resurrects deleted rows
+    matched = scan(spark, table, schema=schema).where(pred)
+    post = matched.select(
+        *[
+            (
+                F.when(pred, _as_column(assignments[c]).cast(schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in names
+        ]
+    )
+    post = enforce_constraints(post, table, context="update")
+    sid = table.current_snapshot_id()
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table.data_dir, f"updatemor-{sid:08d}-{token}")
+    tomb_dir = os.path.join(table.data_dir, f"tombstone-{sid:08d}-{token}")
+    post.coalesce(1).write.mode("error").parquet(data_dir)
+    all_out = collect_entries(list_parquet_files(data_dir), table.root,
+                              stat_columns, spark=spark)
+    added = [e for e in all_out if e.rows > 0]
+    n_rows = sum(e.rows for e in added)
+    if n_rows == 0:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return {"committed_snapshot": None, "mode": "merge-on-read",
+                "updated_rows": 0, "wall_ms": int((monotonic() - t0) * 1000)}
+    for e in all_out:
+        if e.rows == 0:
+            os.remove(os.path.join(table.root, e.path))
+    # the tombstone is the matched keys (pre-image == post-image keys:
+    # key assignment is refused above)
+    spark.read.schema(schema).parquet(
+        *[os.path.join(table.root, e.path) for e in added]
+    ).select(*keys).dropDuplicates().coalesce(1).write.mode("error").parquet(tomb_dir)
+    tomb_files = [
+        os.path.relpath(os.path.join(tomb_dir, f), table.root)
+        for f in sorted(os.listdir(tomb_dir))
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    snap = table.commit_upsert_mor(
+        added, tomb_files,
+        summary={"keys": keys, "set_columns": sorted(assignments),
+                 "updated_rows": n_rows},
+    )
+    return {"committed_snapshot": snap.snapshot_id, "mode": "merge-on-read",
+            "updated_rows": n_rows, "added_files": len(added),
+            "tombstone_files": len(tomb_files),
+            "live_tombstone_files": len(snap.tombstones),
+            "wall_ms": int((monotonic() - t0) * 1000)}

@@ -126,7 +126,7 @@ def verify_table(
     referenced: set[str] = set()
     for s in table.snapshot_ids():
         snap = table.snapshot(s)
-        referenced.update(snap.tombstones)
+        referenced.update(snap.tombstone_paths)
         for e in table.entries(s):
             referenced.add(e.path)
     orphans = []

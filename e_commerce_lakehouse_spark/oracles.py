@@ -665,17 +665,25 @@ ALL["q53_ivf_ann_topk"] = _ivf_sql()
 
 
 # q54: the row-level lifecycle's final table state, purely relationally —
-# delete predicate as a WHERE complement, SET expressions as CASEs.
+# delete predicates as WHERE complements, SET expressions as CASEs. The
+# last two stages run merge-on-read on the Spark side (one-snapshot
+# tombstone+post-image UPDATE, then a stacked MoR delete over it) and the
+# final scan applies them seq-aware WITHOUT materializing — relationally
+# they are just another CASE and another WHERE.
 ALL["q54_rowlevel_lifecycle"] = """
-WITH final AS (
+WITH cow AS (
     SELECT doc_id,
            CASE WHEN lang = 'zh' THEN upper(source) ELSE lang END AS lang,
            source,
            CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
     FROM documents
-    WHERE NOT (lang = 'de' OR n_chars < 150) AND source <> 'src0')
+    WHERE NOT (lang = 'de' OR n_chars < 150) AND source <> 'src0'),
+final AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN lang = 'fr' THEN n_chars * 2 ELSE n_chars END AS n_chars
+    FROM cow)
 SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS chars
-FROM final GROUP BY source, lang
+FROM final WHERE NOT (n_chars > 5000) GROUP BY source, lang
 """
 
 
@@ -712,4 +720,53 @@ feats AS (
 SELECT source, lang_guess, count(*) AS n_docs, sum(n_tokens) AS tokens,
        round(avg(quality), 6) AS avg_quality
 FROM feats WHERE quality >= 0.7 GROUP BY source, lang_guess
+"""
+
+
+# q30: the maintenance lifecycle's post-maintenance table state, purely
+# relationally. The Spark side drives the REAL table format (ingest →
+# compact → Z-order cluster → MERGE → manifest rewrite → expire → scan);
+# the maintenance ops are all content-preserving except MERGE, whose
+# semantics (whenMatchedUpdateAll + whenNotMatchedInsertAll) are stated
+# here as anti-join + UNION ALL over the same expression-derived input.
+ALL["q30_maintenance_lifecycle"] = """
+WITH base AS (
+    SELECT 'conv-' || lpad(CAST(event_id % 500 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           props AS text,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           ts
+    FROM events),
+corr AS (
+    SELECT conv_id, turn_idx, role, upper(text) AS text, tool, ts FROM base
+    WHERE (CAST(substring(conv_id, 6) AS BIGINT) + 500 * turn_idx) % 17 = 3
+    UNION ALL
+    SELECT conv_id, CAST(turn_idx + 1000 AS INTEGER) AS turn_idx, role, text,
+           tool, ts FROM base
+    WHERE (CAST(substring(conv_id, 6) AS BIGINT) + 500 * turn_idx) % 41 = 5)
+SELECT b.conv_id, b.turn_idx, b.role, b.text, b.tool, b.ts FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM corr c
+                  WHERE c.conv_id = b.conv_id AND c.turn_idx = b.turn_idx)
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts FROM corr
+"""
+
+
+# q57: the typed CDC change feed relationally — each lifecycle leg is a
+# WHERE over documents; deletes emit pre-images, the MoR update emits
+# post-images as inserts.
+ALL["q57_cdc_changes"] = """
+WITH live1 AS (SELECT * FROM documents WHERE lang <> 'de'),
+live2 AS (SELECT * FROM live1 WHERE NOT (n_chars < 150)),
+changes AS (
+    SELECT 'delete' AS change_type, lang, n_chars FROM documents WHERE lang = 'de'
+    UNION ALL
+    SELECT 'delete' AS change_type, lang, n_chars FROM live1 WHERE n_chars < 150
+    UNION ALL
+    SELECT 'insert' AS change_type, lang, n_chars + 1000 AS n_chars
+    FROM live2 WHERE lang = 'zh')
+SELECT change_type, lang, count(*) AS n, sum(n_chars) AS chars
+FROM changes GROUP BY change_type, lang
 """

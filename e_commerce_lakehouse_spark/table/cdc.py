@@ -43,9 +43,13 @@ _NON_DATA_OPS = {"replace", "rewrite-manifests", "expire", "rollback",
 class IncrementalConsumer:
     """A named, durable cursor over a table's snapshot log."""
 
-    def __init__(self, table: Table, cursor_path: str):
+    def __init__(self, table: Table, cursor_path: str, schema=None):
         self.table = table
         self.cursor_path = cursor_path
+        #: explicit read schema for tables whose shape isn't the default
+        #: transcripts contract and that never registered an evolved
+        #: schema (resolve_schema would otherwise guess wrong)
+        self.schema = schema
         self._pending: int | None = None  # snapshot captured by last poll
 
     # ---------- cursor ----------
@@ -89,7 +93,8 @@ class IncrementalConsumer:
             from .scan import scan
 
             self._pending = current
-            return {"df": scan(spark, t), "from": None, "to": current, "mode": "initial"}
+            return {"df": scan(spark, t, schema=self.schema), "from": None,
+                    "to": current, "mode": "initial"}
         if current == last:
             return None
         if current < last:
@@ -102,13 +107,14 @@ class IncrementalConsumer:
             from .scan import incremental_scan, scan
 
             try:
-                df = incremental_scan(spark, t, last, current)
+                df = incremental_scan(spark, t, last, current, schema=self.schema)
                 batch = {"df": df, "mode": "fileset-diff"}
             except FileNotFoundError:
                 # the cursor snapshot itself was expired — no diff basis
                 # remains; the only at-least-once-safe batch is a full
                 # reload (consumers re-key on (conv_id, turn_idx))
-                batch = {"df": scan(spark, t, snapshot_id=current), "mode": "reload"}
+                batch = {"df": scan(spark, t, snapshot_id=current,
+                                     schema=self.schema), "mode": "reload"}
         batch.update({"from": last, "to": current})
         self._pending = current
         return batch
@@ -175,18 +181,151 @@ class IncrementalConsumer:
                 if e.path not in seen:
                     seen.add(e.path)
                     entries.append(e)
-        schema = resolve_schema(t, current)
+        schema = self.schema if self.schema is not None else resolve_schema(t, current)
         if not entries:
             return {"df": spark.createDataFrame([], schema), "mode": "chain"}
-        paths = [os.path.join(t.root, e.path) for e in entries]
-        df = spark.read.schema(schema).parquet(*paths)
         # match scan-at-`current` semantics for merge-on-read deletes: a row
         # appended and then MoR-deleted inside the polled window must NOT be
         # delivered as a live insert (the cow-delete path already excludes
-        # it). Same anti-join scan() uses; tombstone side is delete-sized.
-        tombs = t.tombstones(current)
-        if tombs:
-            tomb_df = spark.read.parquet(*[os.path.join(t.root, p) for p in tombs])
-            df = df.join(tomb_df.dropDuplicates(), on=list(tomb_df.columns),
-                         how="left_anti")
+        # it). Seq-aware (read_with_tombstones): an update-mor's post-image
+        # rows in this window are exempt from their own tombstone.
+        from .scan import read_with_tombstones
+
+        df = read_with_tombstones(spark, t, entries, schema, snapshot_id=current)
         return {"df": df, "mode": "chain"}
+
+
+#: snapshot operations whose NEW manifests carry logical row additions
+_INSERT_OPS = {"append", "merge", "overwrite", "update", "update-mor"}
+
+
+class ChangeFeedError(RuntimeError):
+    """The snapshot chain needed for an exact change feed is broken."""
+
+
+def _with_change_cols(df: DataFrame, change_type: str, sid: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_change_type", F.lit(change_type)).withColumn(
+        "_commit_sid", F.lit(sid).cast("long")
+    )
+
+
+class ChangeFeedConsumer(IncrementalConsumer):
+    """Typed change feed (Delta CDF shape): ``poll_changes`` returns rows
+    with ``_change_type`` ('insert' | 'delete') and ``_commit_sid`` (the
+    snapshot that produced the change, for replay ordering) — closing the
+    documented upsert-only gap: downstream DELETEs now replicate.
+
+    Delivery contract (documented, at-least-once):
+    - append / MERGE / UPDATE commits emit their new manifests' rows as
+      'insert' (a rewrite's carried-along unchanged rows re-emit — the
+      same upsert contract as poll(); consumers re-key).
+    - copy-on-write DELETE emits the removed rows (pre-images): rows of
+      the files the commit removed, EXCEPT the rows it re-added.
+    - merge-on-read DELETE emits the pre-images its tombstone kills: the
+      parent snapshot's visible rows semi-joined on the tombstone keys.
+    - merge-on-read UPDATE emits post-images as 'insert' (same keys —
+      consumers upsert; no delete row, matching Delta's update_postimage
+      when pre-images are not requested).
+    - physical-only ops (compact / cluster / manifest rewrite /
+      materialize-deletes / expire) emit NOTHING.
+
+    An exact feed needs the (cursor, head] snapshot chain intact; if
+    expire broke it there is no delete basis left, so ``poll_changes``
+    raises ChangeFeedError — callers fall back to ``poll`` (upsert-only)
+    or re-sync. Reference analog: the S3-event push pipeline
+    (/root/reference/src/lambda/file_processor.py) pushes object-created
+    only; the delete feed is what its consumers lacked."""
+
+    def poll_changes(self, spark: SparkSession) -> dict | None:
+        from pyspark.sql import functions as F
+
+        from .scan import read_with_tombstones, scan
+
+        t = self.table
+        current = t.current_snapshot_id()
+        if current is None:
+            return None
+        last = self.position()
+        if last is None:
+            df = _with_change_cols(scan(spark, t, snapshot_id=current,
+                                        schema=self.schema), "insert", current)
+            self._pending = current
+            return {"df": df, "from": None, "to": current, "mode": "initial"}
+        if current == last:
+            return None
+        if current < last:
+            raise ValueError(
+                f"cursor at {last} is AHEAD of table ({current}) — wrong "
+                f"table or the table was rolled back past the cursor"
+            )
+        # walk the chain newest-first, then process oldest-first
+        chain = []
+        sid = current
+        while sid is not None and sid > last:
+            try:
+                chain.append(t.snapshot(sid))
+            except FileNotFoundError as e:
+                raise ChangeFeedError(
+                    f"snapshot {sid} expired — no exact change basis between "
+                    f"{last} and {current}; fall back to poll() or re-sync"
+                ) from e
+            sid = chain[-1].parent_id
+        if sid != last and last != 0:
+            raise ChangeFeedError(
+                f"chain from {current} does not reach cursor {last}"
+            )
+        schema = self.schema if self.schema is not None else resolve_schema(t, current)
+        parts = []
+        for snap in reversed(chain):
+            sid = snap.snapshot_id
+            parent = snap.parent_id
+            psnap = t.snapshot(parent) if parent else None
+            parent_manifests = set(psnap.manifests) if psnap else set()
+            new_manifests = [m for m in snap.manifests if m not in parent_manifests]
+            new_entries = [e for m in new_manifests for e in t.manifest_entries(m)]
+            if snap.operation in _INSERT_OPS and new_entries:
+                df = spark.read.schema(schema).parquet(
+                    *[os.path.join(t.root, e.path) for e in new_entries]
+                )
+                parts.append(_with_change_cols(df, "insert", sid))
+            if snap.operation == "delete":
+                parent_removed = set(psnap.removed_files) if psnap else set()
+                removed_new = set(snap.removed_files) - parent_removed
+                if removed_new:
+                    pre = spark.read.schema(schema).parquet(
+                        *[os.path.join(t.root, p) for p in sorted(removed_new)]
+                    )
+                    if new_entries:
+                        post = spark.read.schema(schema).parquet(
+                            *[os.path.join(t.root, e.path) for e in new_entries]
+                        )
+                        pre = pre.exceptAll(post)
+                    parts.append(_with_change_cols(pre, "delete", sid))
+            if snap.operation == "delete-mor":
+                prev_paths = {d["path"] for d in psnap.tombstones} if psnap else set()
+                new_tombs = [d["path"] for d in snap.tombstones
+                             if d["path"] not in prev_paths]
+                if new_tombs:
+                    keys_df = spark.read.parquet(
+                        *[os.path.join(t.root, p) for p in new_tombs]
+                    ).dropDuplicates()
+                    # pre-images: the parent snapshot's VISIBLE rows for
+                    # those keys (seq-aware — never resurrects older
+                    # already-dead copies into the feed)
+                    pre = read_with_tombstones(
+                        spark, t, t.entries(parent), schema, snapshot_id=parent
+                    ).join(F.broadcast(keys_df), on=list(keys_df.columns),
+                           how="left_semi")
+                    parts.append(_with_change_cols(pre, "delete", sid))
+        if not parts:
+            empty = _with_change_cols(spark.createDataFrame([], schema), "insert",
+                                      current).limit(0)
+            self._pending = current
+            return {"df": empty, "from": last, "to": current, "mode": "chain-changes"}
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        self._pending = current
+        return {"df": df, "from": last, "to": current, "mode": "chain-changes"}

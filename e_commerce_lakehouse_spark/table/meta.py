@@ -76,19 +76,31 @@ class DataFileEntry:
 
     ``stats`` maps column name -> [min, max]; timestamps are stored as
     epoch microseconds (ints) so comparisons are total-ordered JSON.
-    """
+
+    ``seq`` is the file's DATA SEQUENCE NUMBER (Iceberg v2 semantics): a
+    merge-on-read tombstone applies to a file iff the tombstone's seq is
+    STRICTLY greater — which is what lets a MoR UPDATE commit the
+    tombstone and the post-image rows in one snapshot without the
+    tombstone killing its own output. ``None`` means "stamp me at commit
+    time" (the committing snapshot id); rewrites that carry old rows
+    forward (compact, scoped cluster) set it explicitly to the max input
+    seq so older tombstones keep applying. Files from pre-seq manifests
+    read as 0 (every tombstone applies — the legacy global behavior)."""
 
     path: str
     rows: int
     bytes: int
     stats: dict[str, list] = field(default_factory=dict)
+    seq: int | None = None
 
     def to_dict(self) -> dict:
-        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes,
+                "stats": self.stats, "seq": self.seq if self.seq is not None else 0}
 
     @classmethod
     def from_dict(cls, d: dict) -> "DataFileEntry":
-        return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"], stats=d.get("stats", {}))
+        return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
+                   stats=d.get("stats", {}), seq=d.get("seq", 0))
 
 
 @dataclass
@@ -100,11 +112,17 @@ class Snapshot:
     removed_files: list[str]
     summary: dict
     timestamp_ms: int
-    #: merge-on-read KEY tombstones: table-relative parquet files whose
-    #: columns are the delete keys; scan anti-joins them. Key-based (not
+    #: merge-on-read KEY tombstones: ``{"path": <table-relative parquet
+    #: whose columns are the delete keys>, "seq": <commit sequence>}``;
+    #: scan anti-joins each against data files with seq < tombstone seq
+    #: (seq None = legacy entry, applies to every file). Key-based (not
     #: positional), so copy-on-write rewrites never invalidate them.
-    #: Cleared only by materialize_deletes (operators/rowlevel.py).
-    tombstones: list[str] = field(default_factory=list)
+    #: Cleared only by materialize_deletes / full clustering.
+    tombstones: list[dict] = field(default_factory=list)
+
+    @property
+    def tombstone_paths(self) -> list[str]:
+        return [t["path"] for t in self.tombstones]
 
     def to_dict(self) -> dict:
         return {
@@ -128,7 +146,12 @@ class Snapshot:
             removed_files=d.get("removed_files", []),
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
-            tombstones=d.get("tombstones", []),
+            # legacy plain-string tombstones normalize to seq None
+            # ("applies to all files" — the pre-seq global behavior)
+            tombstones=[
+                t if isinstance(t, dict) else {"path": t, "seq": None}
+                for t in d.get("tombstones", [])
+            ],
         )
 
 
@@ -332,6 +355,7 @@ class Table:
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
             tombs = list(self.snapshot(parent).tombstones) if parent else []
+            _stamp_seq(added, sid)
             manifests.append(self._write_manifest(sid, len(manifests), added))
             s = _summarize(added, summary)
             if not publish:
@@ -422,7 +446,7 @@ class Table:
             removed = list(self.snapshot(parent).removed_files) if parent else []
             head_tombs = list(self.snapshot(parent).tombstones) if parent else []
             if clear_tombstones and expected_tombstones is not None and sorted(
-                head_tombs
+                t["path"] for t in head_tombs
             ) != sorted(expected_tombstones):
                 # a delete-mor landed between this op's scan and its commit:
                 # clearing would silently discard the never-applied tombstone
@@ -435,6 +459,7 @@ class Table:
             tombs = [] if clear_tombstones else head_tombs
             removed = sorted(set(removed) | set(removed_paths))
             if added:
+                _stamp_seq(added, sid)
                 manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, operation, manifests, removed,
                             _summarize(added, summary), int(time.time() * 1000),
@@ -485,11 +510,49 @@ class Table:
                             {"op": "delete-mor", "new_tombstones": len(tombstone_paths),
                              **(summary or {})},
                             int(time.time() * 1000),
-                            tombstones=list(psnap.tombstones) + list(tombstone_paths))
+                            tombstones=list(psnap.tombstones)
+                            + [{"path": p, "seq": sid} for p in tombstone_paths])
+            return self._commit(snap)
+
+    def commit_upsert_mor(
+        self,
+        added: list[DataFileEntry],
+        tombstone_paths: list[str],
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Merge-on-read UPDATE: ONE snapshot adds the post-image data
+        files (seq = this commit) AND the key tombstones (same seq). The
+        strict seq comparison (tombstone applies iff tomb.seq > file.seq)
+        means the tombstone kills every OLDER copy of the keys but not
+        the post-image rows committed alongside it — Iceberg v2's
+        sequence-number semantics, the fast path a 100 TB UPDATE needs
+        (write cost O(matched rows), no touched-file rewrite)."""
+        with self._commit_lock():
+            sid = self._next_id()
+            parent = self.current_snapshot_id()
+            if parent is None:
+                raise ValueError("cannot update an empty table")
+            psnap = self.snapshot(parent)
+            _stamp_seq(added, sid)
+            manifests = list(psnap.manifests)
+            manifests.append(self._write_manifest(sid, len(manifests), added))
+            snap = Snapshot(sid, parent, "update-mor", manifests,
+                            list(psnap.removed_files),
+                            _summarize(added, {"op": "update-mor",
+                                               "new_tombstones": len(tombstone_paths),
+                                               **(summary or {})}),
+                            int(time.time() * 1000),
+                            tombstones=list(psnap.tombstones)
+                            + [{"path": p, "seq": sid} for p in tombstone_paths])
             return self._commit(snap)
 
     def tombstones(self, snapshot_id: int | None = None) -> list[str]:
-        """Live merge-on-read tombstone files at a snapshot (default now)."""
+        """Live merge-on-read tombstone file PATHS at a snapshot."""
+        return [t["path"] for t in self.tombstone_entries(snapshot_id)]
+
+    def tombstone_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live tombstones with their sequence numbers:
+        [{"path": ..., "seq": int|None}] (seq None = legacy, global)."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             return []
@@ -765,6 +828,8 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
         "path": pa.array([e.path for e in entries], pa.string()),
         "rows": pa.array([e.rows for e in entries], pa.int64()),
         "bytes": pa.array([e.bytes for e in entries], pa.int64()),
+        "seq": pa.array([e.seq if e.seq is not None else 0 for e in entries],
+                        pa.int64()),
     }
     for k in stat_keys:
         mins = [e.stats[k][0] if k in e.stats else None for e in entries]
@@ -782,6 +847,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     this loop only ever runs over pruning survivors."""
     stat_keys = [c[len(_STAT_MIN):] for c in t.column_names if c.startswith(_STAT_MIN)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
     out: list[DataFileEntry] = []
     for i in range(t.num_rows):
         stats = {}
@@ -791,7 +857,8 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
                 stats[k] = [mn, mx]
         out.append(
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
-                          bytes=cols["bytes"][i], stats=stats)
+                          bytes=cols["bytes"][i], stats=stats,
+                          seq=seqs[i] if seqs is not None else 0)
         )
     return out
 
@@ -800,6 +867,14 @@ def _read_manifest_parquet(path: str) -> list[DataFileEntry]:
     import pyarrow.parquet as pq
 
     return arrow_manifest_to_entries(pq.read_table(path))
+
+
+def _stamp_seq(added: list[DataFileEntry], sid: int) -> None:
+    """Give unstamped entries this commit's data sequence number; entries
+    carrying an explicit seq (rewrites preserving old rows) keep it."""
+    for e in added:
+        if e.seq is None:
+            e.seq = sid
 
 
 def _summarize(added: list[DataFileEntry], extra: dict | None) -> dict:

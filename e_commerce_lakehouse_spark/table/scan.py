@@ -164,6 +164,67 @@ def resolve_schema(table: Table, snapshot_id: int | None = None, schema=None):
     return TRANSCRIPTS_SCHEMA
 
 
+def tombstone_classes(
+    entries: list[DataFileEntry], tomb_entries: list[dict]
+) -> dict[tuple, list[DataFileEntry]]:
+    """Group data files by WHICH tombstones apply to them (Iceberg v2
+    sequence semantics): tombstone t applies to file f iff t.seq is None
+    (legacy global) or t.seq > f.seq. Files committed alongside or after
+    a tombstone (MoR UPDATE post-images, later appends via MERGE) are
+    exempt; older copies of the same keys are not. The number of classes
+    is bounded by the number of live tombstone COMMITS — small, because
+    materialize_deletes / full clustering clears the list."""
+    classes: dict[tuple, list[DataFileEntry]] = {}
+    for e in entries:
+        ap = tuple(sorted(
+            t["path"] for t in tomb_entries
+            if t.get("seq") is None or t["seq"] > (e.seq or 0)
+        ))
+        classes.setdefault(ap, []).append(e)
+    return classes
+
+
+def read_with_tombstones(
+    spark: SparkSession,
+    table: Table,
+    entries: list[DataFileEntry],
+    schema,
+    snapshot_id: int | None = None,
+    tomb_entries: list[dict] | None = None,
+) -> DataFrame:
+    """Read ``entries`` with the snapshot's merge-on-read tombstones
+    applied seq-aware: one anti-join per applicability class (almost
+    always exactly one class), unioned. The tombstone side is
+    delete-batch-sized; Spark/AQE broadcasts it — the table side never
+    shuffles for this."""
+    import os
+
+    if tomb_entries is None:
+        tomb_entries = table.tombstone_entries(snapshot_id)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    if not tomb_entries:
+        paths = [os.path.join(table.root, e.path) for e in entries]
+        return spark.read.schema(schema).parquet(*paths)
+    parts = []
+    classes = tombstone_classes(entries, tomb_entries)
+    for ap in sorted(classes):
+        ents = classes[ap]
+        d = spark.read.schema(schema).parquet(
+            *[os.path.join(table.root, e.path) for e in ents]
+        )
+        if ap:
+            tomb_df = spark.read.parquet(
+                *[os.path.join(table.root, p) for p in ap]
+            ).dropDuplicates()
+            d = d.join(tomb_df, on=list(tomb_df.columns), how="left_anti")
+        parts.append(d)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def scan(
     spark: SparkSession,
     table: Table,
@@ -192,13 +253,10 @@ def scan(
         snapshot_id = table.resolve_ref(ref)
     schema = resolve_schema(table, snapshot_id, schema)
     entries = planned_entries(table, snapshot_id, conv_id, conv_id_range, ts_range)
-    if not entries:
-        df = spark.createDataFrame([], schema)
-    else:
-        import os
-
-        paths = [os.path.join(table.root, e.path) for e in entries]
-        df = spark.read.schema(schema).parquet(*paths)
+    # merge-on-read tombstones are applied seq-aware inside the read (see
+    # read_with_tombstones); applied before the column projection so key
+    # columns need not be selected
+    df = read_with_tombstones(spark, table, entries, schema, snapshot_id)
     # re-apply predicates row-level (files are supersets of the predicate)
     if conv_id is not None:
         df = df.where(F.col("conv_id") == conv_id)
@@ -214,17 +272,6 @@ def scan(
             df = df.where(F.col("ts") >= lo)
         if hi is not None:
             df = df.where(F.col("ts") <= hi)
-    # merge-on-read tombstones: anti-join the pinned snapshot's key
-    # tombstone files (their COLUMNS are the delete keys). Applied before
-    # the column projection so key columns need not be selected. The
-    # tombstone side is delete-batch-sized; Spark/AQE broadcasts it when
-    # small — the table side never shuffles for this.
-    tombs = table.tombstones(snapshot_id)
-    if tombs and entries:
-        import os
-
-        tomb_df = spark.read.parquet(*[os.path.join(table.root, t) for t in tombs])
-        df = df.join(tomb_df.dropDuplicates(), on=list(tomb_df.columns), how="left_anti")
     if columns:
         df = df.select(*columns)
     return df

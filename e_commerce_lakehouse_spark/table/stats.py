@@ -26,8 +26,14 @@ _DISTRIBUTE_THRESHOLD = 512
 
 
 def file_entry(abs_path: str, root: str, stat_columns: Iterable[str]) -> DataFileEntry:
-    """Build a DataFileEntry from one file's footer."""
-    return DataFileEntry.from_dict(file_stats_dict(abs_path, root, stat_columns))
+    """Build a DataFileEntry from one file's footer. Freshly collected
+    entries are seq-UNSTAMPED (None): the commit that adds them assigns
+    their data sequence number; rewrites that must preserve an older seq
+    set it explicitly afterwards (from_dict's 0-default is for reading
+    pre-seq manifests, not for new files)."""
+    e = DataFileEntry.from_dict(file_stats_dict(abs_path, root, stat_columns))
+    e.seq = None
+    return e
 
 
 def collect_entries(
@@ -50,7 +56,11 @@ def collect_entries(
             return [file_stats_dict(p, root, stat_columns) for p in paths]
 
         dicts = sc.parallelize(abs_paths, n_slices).mapPartitions(_part).collect()
-        by_path = {d["path"]: DataFileEntry.from_dict(d) for d in dicts}
+        by_path = {}
+        for d in dicts:
+            e = DataFileEntry.from_dict(d)
+            e.seq = None  # fresh collection: stamped at commit (see file_entry)
+            by_path[d["path"]] = e
         # preserve caller ordering
         return [by_path[os.path.relpath(p, root)] for p in abs_paths]
     return [file_entry(p, root, stat_columns) for p in abs_paths]

@@ -52,7 +52,7 @@ def main(argv=None) -> int:
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
-            "materialize-deletes", "skipping-report", "verify",
+            "materialize-deletes", "skipping-report", "verify", "pipeline",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -91,6 +91,8 @@ def main(argv=None) -> int:
                         "stats overlap [LO, HI] (either side empty = unbounded)")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
+    p.add_argument("--stages", default="compact,cluster,rewrite-manifests,expire",
+                   help="pipeline: comma-separated stage list")
     args = p.parse_args(argv)
 
     from e_commerce_lakehouse_spark.operators import (
@@ -264,6 +266,16 @@ def main(argv=None) -> int:
                     lambda: update_where(spark, Table.load(args.table), args.predicate,
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "pipeline":
+            from e_commerce_lakehouse_spark.pipeline import run_pipeline
+
+            result = run_pipeline(
+                spark, args.table,
+                stages=tuple(x.strip() for x in args.stages.split(",") if x.strip()),
+                target_bytes=target_bytes, curve=args.curve,
+                keep_last=args.keep_last, checkpoint_path=args.checkpoint,
+                retries=args.retries, backoff_s=args.retry_backoff,
+            )
         elif args.op == "verify":
             from e_commerce_lakehouse_spark.operators.verify import verify_table
 

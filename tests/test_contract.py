@@ -13,14 +13,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_every_query_has_an_oracle_except_lifecycle():
+def test_every_query_has_an_oracle():
     from e_commerce_lakehouse_spark.oracles import ALL as ORACLES
     from e_commerce_lakehouse_spark.queries import ALL as QUERIES
 
-    # q30's input is generated mid-query (not SQL-expressible) — the one
-    # deliberate rows-only check; everything else must be value-hashed
-    assert set(QUERIES) - set(ORACLES) == {"q30_maintenance_lifecycle"}
-    assert set(ORACLES) <= set(QUERIES)  # no orphan oracles
+    # every query — including the q30 lifecycle, since round 4 rebased its
+    # input on sf_dir-derived expressions — must be value-hash oracled
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_module_contract():

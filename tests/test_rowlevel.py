@@ -250,3 +250,96 @@ def test_clear_tombstones_conflicts_on_concurrent_delete(spark, tiny_table):
     # fresh plan succeeds
     materialize_deletes(spark, tiny_table)
     assert tiny_table.tombstones() == []
+
+
+def test_mor_update_one_snapshot_post_image_survives(spark, tiny_df, tiny_table):
+    """MoR UPDATE commits tombstone + post-image in ONE snapshot; the
+    strict data-sequence comparison exempts the post-image file from its
+    own tombstone (Iceberg v2 semantics)."""
+    t = tiny_table
+    before = t.current_snapshot_id()
+    n_match = tiny_df.where("role = 'tool'").count()
+    assert n_match > 0
+    m = update_where(spark, t, "role = 'tool'", {"text": "upper(text)"},
+                     mode="merge-on-read")
+    assert m["mode"] == "merge-on-read"
+    assert m["updated_rows"] == n_match
+    # exactly ONE new snapshot, no data file rewritten
+    assert t.current_snapshot_id() == before + 1
+    assert t.snapshot().operation == "update-mor"
+    after = scan(spark, t).cache()
+    assert after.count() == tiny_df.count()  # row count unchanged
+    assert after.where("role = 'tool'").count() == n_match
+    # matched rows carry the post-image, others untouched
+    assert after.where("role = 'tool'").where(
+        F.col("text") != F.upper(F.col("text"))).count() == 0
+    assert_same_rows(
+        tiny_df.where("role <> 'tool'").select("conv_id", "turn_idx", "text"),
+        after.where("role <> 'tool'").select("conv_id", "turn_idx", "text"),
+    )
+    after.unpersist()
+    # time travel to the pre-update snapshot still sees the pre-image
+    assert scan(spark, t, snapshot_id=before).where(
+        "role = 'tool' AND text <> upper(text)").count() > 0
+
+
+def test_mor_update_then_stacked_delete_and_materialize(spark, tiny_df, tiny_table):
+    """A LATER MoR delete (higher seq) applies to the update's post-images;
+    materialize folds both tombstone generations correctly."""
+    t = tiny_table
+    update_where(spark, t, "role = 'tool'", {"tool": "'patched'"},
+                 mode="merge-on-read")
+    delete_where(spark, t, "tool = 'patched'", mode="merge-on-read")
+    assert scan(spark, t).where("role = 'tool'").count() == 0
+    expected = tiny_df.where("role <> 'tool'").count()
+    assert scan(spark, t).count() == expected
+    m = materialize_deletes(spark, t)
+    assert m["committed_snapshot"] is not None
+    assert t.tombstones() == []
+    assert scan(spark, t).count() == expected
+    assert scan(spark, t).where("role = 'tool'").count() == 0
+
+
+def test_mor_update_delete_predicate_sees_post_image(spark, tiny_df, tiny_table):
+    """DELETE evaluates its predicate on the LOGICAL view: after an MoR
+    update rewrites tool to 'patched', deleting the OLD value matches
+    nothing (a raw-file read would have matched the dead pre-images and
+    killed the live post-image rows)."""
+    t = tiny_table
+    old_tools = [r["tool"] for r in
+                 tiny_df.where("role = 'tool'").select("tool").distinct().collect()
+                 if r["tool"] is not None]
+    assert old_tools
+    update_where(spark, t, "role = 'tool'", {"tool": "'patched'"},
+                 mode="merge-on-read")
+    m = delete_where(spark, t, F.col("tool") == old_tools[0], mode="merge-on-read")
+    assert m["tombstoned_keys"] == 0 and m["committed_snapshot"] is None
+    assert scan(spark, t).where("tool = 'patched'").count() == \
+        tiny_df.where("role = 'tool'").count()
+
+
+def test_mor_update_refuses_key_assignment(spark, tiny_table):
+    import pytest
+
+    with pytest.raises(ValueError, match="key columns"):
+        update_where(spark, tiny_table, "role = 'tool'",
+                     {"turn_idx": "turn_idx + 1"}, mode="merge-on-read")
+
+
+def test_compact_preserves_tombstone_applicability(spark, tiny_df, tiny_table):
+    """Compaction between an MoR update and the scan must not let the
+    tombstone kill the carried post-image rows (seq-class planning +
+    max-seq outputs) nor resurrect pre-images."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+
+    t = tiny_table
+    n_tool = tiny_df.where("role = 'tool'").count()
+    update_where(spark, t, "role = 'tool'", {"tool": "'patched'"},
+                 mode="merge-on-read")
+    compact(spark, t, target_bytes=1 << 20)
+    after = scan(spark, t).cache()
+    assert after.count() == tiny_df.count()
+    assert after.where("tool = 'patched'").count() == n_tool
+    # pre-images stay dead
+    assert after.where("role = 'tool' AND (tool IS NULL OR tool <> 'patched')").count() == 0
+    after.unpersist()

@@ -287,3 +287,63 @@ def test_cdc_chain_excludes_mor_deleted_rows(spark, tiny_table, tiny_df, tmp_pat
     assert b1["df"].where(F.col("conv_id").startswith("conv-mor-")).count() == 0
     c.ack()
     assert scan(spark, t).where(F.col("conv_id").startswith("conv-mor-")).count() == 0
+
+
+def test_change_feed_replicates_deletes_downstream(spark, tiny_table, tiny_df, tmp_path):
+    """Medallion with the typed change feed: downstream applies inserts
+    AND deletes in _commit_sid order and converges to the upstream scan —
+    including cow deletes, MoR deletes, and an MoR update."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where, update_where
+    from e_commerce_lakehouse_spark.table.cdc import ChangeFeedConsumer
+
+    t = tiny_table
+    c = ChangeFeedConsumer(t, str(tmp_path / "cur.json"))
+    b = c.poll_changes(spark)
+    assert b["mode"] == "initial"
+    silver = b["df"].drop("_change_type", "_commit_sid").cache()
+    assert silver.count() == N_TURNS
+    c.ack()
+
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-n-", 40))
+    delete_where(spark, t, "role = 'tool'")  # cow: pre-images must replicate
+    delete_where(spark, t, F.col("conv_id").startswith("conv-n-"),
+                 mode="merge-on-read")
+    update_where(spark, t, "role = 'user'", {"tool": "'annotated'"},
+                 mode="merge-on-read")
+    b = c.poll_changes(spark)
+    assert b["mode"] == "chain-changes"
+    changes = b["df"].cache()
+    assert changes.where("_change_type = 'delete'").count() > 0
+
+    # replay in commit order: upsert inserts, then remove deletes, per sid
+    keys = ["conv_id", "turn_idx"]
+    sids = sorted(r["_commit_sid"] for r in
+                  changes.select("_commit_sid").distinct().collect())
+    for sid in sids:
+        batch = changes.where(F.col("_commit_sid") == sid)
+        ins = batch.where("_change_type = 'insert'").drop("_change_type", "_commit_sid")
+        dels = batch.where("_change_type = 'delete'").select(*keys).distinct()
+        silver = silver.join(ins.select(*keys).distinct(), keys, "left_anti") \
+                       .unionByName(ins).join(dels, keys, "left_anti")
+    assert_same_rows(scan(spark, t), silver)
+    c.ack()
+    changes.unpersist()
+
+
+def test_change_feed_raises_on_broken_chain(spark, tiny_table, tiny_df, tmp_path):
+    from e_commerce_lakehouse_spark.table.cdc import ChangeFeedConsumer, ChangeFeedError
+    import pytest
+
+    t = tiny_table
+    c = ChangeFeedConsumer(t, str(tmp_path / "cur.json"))
+    c.poll_changes(spark)
+    c.ack()
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-x-", 10))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-y-", 10))
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-z-", 10))
+    expire_snapshots(t, keep_last=1)  # breaks the (cursor, head] chain
+    with pytest.raises(ChangeFeedError, match="expired"):
+        c.poll_changes(spark)
+    # the upsert-only poll still degrades gracefully
+    b = c.poll(spark)
+    assert b["mode"] in ("fileset-diff", "reload")
