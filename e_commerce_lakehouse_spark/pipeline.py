@@ -146,3 +146,50 @@ def _json_safe(obj):
         return obj
     except TypeError:
         return json.loads(json.dumps(obj, default=str))
+
+
+def run_pipeline_many(
+    spark,
+    table_roots: list[str],
+    stages=DEFAULT_STAGES,
+    max_concurrent_tables: int = 4,
+    **kwargs,
+) -> dict:
+    """The reference's Parallel state fans all three ETL jobs out at once
+    (`etl_orchestrator.json:249-353`); this is that shape for N tables:
+    each table's pipeline runs in its own thread (Spark jobs interleave
+    on the FAIR scheduler), each with its OWN stage checkpoint and
+    summary artifact, and one table's failure does not stop the others —
+    per-branch Catch, aggregated at the end like the orchestrator's
+    joined Parallel output.
+
+    Returns {"tables": {root: summary-or-error}, "ok": int, "failed":
+    int}; raises nothing unless EVERY table failed (all-branches-failed =
+    the run itself is broken)."""
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    if kwargs.get("checkpoint_path"):
+        raise ValueError(
+            "run_pipeline_many uses each table's OWN metadata-dir checkpoint; "
+            "a shared checkpoint_path would cross-resume between tables"
+        )
+    results: dict[str, dict] = {}
+
+    def _one(root: str) -> dict:
+        return run_pipeline(spark, root, stages=stages, **kwargs)
+
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent_tables)) as ex:
+        futs = {ex.submit(_one, r): r for r in table_roots}
+        for f in as_completed(futs):
+            root = futs[f]
+            try:
+                results[root] = f.result()
+            except Exception as e:  # noqa: BLE001 — per-branch Catch
+                results[root] = {"status": "failed",
+                                 "error": f"{type(e).__name__}: {e}"}
+    ok = sum(1 for r in results.values() if r.get("status") == "done")
+    out = {"tables": results, "ok": ok, "failed": len(results) - ok}
+    if table_roots and ok == 0:
+        raise RuntimeError(f"all {len(table_roots)} table pipelines failed: "
+                           f"{ {r: v.get('error') for r, v in results.items()} }")
+    return out

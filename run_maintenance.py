@@ -53,6 +53,7 @@ def main(argv=None) -> int:
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
             "materialize-deletes", "skipping-report", "verify", "pipeline",
+            "consume-changes", "register", "unregister", "catalog-sql",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -93,6 +94,15 @@ def main(argv=None) -> int:
                    help="update: semicolon-separated col=SQL-expr assignments")
     p.add_argument("--stages", default="compact,cluster,rewrite-manifests,expire",
                    help="pipeline: comma-separated stage list")
+    p.add_argument("--tables", default=None,
+                   help="pipeline: comma-separated EXTRA table roots to fan out "
+                        "with --table in parallel (per-branch catch)")
+    p.add_argument("--catalog", default=None,
+                   help="register/unregister/catalog-sql: catalog JSON path")
+    p.add_argument("--name", default=None,
+                   help="register/unregister: catalog table name")
+    p.add_argument("--query", default=None,
+                   help="catalog-sql: SQL to run after attaching the catalog")
     args = p.parse_args(argv)
 
     from e_commerce_lakehouse_spark.operators import (
@@ -104,7 +114,20 @@ def main(argv=None) -> int:
     target_bytes = args.target_mb << 20
     result: dict
 
-    if args.op == "expire":  # metadata-only: no Spark session needed
+    if args.op in ("register", "unregister"):  # metadata-only
+        from e_commerce_lakehouse_spark.catalog import Catalog
+
+        if not (args.catalog and args.name):
+            p.error(f"--op {args.op} requires --catalog and --name")
+        cat = Catalog(args.catalog)
+        if args.op == "register":
+            result = {"registered": args.name,
+                      **cat.register(args.name, args.table,
+                                     snapshot_id=args.snapshot,
+                                     ref=args.tag_name)}
+        else:
+            result = {"unregistered": args.name, **cat.unregister(args.name)}
+    elif args.op == "expire":  # metadata-only: no Spark session needed
         result = expire_snapshots(Table.load(args.table), keep_last=args.keep_last,
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
@@ -267,15 +290,57 @@ def main(argv=None) -> int:
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "pipeline":
-            from e_commerce_lakehouse_spark.pipeline import run_pipeline
-
-            result = run_pipeline(
-                spark, args.table,
-                stages=tuple(x.strip() for x in args.stages.split(",") if x.strip()),
-                target_bytes=target_bytes, curve=args.curve,
-                keep_last=args.keep_last, checkpoint_path=args.checkpoint,
-                retries=args.retries, backoff_s=args.retry_backoff,
+            from e_commerce_lakehouse_spark.pipeline import (
+                run_pipeline, run_pipeline_many,
             )
+
+            stages = tuple(x.strip() for x in args.stages.split(",") if x.strip())
+            if args.tables:
+                roots = [args.table] + [
+                    x.strip() for x in args.tables.split(",") if x.strip()
+                ]
+                result = run_pipeline_many(
+                    spark, roots, stages=stages, target_bytes=target_bytes,
+                    curve=args.curve, keep_last=args.keep_last,
+                    retries=args.retries, backoff_s=args.retry_backoff,
+                )
+            else:
+                result = run_pipeline(
+                    spark, args.table, stages=stages,
+                    target_bytes=target_bytes, curve=args.curve,
+                    keep_last=args.keep_last, checkpoint_path=args.checkpoint,
+                    retries=args.retries, backoff_s=args.retry_backoff,
+                )
+        elif args.op == "consume-changes":
+            from e_commerce_lakehouse_spark.table.cdc import ChangeFeedConsumer
+
+            if not args.checkpoint:
+                p.error("--op consume-changes requires --checkpoint (the cursor file)")
+            consumer = ChangeFeedConsumer(Table.load(args.table), args.checkpoint)
+            batch = consumer.poll_changes(spark)
+            if batch is None:
+                result = {"caught_up": True, "cursor": consumer.position()}
+            else:
+                from pyspark.sql import functions as F
+
+                counts = {
+                    r["_change_type"]: r["n"]
+                    for r in batch["df"].groupBy("_change_type")
+                    .agg(F.count("*").alias("n")).collect()
+                }  # a real consumer applies the batch here
+                consumer.ack()
+                result = {"changes": counts, "mode": batch["mode"],
+                          "from": batch["from"], "to": batch["to"]}
+        elif args.op == "catalog-sql":
+            from e_commerce_lakehouse_spark.catalog import Catalog
+
+            if not (args.catalog and args.query):
+                p.error("--op catalog-sql requires --catalog and --query")
+            cat = Catalog(args.catalog)
+            attached = cat.attach(spark)
+            rows = [r.asDict() for r in spark.sql(args.query).collect()]
+            result = {"attached": attached, "rows": rows[:1000],
+                      "row_count": len(rows)}
         elif args.op == "verify":
             from e_commerce_lakehouse_spark.operators.verify import verify_table
 

@@ -108,7 +108,7 @@ def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
 
     ops = ["append", "compact", "cluster", "merge", "rewrite", "expire",
            "rollback", "add_col", "drop_col", "analyze",
-           "delete_cow", "delete_mor", "materialize", "update"]
+           "delete_cow", "delete_mor", "materialize", "update", "update_mor"]
     for step in range(16):
         op = rng.choice(ops)
         if op == "append":
@@ -183,6 +183,16 @@ def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
             update_where(spark, t, f"turn_idx = {k}", {"text": "concat(text, '!')"})
             model = [
                 {**r, "text": (r["text"] or "") + "!"} if r["turn_idx"] == k else r
+                for r in model
+            ]
+        elif op == "update_mor" and model:
+            # seq-numbered MoR UPDATE (round 4): tombstone + post-image in
+            # one snapshot; model-wise identical to a cow update
+            role = rng.choice(["user", "assistant", "tool"])
+            update_where(spark, t, f"role = '{role}'",
+                         {"text": "concat(text, '?')"}, mode="merge-on-read")
+            model = [
+                {**r, "text": (r["text"] or "") + "?"} if r["role"] == role else r
                 for r in model
             ]
         elif op == "analyze":

@@ -71,3 +71,37 @@ def test_pipeline_catch_records_failure(spark, tiny_table, tmp_path):
     assert disk["status"] == "failed at cluster"
     assert disk["results"]["cluster"]["failed"] is True
     assert "unknown curve" in disk["results"]["cluster"]["error"]
+
+
+def test_pipeline_many_parallel_with_per_branch_catch(spark, tiny_df, tmp_path):
+    """N-table Parallel fan-out (the reference's three-ETL Parallel
+    state): healthy tables complete even when a sibling branch fails, and
+    the aggregate records both."""
+    from e_commerce_lakehouse_spark.pipeline import run_pipeline_many
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    roots = []
+    for i in range(2):
+        root = str(tmp_path / f"t{i}")
+        create_transcripts_table(
+            spark, root, tiny_df.limit(400), rows_per_file=50
+        )
+        roots.append(root)
+    bad = str(tmp_path / "not-a-table")  # load fails inside the branch
+
+    out = run_pipeline_many(spark, roots + [bad], target_bytes=1 << 20,
+                            retries=1)
+    assert out["ok"] == 2 and out["failed"] == 1
+    assert out["tables"][bad]["status"] == "failed"
+    for r in roots:
+        assert out["tables"][r]["status"] == "done"
+        assert scan(spark, Table.load(r)).count() == 400
+
+    # all-branches-failed raises
+    with pytest.raises(RuntimeError, match="all 1 table pipelines failed"):
+        run_pipeline_many(spark, [bad], retries=1)
+
+    # shared checkpoint_path is refused (would cross-resume tables)
+    with pytest.raises(ValueError, match="cross-resume"):
+        run_pipeline_many(spark, roots, checkpoint_path="/tmp/x.ckpt")
