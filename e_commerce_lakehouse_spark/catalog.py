@@ -85,14 +85,29 @@ class Catalog:
             t.resolve_ref(ref)  # KeyError if the tag doesn't exist
         if snapshot_id is not None:
             t.snapshot(snapshot_id)  # FileNotFoundError if unknown
+        if name in tables:
+            # replace: MOVE the protective tag with the registration — the
+            # old guard left it on the previous snapshot, so the new pin
+            # could be expired out from under readers while the stale
+            # snapshot stayed pinned forever (review finding)
+            self._drop_tag(name, tables[name])
+        if snapshot_id is not None:
             # pin through expire: catalog registrations are external
             # readers; their snapshot must not be GC'd (Iceberg tags)
-            if _tag_name(name) not in t.tags():
-                t.create_tag(_tag_name(name), snapshot_id)
+            t.create_tag(_tag_name(name), snapshot_id)
         entry = {"root": t.root, "snapshot_id": snapshot_id, "ref": ref}
         tables[name] = entry
         self._write(tables)
         return entry
+
+    @staticmethod
+    def _drop_tag(name: str, entry: dict) -> None:
+        try:
+            old_t = Table.load(entry["root"])
+            if _tag_name(name) in old_t.tags():
+                old_t.delete_tag(_tag_name(name))
+        except FileNotFoundError:
+            pass  # old table dir gone: nothing to untag
 
     def unregister(self, name: str) -> dict:
         """Remove a registration; drops the protective catalog tag (the
@@ -101,12 +116,7 @@ class Catalog:
         if name not in tables:
             raise KeyError(f"no such catalog table: {name}")
         entry = tables.pop(name)
-        try:
-            t = Table.load(entry["root"])
-            if _tag_name(name) in t.tags():
-                t.delete_tag(_tag_name(name))
-        except FileNotFoundError:
-            pass  # table dir gone: nothing to untag
+        self._drop_tag(name, entry)
         self._write(tables)
         return entry
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import threading
 import uuid
 from time import monotonic
 
@@ -53,6 +54,13 @@ from ..table.stats import collect_entries, list_parquet_files
 from ..table.writer import DEFAULT_TARGET_FILE_BYTES
 
 _KEY = "__ckey"
+
+#: spark.sql.files.maxPartitionBytes is SESSION-GLOBAL; two cluster()
+#: calls on one session (run_pipeline_many fans tables out on threads)
+#: would interleave their set/restore pairs and leave the session at a
+#: tiny value permanently (review finding). The lock serializes only
+#: concurrent cluster stages; other pipeline stages still run in parallel.
+_MPB_LOCK = threading.Lock()
 
 
 def _ts_bounds_from_manifest(entries) -> tuple[int, int] | None:
@@ -180,7 +188,6 @@ def cluster(
     # ≥3 map tasks per core slot. Set INSIDE the try (the conf applies at
     # action time, the plans above are lazy) so any failure restores it.
     par = spark.sparkContext.defaultParallelism
-    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     mpb = max(4 << 20, min(128 << 20, total_bytes // max(1, par * 3)))
 
     _scope_tag = ""
@@ -197,6 +204,8 @@ def cluster(
     # commit time, never by deleting the winner's committed files; a
     # crashed attempt's dir falls to expire's orphan GC (review finding)
     run_token = uuid.uuid4().hex[:12]
+    _MPB_LOCK.acquire()
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         if shards <= 1:
@@ -224,6 +233,7 @@ def cluster(
             )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        _MPB_LOCK.release()
 
     if scoped_seq is not None:
         for e in added:  # preserve applicability of the propagated tombstones
@@ -240,7 +250,15 @@ def cluster(
         # expected_tombstones: a delete-mor landing between our scan and
         # this commit must CONFLICT, not be silently cleared unapplied.
         clear_tombstones=not scoped,
-        expected_tombstones=None if scoped else table.tombstones(base_snapshot),
+        # scoped runs with preserved max-input seq (scoped_seq set) stay
+        # subject to ANY newer tombstone — no guard needed; a scoped run
+        # that planned with NO tombstones stamps fresh seqs, so a
+        # concurrent MoR delete must conflict (review finding). Full runs
+        # clear and always verify the exact list they applied.
+        expected_tombstones=(
+            (None if scoped_seq is not None else [])
+            if scoped else table.tombstones(base_snapshot)
+        ),
     )
     return {
         "base_snapshot": base_snapshot,

@@ -181,6 +181,10 @@ def merge_into(
         added,
         operation="merge",
         summary={"op": "merge", "touched_files": len(touched), "added_files": len(added)},
+        # planned right after materialize (empty tombstone list): a
+        # concurrent MoR delete must conflict — this rewrite's freshly
+        # stamped outputs would be exempt from it (review finding)
+        expected_tombstones=[],
     )
     return {
         "base_snapshot": base_snapshot,

@@ -174,8 +174,13 @@ def delete_where(
     kept = spark.read.schema(schema).parquet(*abs_paths).where(
         ~F.coalesce(pred, F.lit(False))
     )
+    # expected_tombstones=[]: this rewrite planned right after its own
+    # materialize (empty tombstone list); a concurrent MoR delete landing
+    # before our commit must CONFLICT — freshly-stamped outputs would be
+    # exempt from it and resurrect its rows (review finding)
     return _rewrite_and_commit(
-        spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0
+        spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0,
+        expected_tombstones=[],
     )
 
 
@@ -380,9 +385,10 @@ def update_where(
     # SET expressions can break table invariants: enforce on the post-
     # assignment rows before any file is written (O(touched), not O(table))
     projected = enforce_constraints(projected, table, context="update")
+    # expected_tombstones=[]: same race guard as cow delete (see above)
     return _rewrite_and_commit(
         spark, table, touched, projected, "update", target_bytes, stat_columns,
-        {"set_columns": sorted(assignments)}, t0
+        {"set_columns": sorted(assignments)}, t0, expected_tombstones=[],
     )
 
 
@@ -471,6 +477,9 @@ def _update_merge_on_read(
         added, tomb_files,
         summary={"keys": keys, "set_columns": sorted(assignments),
                  "updated_rows": n_rows},
+        # the scan above planned under `live`; a concurrent MoR delete
+        # landing since must conflict, not be resurrected (review finding)
+        expected_tombstones=live,
     )
     return {"committed_snapshot": snap.snapshot_id, "mode": "merge-on-read",
             "updated_rows": n_rows, "added_files": len(added),

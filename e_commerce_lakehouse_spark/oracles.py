@@ -743,7 +743,7 @@ corr AS (
     SELECT conv_id, turn_idx, role, upper(text) AS text, tool, ts FROM base
     WHERE (CAST(substring(conv_id, 6) AS BIGINT) + 500 * turn_idx) % 17 = 3
     UNION ALL
-    SELECT conv_id, CAST(turn_idx + 1000 AS INTEGER) AS turn_idx, role, text,
+    SELECT conv_id, CAST(turn_idx + 10000000 AS INTEGER) AS turn_idx, role, text,
            tool, ts FROM base
     WHERE (CAST(substring(conv_id, 6) AS BIGINT) + 500 * turn_idx) % 41 = 5)
 SELECT b.conv_id, b.turn_idx, b.role, b.text, b.tool, b.ts FROM base b

@@ -39,7 +39,11 @@ class PipelineCrash(RuntimeError):
     """Raised by fail_after_stages to exercise kill/resume in tests."""
 
 
-def _with_retries(fn, attempts: int, backoff_s: float, rate: float = 2.0):
+def with_retries(fn, attempts: int = 3, backoff_s: float = 2.0, rate: float = 2.0):
+    """Run ``fn`` with exponential-backoff retries; composes with the
+    operators' file-group checkpoints (retry = resume, not redo). The one
+    shared retry loop — run_maintenance imports this (review finding:
+    two near-verbatim copies)."""
     last = None
     for i in range(max(1, attempts)):
         try:
@@ -51,6 +55,9 @@ def _with_retries(fn, attempts: int, backoff_s: float, rate: float = 2.0):
             if i + 1 < attempts:
                 time.sleep(backoff_s * (rate**i))
     raise last
+
+
+_with_retries = with_retries
 
 
 def run_pipeline(

@@ -904,9 +904,13 @@ def q30_maintenance_lifecycle(spark, sf_dir):
         try:
             df = _q30_transcripts(spark, sf_dir)
             key = F.expr("CAST(substring(conv_id, 6) AS BIGINT) + 500 * turn_idx")
+            # insert offset 10_000_000: re-keyed inserts must never collide
+            # with an existing key at ANY sf — offset 1000 collided with
+            # event_id + 500_000 once events exceed 500k rows (review
+            # finding; latent at sf1, safe at shipped fixtures)
             corr = df.where(key % 17 == 3).withColumn("text", F.upper("text")).unionByName(
                 df.where(key % 41 == 5).withColumn(
-                    "turn_idx", (F.col("turn_idx") + 1000).cast("int")
+                    "turn_idx", (F.col("turn_idx") + 10_000_000).cast("int")
                 )
             )
             t = create_transcripts_table(spark, root, df, rows_per_file=250, n_append_commits=2)

@@ -281,7 +281,27 @@ class ChangeFeedConsumer(IncrementalConsumer):
         for snap in reversed(chain):
             sid = snap.snapshot_id
             parent = snap.parent_id
-            psnap = t.snapshot(parent) if parent else None
+            if snap.operation == "rollback":
+                # a rollback LOGICALLY removes every row its target lacked;
+                # there is no per-row delete basis in the snapshot log, so
+                # an exact feed cannot express it — consumers must re-sync
+                # (review finding: silently emitting nothing diverged
+                # downstream replicas forever)
+                raise ChangeFeedError(
+                    f"snapshot {sid} is a rollback — no exact change basis; "
+                    f"re-sync the consumer (full reload) or use poll()"
+                )
+            try:
+                psnap = t.snapshot(parent) if parent else None
+            except FileNotFoundError as e:
+                # the cursor snapshot itself (or another parent) was
+                # expired mid-walk: honor the documented contract
+                # (review finding — a raw FileNotFoundError escaped here)
+                raise ChangeFeedError(
+                    f"snapshot {parent} expired — no exact change basis "
+                    f"between {last} and {current}; fall back to poll() or "
+                    f"re-sync"
+                ) from e
             parent_manifests = set(psnap.manifests) if psnap else set()
             new_manifests = [m for m in snap.manifests if m not in parent_manifests]
             new_entries = [e for m in new_manifests for e in t.manifest_entries(m)]
@@ -314,8 +334,15 @@ class ChangeFeedConsumer(IncrementalConsumer):
                     # pre-images: the parent snapshot's VISIBLE rows for
                     # those keys (seq-aware — never resurrects older
                     # already-dead copies into the feed)
+                    try:
+                        parent_entries = t.entries(parent)
+                    except FileNotFoundError as e:
+                        raise ChangeFeedError(
+                            f"snapshot {parent} expired — no pre-image basis "
+                            f"for the MoR delete at {sid}; re-sync"
+                        ) from e
                     pre = read_with_tombstones(
-                        spark, t, t.entries(parent), schema, snapshot_id=parent
+                        spark, t, parent_entries, schema, snapshot_id=parent
                     ).join(F.broadcast(keys_df), on=list(keys_df.columns),
                            how="left_semi")
                     parts.append(_with_change_cols(pre, "delete", sid))

@@ -445,15 +445,22 @@ class Table:
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
             head_tombs = list(self.snapshot(parent).tombstones) if parent else []
-            if clear_tombstones and expected_tombstones is not None and sorted(
+            if expected_tombstones is not None and sorted(
                 t["path"] for t in head_tombs
             ) != sorted(expected_tombstones):
-                # a delete-mor landed between this op's scan and its commit:
-                # clearing would silently discard the never-applied tombstone
-                # (lost-update) — same class the removed-paths guard covers
+                # a delete-mor landed between this op's scan and its commit.
+                # Clearing would silently discard the never-applied tombstone
+                # (lost-update); NOT clearing is just as bad when the added
+                # files get a fresh seq stamp — they would be exempt from
+                # the newer tombstone and resurrect its rows (review
+                # finding). Same class as the removed-paths guard: conflict,
+                # caller re-plans from the head. Rewrites whose outputs
+                # carry a preserved max-input seq (compact, scoped cluster
+                # over tombstoned files) pass expected_tombstones=None —
+                # their outputs stay subject to any newer tombstone.
                 raise CommitConflictError(
                     f"tombstone list changed since this rewrite planned "
-                    f"({len(expected_tombstones)} applied vs {len(head_tombs)} at "
+                    f"({len(expected_tombstones)} expected vs {len(head_tombs)} at "
                     f"head); re-plan from the current head"
                 )
             tombs = [] if clear_tombstones else head_tombs
@@ -519,6 +526,7 @@ class Table:
         added: list[DataFileEntry],
         tombstone_paths: list[str],
         summary: dict | None = None,
+        expected_tombstones: list[str] | None = None,
     ) -> Snapshot:
         """Merge-on-read UPDATE: ONE snapshot adds the post-image data
         files (seq = this commit) AND the key tombstones (same seq). The
@@ -533,6 +541,18 @@ class Table:
             if parent is None:
                 raise ValueError("cannot update an empty table")
             psnap = self.snapshot(parent)
+            if expected_tombstones is not None and sorted(
+                t["path"] for t in psnap.tombstones
+            ) != sorted(expected_tombstones):
+                # a concurrent MoR delete landed after this update's scan:
+                # stamping the post-images with this commit's seq would
+                # exempt them from that newer tombstone and resurrect the
+                # just-deleted keys (review finding) — conflict instead
+                raise CommitConflictError(
+                    f"tombstone list changed since this update planned "
+                    f"({len(expected_tombstones)} expected vs "
+                    f"{len(psnap.tombstones)} at head); re-plan from the head"
+                )
             _stamp_seq(added, sid)
             manifests = list(psnap.manifests)
             manifests.append(self._write_manifest(sid, len(manifests), added))

@@ -303,7 +303,8 @@ def incremental_scan(
         raise ValueError(f"to_id ({to_id}) must be > from_id ({from_id})")
     before = {e.path for e in table.entries(from_id)}
     added = [e for e in table.entries(to_id) if e.path not in before]
-    if not added:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(table.root, e.path) for e in added]
-    return spark.read.schema(schema).parquet(*paths)
+    # apply to_id's live MoR tombstones (seq-aware): a row appended and
+    # then MoR-deleted inside the window must not be delivered as a live
+    # insert — the chain-mode consumer already guarantees this and this
+    # is its fallback path (review finding)
+    return read_with_tombstones(spark, table, added, schema, snapshot_id=to_id)

@@ -98,32 +98,13 @@ def append_dataframe(
     df = df.persist()
     try:
         df = enforce_constraints(df, table, context="append")
-        # MoR-tombstone shadow guard: appending a row whose KEY is
-        # tombstoned would be silently invisible (the scan-side anti-join
-        # kills it) — the append analog of the MERGE resurrection hazard.
-        # Refuse loudly; the writer either materializes deletes first or
-        # uses MERGE (which auto-materializes). O(batch ⋈ tombstones),
-        # zero cost without MoR.
-        tombs = table.tombstones()
-        if tombs:
-            import os as _os
-
-            tomb_df = df.sparkSession.read.parquet(
-                *[_os.path.join(table.root, t) for t in tombs]
-            )
-            shadow_keys = [c for c in tomb_df.columns if c in df.columns]
-            if shadow_keys:
-                n_shadowed = df.join(
-                    tomb_df.select(*shadow_keys).dropDuplicates(),
-                    shadow_keys, "left_semi"
-                ).count()
-                if n_shadowed:
-                    raise ValueError(
-                        f"append would write {n_shadowed} row(s) at merge-on-read "
-                        f"tombstoned key(s) — they would be invisible to scans. Run "
-                        f"materialize_deletes first, or upsert via merge_into "
-                        f"(which materializes automatically)."
-                    )
+        # No MoR-tombstone shadow guard anymore (round 4): data files carry
+        # sequence numbers, and a tombstone applies only to files with a
+        # SMALLER seq — an appended file is stamped with its own commit's
+        # seq, above every live tombstone, so INSERT after DELETE simply
+        # re-inserts the key (standard SQL semantics). The pre-seq guard
+        # refused such appends because the global anti-join really would
+        # have hidden them; that hazard no longer exists (review finding).
         n_rows = df.count()
         n_files = max(1, -(-n_rows // max(1, rows_per_file)))
         subdir = f"append-{uuid.uuid4().hex[:12]}"

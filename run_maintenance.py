@@ -21,23 +21,11 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 
-def with_retries(fn, attempts: int = 3, backoff_s: float = 2.0, rate: float = 2.0):
-    """Run ``fn`` with exponential-backoff retries; composes with the
-    operators' file-group checkpoints (retry = resume, not redo)."""
-    last = None
-    for i in range(max(1, attempts)):
-        try:
-            return fn()
-        except KeyboardInterrupt:
-            raise
-        except Exception as e:  # noqa: BLE001 — orchestrator boundary
-            last = e
-            if i + 1 < attempts:
-                time.sleep(backoff_s * (rate**i))
-    raise last
+# the shared retry loop lives in the package (pipeline.with_retries);
+# re-exported here for CLI use and existing imports
+from e_commerce_lakehouse_spark.pipeline import with_retries  # noqa: E402
 
 
 def main(argv=None) -> int:

@@ -83,3 +83,23 @@ def test_catalog_guards(spark, tiny_table, tmp_path):
         cat.register("bad", tiny_table, snapshot_id=9999)
     with pytest.raises(ValueError, match="at most one"):
         cat.register("both", tiny_table, snapshot_id=1, ref="x")
+
+
+def test_replace_moves_protective_tag(spark, tiny_table, tiny_df, tmp_path):
+    """register(replace=True) must MOVE the catalog tag to the new pin:
+    the old guard left the new pin expirable and the old snapshot pinned
+    forever (review finding)."""
+    cat = Catalog(str(tmp_path / "catalog.json"))
+    old_pin = tiny_table.current_snapshot_id()
+    cat.register("t", tiny_table, snapshot_id=old_pin)
+    append_dataframe(spark, tiny_table, _extra(tiny_df, "conv-r1-", 10))
+    new_pin = tiny_table.current_snapshot_id()
+    cat.register("t", tiny_table, snapshot_id=new_pin, replace=True)
+    # churn + expire: the NEW pin must survive, the OLD must age out
+    append_dataframe(spark, tiny_table, _extra(tiny_df, "conv-r2-", 10))
+    append_dataframe(spark, tiny_table, _extra(tiny_df, "conv-r3-", 10))
+    expire_snapshots(tiny_table, keep_last=1)
+    assert new_pin in tiny_table.snapshot_ids()
+    assert old_pin not in tiny_table.snapshot_ids()
+    cat.attach(spark, ["t"])
+    assert spark.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == N_TURNS + 10

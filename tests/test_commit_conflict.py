@@ -49,3 +49,25 @@ def test_reload_and_retry_recovers(spark, tiny_table):
 
     m = delete_where(spark, Table.load(root), "role = 'tool'")
     assert m["committed_snapshot"] is not None
+
+
+def test_rewrite_conflicts_when_tombstone_lands_after_planning(spark, tiny_table, tiny_df):
+    """A rewrite that planned under NO tombstones must conflict if a
+    concurrent MoR delete lands before its commit: its freshly-stamped
+    outputs would be exempt from the newer tombstone and resurrect the
+    deleted rows (review finding)."""
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+
+    t = tiny_table
+    # the "concurrent" delete-mor lands between plan (expected=[]) and commit
+    delete_where(spark, t, "role = 'tool'", mode="merge-on-read")
+    with pytest.raises(CommitConflictError, match="tombstone list changed"):
+        t.commit_rewrite([], [], operation="merge", expected_tombstones=[])
+    with pytest.raises(CommitConflictError, match="tombstone list changed"):
+        t.commit_upsert_mor([], [], expected_tombstones=[])
+    # passing the CURRENT list (a correctly re-planned writer) commits fine
+    t.commit_rewrite([], [], operation="merge",
+                     expected_tombstones=t.tombstones())

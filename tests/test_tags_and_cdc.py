@@ -347,3 +347,35 @@ def test_change_feed_raises_on_broken_chain(spark, tiny_table, tiny_df, tmp_path
     # the upsert-only poll still degrades gracefully
     b = c.poll(spark)
     assert b["mode"] in ("fileset-diff", "reload")
+
+
+def test_incremental_scan_excludes_mor_deleted_rows(spark, tiny_table, tiny_df):
+    """The fileset-diff fallback must match chain-mode semantics: a row
+    appended then MoR-deleted inside the window is not delivered
+    (review finding — the raw read resurrected it)."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.table.scan import incremental_scan
+
+    t = tiny_table
+    from_id = t.current_snapshot_id()
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-inc-", 30))
+    delete_where(spark, t, F.col("conv_id").startswith("conv-inc-"),
+                 mode="merge-on-read")
+    df = incremental_scan(spark, t, from_id)
+    assert df.where(F.col("conv_id").startswith("conv-inc-")).count() == 0
+
+
+def test_change_feed_rollback_raises(spark, tiny_table, tiny_df, tmp_path):
+    from e_commerce_lakehouse_spark.operators.rollback import rollback_to
+    from e_commerce_lakehouse_spark.table.cdc import ChangeFeedConsumer, ChangeFeedError
+    import pytest
+
+    t = tiny_table
+    c = ChangeFeedConsumer(t, str(tmp_path / "cur.json"))
+    c.poll_changes(spark)
+    c.ack()
+    target = t.current_snapshot_id()
+    append_dataframe(spark, t, _relabeled(tiny_df, "conv-rb-", 10))
+    rollback_to(t, target)
+    with pytest.raises(ChangeFeedError, match="rollback"):
+        c.poll_changes(spark)

@@ -81,17 +81,19 @@ def test_staged_snapshot_carries_tombstones(spark, tiny_df, tiny_table):
     from e_commerce_lakehouse_spark.table import scan
     from e_commerce_lakehouse_spark.table.writer import append_dataframe
 
-    import pytest
     from pyspark.sql import functions as F
 
     n_tool = tiny_df.where("role = 'tool'").count()
     delete_where(spark, tiny_table, "role = 'tool'", mode="merge-on-read")
 
-    # appending at a TOMBSTONED key is refused loudly (it would be
-    # silently invisible to scans — the append analog of resurrection)
-    shadowed = tiny_df.where("role = 'tool'").limit(2)
-    with pytest.raises(ValueError, match="tombstoned key"):
-        append_dataframe(spark, tiny_table, shadowed)
+    # INSERT after DELETE re-inserts (round 4, seq semantics): the
+    # appended file's sequence number is above the live tombstone's, so
+    # the rows are VISIBLE — the pre-seq guard that refused this append
+    # protected against a hazard that no longer exists
+    reinserted = tiny_df.where("role = 'tool'").limit(2)
+    append_dataframe(spark, tiny_table, reinserted)
+    assert scan(spark, tiny_table).where("role = 'tool'").count() == 2
+    assert tiny_table.tombstones()  # tombstone still live for OLD copies
 
     # fresh keys stage cleanly and the audit sees the logical view
     extra = transcripts_df(spark, 30, seed=9).select(
@@ -102,7 +104,7 @@ def test_staged_snapshot_carries_tombstones(spark, tiny_df, tiny_table):
     staged = append_dataframe(spark, tiny_table, extra, publish=False)
     assert tiny_table.current_snapshot_id() == staged.parent_id
     audited = scan(spark, tiny_table, snapshot_id=staged.snapshot_id)
-    assert audited.count() == tiny_df.count() - n_tool + n_extra
+    assert audited.count() == tiny_df.count() - n_tool + 2 + n_extra
     tiny_table.publish_snapshot(staged.snapshot_id)
     assert tiny_table.tombstones()  # still live after publish
     assert scan(spark, tiny_table).count() == audited.count()
