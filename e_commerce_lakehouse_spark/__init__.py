@@ -17,6 +17,12 @@ format implemented here from scratch:
 - ``plans/``      driver-side planning: bin-packing, skew/salting helpers
 - ``sources/``    CSV/Excel/parquet ingestion (reference §2.1 parity)
 - ``streaming/``  file-source micro-batch ingestion via foreachBatch MERGE
+- ``catalog``     persistent named-table registry (snapshot-pinned,
+                  expire-safe, attachable into any SparkSession)
+- ``pipeline``    multi-op / multi-table orchestration with per-stage
+                  checkpoint, retry/backoff, and catch-to-summary
+- ``table/cdc``   at-least-once upsert consumer AND the typed change
+                  feed (insert/delete rows with commit ordering)
 
 Everything here derives from public knowledge only: the Apache Spark /
 PySpark API and the reference repo's observable behavior.

@@ -1,14 +1,28 @@
-from .meta import DataFileEntry, Snapshot, Table
-from .scan import incremental_scan, planned_entries, prune_entries, scan
+from .cdc import ChangeFeedConsumer, ChangeFeedError, IncrementalConsumer
+from .meta import CommitConflictError, DataFileEntry, Snapshot, Table
+from .scan import (
+    incremental_scan,
+    planned_entries,
+    prune_entries,
+    read_with_tombstones,
+    scan,
+    tombstone_classes,
+)
 from .stats import collect_entries
 
 __all__ = [
+    "ChangeFeedConsumer",
+    "ChangeFeedError",
+    "CommitConflictError",
     "DataFileEntry",
+    "IncrementalConsumer",
     "Snapshot",
     "Table",
     "scan",
     "incremental_scan",
     "planned_entries",
     "prune_entries",
+    "read_with_tombstones",
+    "tombstone_classes",
     "collect_entries",
 ]
