@@ -227,6 +227,12 @@ def _one_cycle(spark, table, compact_target: int, cluster_target: int, cores: in
     }
 
 
+#: best (lowest) compact task_read_sec observed by any timed cycle this
+#: process — every cycle reads the identical reset table, so this is the
+#: cleanest read-path reference the process has seen (see run_scaling)
+_BEST_READ_SEC: float | None = None
+
+
 class AttemptAborted(RuntimeError):
     """A scaling attempt bailed out because its window degraded below the
     severe-noise threshold mid-attempt — cheaper to re-gate and retry
@@ -249,17 +255,26 @@ def run_scaling(
     0.07 GB/s mid-attempt and the contaminated cycles became the shipped
     number. Each cycle records the reading it ran under; cycles under a
     degraded window are tagged noisy and lose the per-level min to any
-    quiet cycle regardless of wall time."""
+    quiet cycle regardless of wall time.
+
+    CYCLE-GRANULAR REPAIR (r4 session-2 hardening): the tmpfs-WRITE
+    sentinel misses read-path collapses — an r4 window passed every
+    sentinel gate (29.9/17.4 GB/s) while the cycles' page-cache reads ran
+    5-28× slow (task_read_sec 74.9/361 vs ~13 clean on identical bytes).
+    Every timed cycle reads the SAME reset table, so ``task_read_sec`` is
+    level-independent in a clean window and is itself the contamination
+    detector: a cycle whose read cost exceeds 2.5× the process-best is
+    tagged ``degraded_read``, loses per-level selection to undegraded
+    cycles, and — when a level's BEST cycle is still degraded or 4N ran
+    slower than N — that one level is re-run (bounded, gated), which
+    costs one cycle instead of a whole fresh attempt."""
     from e_commerce_lakehouse_spark.session import get_spark, stop_spark
     from e_commerce_lakehouse_spark.table.meta import Table
 
     root = build_shared_table(n_turns)
     cycles: list[dict] = []
-    # SYMMETRIC reps per level: min over more samples is stochastically
-    # smaller, so an extra rep on only one side would bias the efficiency
-    # ratio — both levels get exactly ``reps`` interleaved cycles
-    schedule = [(rep, c) for rep in range(max(1, reps)) for c in (n_cores, four_n)]
-    for rep, cores in schedule:
+
+    def _run_cycle(cores: int, rep: int) -> None:
         s = _sentinel_reading()
         if s < _quiet_threshold() and (
             deadline_ts is None or time.monotonic() + 12 < deadline_ts
@@ -290,12 +305,74 @@ def run_scaling(
                     "sentinel_gbps": s, "noisy_window": noisy})
         cycles.append(rec)
         _cleanup_cycle_outputs(table)
-    stop_spark()
+
+    # SYMMETRIC reps per level: min over more samples is stochastically
+    # smaller, so an extra rep on only one side would bias the efficiency
+    # ratio — both levels get exactly ``reps`` interleaved cycles (the
+    # repair loop below adds a cycle only when its level's best reading
+    # is flagged contaminated, which is repair, not extra sampling)
+    schedule = [(rep, c) for rep in range(max(1, reps)) for c in (n_cores, four_n)]
+    for rep, cores in schedule:
+        _run_cycle(cores, rep)
+
+    def _read_sec(c: dict) -> float | None:
+        return (c.get("compact_phase") or {}).get("task_read_sec")
+
+    def _tag_degraded() -> None:
+        # floor = best read cost seen by ANY timed cycle this PROCESS
+        # (identical bytes every cycle): catches an attempt where both
+        # its own cycles ran degraded, as long as any earlier attempt
+        # had one clean cycle
+        global _BEST_READ_SEC
+        reads = [r for r in (_read_sec(c) for c in cycles) if r]
+        if _BEST_READ_SEC is not None:
+            reads.append(_BEST_READ_SEC)
+        floor = min(reads) if reads else None
+        if floor is not None:
+            _BEST_READ_SEC = floor
+        for c in cycles:
+            r = _read_sec(c)
+            c["degraded_read"] = bool(floor and r and r > 2.5 * floor)
 
     def _best(cores: int) -> dict:
         mine = [c for c in cycles if c["cores"] == cores]
+        good = [c for c in mine if not c["noisy_window"] and not c.get("degraded_read")]
         quiet = [c for c in mine if not c["noisy_window"]]
-        return min(quiet or mine, key=lambda c: c["wall_sec"])
+        return min(good or quiet or mine, key=lambda c: c["wall_sec"])
+
+    def _suspect_level() -> int | None:
+        m_n, m_4n = _best(n_cores), _best(four_n)
+        if m_n["wall_sec"] <= m_4n["wall_sec"]:
+            return four_n  # 4N slower than N on identical work: implausible
+        if m_4n.get("degraded_read"):
+            return four_n
+        if m_n.get("degraded_read"):
+            return n_cores
+        rn, r4 = _read_sec(m_n), _read_sec(m_4n)
+        if rn and r4:  # asymmetric read cost on identical bytes
+            if r4 > 2.0 * rn:
+                return four_n
+            if rn > 2.0 * r4:
+                return n_cores
+        return None
+
+    repaired = 0
+    while repaired < 2:
+        _tag_degraded()
+        sus = _suspect_level()
+        if sus is None:
+            break
+        # one repair cycle ≈ warm+cycle at that level; budget conservatively
+        need = 200 if sus == n_cores else 160
+        if deadline_ts is not None and time.monotonic() + need > deadline_ts:
+            break
+        try:
+            _run_cycle(sus, rep=max(c["rep"] for c in cycles) + 1)
+        except AttemptAborted:
+            break
+        repaired += 1
+    _tag_degraded()
+    stop_spark()
 
     m_n, m_4n = _best(n_cores), _best(four_n)
     speedup = m_n["wall_sec"] / m_4n["wall_sec"]
@@ -307,6 +384,8 @@ def run_scaling(
         "target": 0.8,
         "interleaved_reps": max(1, reps),
         "noisy_cycles": sum(1 for c in cycles if c["noisy_window"]),
+        "degraded_read_cycles": sum(1 for c in cycles if c.get("degraded_read")),
+        "repaired_cycles": repaired,
         "total_cycles": len(cycles),
     }
 
@@ -568,11 +647,23 @@ def main() -> None:
             # symmetry of the two USED cycles' windows — the criterion
             # that matters for a ratio metric (see _quiet_threshold)
             m["sentinel_balance"] = round(max(s_n, s_4n) / max(min(s_n, s_4n), 0.01), 2)
+            # read cost on identical bytes must be level-independent: an
+            # asymmetric task_read_sec means one cycle's page-cache reads
+            # ran under interference the write sentinel cannot see
+            rd_n = (m["n"].get("compact_phase") or {}).get("task_read_sec")
+            rd_4 = (m["4n"].get("compact_phase") or {}).get("task_read_sec")
+            m["task_read_ratio"] = (
+                round(rd_4 / rd_n, 2) if rd_n and rd_4 else None
+            )
             m["clean"] = (
                 not forced
                 and not m["n"].get("noisy_window")
                 and not m["4n"].get("noisy_window")
+                and not m["n"].get("degraded_read")
+                and not m["4n"].get("degraded_read")
                 and m["sentinel_balance"] <= 2.0
+                and (m["task_read_ratio"] is None
+                     or 0.5 <= m["task_read_ratio"] <= 2.0)
                 and not m["implausible_4n_slower"]
             )
             attempts.append(m)
