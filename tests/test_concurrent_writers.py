@@ -1,0 +1,139 @@
+"""Concurrent-writer stress: maintenance + appends + MoR deletes racing.
+
+The commit protocol claims (table/meta.py): the O_EXCL lock serializes
+read-parent→flip; rewrite commits conflict (CommitConflictError) instead
+of double-tombstoning files a concurrent writer already rewrote; the
+tombstone-changed guard stops a rewrite from stamping outputs exempt from
+a newer MoR tombstone. This test exercises those guards under REAL
+thread-level concurrency rather than the staged two-writer sequences in
+test_commit_conflict.py, and asserts the end state a user cares about:
+exactly (initial ∪ appended) − deleted, full-row equality (the north
+rule's per-turn text-equality invariant), with a clean doctor audit.
+
+Spark note: one shared local SparkSession; concurrent jobs from threads
+are a supported Spark pattern (separate job groups per action).
+"""
+
+from __future__ import annotations
+
+import shutil
+import threading
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators.compact import compact
+from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+from e_commerce_lakehouse_spark.operators.verify import verify_table
+from e_commerce_lakehouse_spark.pipeline import with_retries
+from e_commerce_lakehouse_spark.synth import transcripts_df
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.meta import Table
+from e_commerce_lakehouse_spark.table.writer import create_transcripts_table, write_files
+
+from tests.conftest import assert_same_rows
+
+DELETE_PRED = "turn_idx = 0 AND conv_id <= 'conv-000000000199'"
+
+
+def _appender(spark, root, batches, errors):
+    try:
+        for i, df in enumerate(batches):
+            t = Table.load(root)
+            entries = write_files(spark, t, df, 2, f"app-{i:04d}")
+            # appends never remove files, so the only contention is the
+            # commit lock itself (blocking, built-in retry); retries here
+            # only absorb transient fs hiccups
+            with_retries(lambda: t.commit_append(entries, {"op": f"app-{i}"}),
+                         attempts=3, backoff_s=0.2)
+    except Exception as e:  # noqa: BLE001 — surfaced via the errors list
+        errors.append(("appender", e))
+
+
+def _compactor(spark, root, errors):
+    try:
+        for _ in range(3):
+            # re-plan from the head on CommitConflictError: fresh
+            # Table.load per attempt is the documented retry contract
+            with_retries(
+                lambda: compact(spark, Table.load(root), target_bytes=1 << 20),
+                attempts=5, backoff_s=0.2,
+            )
+    except Exception as e:  # noqa: BLE001
+        errors.append(("compactor", e))
+
+
+def _deleter(spark, root, errors):
+    try:
+        with_retries(
+            lambda: delete_where(spark, Table.load(root), DELETE_PRED,
+                                 mode="merge-on-read"),
+            attempts=5, backoff_s=0.2,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors.append(("deleter", e))
+
+
+def test_concurrent_append_compact_mor_delete(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    shutil.rmtree(root, ignore_errors=True)
+    initial = transcripts_df(spark, 8_000, seed=11).cache()
+    initial.count()
+    create_transcripts_table(spark, root, initial, rows_per_file=250,
+                             n_append_commits=2)
+
+    # appended conversations get a prefix that sorts ABOVE the delete
+    # predicate's conv_id bound so the predicate can never match them —
+    # the final state is deterministic under EVERY interleaving (an
+    # 'app-' prefix sorted BELOW 'conv-…' and made turn_idx=0 appends
+    # race the delete)
+    appended = (
+        transcripts_df(spark, 2_000, seed=12)
+        .withColumn("conv_id", F.concat(F.lit("zapp-"), F.col("conv_id")))
+        .cache()
+    )
+    appended.count()
+    # pmod, not %: xxhash64 is signed and Spark's % keeps the sign, so
+    # negative-hash rows would fall in NO batch
+    batches = [appended.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i).cache()
+               for i in range(4)]
+    for b in batches:
+        b.count()
+
+    errors: list = []
+    threads = [
+        threading.Thread(target=_appender, args=(spark, root, batches, errors)),
+        threading.Thread(target=_compactor, args=(spark, root, errors)),
+        threading.Thread(target=_deleter, args=(spark, root, errors)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), "writer thread hung"
+    assert not errors, f"writer failed after retries: {errors}"
+
+    table = Table.load(root)
+    final = scan(spark, table)
+    expected = initial.unionByName(appended).where(f"NOT ({DELETE_PRED})")
+    assert_same_rows(final, expected)
+
+    # no duplicate keys anywhere (the lost-update signature)
+    dup = (final.groupBy("conv_id", "turn_idx").count()
+           .where("count > 1").count())
+    assert dup == 0
+
+    # doctor audit: manifests, footers, stats all consistent
+    report = verify_table(table, spark=spark)
+    assert report["ok"], report["issues"][:5]
+
+    # every commit landed: 3 initial (create+2 appends) + 4 appends +
+    # >=1 compact + 1 delete, linear parent chain, one head
+    sids = table.snapshot_ids()
+    assert len(sids) >= 9
+    chain = set()
+    sid = table.current_snapshot_id()
+    while sid is not None:
+        assert sid not in chain, "cycle in snapshot chain"
+        chain.add(sid)
+        sid = table.snapshot(sid).parent_id
+    assert chain == set(sids), "orphaned snapshot outside the head chain"
