@@ -208,7 +208,46 @@ def cluster(
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
-        if shards <= 1:
+        part_spec = table.partition_spec()
+        if part_spec and shards > 1:
+            raise ValueError(
+                "sharded clustering on a hidden-partitioned table is not "
+                "supported; use shards=1, or scoped runs per partition slice"
+            )
+        if shards <= 1 and part_spec and not scoped:
+            # PARTITION-PURE clustering: rows are range-ordered by
+            # (partition tuple, curve key) and the hive-style partitionBy
+            # write splits each task's rows per partition value — every
+            # output file belongs to exactly one partition, keyed-sorted
+            # within, so the planner's exact pruning survives clustering.
+            # (Scoped runs read raw file slices and write flat; their
+            # outputs carry no partition tuple — conservative, never
+            # wrong.)
+            from ..table.partition import partition_from_path, spark_partition_column
+
+            names = [f.name for f in part_spec]
+            shaped = keyed
+            for f in part_spec:
+                shaped = shaped.withColumn(f.name, spark_partition_column(f))
+            subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}-{run_token}"
+            out_dir = os.path.join(table.data_dir, subdir)
+            (
+                shaped.repartitionByRange(
+                    n_files, *[F.col(n) for n in names], F.col(_KEY)
+                )
+                .sortWithinPartitions(*names, _KEY)
+                .drop(_KEY)
+                .write.mode("error")
+                .option("compression", "zstd")
+                .partitionBy(*names)
+                .parquet(out_dir)
+            )
+            added = collect_entries(
+                list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+            )
+            for e in added:
+                e.partition = partition_from_path(e.path, part_spec)
+        elif shards <= 1:
             subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}-{run_token}"
             out_dir = os.path.join(table.data_dir, subdir)
             (

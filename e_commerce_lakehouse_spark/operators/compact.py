@@ -168,6 +168,7 @@ def _rewrite_group(
     stat_columns,
     run_token: str = "",
     out_seq: int | None = None,
+    out_partition: dict | None = None,
 ) -> dict:
     t0 = monotonic()
     # run token = collision-free per attempt: a prior crashed attempt's
@@ -185,6 +186,7 @@ def _rewrite_group(
     outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
     for e in outs:
         e.seq = out_seq
+        e.partition = out_partition
     return {
         "group_id": group.group_id,
         "status": "done",
@@ -200,7 +202,7 @@ def _rewrite_group(
 def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
     codec: str = "zstd", field_spec: list | None = None, run_token: str = "",
-    group_seq: dict | None = None,
+    group_seq: dict | None = None, group_part: dict | None = None,
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
@@ -218,6 +220,9 @@ def _run_arrow(
         )
         for r in results:  # outputs carry the group's preserved seq
             r["entry"]["seq"] = group_seq[r["group_id"]]
+            part = (group_part or {}).get(r["group_id"])
+            if part is not None:  # ...and its (single) partition tuple
+                r["entry"]["partition"] = part
         wall = int((monotonic() - t0) * 1000)
         phase["wave_sec"] += wall / 1000
         phase["task_read_sec"] += sum(r["task_read_ms"] for r in results) / 1000
@@ -248,7 +253,7 @@ def _run_arrow(
 def _run_jobs(
     spark, table, todo, base_snapshot, target_bytes, schema, stat_columns, ckpt,
     max_concurrent_groups, fail_after_groups, run_token: str = "",
-    group_seq: dict | None = None,
+    group_seq: dict | None = None, group_part: dict | None = None,
 ) -> None:
     """Jobs mode: one Spark SQL job per group, FAIR-scheduled from a
     thread pool (the generic path — works for any schema/transform)."""
@@ -258,7 +263,8 @@ def _run_jobs(
     def run_group(g: FileGroup) -> dict:
         rec = _rewrite_group(spark, table, g, base_snapshot, target_bytes, schema,
                              stat_columns, run_token=run_token,
-                             out_seq=(group_seq or {}).get(g.group_id))
+                             out_seq=(group_seq or {}).get(g.group_id),
+                             out_partition=(group_part or {}).get(g.group_id))
         nonlocal completed
         with lock:
             ckpt.record(rec)
@@ -347,6 +353,21 @@ def compact(
         entry_parts = [_classes[k] for k in sorted(_classes)]
     else:
         entry_parts = [entries]
+    # HIDDEN-PARTITION split: files from different partition tuples never
+    # share an output file (a merged file would span partitions and the
+    # planner's exact pruning would turn wrong-or-conservative). Files
+    # without partition metadata form their own conservative class.
+    # Deterministic order → resume-stable group ids, same as seq classes.
+    part_spec = table.partition_spec()
+    if part_spec:
+        split_parts = []
+        for part in entry_parts:
+            by_tuple: dict = {}
+            for e in part:
+                key = tuple(sorted((e.partition or {}).items()))
+                by_tuple.setdefault(key, []).append(e)
+            split_parts.extend(by_tuple[k] for k in sorted(by_tuple, key=repr))
+        entry_parts = split_parts
     if order_preserving:
         from ..plans.binpack import plan_bin_packing_ordered
 
@@ -372,6 +393,9 @@ def compact(
     # within a class): older tombstones keep applying to the carried rows,
     # and nothing newer is wrongly exempted
     group_seq = {g.group_id: max((e.seq or 0) for e in g.entries) for g in groups}
+    # outputs inherit the group's (single, by the split above) partition
+    # tuple — rewrites preserve partition purity without re-deriving
+    group_part = {g.group_id: g.entries[0].partition for g in groups}
     metrics = {
         "base_snapshot": base_snapshot,
         "planned_groups": len(groups),
@@ -422,12 +446,13 @@ def compact(
                            wave_size=wave_size,
                            fail_after_groups=fail_after_groups, codec=codec,
                            field_spec=field_spec, run_token=run_token,
-                           group_seq=group_seq)
+                           group_seq=group_seq, group_part=group_part)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
                   stat_columns, ckpt, max_concurrent_groups, fail_after_groups,
-                  run_token=run_token, group_seq=group_seq)
+                  run_token=run_token, group_seq=group_seq,
+                  group_part=group_part)
     else:
         raise ValueError(f"unknown compaction mode: {mode}")
     t_rewrite_done = monotonic()

@@ -173,8 +173,9 @@ def merge_into(
     subdir = f"merge-{base_snapshot:08d}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.data_dir, subdir)
     n_out = max(1, math.ceil(touched_bytes / target_bytes) or 1)
-    merged.repartition(n_out).write.mode("error").parquet(out_dir)
-    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
+    from ..table.writer import write_rewrite_files
+
+    added = write_rewrite_files(spark, table, merged, n_out, out_dir, stat_columns)
 
     snap = table.commit_rewrite(
         touched,

@@ -96,8 +96,10 @@ def _rewrite_and_commit(
     subdir = f"{operation}-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.data_dir, subdir)
     n_out = max(1, math.ceil(touched_bytes / target_bytes))
-    rewritten_df.repartition(n_out).write.mode("error").parquet(out_dir)
-    added = collect_entries(list_parquet_files(out_dir), table.root, stat_columns, spark=spark)
+    from ..table.writer import write_rewrite_files
+
+    added = write_rewrite_files(spark, table, rewritten_df, n_out, out_dir,
+                                stat_columns)
     live = [e for e in added if e.rows > 0]
     for e in added:
         if e.rows == 0:

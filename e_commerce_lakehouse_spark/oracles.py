@@ -754,6 +754,32 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM corr
 """
 
 
+# q58: the hidden-partitioned table's pruned scans, relationally — the
+# partition transforms affect planning only, so the slices must equal the
+# plain WHERE over the same q30 derivation.
+ALL["q58_partitioned_scan"] = """
+WITH base AS (
+    SELECT 'conv-' || lpad(CAST(event_id % 500 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           props AS text,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           ts
+    FROM events)
+SELECT 'point' AS slice, role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM base WHERE conv_id = 'conv-000042' GROUP BY role
+UNION ALL
+SELECT 'window' AS slice, role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM base
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+GROUP BY role
+"""
+
+
 # q57: the typed CDC change feed relationally — each lifecycle leg is a
 # WHERE over documents; deletes emit pre-images, the MoR update emits
 # post-images as inserts.

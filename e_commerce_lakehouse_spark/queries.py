@@ -509,6 +509,59 @@ def q56_training_pipeline(spark, sf_dir):
     )
 
 
+def q58_partitioned_scan(spark, sf_dir):
+    """Hidden partitioning through the REAL table format, value-hash
+    oracled: sf_dir-derived transcripts (q30's derivation) ingested under
+    a bucket[2](conv_id) + day(ts) partition spec, compacted (partition-
+    pure bin packing), then read back through the EXACT partition-pruned
+    planner as (a) one conversation's point slice and (b) a 3-day time
+    window — aggregated per (slice, role). Partition transforms affect
+    PLANNING only; the DuckDB twin recomputes both slices relationally
+    from the same derivation, so the hash proves the pruned scans drop
+    nothing and invent nothing across write → compact → scan."""
+    import datetime as _dtm
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact
+    from .table import scan
+    from .table.partition import PartitionField
+    from .table.writer import create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q58_{uuid.uuid4().hex[:12]}")
+    lo = _dtm.datetime(2024, 1, 10)
+    hi = _dtm.datetime(2024, 1, 12, 23, 59, 59)
+    try:
+        t = create_transcripts_table(
+            spark, root, df, rows_per_file=max(400, df.count() // 8),
+            partition_spec=[
+                PartitionField("conv_bucket", "conv_id", "bucket[2]"),
+                PartitionField("ts_day", "ts", "day"),
+            ],
+        )
+        compact(spark, t, target_bytes=64 << 20)
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        point = agg("point", scan(spark, t, conv_id="conv-000042"))
+        window = agg("window", scan(spark, t, ts_range=(lo, hi)))
+        result = point.unionByName(window)
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -1039,6 +1092,7 @@ ALL = {
     "q55_streaming_windowed_agg": q55_streaming_windowed_agg,
     "q56_training_pipeline": q56_training_pipeline,
     "q57_cdc_changes": q57_cdc_changes,
+    "q58_partitioned_scan": q58_partitioned_scan,
     "q41_running_sum": q41_running_sum,
     "q42_collect_sorted_set": q42_collect_sorted_set,
     "q43_ntile_buckets": q43_ntile_buckets,

@@ -1,5 +1,6 @@
 from .cdc import ChangeFeedConsumer, ChangeFeedError, IncrementalConsumer
 from .meta import CommitConflictError, DataFileEntry, Snapshot, Table
+from .partition import PartitionField
 from .scan import (
     incremental_scan,
     planned_entries,
@@ -15,6 +16,7 @@ __all__ = [
     "ChangeFeedError",
     "CommitConflictError",
     "DataFileEntry",
+    "PartitionField",
     "IncrementalConsumer",
     "Snapshot",
     "Table",

@@ -92,15 +92,24 @@ class DataFileEntry:
     bytes: int
     stats: dict[str, list] = field(default_factory=dict)
     seq: int | None = None
+    #: hidden-partition tuple {field_name: value} derived by the writer
+    #: from the table's partition spec (table/partition.py). None for
+    #: files written before/without a spec — the planner keeps those
+    #: conservative (never pruned by partition).
+    partition: dict | None = None
 
     def to_dict(self) -> dict:
-        return {"path": self.path, "rows": self.rows, "bytes": self.bytes,
-                "stats": self.stats, "seq": self.seq if self.seq is not None else 0}
+        d = {"path": self.path, "rows": self.rows, "bytes": self.bytes,
+             "stats": self.stats, "seq": self.seq if self.seq is not None else 0}
+        if self.partition is not None:
+            d["partition"] = self.partition
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DataFileEntry":
         return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
-                   stats=d.get("stats", {}), seq=d.get("seq", 0))
+                   stats=d.get("stats", {}), seq=d.get("seq", 0),
+                   partition=d.get("partition"))
 
 
 @dataclass
@@ -681,6 +690,32 @@ class Table:
             json.dump({"constraints": constraints}, f)
         os.replace(tmp, self._constraints_path())
 
+    # ---------- hidden partitioning ----------
+
+    def partition_spec(self) -> list:
+        """The table's hidden-partition spec ([] = unpartitioned). See
+        table/partition.py for transforms and pruning semantics."""
+        from .partition import read_spec
+
+        return read_spec(self.metadata_dir)
+
+    def set_partition_spec(self, spec: list, data_columns: list[str]) -> None:
+        """Declare the partition spec. Write-once and only while the table
+        is EMPTY: partition evolution (Iceberg v2 spec-per-manifest) is out
+        of scope — a spec change under existing data would silently leave
+        old files unpruned by the new predicates."""
+        from .partition import read_spec, validate_spec, write_spec
+
+        if read_spec(self.metadata_dir):
+            raise ValueError("partition spec already set (write-once)")
+        if self.current_snapshot_id() is not None:
+            raise ValueError(
+                "cannot set a partition spec on a table with committed data; "
+                "create the table with the spec instead"
+            )
+        validate_spec(spec, data_columns)
+        write_spec(self.metadata_dir, spec)
+
     # ---------- schema evolution ----------
 
     def _schema_path(self) -> str:
@@ -811,6 +846,7 @@ class Table:
 
 _STAT_MIN = "stat_min_"
 _STAT_MAX = "stat_max_"
+_PART = "part_"
 
 
 def _arrow_stat_type(values):
@@ -857,6 +893,16 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
         typ = _arrow_stat_type(mins + maxs)
         arrays[_STAT_MIN + k] = pa.array(mins, typ)
         arrays[_STAT_MAX + k] = pa.array(maxs, typ)
+    part_keys: list[str] = []
+    pseen: set[str] = set()
+    for e in entries:
+        for k in (e.partition or {}):
+            if k not in pseen:
+                pseen.add(k)
+                part_keys.append(k)
+    for k in part_keys:
+        vals = [(e.partition or {}).get(k) for e in entries]
+        arrays[_PART + k] = pa.array(vals, _arrow_stat_type(vals))
     pq.write_table(pa.table(arrays), path, compression="zstd")
 
 
@@ -866,6 +912,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     planning fast path (scan.planned_entries) filters vectorized FIRST so
     this loop only ever runs over pruning survivors."""
     stat_keys = [c[len(_STAT_MIN):] for c in t.column_names if c.startswith(_STAT_MIN)]
+    part_keys = [c[len(_PART):] for c in t.column_names if c.startswith(_PART)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
     seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
     out: list[DataFileEntry] = []
@@ -875,10 +922,17 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
             mn, mx = cols[_STAT_MIN + k][i], cols[_STAT_MAX + k][i]
             if mn is not None or mx is not None:
                 stats[k] = [mn, mx]
+        part = None
+        for k in part_keys:
+            v = cols[_PART + k][i]
+            if v is not None:
+                part = part or {}
+                part[k] = v
         out.append(
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
                           bytes=cols["bytes"][i], stats=stats,
-                          seq=seqs[i] if seqs is not None else 0)
+                          seq=seqs[i] if seqs is not None else 0,
+                          partition=part)
         )
     return out
 

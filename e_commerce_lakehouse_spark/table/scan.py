@@ -145,6 +145,21 @@ def planned_entries(
             if e.path not in removed and e.path not in seen:
                 seen.add(e.path)
                 out.append(e)
+    # hidden-partition pruning (EXACT, unlike the conservative stat
+    # ranges): derive partition predicates from the column predicates via
+    # the table's spec — a conv_id point keeps one bucket, a ts range
+    # keeps the overlapping days. Files without partition metadata
+    # (pre-spec vintage, rewrite outputs) are kept.
+    if conv_id_range is not None or ts_range is not None:
+        spec = table.partition_spec()
+        if spec:
+            from .partition import prune_by_partition
+
+            point = None
+            if conv_id_range is not None and conv_id_range[0] is not None \
+                    and conv_id_range[0] == conv_id_range[1]:
+                point = conv_id_range[0]
+            out = prune_by_partition(out, spec, conv_id=point, ts_range=ts_range)
     return out
 
 

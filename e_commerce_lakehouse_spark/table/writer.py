@@ -32,18 +32,93 @@ def write_files(
     subdir: str,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     sort_within: list[str] | None = None,
+    partition_spec=None,
 ) -> list[DataFileEntry]:
     """Write ``df`` as ~n_files parquet files under data/<subdir>; return
-    stat-bearing entries (NOT yet committed)."""
+    stat-bearing entries (NOT yet committed).
+
+    ``partition_spec=None`` derives it from the table (hidden
+    partitioning, table/partition.py): derived partition columns are
+    computed, the write splits hive-style (``name=value/`` dirs, derived
+    columns NOT stored in the files — the data schema is unchanged), and
+    each entry carries its partition tuple for exact planner pruning.
+    Pass ``[]`` to force an unpartitioned write."""
+    if partition_spec is None:
+        partition_spec = table.partition_spec()
     out_dir = os.path.join(table.data_dir, subdir)
     if os.path.exists(out_dir):
         raise FileExistsError(f"data subdir already exists: {out_dir}")
+    if partition_spec:
+        from pyspark.sql import functions as F
+
+        from .partition import partition_from_path, spark_partition_column
+
+        names = [f.name for f in partition_spec]
+        shaped = df
+        for f in partition_spec:
+            shaped = shaped.withColumn(f.name, spark_partition_column(f))
+        # cluster rows by partition tuple, SALTED by the source split so
+        # a hot partition parallelizes across tasks instead of funneling
+        # through one (each task writes one file per value it holds;
+        # compaction owns final file sizing)
+        shaped = shaped.repartition(
+            max(1, n_files), *names, F.spark_partition_id()
+        )
+        if sort_within:
+            shaped = shaped.sortWithinPartitions(*sort_within)
+        shaped.write.mode("error").partitionBy(*names).parquet(out_dir)
+        paths = list_parquet_files(out_dir)
+        entries = collect_entries(paths, table.root, stat_columns, spark=spark)
+        for e in entries:
+            e.partition = partition_from_path(e.path, partition_spec)
+        return entries
     shaped = df.repartition(max(1, n_files))
     if sort_within:
         shaped = shaped.sortWithinPartitions(*sort_within)
     shaped.write.mode("error").parquet(out_dir)
     paths = list_parquet_files(out_dir)
     return collect_entries(paths, table.root, stat_columns, spark=spark)
+
+
+def write_rewrite_files(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    n_out: int,
+    out_dir: str,
+    stat_columns=TRANSCRIPTS_STAT_COLUMNS,
+) -> list[DataFileEntry]:
+    """Rewrite-output writer shared by MERGE / row-level DELETE / UPDATE:
+    honors the table's hidden-partition spec so row-level ops never
+    degrade the partition layout — outputs stay partition-pure (and
+    exactly prunable) instead of falling back to the conservative
+    no-partition class until the next full clustering."""
+    spec = table.partition_spec()
+    if spec:
+        from pyspark.sql import functions as F
+
+        from .partition import partition_from_path, spark_partition_column
+
+        names = [f.name for f in spec]
+        shaped = df
+        for f in spec:
+            shaped = shaped.withColumn(f.name, spark_partition_column(f))
+        (
+            shaped.repartition(max(1, n_out), *names, F.spark_partition_id())
+            .write.mode("error")
+            .partitionBy(*names)
+            .parquet(out_dir)
+        )
+        entries = collect_entries(
+            list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+        )
+        for e in entries:
+            e.partition = partition_from_path(e.path, spec)
+        return entries
+    df.repartition(max(1, n_out)).write.mode("error").parquet(out_dir)
+    return collect_entries(
+        list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+    )
 
 
 def align_to_schema(df: DataFrame, schema) -> DataFrame:
@@ -173,11 +248,18 @@ def create_transcripts_table(
     df: DataFrame,
     rows_per_file: int = 10_000,
     n_append_commits: int = 1,
+    partition_spec=None,
 ) -> Table:
     """Create a transcripts table from a DataFrame, optionally split across
     several append commits (multiple manifests — exercises manifest
-    rewrite) and into deliberately small files (exercises compaction)."""
+    rewrite) and into deliberately small files (exercises compaction).
+
+    ``partition_spec``: optional list of table.partition.PartitionField —
+    declared before the first commit (write-once); every write below and
+    every later append derives the hidden partition columns from it."""
     table = Table.create(root)
+    if partition_spec:
+        table.set_partition_spec(partition_spec, df.columns)
     total = df.count()
     n_files = max(1, -(-total // rows_per_file))
     if n_append_commits <= 1:

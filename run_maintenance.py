@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--n-turns", type=int, default=100_000, help="create: synthetic turns")
+    p.add_argument("--partition-by", default=None,
+                   help="create: hidden-partition transforms, e.g. "
+                        "'day(ts),bucket[16](conv_id)' (field names are "
+                        "derived: ts_day, conv_id_bucket)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--retries", type=int, default=3,
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
@@ -205,10 +209,28 @@ def main(argv=None) -> int:
             from e_commerce_lakehouse_spark.synth import transcripts_df
             from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
 
+            spec = None
+            if args.partition_by:
+                import re as _re
+
+                from e_commerce_lakehouse_spark.table.partition import PartitionField
+
+                spec = []
+                for term in args.partition_by.split(","):
+                    m = _re.match(r"^\s*(identity|day|bucket\[\d+\])\((\w+)\)\s*$",
+                                  term)
+                    if not m:
+                        raise SystemExit(f"bad --partition-by term: {term!r}")
+                    transform, src = m.group(1), m.group(2)
+                    suffix = ("bucket" if transform.startswith("bucket")
+                              else transform)
+                    spec.append(PartitionField(f"{src}_{suffix}", src, transform))
             df = transcripts_df(spark, args.n_turns, seed=args.seed)
-            t = create_transcripts_table(spark, args.table, df)
+            t = create_transcripts_table(spark, args.table, df,
+                                         partition_spec=spec)
             result = {"snapshot": t.current_snapshot_id(), "rows": t.total_rows(),
-                      "files": len(t.entries())}
+                      "files": len(t.entries()),
+                      "partition_spec": [f.to_dict() for f in (spec or [])]}
         elif args.op == "compact":
             result = with_retries(
                 lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,
@@ -366,6 +388,7 @@ def main(argv=None) -> int:
                 "manifests": len(snap.manifests),
                 "tombstones": len(snap.removed_files),
                 "mor_tombstone_files": len(snap.tombstones),
+                "partition_spec": [f.to_dict() for f in t.partition_spec()],
                 "constraints": t.constraints(),
             }
         else:  # pragma: no cover
