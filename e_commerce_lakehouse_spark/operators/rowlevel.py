@@ -46,31 +46,35 @@ def _as_column(predicate) -> Column:
 
 def _touched_by_predicate(
     spark: SparkSession, table: Table, predicate: Column, schema
-) -> list[str]:
-    """Relative paths of current files containing >=1 matching row."""
+) -> dict[str, int]:
+    """Current files containing >=1 matching (pred=TRUE) row, with the
+    per-file matched-row count — the same single scan that used to return
+    paths only. The count lets DELETE classify a file as FULLY matched
+    (count == manifest rows → droppable metadata-only, no rewrite) vs
+    partially matched (rewrite input)."""
     entries = table.entries()
     if not entries:
-        return []
+        return {}
     abs_paths = [os.path.join(table.root, e.path) for e in entries]
     hits = (
         spark.read.schema(schema)
         .parquet(*abs_paths)
         .where(predicate)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     root_uri = "file://" + table.root + "/"
-    out = []
+    out: dict[str, int] = {}
     for r in hits:
         f = r["f"]
         for prefix in (root_uri, "file:" + table.root + "/", table.root + "/"):
             if f.startswith(prefix):
-                out.append(f[len(prefix):])
+                out[f[len(prefix):]] = r["n"]
                 break
         else:  # unexpected URI shape: conservative (rewrite it anyway)
-            out.append(os.path.relpath(f.split("://", 1)[-1], table.root))
-    return sorted(out)
+            out[os.path.relpath(f.split("://", 1)[-1], table.root)] = r["n"]
+    return out
 
 
 def _rewrite_and_commit(
@@ -85,7 +89,11 @@ def _rewrite_and_commit(
     t0: float,
     clear_tombstones: bool = False,
     expected_tombstones: list[str] | None = None,
+    extra_removed: list[str] | None = None,
 ) -> dict:
+    """``extra_removed``: paths removed WITHOUT contributing rewrite input
+    (whole-file drops) — excluded from output sizing, included in the
+    commit's removed set (and its snapshot-isolation guard)."""
     entries_by_path = {e.path: e for e in table.entries()}
     touched_bytes = sum(entries_by_path[p].bytes for p in touched)
     # collision-free like append-{uuid}: two writers planning from the same
@@ -105,7 +113,7 @@ def _rewrite_and_commit(
         if e.rows == 0:
             os.remove(os.path.join(table.root, e.path))
     snap = table.commit_rewrite(
-        touched,
+        list(touched) + list(extra_removed or []),
         live,
         operation=operation,
         summary={"op": operation, "touched_files": len(touched), "added_files": len(live),
@@ -115,7 +123,7 @@ def _rewrite_and_commit(
     )
     return {
         "committed_snapshot": snap.snapshot_id,
-        "touched_files": len(touched),
+        "touched_files": len(touched) + len(extra_removed or []),
         "total_files": len(entries_by_path),
         "added_files": len(live),
         "wall_ms": int((monotonic() - t0) * 1000),
@@ -163,12 +171,35 @@ def delete_where(
         raise ValueError(f"unknown delete mode: {mode!r}")
     materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
                         stat_columns=stat_columns)
-    touched = _touched_by_predicate(spark, table, pred, schema)
-    if not touched:
+    matched = _touched_by_predicate(spark, table, pred, schema)
+    if not matched:
         return {"committed_snapshot": None, "touched_files": 0,
                 "total_files": len(table.entries()), "added_files": 0,
+                "dropped_files": 0,
                 "wall_ms": int((monotonic() - t0) * 1000)}
-    abs_paths = [os.path.join(table.root, p) for p in touched]
+    # Whole-file drop fast path: a file whose matched (pred=TRUE) count
+    # equals its manifest row count loses EVERY row — remove it from the
+    # snapshot with no rewrite. For partition-aligned deletes (archive
+    # everything before day D on a day(ts)-partitioned table) this makes
+    # DELETE near metadata-only: write cost is O(boundary files), not
+    # O(touched bytes). Safe here because materialize_deletes just ran
+    # (no live tombstones can hide rows) and the matched count came from
+    # actually evaluating the predicate, not from stats.
+    rows_by_path = {e.path: e.rows for e in table.entries()}
+    full = sorted(p for p, n in matched.items() if n == rows_by_path.get(p))
+    partial = sorted(p for p in matched if p not in set(full))
+    if not partial:
+        snap = table.commit_rewrite(
+            full, [], operation="delete",
+            summary={"op": "delete", "touched_files": len(full),
+                     "added_files": 0, "metadata_only": True},
+            expected_tombstones=[],
+        )
+        return {"committed_snapshot": snap.snapshot_id,
+                "touched_files": len(full), "total_files": len(rows_by_path),
+                "added_files": 0, "dropped_files": len(full),
+                "wall_ms": int((monotonic() - t0) * 1000)}
+    abs_paths = [os.path.join(table.root, p) for p in partial]
     # SQL DELETE semantics: only pred=TRUE rows are deleted; a NULL
     # predicate KEEPS the row. A bare ~pred would silently drop
     # NULL-predicate rows (~NULL is NULL, filtered out) — found in review;
@@ -180,10 +211,13 @@ def delete_where(
     # materialize (empty tombstone list); a concurrent MoR delete landing
     # before our commit must CONFLICT — freshly-stamped outputs would be
     # exempt from it and resurrect its rows (review finding)
-    return _rewrite_and_commit(
-        spark, table, touched, kept, "delete", target_bytes, stat_columns, {}, t0,
-        expected_tombstones=[],
+    out = _rewrite_and_commit(
+        spark, table, partial, kept, "delete", target_bytes, stat_columns,
+        {"dropped_files": len(full)}, t0,
+        expected_tombstones=[], extra_removed=full,
     )
+    out["dropped_files"] = len(full)
+    return out
 
 
 def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
@@ -363,7 +397,7 @@ def update_where(
     # cleared-key path potentially resurrect) deleted rows
     materialize_deletes(spark, table, target_bytes=target_bytes, schema=schema,
                         stat_columns=stat_columns)
-    touched = _touched_by_predicate(spark, table, pred, schema)
+    touched = sorted(_touched_by_predicate(spark, table, pred, schema))
     if not touched:
         return {"committed_snapshot": None, "touched_files": 0,
                 "total_files": len(table.entries()), "added_files": 0,

@@ -343,3 +343,59 @@ def test_compact_preserves_tombstone_applicability(spark, tiny_df, tiny_table):
     # pre-images stay dead
     assert after.where("role = 'tool' AND (tool IS NULL OR tool <> 'patched')").count() == 0
     after.unpersist()
+
+
+def test_cow_delete_whole_file_drop_is_metadata_only(spark, tmp_path):
+    """Archival on a day-partitioned table: ``DELETE WHERE ts < day
+    boundary`` fully matches every file of the expired days (files are
+    partition-pure), so the commit removes them METADATA-ONLY — zero
+    rewrite output files — and keeps the later days byte-identical."""
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table.partition import PartitionField
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    df = transcripts_df(spark, 3_000, seed=11).cache()
+    t = create_transcripts_table(
+        spark, str(tmp_path / "ptbl"), df, rows_per_file=400,
+        partition_spec=[PartitionField("ts_day", "ts", "day")],
+    )
+    days = sorted({e.partition["ts_day"] for e in t.entries()})
+    assert len(days) >= 3
+    cut_day = days[len(days) // 2]
+    import datetime as dtm
+
+    cutoff = dtm.datetime(1970, 1, 1) + dtm.timedelta(days=int(cut_day))
+    pred = F.col("ts") < F.lit(cutoff)
+    n_match = df.where(pred).count()
+    assert n_match > 0
+    m = delete_where(spark, t, pred)
+    # every pre-cutoff file is partition-pure → all dropped, none rewritten
+    assert m["dropped_files"] >= 1
+    assert m["added_files"] == 0
+    assert m["touched_files"] == m["dropped_files"]
+    assert t.snapshot().summary.get("metadata_only") is True
+    after = scan(spark, t)
+    assert after.count() == df.count() - n_match
+    assert_same_rows(
+        df.where(~pred).select("conv_id", "turn_idx", "text"),
+        after.select("conv_id", "turn_idx", "text"),
+    )
+    df.unpersist()
+
+
+def test_cow_delete_mixed_full_and_partial_files(spark, tiny_df, tiny_table):
+    """Full files drop, boundary files rewrite; survivors byte-identical."""
+    cluster(spark, tiny_table, curve="zorder", target_bytes=24 * 1024)
+    # ts cutoff in the middle: early files fully match, one straddles
+    cutoff = tiny_df.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.45) as long)) as c"
+    ).collect()[0]["c"]
+    pred = F.col("ts") < F.lit(cutoff)
+    keep_expected = tiny_df.where(~F.coalesce(pred, F.lit(False)))
+    m = delete_where(spark, tiny_table, pred)
+    assert m["committed_snapshot"] is not None
+    after = scan(spark, tiny_table)
+    assert_same_rows(
+        keep_expected.select("conv_id", "turn_idx", "text"),
+        after.select("conv_id", "turn_idx", "text"),
+    )
