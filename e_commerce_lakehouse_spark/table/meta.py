@@ -700,21 +700,56 @@ class Table:
         return read_spec(self.metadata_dir)
 
     def set_partition_spec(self, spec: list, data_columns: list[str]) -> None:
-        """Declare the partition spec. Write-once and only while the table
-        is EMPTY: partition evolution (Iceberg v2 spec-per-manifest) is out
-        of scope — a spec change under existing data would silently leave
-        old files unpruned by the new predicates."""
+        """Declare the INITIAL partition spec (create path). Only while the
+        table is empty; use evolve_partition_spec on a table with data."""
         from .partition import read_spec, validate_spec, write_spec
 
         if read_spec(self.metadata_dir):
-            raise ValueError("partition spec already set (write-once)")
+            raise ValueError(
+                "partition spec already set; use evolve_partition_spec"
+            )
         if self.current_snapshot_id() is not None:
             raise ValueError(
                 "cannot set a partition spec on a table with committed data; "
-                "create the table with the spec instead"
+                "use evolve_partition_spec (old files stay conservative)"
             )
         validate_spec(spec, data_columns)
         write_spec(self.metadata_dir, spec)
+
+    def evolve_partition_spec(self, new_spec: list, data_columns: list[str]) -> None:
+        """Partition evolution (Iceberg-style): future writes lay out under
+        ``new_spec``; existing files keep the tuples they were written with.
+        Pruning applies the UNION of all specs' fields per entry (an entry
+        is pruned by exactly the fields its tuple carries), so both
+        vintages keep exact pruning and mixed-vintage tables stay correct
+        — a full ``cluster()`` migrates old files to the current layout.
+
+        A field NAME reused across specs must keep an identical
+        (source, transform): old tuples are keyed by name, so a silent
+        redefinition (bucket[2] -> bucket[4] under one name) would prune
+        old files with the wrong transform and lose rows. Changing a
+        transform therefore requires a new field name."""
+        from .partition import (
+            read_spec_history,
+            union_fields,
+            validate_spec,
+            write_spec_history,
+        )
+
+        validate_spec(new_spec, data_columns)
+        history = read_spec_history(self.metadata_dir)
+        if history and history[-1] == list(new_spec):
+            return  # idempotent no-op
+        union_fields(history + [list(new_spec)])  # raises on name redefinition
+        write_spec_history(self.metadata_dir, history + [list(new_spec)])
+
+    def partition_fields_for_pruning(self) -> list:
+        """Union of every partition field ever declared (deduped by name,
+        consistency-checked) — the field set the scan planner prunes with
+        on a mixed-vintage table."""
+        from .partition import read_spec_history, union_fields
+
+        return union_fields(read_spec_history(self.metadata_dir))
 
     # ---------- schema evolution ----------
 

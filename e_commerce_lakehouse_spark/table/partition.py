@@ -117,19 +117,57 @@ def spec_path(metadata_dir: str) -> str:
     return os.path.join(metadata_dir, "PARTITION_SPEC.json")
 
 
-def read_spec(metadata_dir: str) -> list[PartitionField]:
+def read_spec_history(metadata_dir: str) -> list[list[PartitionField]]:
+    """All specs the table has ever written under, oldest first. The file
+    is either a plain list (v1: single spec) or ``{"specs": [[...], ...]}``
+    after partition evolution."""
     path = spec_path(metadata_dir)
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return [PartitionField.from_dict(d) for d in json.load(f)]
+        raw = json.load(f)
+    if isinstance(raw, dict):
+        return [[PartitionField.from_dict(d) for d in s] for s in raw["specs"]]
+    return [[PartitionField.from_dict(d) for d in raw]] if raw else []
+
+
+def read_spec(metadata_dir: str) -> list[PartitionField]:
+    """The CURRENT spec (what writers use). [] = unpartitioned."""
+    hist = read_spec_history(metadata_dir)
+    return hist[-1] if hist else []
+
+
+def write_spec_history(metadata_dir: str, specs: list[list[PartitionField]]) -> None:
+    tmp = spec_path(metadata_dir) + ".tmp"
+    if len(specs) == 1:  # keep the v1 single-spec shape when unevolved
+        payload = [p.to_dict() for p in specs[0]]
+    else:
+        payload = {"specs": [[p.to_dict() for p in s] for s in specs]}
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, spec_path(metadata_dir))
 
 
 def write_spec(metadata_dir: str, spec: list[PartitionField]) -> None:
-    tmp = spec_path(metadata_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump([p.to_dict() for p in spec], f, indent=1)
-    os.replace(tmp, spec_path(metadata_dir))
+    write_spec_history(metadata_dir, [spec])
+
+
+def union_fields(history: list[list[PartitionField]]) -> list[PartitionField]:
+    """Every field ever declared, deduped by name, oldest first. Evolution
+    REQUIRES a reused name to keep an identical (source, transform) — so a
+    field def is unambiguous table-wide and pruning may apply any field an
+    entry's tuple carries, whatever spec wrote it."""
+    out: dict[str, PartitionField] = {}
+    for spec in history:
+        for f in spec:
+            prev = out.get(f.name)
+            if prev is not None and prev != f:
+                raise ValueError(
+                    f"partition field {f.name!r} redefined across specs: "
+                    f"{prev.transform}({prev.source}) vs {f.transform}({f.source})"
+                )
+            out.setdefault(f.name, f)
+    return list(out.values())
 
 
 def partition_from_path(rel_path: str, spec: list[PartitionField]) -> dict | None:

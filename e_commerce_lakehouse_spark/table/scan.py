@@ -151,7 +151,9 @@ def planned_entries(
     # keeps the overlapping days. Files without partition metadata
     # (pre-spec vintage, rewrite outputs) are kept.
     if conv_id_range is not None or ts_range is not None:
-        spec = table.partition_spec()
+        # union of all specs' fields: after partition evolution, each
+        # entry prunes by exactly the fields its own tuple carries
+        spec = table.partition_fields_for_pruning()
         if spec:
             from .partition import prune_by_partition
 

@@ -28,6 +28,28 @@ import sys
 from e_commerce_lakehouse_spark.pipeline import with_retries  # noqa: E402
 
 
+def _parse_partition_by(arg: str):
+    """Parse ``'day(ts),bucket[16](conv_id)'`` into PartitionFields.
+    Derived names embed the bucket width (``conv_id_bucket16``) so
+    evolving the width declares a NEW field name — required, since a
+    name reused across specs must keep an identical transform."""
+    import re as _re
+
+    from e_commerce_lakehouse_spark.table.partition import PartitionField
+
+    spec = []
+    for term in arg.split(","):
+        m = _re.match(r"^\s*(identity|day|bucket\[(\d+)\])\((\w+)\)\s*$", term)
+        if not m:
+            raise SystemExit(f"bad --partition-by term: {term!r}")
+        transform, width, src = m.group(1), m.group(2), m.group(3)
+        suffix = f"bucket{width}" if width else transform
+        spec.append(PartitionField(f"{src}_{suffix}", src, transform))
+    if not spec:
+        raise SystemExit("--partition-by is required for this op")
+    return spec
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="lakehouse table maintenance")
     p.add_argument("--table", required=True, help="table root directory")
@@ -42,6 +64,7 @@ def main(argv=None) -> int:
             "add-constraint", "drop-constraint", "constraints",
             "materialize-deletes", "skipping-report", "verify", "pipeline",
             "consume-changes", "register", "unregister", "catalog-sql",
+            "evolve-partition",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -53,9 +76,9 @@ def main(argv=None) -> int:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--n-turns", type=int, default=100_000, help="create: synthetic turns")
     p.add_argument("--partition-by", default=None,
-                   help="create: hidden-partition transforms, e.g. "
-                        "'day(ts),bucket[16](conv_id)' (field names are "
-                        "derived: ts_day, conv_id_bucket)")
+                   help="create/evolve-partition: hidden-partition "
+                        "transforms, e.g. 'day(ts),bucket[16](conv_id)' "
+                        "(field names are derived: ts_day, conv_id_bucket16)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--retries", type=int, default=3,
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
@@ -209,28 +232,23 @@ def main(argv=None) -> int:
             from e_commerce_lakehouse_spark.synth import transcripts_df
             from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
 
-            spec = None
-            if args.partition_by:
-                import re as _re
-
-                from e_commerce_lakehouse_spark.table.partition import PartitionField
-
-                spec = []
-                for term in args.partition_by.split(","):
-                    m = _re.match(r"^\s*(identity|day|bucket\[\d+\])\((\w+)\)\s*$",
-                                  term)
-                    if not m:
-                        raise SystemExit(f"bad --partition-by term: {term!r}")
-                    transform, src = m.group(1), m.group(2)
-                    suffix = ("bucket" if transform.startswith("bucket")
-                              else transform)
-                    spec.append(PartitionField(f"{src}_{suffix}", src, transform))
+            spec = _parse_partition_by(args.partition_by) if args.partition_by else None
             df = transcripts_df(spark, args.n_turns, seed=args.seed)
             t = create_transcripts_table(spark, args.table, df,
                                          partition_spec=spec)
             result = {"snapshot": t.current_snapshot_id(), "rows": t.total_rows(),
                       "files": len(t.entries()),
                       "partition_spec": [f.to_dict() for f in (spec or [])]}
+        elif args.op == "evolve-partition":
+            t = Table.load(args.table)
+            spec = _parse_partition_by(args.partition_by or "")
+            from e_commerce_lakehouse_spark.table.scan import resolve_schema
+
+            cols = [f.name for f in resolve_schema(t).fields]
+            t.evolve_partition_spec(spec, cols)
+            result = {"partition_spec": [f.to_dict() for f in t.partition_spec()],
+                      "pruning_fields": [f.to_dict()
+                                         for f in t.partition_fields_for_pruning()]}
         elif args.op == "compact":
             result = with_retries(
                 lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,

@@ -143,7 +143,7 @@ def test_day_partitioning_prunes_time_ranges(spark, tmp_path):
 
 def test_spec_guards(spark, tmp_path, bucket_table):
     t, df = bucket_table
-    with pytest.raises(ValueError, match="write-once"):
+    with pytest.raises(ValueError, match="already set"):
         t.set_partition_spec([DAY], ["conv_id", "ts"])
     empty = Table.create(str(tmp_path / "etbl"))
     with pytest.raises(ValueError, match="unknown partition transform"):
@@ -163,3 +163,81 @@ def test_spec_guards(spark, tmp_path, bucket_table):
                                   transcripts_df(spark, 100, seed=8))
     with pytest.raises(ValueError, match="committed data"):
         t2.set_partition_spec([DAY], ["conv_id", "ts"])
+
+
+def test_partition_evolution_mixed_vintage(spark, tmp_path, bucket_table):
+    """Iceberg-style spec evolution: old files keep their bucket tuples,
+    new appends lay out under day(ts); pruning applies each vintage's own
+    fields and a full cluster() migrates everything to the current spec."""
+    t, df = bucket_table
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    t.evolve_partition_spec([DAY], cols)
+    assert [f.name for f in t.partition_spec()] == ["ts_day"]
+    union = {f.name for f in t.partition_fields_for_pruning()}
+    assert union == {"conv_bucket", "ts_day"}
+
+    extra = transcripts_df(spark, 600, seed=9).withColumn(
+        "conv_id", F.concat(F.lit("ev-"), F.col("conv_id"))
+    ).cache()
+    extra.count()
+    append_dataframe(spark, t, extra, rows_per_file=300)
+    both = df.unionByName(extra)
+    assert_same_rows(scan(spark, t), both)
+
+    old = [e for e in t.entries() if e.partition and "conv_bucket" in e.partition]
+    new = [e for e in t.entries() if e.partition and "ts_day" in e.partition]
+    assert old and new and not (
+        {id(e) for e in old} & {id(e) for e in new}
+    )
+
+    # conv_id point predicate: prunes OLD vintage by bucket, keeps all new
+    some_conv = df.select("conv_id").first()["conv_id"]
+    want = apply_transform(BUCKET, some_conv)
+    planned = planned_entries(t, conv_id=some_conv)
+    assert all(
+        e.partition.get("conv_bucket", want) == want for e in planned
+    )
+    assert len([e for e in planned if "conv_bucket" in e.partition]) < len(old)
+    # (new-vintage files may ALSO drop out via min/max stats — the 'ev-'
+    # prefix puts them outside the predicate's range; that's the stats
+    # layer composing with partition pruning, not a partition false-drop)
+    assert_same_rows(scan(spark, t, conv_id=some_conv),
+                     both.where(F.col("conv_id") == some_conv))
+
+    # ts range: prunes NEW vintage by day, keeps all old
+    days = sorted({e.partition["ts_day"] for e in new})
+    lo = dt.datetime(1970, 1, 1) + dt.timedelta(days=days[0])
+    hi = lo + dt.timedelta(hours=23, minutes=59)
+    planned = planned_entries(t, ts_range=(lo, hi))
+    # old-vintage files carry no ts_day, so the PARTITION layer keeps
+    # them all; the stats layer may still drop non-overlapping ones
+    assert all(e.partition["ts_day"] == days[0]
+               for e in planned if "ts_day" in e.partition)
+    assert len([e for e in planned if "ts_day" in e.partition]) < len(new)
+    assert_same_rows(
+        scan(spark, t, ts_range=(lo, hi)),
+        both.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+    )
+
+    # full cluster migrates every file to the CURRENT spec
+    cluster(spark, t, curve="zorder", target_bytes=1 << 20)
+    assert all(e.partition is not None and "ts_day" in e.partition
+               for e in t.entries())
+    assert_same_rows(scan(spark, t), both)
+
+
+def test_partition_evolution_guards(spark, tmp_path, bucket_table):
+    t, _ = bucket_table
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # same-name different-transform redefinition: refused
+    with pytest.raises(ValueError, match="redefined"):
+        t.evolve_partition_spec(
+            [PartitionField("conv_bucket", "conv_id", "bucket[8]")], cols
+        )
+    # idempotent re-declaration of the current spec: no-op
+    before = t.partition_fields_for_pruning()
+    t.evolve_partition_spec([BUCKET], cols)
+    assert t.partition_fields_for_pruning() == before
+    # evolving still validates sources against the schema
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_partition_spec([PartitionField("x", "nope", "day")], cols)
