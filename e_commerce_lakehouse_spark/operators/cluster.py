@@ -209,11 +209,6 @@ def cluster(
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         part_spec = table.partition_spec()
-        if part_spec and shards > 1:
-            raise ValueError(
-                "sharded clustering on a hidden-partitioned table is not "
-                "supported; use shards=1, or scoped runs per partition slice"
-            )
         if shards <= 1 and part_spec and not scoped:
             # PARTITION-PURE clustering: rows are range-ordered by
             # (partition tuple, curve key) and the hive-style partitionBy
@@ -269,6 +264,10 @@ def cluster(
                 spark, table, keyed, base_snapshot, curve, shards, n_files,
                 checkpoint_path, stat_columns, fail_after_shards,
                 scope_tag=_scope_tag, run_token=run_token,
+                # partition-pure sharded writes for full-table runs; scoped
+                # runs read raw file slices and stay flat/tuple-less (same
+                # conservative rule as scoped single-pass)
+                part_spec=(part_spec if (part_spec and not scoped) else None),
             )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
@@ -313,11 +312,30 @@ def cluster(
 def _cluster_sharded(
     spark, table, keyed, base_snapshot, curve, shards, n_files, checkpoint_path,
     stat_columns, fail_after_shards=None, scope_tag="", run_token="",
+    part_spec=None,
 ) -> list[DataFileEntry]:
     """Stage temp copy bucketed by key-quantile shard, then sort/write each
     shard as a checkpointed, resumable file group. Scoped plans get their
     own checkpoint/temp namespace (shard ids from a scoped plan must never
-    resume against a full plan's)."""
+    resume against a full plan's).
+
+    With ``part_spec`` (hidden-partitioned table, full-table run) every
+    shard derives the partition columns, sorts by (partition tuple, key)
+    and writes hive-style ``partitionBy`` — each output file belongs to
+    exactly one partition, so exact planner pruning survives a RESUMABLE
+    clustering run (the 100 TB partition-evolution migration path). Shard
+    cuts stay global on the curve key; two shards writing the same
+    partition value just yields multiple keyed-sorted files there."""
+    part_names: list[str] = []
+    if part_spec:
+        from ..table.partition import partition_from_path, spark_partition_column
+
+        part_names = [f.name for f in part_spec]
+        for f in part_spec:
+            # derived cols ride through the stage-1 temp copy as ordinary
+            # columns; the stage-2 partitionBy write removes them from the
+            # final data files (data schema unchanged)
+            keyed = keyed.withColumn(f.name, spark_partition_column(f))
     ckpt = Checkpoint(
         checkpoint_path
         or os.path.join(table.metadata_dir,
@@ -400,15 +418,31 @@ def _cluster_sharded(
             ckpt.record({"group_id": s, "status": "done", "outputs": [], "rows": 0})
             continue
         sdf = spark.read.parquet(shard_dir)
-        (
-            sdf.repartitionByRange(files_per_shard, F.col(_KEY))
-            .sortWithinPartitions(_KEY)
-            .drop(_KEY)
-            .write.mode("error")
-            .option("compression", "zstd")
-            .parquet(out_dir)
-        )
+        if part_names:
+            (
+                sdf.repartitionByRange(
+                    files_per_shard, *[F.col(n) for n in part_names], F.col(_KEY)
+                )
+                .sortWithinPartitions(*part_names, _KEY)
+                .drop(_KEY)
+                .write.mode("error")
+                .option("compression", "zstd")
+                .partitionBy(*part_names)
+                .parquet(out_dir)
+            )
+        else:
+            (
+                sdf.repartitionByRange(files_per_shard, F.col(_KEY))
+                .sortWithinPartitions(_KEY)
+                .drop(_KEY)
+                .write.mode("error")
+                .option("compression", "zstd")
+                .parquet(out_dir)
+            )
         outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
+        if part_spec:
+            for e in outs:
+                e.partition = partition_from_path(e.path, part_spec)
         ckpt.record(
             {
                 "group_id": s,

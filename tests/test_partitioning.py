@@ -96,8 +96,33 @@ def test_cluster_is_partition_pure(spark, bucket_table):
     want = apply_transform(BUCKET, some_conv)
     planned = planned_entries(t, conv_id=some_conv)
     assert planned and all(e.partition["conv_bucket"] == want for e in planned)
-    with pytest.raises(ValueError, match="sharded clustering"):
-        cluster(spark, t, curve="zorder", shards=4)
+
+
+def test_sharded_cluster_partition_pure_with_crash_resume(spark, bucket_table):
+    """Resumable (sharded) clustering on a hidden-partitioned table: the
+    run crashes after 1 shard, resumes, and every output file still
+    belongs to exactly one partition — exact pruning survives the 100 TB
+    migration path."""
+    from e_commerce_lakehouse_spark.operators.cluster import SimulatedCrash
+
+    t, df = bucket_table
+    sid0 = t.current_snapshot_id()
+    with pytest.raises(SimulatedCrash):
+        cluster(spark, t, curve="zorder", shards=3, target_bytes=1 << 20,
+                fail_after_shards=1)
+    assert t.current_snapshot_id() == sid0  # nothing committed
+    m = cluster(spark, t, curve="zorder", shards=3, target_bytes=1 << 20)
+    assert m["output_files"] >= 4
+    entries = t.entries()
+    assert all(e.partition is not None and "conv_bucket" in e.partition
+               for e in entries)
+    assert {e.partition["conv_bucket"] for e in entries} == {0, 1, 2, 3}
+    assert_same_rows(scan(spark, t), df)
+    some_conv = df.select("conv_id").first()["conv_id"]
+    want = apply_transform(BUCKET, some_conv)
+    planned = planned_entries(t, conv_id=some_conv)
+    assert planned and all(e.partition["conv_bucket"] == want for e in planned)
+    assert len(planned) < len(entries)
 
 
 def test_append_derives_partition_and_mor_delete_reads_right(spark, bucket_table):
