@@ -780,6 +780,38 @@ GROUP BY role
 """
 
 
+# q59: partition evolution relationally — the spec change and the
+# cluster() migration affect file layout/planning only, so both the
+# mixed-vintage and the post-migration slices must equal the plain WHERE
+# over the union of the two ingest batches (= the whole derivation).
+ALL["q59_partition_evolution"] = """
+WITH base AS (
+    SELECT 'conv-' || lpad(CAST(event_id % 500 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           props AS text,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           ts
+    FROM events),
+point AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base WHERE conv_id = 'conv-000042' GROUP BY role),
+win AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+    GROUP BY role)
+SELECT 'point-mixed' AS slice, * FROM point
+UNION ALL SELECT 'window-mixed' AS slice, * FROM win
+UNION ALL SELECT 'point-migrated' AS slice, * FROM point
+UNION ALL SELECT 'window-migrated' AS slice, * FROM win
+"""
+
+
 # q57: the typed CDC change feed relationally — each lifecycle leg is a
 # WHERE over documents; deletes emit pre-images, the MoR update emits
 # post-images as inserts.

@@ -562,6 +562,71 @@ def q58_partitioned_scan(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q59_partition_evolution(spark, sf_dir):
+    """Partition spec EVOLUTION through the real table format, value-hash
+    oracled: batch 1 of the q30-derived transcripts is ingested under
+    bucket[2](conv_id); the spec then evolves to day(ts) and batch 2
+    appends under the new layout. The mixed-vintage table is scanned
+    through the exact partition-pruned planner (point conv + 3-day
+    window), then a full cluster() MIGRATES every file to the current
+    spec and the same slices are scanned again. All four slices must
+    equal the plain relational WHERE over the union — partition layouts
+    and their evolution affect PLANNING only, so the hash proves the
+    per-vintage pruning and the migration drop nothing and invent
+    nothing."""
+    import datetime as _dtm
+    import os
+    import shutil
+    import uuid
+
+    from .operators.cluster import cluster
+    from .table import scan
+    from .table.partition import PartitionField
+    from .table.writer import append_dataframe, create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    batch1 = df.where(F.col("turn_idx") % 2 == 0)
+    batch2 = df.where(F.col("turn_idx") % 2 == 1)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q59_{uuid.uuid4().hex[:12]}")
+    lo = _dtm.datetime(2024, 1, 10)
+    hi = _dtm.datetime(2024, 1, 12, 23, 59, 59)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    try:
+        t = create_transcripts_table(
+            spark, root, batch1, rows_per_file=max(400, df.count() // 8),
+            partition_spec=[PartitionField("conv_bucket", "conv_id", "bucket[2]")],
+        )
+        t.evolve_partition_spec([PartitionField("ts_day", "ts", "day")], cols)
+        append_dataframe(spark, t, batch2, rows_per_file=max(400, df.count() // 8))
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        mixed = agg("point-mixed", scan(spark, t, conv_id="conv-000042")).unionByName(
+            agg("window-mixed", scan(spark, t, ts_range=(lo, hi)))
+        )
+        mixed_rows = mixed.collect()
+        cluster(spark, t, curve="zorder", target_bytes=64 << 20)
+        assert all(
+            e.partition is not None and "ts_day" in e.partition
+            for e in t.entries()
+        ), "cluster() must migrate every file to the evolved spec"
+        migrated = agg("point-migrated", scan(spark, t, conv_id="conv-000042")).unionByName(
+            agg("window-migrated", scan(spark, t, ts_range=(lo, hi)))
+        )
+        rows = mixed_rows + migrated.collect()
+        return spark.createDataFrame(rows, mixed.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -1093,6 +1158,7 @@ ALL = {
     "q56_training_pipeline": q56_training_pipeline,
     "q57_cdc_changes": q57_cdc_changes,
     "q58_partitioned_scan": q58_partitioned_scan,
+    "q59_partition_evolution": q59_partition_evolution,
     "q41_running_sum": q41_running_sum,
     "q42_collect_sorted_set": q42_collect_sorted_set,
     "q43_ntile_buckets": q43_ntile_buckets,
