@@ -135,14 +135,28 @@ class Catalog:
             return t, t.resolve_ref(e["ref"])
         return t, None
 
-    def attach(self, spark: SparkSession, names: list[str] | None = None) -> list[str]:
+    def attach(
+        self,
+        spark: SparkSession,
+        names: list[str] | None = None,
+        metadata_views: bool = False,
+    ) -> list[str]:
         """Create one temp view per registration in THIS session, after
         which ``spark.sql("SELECT ... FROM <name>")`` works. Head-mode
         views re-resolve per attach (call again to advance); pinned views
-        are stable across sessions and table churn."""
+        are stable across sessions and table churn.
+
+        ``metadata_views=True`` additionally registers each table's
+        Iceberg-style metadata tables (``{name}__files`` /
+        ``__snapshots`` / ``__partitions``, table/inspect.py) at the
+        same pinned snapshot as the data view."""
+        from .table.inspect import register_metadata_views
+
         out = []
         for name in sorted(names if names is not None else self.entries()):
             t, sid = self.resolve(name)
             scan(spark, t, snapshot_id=sid).createOrReplaceTempView(name)
             out.append(name)
+            if metadata_views:
+                out.extend(register_metadata_views(spark, t, name, sid))
         return out

@@ -1,4 +1,10 @@
 from .cdc import ChangeFeedConsumer, ChangeFeedError, IncrementalConsumer
+from .inspect import (
+    files_df,
+    partitions_df,
+    register_metadata_views,
+    snapshots_df,
+)
 from .meta import CommitConflictError, DataFileEntry, Snapshot, Table
 from .partition import PartitionField
 from .scan import (
@@ -27,4 +33,8 @@ __all__ = [
     "read_with_tombstones",
     "tombstone_classes",
     "collect_entries",
+    "files_df",
+    "snapshots_df",
+    "partitions_df",
+    "register_metadata_views",
 ]

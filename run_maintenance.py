@@ -365,7 +365,7 @@ def main(argv=None) -> int:
             if not (args.catalog and args.query):
                 p.error("--op catalog-sql requires --catalog and --query")
             cat = Catalog(args.catalog)
-            attached = cat.attach(spark)
+            attached = cat.attach(spark, metadata_views=True)
             rows = [r.asDict() for r in spark.sql(args.query).collect()]
             result = {"attached": attached, "rows": rows[:1000],
                       "row_count": len(rows)}
