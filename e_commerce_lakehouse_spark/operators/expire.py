@@ -54,6 +54,19 @@ def expire_snapshots(
                 retained.add(sid)
     # tagged snapshots are pinned until untagged (Iceberg tag semantics)
     retained |= {sid for sid in table.tags().values() if sid in set(ids)}
+    # branch heads pin themselves AND their parent chain down to the
+    # first already-retained ancestor: the head keeps the branch
+    # readable, the connecting chain keeps fast_forward's ancestry walk
+    # (and branch CDC) intact. delete_branch releases all of it.
+    id_set = set(ids)
+    for bsid in table.branches().values():
+        sid = bsid
+        while sid is not None and sid not in retained and sid in id_set:
+            retained.add(sid)
+            try:
+                sid = table.snapshot(sid).parent_id
+            except FileNotFoundError:
+                break
     expired = [sid for sid in ids if sid not in retained]
 
     live_rel: set[str] = set()

@@ -56,6 +56,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -167,10 +168,16 @@ class Snapshot:
 class Table:
     """A lakehouse table rooted at a directory."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str | None = None):
         self.root = os.path.abspath(root)
         self.data_dir = os.path.join(self.root, "data")
         self.metadata_dir = os.path.join(self.root, "metadata")
+        #: None = the main line (VERSION pointer). A named branch is a
+        #: MUTABLE ref (Iceberg branch semantics): same snapshot store,
+        #: own head pointer — every commit/publish on a branch-loaded
+        #: Table flips BRANCH-<name> instead of VERSION, so main readers
+        #: never see branch work until fast_forward.
+        self.branch = branch
         # snapshot-id -> entry list. Snapshots are immutable once written,
         # so caching is always sound; bounded to 2 so an 800k-file table
         # holds at most ~2 entry lists in driver memory. Keeps the commit
@@ -188,15 +195,19 @@ class Table:
         return t
 
     @classmethod
-    def load(cls, root: str) -> "Table":
-        t = cls(root)
+    def load(cls, root: str, branch: str | None = None) -> "Table":
+        t = cls(root, branch=branch)
         if not os.path.isdir(t.metadata_dir):
             raise FileNotFoundError(f"not a table: {root}")
+        if branch is not None and not os.path.exists(t._version_path()):
+            raise ValueError(f"no such branch: {branch}")
         return t
 
     # ---------- metadata reads ----------
 
     def _version_path(self) -> str:
+        if self.branch is not None:
+            return os.path.join(self.metadata_dir, f"BRANCH-{self.branch}")
         return os.path.join(self.metadata_dir, "VERSION")
 
     def current_snapshot_id(self) -> int | None:
@@ -204,6 +215,10 @@ class Table:
             with open(self._version_path()) as f:
                 return int(f.read().strip())
         except FileNotFoundError:
+            if self.branch is not None:
+                # a branch pointer never legitimately starts absent (it
+                # is created FROM an existing head); treat as deleted
+                raise ValueError(f"no such branch: {self.branch}") from None
             return None
 
     def _snap_path(self, sid: int) -> str:
@@ -649,6 +664,8 @@ class Table:
         tags = self.tags()
         if name in tags:
             raise ValueError(f"tag already exists: {name} -> {tags[name]}")
+        if name in self.branches():
+            raise ValueError(f"a branch named {name!r} already exists")
         tags[name] = sid
         self._write_tags(tags)
         return sid
@@ -662,10 +679,99 @@ class Table:
         return sid
 
     def resolve_ref(self, name: str) -> int:
+        """Tag or branch name -> snapshot id (tags win; creation refuses
+        cross-kind name collisions, so ambiguity cannot arise)."""
         tags = self.tags()
-        if name not in tags:
-            raise KeyError(f"no such tag: {name}")
-        return tags[name]
+        if name in tags:
+            return tags[name]
+        branches = self.branches()
+        if name in branches:
+            return branches[name]
+        raise KeyError(f"no such tag or branch: {name}")
+
+    # ---------- branches (mutable named refs, Iceberg-style) ----------
+
+    _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    def branches(self) -> dict[str, int]:
+        """{branch name: head snapshot id} — main (VERSION) excluded."""
+        out = {}
+        for fn in os.listdir(self.metadata_dir):
+            if fn.startswith("BRANCH-"):
+                with open(os.path.join(self.metadata_dir, fn)) as f:
+                    out[fn[len("BRANCH-"):]] = int(f.read().strip())
+        return out
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> "Table":
+        """Fork a branch at ``snapshot_id`` (default: this ref's head) and
+        return the branch-loaded Table. The branch shares the snapshot
+        store; its commits flip only BRANCH-<name>, so main stays
+        untouched until ``fast_forward``. Fails on an existing branch OR
+        tag of the same name (``resolve_ref`` must stay unambiguous)."""
+        if not self._BRANCH_NAME_RE.match(name):
+            raise ValueError(f"bad branch name: {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError("cannot branch an empty table")
+        self.snapshot(sid)  # validate it exists
+        if name in self.tags():
+            raise ValueError(f"a tag named {name!r} already exists")
+        path = os.path.join(self.metadata_dir, f"BRANCH-{name}")
+        # O_EXCL: branch creation is first-wins, never a silent overwrite
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, str(sid).encode())
+        finally:
+            os.close(fd)
+        return Table(self.root, branch=name)
+
+    def delete_branch(self, name: str) -> int:
+        """Drop the branch pointer. Its exclusive snapshots stay on disk
+        until ``expire_snapshots`` ages them out (they are no longer
+        pinned as a branch chain)."""
+        path = os.path.join(self.metadata_dir, f"BRANCH-{name}")
+        try:
+            with open(path) as f:
+                sid = int(f.read().strip())
+        except FileNotFoundError:
+            raise KeyError(f"no such branch: {name}") from None
+        os.remove(path)
+        return sid
+
+    def fast_forward(self, name: str) -> int:
+        """Advance THIS ref (main, or the loaded branch) to branch
+        ``name``'s head — Iceberg ``fast_forward``: only if this ref's
+        head is an ANCESTOR of the branch head (the branch holds a
+        superset of this history), so publishing never drops commits.
+        A diverged ref (commits on both sides) refuses: rebase/merge is
+        out of scope, like Iceberg's fast-forward-only publish. Raises
+        if the connecting chain was expired (expire pins branch chains,
+        so that means the branch itself was deleted meanwhile)."""
+        with self._commit_lock():
+            branches = self.branches()
+            if name not in branches:
+                raise KeyError(f"no such branch: {name}")
+            target = branches[name]
+            cur = self.current_snapshot_id()
+            if cur == target:
+                return target
+            sid = target
+            while sid is not None and sid != cur:
+                try:
+                    sid = self.snapshot(sid).parent_id
+                except FileNotFoundError:
+                    sid = None
+            if sid != cur:
+                raise ValueError(
+                    f"cannot fast-forward: {name!r} (head {target}) does not "
+                    f"descend from this ref's head ({cur}) — diverged or "
+                    "connecting history missing"
+                )
+            vtmp = self._version_path() + ".tmp"
+            with open(vtmp, "w") as f:
+                f.write(str(target))
+            os.replace(vtmp, self._version_path())
+            return target
 
     # ---------- CHECK constraints ----------
 

@@ -64,7 +64,8 @@ def main(argv=None) -> int:
             "add-constraint", "drop-constraint", "constraints",
             "materialize-deletes", "skipping-report", "verify", "pipeline",
             "consume-changes", "register", "unregister", "catalog-sql",
-            "evolve-partition",
+            "evolve-partition", "create-branch", "delete-branch",
+            "branches", "fast-forward",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -118,6 +119,10 @@ def main(argv=None) -> int:
                    help="register/unregister: catalog table name")
     p.add_argument("--query", default=None,
                    help="catalog-sql: SQL to run after attaching the catalog")
+    p.add_argument("--branch", default=None,
+                   help="run the op against this branch's head instead of "
+                        "main (create-branch/delete-branch/fast-forward: "
+                        "the branch name itself)")
     args = p.parse_args(argv)
 
     from e_commerce_lakehouse_spark.operators import (
@@ -142,17 +147,33 @@ def main(argv=None) -> int:
                                      ref=args.tag_name)}
         else:
             result = {"unregistered": args.name, **cat.unregister(args.name)}
+    elif args.op in ("create-branch", "delete-branch", "branches",
+                     "fast-forward"):  # metadata-only branch management
+        t = Table.load(args.table)  # branch ops act on main's view
+        if args.op == "branches":
+            result = {"branches": t.branches(),
+                      "main": t.current_snapshot_id()}
+        elif not args.branch:
+            p.error(f"--op {args.op} requires --branch")
+        elif args.op == "create-branch":
+            bt = t.create_branch(args.branch, snapshot_id=args.snapshot)
+            result = {"branch": args.branch, "head": bt.current_snapshot_id()}
+        elif args.op == "delete-branch":
+            result = {"deleted": args.branch, "was_at": t.delete_branch(args.branch)}
+        else:
+            result = {"fast_forwarded_to": t.fast_forward(args.branch),
+                      "branch": args.branch}
     elif args.op == "expire":  # metadata-only: no Spark session needed
-        result = expire_snapshots(Table.load(args.table), keep_last=args.keep_last,
+        result = expire_snapshots(Table.load(args.table, branch=args.branch), keep_last=args.keep_last,
                                   dry_run=args.dry_run)
     elif args.op == "rewrite-manifests":
-        result = rewrite_manifests(Table.load(args.table))
+        result = rewrite_manifests(Table.load(args.table, branch=args.branch))
     elif args.op == "history":  # metadata-only
-        result = {"history": Table.load(args.table).history()}
+        result = {"history": Table.load(args.table, branch=args.branch).history()}
     elif args.op in ("tag", "untag"):  # metadata-only
         if not args.tag_name:
             p.error(f"--op {args.op} requires --tag-name")
-        t = Table.load(args.table)
+        t = Table.load(args.table, branch=args.branch)
         if args.op == "tag":
             sid = t.create_tag(args.tag_name, snapshot_id=args.snapshot)
             result = {"tag": args.tag_name, "snapshot": sid, "tags": t.tags()}
@@ -173,23 +194,23 @@ def main(argv=None) -> int:
                 if not type_str:
                     p.error(f"--columns for add-columns is name:type[,...]; got {spec!r}")
                 fields.append((name.strip(), type_str.strip()))
-            result = add_columns(Table.load(args.table), fields)
+            result = add_columns(Table.load(args.table, branch=args.branch), fields)
         else:
             result = drop_columns(
-                Table.load(args.table), [c.strip() for c in args.columns.split(",")]
+                Table.load(args.table, branch=args.branch), [c.strip() for c in args.columns.split(",")]
             )
     elif args.op == "drop-constraint":  # metadata-only
         from e_commerce_lakehouse_spark.operators.constraints import drop_constraint
 
         if not args.constraint_name:
             p.error("--op drop-constraint requires --constraint-name")
-        result = drop_constraint(Table.load(args.table), args.constraint_name)
+        result = drop_constraint(Table.load(args.table, branch=args.branch), args.constraint_name)
     elif args.op == "constraints":  # metadata-only
-        result = {"constraints": Table.load(args.table).constraints()}
+        result = {"constraints": Table.load(args.table, branch=args.branch).constraints()}
     elif args.op == "skipping-report":  # metadata-only planning probe
         from e_commerce_lakehouse_spark.table.scan import prune_entries
 
-        t = Table.load(args.table)
+        t = Table.load(args.table, branch=args.branch)
         conv_range = None
         if args.conv_id_range:
             lo, _, hi = args.conv_id_range.partition(":")
@@ -212,9 +233,9 @@ def main(argv=None) -> int:
 
         if args.snapshot is None:
             p.error("--op rollback requires --snapshot (the id to restore)")
-        result = rollback_to(Table.load(args.table), args.snapshot)
+        result = rollback_to(Table.load(args.table, branch=args.branch), args.snapshot)
     elif args.op == "diff":  # metadata-only
-        t = Table.load(args.table)
+        t = Table.load(args.table, branch=args.branch)
         to_id = args.to_snapshot if args.to_snapshot is not None else t.current_snapshot_id()
         from_id = args.snapshot if args.snapshot is not None else t.snapshot(to_id).parent_id
         if from_id is None:
@@ -240,7 +261,7 @@ def main(argv=None) -> int:
                       "files": len(t.entries()),
                       "partition_spec": [f.to_dict() for f in (spec or [])]}
         elif args.op == "evolve-partition":
-            t = Table.load(args.table)
+            t = Table.load(args.table, branch=args.branch)
             spec = _parse_partition_by(args.partition_by or "")
             from e_commerce_lakehouse_spark.table.scan import resolve_schema
 
@@ -251,14 +272,14 @@ def main(argv=None) -> int:
                                          for f in t.partition_fields_for_pruning()]}
         elif args.op == "compact":
             result = with_retries(
-                lambda: compact(spark, Table.load(args.table), target_bytes=target_bytes,
+                lambda: compact(spark, Table.load(args.table, branch=args.branch), target_bytes=target_bytes,
                                 checkpoint_path=args.checkpoint,
                                 order_preserving=args.order_preserving,
                                 conv_id_range=conv_range),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "cluster":
             result = with_retries(
-                lambda: cluster(spark, Table.load(args.table), curve=args.curve,
+                lambda: cluster(spark, Table.load(args.table, branch=args.branch), curve=args.curve,
                                 target_bytes=target_bytes, shards=args.shards,
                                 checkpoint_path=args.checkpoint,
                                 conv_id_range=conv_range),
@@ -268,7 +289,7 @@ def main(argv=None) -> int:
                 p.error("--op merge requires --source")
             src = spark.read.parquet(args.source)
             result = with_retries(
-                lambda: merge_into(spark, Table.load(args.table), src,
+                lambda: merge_into(spark, Table.load(args.table, branch=args.branch), src,
                                    target_bytes=target_bytes),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "ingest":
@@ -276,14 +297,14 @@ def main(argv=None) -> int:
 
             if not (args.source and args.checkpoint):
                 p.error("--op ingest requires --source and --checkpoint")
-            t = Table.load(args.table) if _is_table(args.table) else Table.create(args.table)
+            t = Table.load(args.table, branch=args.branch) if _is_table(args.table) else Table.create(args.table)
             result = ingest_available_now(spark, t, args.source, args.checkpoint)
         elif args.op == "consume":
             from e_commerce_lakehouse_spark.table.cdc import IncrementalConsumer
 
             if not args.checkpoint:
                 p.error("--op consume requires --checkpoint (the cursor file)")
-            consumer = IncrementalConsumer(Table.load(args.table), args.checkpoint)
+            consumer = IncrementalConsumer(Table.load(args.table, branch=args.branch), args.checkpoint)
             batch = consumer.poll(spark)
             if batch is None:
                 result = {"caught_up": True, "cursor": consumer.position()}
@@ -301,7 +322,7 @@ def main(argv=None) -> int:
                 p.error(f"--op {args.op} requires --predicate")
             if args.op == "delete":
                 result = with_retries(
-                    lambda: delete_where(spark, Table.load(args.table), args.predicate,
+                    lambda: delete_where(spark, Table.load(args.table, branch=args.branch), args.predicate,
                                          target_bytes=target_bytes, mode=args.mode),
                     attempts=args.retries, backoff_s=args.retry_backoff)
             else:
@@ -314,7 +335,7 @@ def main(argv=None) -> int:
                     k, v = part.split("=", 1)
                     assignments[k.strip()] = v.strip()
                 result = with_retries(
-                    lambda: update_where(spark, Table.load(args.table), args.predicate,
+                    lambda: update_where(spark, Table.load(args.table, branch=args.branch), args.predicate,
                                          assignments, target_bytes=target_bytes),
                     attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "pipeline":
@@ -344,7 +365,7 @@ def main(argv=None) -> int:
 
             if not args.checkpoint:
                 p.error("--op consume-changes requires --checkpoint (the cursor file)")
-            consumer = ChangeFeedConsumer(Table.load(args.table), args.checkpoint)
+            consumer = ChangeFeedConsumer(Table.load(args.table, branch=args.branch), args.checkpoint)
             batch = consumer.poll_changes(spark)
             if batch is None:
                 result = {"caught_up": True, "cursor": consumer.position()}
@@ -372,13 +393,13 @@ def main(argv=None) -> int:
         elif args.op == "verify":
             from e_commerce_lakehouse_spark.operators.verify import verify_table
 
-            result = verify_table(Table.load(args.table), snapshot_id=args.snapshot,
+            result = verify_table(Table.load(args.table, branch=args.branch), snapshot_id=args.snapshot,
                                   spark=spark)
         elif args.op == "materialize-deletes":
             from e_commerce_lakehouse_spark.operators.rowlevel import materialize_deletes
 
             result = with_retries(
-                lambda: materialize_deletes(spark, Table.load(args.table),
+                lambda: materialize_deletes(spark, Table.load(args.table, branch=args.branch),
                                             target_bytes=target_bytes),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "add-constraint":
@@ -386,15 +407,15 @@ def main(argv=None) -> int:
 
             if not (args.constraint_name and args.predicate):
                 p.error("--op add-constraint requires --constraint-name and --predicate")
-            result = add_constraint(spark, Table.load(args.table),
+            result = add_constraint(spark, Table.load(args.table, branch=args.branch),
                                     args.constraint_name, args.predicate)
         elif args.op == "analyze":
             from e_commerce_lakehouse_spark.operators import analyze
 
             cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
-            result = analyze(spark, Table.load(args.table), columns=cols)
+            result = analyze(spark, Table.load(args.table, branch=args.branch), columns=cols)
         elif args.op == "inspect":
-            t = Table.load(args.table)
+            t = Table.load(args.table, branch=args.branch)
             snap = t.snapshot(args.snapshot)
             result = {
                 "snapshots": t.snapshot_ids(),

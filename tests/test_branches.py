@@ -1,0 +1,128 @@
+"""Branches (table/meta.py): mutable named refs — Iceberg branch +
+fast-forward publish semantics over the from-scratch snapshot store.
+Tags are immutable pins; a branch is a movable head whose commits main
+readers never see until fast_forward. No reference analog (the
+reference has a single Delta head per table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators.compact import compact
+from e_commerce_lakehouse_spark.operators.expire import expire_snapshots
+from e_commerce_lakehouse_spark.synth import transcripts_df
+from e_commerce_lakehouse_spark.table import scan
+from e_commerce_lakehouse_spark.table.meta import Table
+from e_commerce_lakehouse_spark.table.writer import (
+    append_dataframe,
+    create_transcripts_table,
+)
+from tests.conftest import assert_same_rows
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = transcripts_df(spark, 2_000, seed=41).cache()
+    df.count()
+    t = create_transcripts_table(spark, str(tmp_path / "btbl"), df,
+                                 rows_per_file=500)
+    return t, df
+
+
+def test_branch_commits_invisible_to_main_until_fast_forward(spark, table):
+    t, df = table
+    main_head = t.current_snapshot_id()
+    bt = t.create_branch("dev")
+    assert bt.branch == "dev" and bt.current_snapshot_id() == main_head
+
+    extra = transcripts_df(spark, 300, seed=42).withColumn(
+        "conv_id", F.concat(F.lit("dev-"), F.col("conv_id"))
+    ).cache()
+    extra.count()
+    append_dataframe(spark, bt, extra, rows_per_file=300)
+
+    # main untouched; branch sees the append; ref-name scan resolves it
+    assert t.current_snapshot_id() == main_head
+    assert_same_rows(scan(spark, t), df)
+    both = df.unionByName(extra)
+    assert_same_rows(scan(spark, bt), both)
+    assert_same_rows(scan(spark, t, ref="dev"), both)
+
+    # maintenance on the branch stays on the branch
+    compact(spark, bt, target_bytes=256 << 20)
+    assert t.current_snapshot_id() == main_head
+    assert_same_rows(scan(spark, bt), both)
+
+    # fast-forward publishes; second call is a no-op
+    new_head = t.fast_forward("dev")
+    assert t.current_snapshot_id() == new_head == bt.current_snapshot_id()
+    assert_same_rows(scan(spark, t), both)
+    assert t.fast_forward("dev") == new_head
+
+
+def test_fast_forward_refuses_diverged(spark, table):
+    t, df = table
+    bt = t.create_branch("dev")
+    append_dataframe(spark, bt, transcripts_df(spark, 100, seed=43))
+    # main moves too -> diverged
+    append_dataframe(spark, t, transcripts_df(spark, 100, seed=44))
+    with pytest.raises(ValueError, match="does not descend"):
+        t.fast_forward("dev")
+    # the branch can fast-forward FROM main though? no — also diverged
+    with pytest.raises(KeyError):
+        t.fast_forward("nope")
+
+
+def test_ref_name_collisions_and_guards(spark, table):
+    t, _ = table
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="tag named"):
+        t.create_branch("v1")
+    t.create_branch("dev")
+    with pytest.raises(ValueError, match="branch named"):
+        t.create_tag("dev")
+    with pytest.raises(FileExistsError):
+        t.create_branch("dev")
+    with pytest.raises(ValueError, match="bad branch name"):
+        t.create_branch("-bad/name")
+    with pytest.raises(ValueError, match="no such branch"):
+        Table.load(t.root, branch="ghost")
+    assert t.branches() == {"dev": t.current_snapshot_id()}
+    t.delete_branch("dev")
+    with pytest.raises(KeyError):
+        t.delete_branch("dev")
+
+
+def test_expire_pins_branch_chain_and_releases_on_delete(spark, table):
+    t, df = table
+    bt = t.create_branch("dev")
+    extra = transcripts_df(spark, 200, seed=45).cache()
+    extra.count()
+    append_dataframe(spark, bt, extra, rows_per_file=200)
+    branch_head = bt.current_snapshot_id()
+    fork_point = t.current_snapshot_id()
+
+    # churn main far enough that keep_last would drop the fork point
+    for seed in (46, 47, 48):
+        append_dataframe(spark, t, transcripts_df(spark, 50, seed=seed))
+    expire_snapshots(t, keep_last=1)
+    # branch head AND its chain to the fork survive; branch still reads
+    assert branch_head in t.snapshot_ids()
+    assert fork_point in t.snapshot_ids()
+    assert_same_rows(scan(spark, bt), df.unionByName(extra))
+
+    # releasing the branch lets the chain age out and GC its files
+    t.delete_branch("dev")
+    expire_snapshots(t, keep_last=1)
+    assert branch_head not in t.snapshot_ids()
+    assert_same_rows(
+        scan(spark, t),
+        df.unionByName(
+            transcripts_df(spark, 50, seed=46)
+        ).unionByName(
+            transcripts_df(spark, 50, seed=47)
+        ).unionByName(
+            transcripts_df(spark, 50, seed=48)
+        ),
+    )
