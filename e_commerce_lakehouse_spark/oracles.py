@@ -812,6 +812,32 @@ UNION ALL SELECT 'window-migrated' AS slice, * FROM win
 """
 
 
+# q60: branch isolation relationally — pre-publish main reads batch 1
+# only; the published union is batch1+batch2; the dropped poisoned
+# branch changes nothing.
+ALL["q60_branch_isolation"] = """
+WITH base AS (
+    SELECT 'conv-' || lpad(CAST(event_id % 500 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           ts
+    FROM events),
+b1 AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base WHERE turn_idx % 2 = 0 GROUP BY role),
+full_t AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base GROUP BY role)
+SELECT 'main-pre' AS slice, * FROM b1
+UNION ALL SELECT 'branch' AS slice, * FROM full_t
+UNION ALL SELECT 'main-post' AS slice, * FROM full_t
+UNION ALL SELECT 'main-final' AS slice, * FROM full_t
+"""
+
+
 # q57: the typed CDC change feed relationally — each lifecycle leg is a
 # WHERE over documents; deletes emit pre-images, the MoR update emits
 # post-images as inserts.

@@ -627,6 +627,62 @@ def q59_partition_evolution(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q60_branch_isolation(spark, sf_dir):
+    """Branch isolation + fast-forward publish, value-hash oracled: main
+    is created from batch 1 of the q30 derivation; batch 2 is appended on
+    a BRANCH (main must still read batch 1 only — slice 'main-pre'), the
+    branch is audited and fast-forwarded (slice 'main-post' = union), and
+    a poisoned batch appended on a second branch is dropped unpublished
+    (slice 'main-final' must STILL equal the union). The DuckDB twin
+    recomputes each slice relationally, so the hash proves branch commits
+    are invisible until publish and discarded branches leak nothing —
+    the write-audit-publish contract over mutable refs."""
+    import os
+    import shutil
+    import uuid
+
+    from .table import scan
+    from .table.writer import append_dataframe, create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    batch1 = df.where(F.col("turn_idx") % 2 == 0)
+    batch2 = df.where(F.col("turn_idx") % 2 == 1)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q60_{uuid.uuid4().hex[:12]}")
+    rpf = max(400, df.count() // 8)
+    try:
+        t = create_transcripts_table(spark, root, batch1, rows_per_file=rpf)
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        bt = t.create_branch("audit")
+        append_dataframe(spark, bt, batch2, rows_per_file=rpf)
+        rows = agg("main-pre", scan(spark, t)).collect()
+        rows += agg("branch", scan(spark, t, ref="audit")).collect()
+        # audit passes (the batch is clean by construction) -> publish
+        t.fast_forward("audit")
+        rows += agg("main-post", scan(spark, t)).collect()
+        # a poisoned branch never published leaks nothing into main
+        rt = t.create_branch("reject")
+        poisoned = batch2.withColumn(
+            "conv_id", F.concat(F.lit("BAD-"), F.col("conv_id"))
+        )
+        append_dataframe(spark, rt, poisoned, rows_per_file=rpf)
+        t.delete_branch("reject")
+        rows += agg("main-final", scan(spark, t)).collect()
+        schema = agg("x", batch1).schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -1159,6 +1215,7 @@ ALL = {
     "q57_cdc_changes": q57_cdc_changes,
     "q58_partitioned_scan": q58_partitioned_scan,
     "q59_partition_evolution": q59_partition_evolution,
+    "q60_branch_isolation": q60_branch_isolation,
     "q41_running_sum": q41_running_sum,
     "q42_collect_sorted_set": q42_collect_sorted_set,
     "q43_ntile_buckets": q43_ntile_buckets,
