@@ -23,6 +23,13 @@ format implemented here from scratch:
                   checkpoint, retry/backoff, and catch-to-summary
 - ``table/cdc``   at-least-once upsert consumer AND the typed change
                   feed (insert/delete rows with commit ordering)
+- ``table/inspect`` Iceberg-style metadata tables (files / snapshots /
+                  partitions as DataFrames + catalog SQL views)
+
+Refs: immutable tags, write-audit-publish staging, and mutable BRANCHES
+with fast-forward publish (``Table.create_branch`` — every operator
+works against a branch-loaded table). Partition specs are declared
+transforms with exact planner pruning and Iceberg-style spec EVOLUTION.
 
 Everything here derives from public knowledge only: the Apache Spark /
 PySpark API and the reference repo's observable behavior.

@@ -126,3 +126,54 @@ def test_expire_pins_branch_chain_and_releases_on_delete(spark, table):
             transcripts_df(spark, 50, seed=48)
         ),
     )
+
+
+def test_concurrent_main_and_branch_writers(spark, table):
+    """Two writers racing on DIFFERENT refs of one table: the global
+    commit lock serializes them, but neither conflicts logically — each
+    pointer advances with its own commits only, and both final states
+    are exactly their own appends."""
+    import threading
+
+    from e_commerce_lakehouse_spark.pipeline import with_retries
+
+    t, df = table
+    t.create_branch("dev")
+    errors = []
+
+    def _writer(branch, seeds, prefix):
+        try:
+            for s in seeds:
+                extra = transcripts_df(spark, 100, seed=s).withColumn(
+                    "conv_id", F.concat(F.lit(prefix), F.col("conv_id"))
+                )
+                with_retries(
+                    lambda e=extra: append_dataframe(
+                        spark, Table.load(t.root, branch=branch), e,
+                        rows_per_file=100,
+                    ),
+                    attempts=6, backoff_s=0.2,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append((branch, e))
+
+    th1 = threading.Thread(target=_writer, args=(None, (61, 62, 63), "m-"))
+    th2 = threading.Thread(target=_writer, args=("dev", (64, 65, 66), "d-"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors, errors
+
+    main_extra = [transcripts_df(spark, 100, seed=s).withColumn(
+        "conv_id", F.concat(F.lit("m-"), F.col("conv_id"))) for s in (61, 62, 63)]
+    dev_extra = [transcripts_df(spark, 100, seed=s).withColumn(
+        "conv_id", F.concat(F.lit("d-"), F.col("conv_id"))) for s in (64, 65, 66)]
+    want_main = df
+    for e in main_extra:
+        want_main = want_main.unionByName(e)
+    want_dev = df
+    for e in dev_extra:
+        want_dev = want_dev.unionByName(e)
+    assert_same_rows(scan(spark, t), want_main)
+    assert_same_rows(scan(spark, Table.load(t.root, branch="dev")), want_dev)
+    # diverged now: publish must refuse
+    with pytest.raises(ValueError, match="does not descend"):
+        t.fast_forward("dev")
