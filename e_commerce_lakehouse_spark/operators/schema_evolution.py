@@ -54,6 +54,16 @@ def current_schema(table: Table, snapshot_id: int | None = None) -> T.StructType
 
 
 def _commit_evolution(table: Table, new_schema: T.StructType, change: dict) -> dict:
+    if table.branch is not None:
+        # schema versions resolve by `as_of_snapshot <= sid`, and ids are
+        # table-global: a branch-committed version would become visible
+        # to MAIN the moment main's head id passes it (a dropped column
+        # silently hidden from main reads). Evolution is main-line only.
+        raise ValueError(
+            "schema evolution on a branch is not supported (schema "
+            "versions are resolved by snapshot id table-wide); evolve on "
+            "main, before or after fast_forward"
+        )
     if not table.schema_versions():
         # first evolution: pin the ORIGINAL shape as version 1 so pinned
         # pre-evolution reads resolve explicitly instead of by fallback

@@ -842,6 +842,12 @@ class Table:
             write_spec_history,
         )
 
+        if self.branch is not None:
+            # the spec is table-global write policy (future writes on
+            # EVERY ref lay out under it) — evolving it from a branch
+            # would silently change main's layout; main-line only
+            raise ValueError("partition evolution on a branch is not "
+                             "supported; evolve on main")
         validate_spec(new_spec, data_columns)
         history = read_spec_history(self.metadata_dir)
         if history and history[-1] == list(new_spec):

@@ -177,3 +177,34 @@ def test_concurrent_main_and_branch_writers(spark, table):
     # diverged now: publish must refuse
     with pytest.raises(ValueError, match="does not descend"):
         t.fast_forward("dev")
+
+
+def test_global_metadata_evolution_refused_on_branch(spark, table):
+    """Schema versions and the partition spec are table-global (resolved
+    by snapshot id / applied to every ref's future writes): evolving them
+    from a branch would leak into main, so both refuse."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns,
+        drop_columns,
+    )
+
+    t, _ = table
+    bt = t.create_branch("dev")
+    with pytest.raises(ValueError, match="main"):
+        add_columns(bt, [("quality", "double")])
+    with pytest.raises(ValueError, match="main"):
+        drop_columns(bt, ["tool"])
+    from e_commerce_lakehouse_spark.table.partition import PartitionField
+
+    with pytest.raises(ValueError, match="main"):
+        bt.evolve_partition_spec(
+            [PartitionField("ts_day", "ts", "day")],
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+    # and they still work on the main-loaded handle
+    add_columns(t, [("quality", "double")])
+    assert "quality" in [
+        f.name for f in __import__(
+            "e_commerce_lakehouse_spark.table.scan", fromlist=["resolve_schema"]
+        ).resolve_schema(t).fields
+    ]
