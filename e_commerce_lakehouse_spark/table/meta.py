@@ -341,6 +341,15 @@ class Table:
         return name
 
     def _commit(self, snap: Snapshot, publish: bool = True) -> Snapshot:
+        if self.branch is not None:
+            # record branch provenance EXPLICITLY (same rule as the staged
+            # marker): a branch-exclusive snapshot retained below main's
+            # walkable-chain floor (its pinning branch outlives expired
+            # main-exclusive history) must never read as published main
+            # history — id ordering alone would let main's time travel
+            # serve it. fast_forward to main clears the marker on the
+            # snapshots it adopts.
+            snap.summary["branch"] = self.branch
         tmp = self._snap_path(snap.snapshot_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snap.to_dict(), f)
@@ -410,11 +419,17 @@ class Table:
                     f"{snap.parent_id} but the table is now at {current}; "
                     f"re-stage on the current head"
                 )
-            if snap.summary.get("staged"):
-                # the snapshot is published from here on: drop the staged
-                # marker (atomic rewrite) BEFORE the flip so no observer
-                # ever sees a published-but-flagged snapshot
-                snap.summary = {k: v for k, v in snap.summary.items() if k != "staged"}
+            drop = {"staged"}
+            if self.branch is None:
+                # publishing to MAIN also adopts a branch-built snapshot
+                # into main history — its branch provenance marker must go
+                # with the staged flag (see fast_forward)
+                drop.add("branch")
+            if any(k in snap.summary for k in drop):
+                # the snapshot is published from here on: drop the markers
+                # (atomic rewrite) BEFORE the flip so no observer ever sees
+                # a published-but-flagged snapshot
+                snap.summary = {k: v for k, v in snap.summary.items() if k not in drop}
                 tmp = self._snap_path(snapshot_id) + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(snap.to_dict(), f)
@@ -767,6 +782,25 @@ class Table:
                     f"descend from this ref's head ({cur}) — diverged or "
                     "connecting history missing"
                 )
+            if self.branch is None:
+                # publishing to MAIN: the adopted snapshots become ordinary
+                # main history — clear their branch provenance markers
+                # (atomic per-snapshot rewrite, BEFORE the flip) so they
+                # stay servable by time travel even if they later fall
+                # below a broken chain floor. Branch→branch fast-forward
+                # keeps markers: the work is still unpublished to main.
+                sid = target
+                while sid is not None and sid != cur:
+                    snap = self.snapshot(sid)
+                    if "branch" in snap.summary:
+                        snap.summary = {
+                            k: v for k, v in snap.summary.items() if k != "branch"
+                        }
+                        tmp = self._snap_path(sid) + ".tmp"
+                        with open(tmp, "w") as f:
+                            json.dump(snap.to_dict(), f)
+                        os.replace(tmp, self._snap_path(sid))
+                    sid = snap.parent_id
             vtmp = self._version_path() + ".tmp"
             with open(vtmp, "w") as f:
                 f.write(str(target))
@@ -932,10 +966,17 @@ class Table:
             except FileNotFoundError:
                 break
         floor = min(chain) if chain else 0
+        # below-floor snapshots carrying a branch marker are branch-only
+        # work (never current on THIS ref at any wall-clock time) kept
+        # alive by their branch pin — excluded just like staged ones. A
+        # branch snapshot adopted into main history had its marker cleared
+        # by fast_forward, and while reachable it is on the chain anyway.
         return chain | {
             s
             for s in self.snapshot_ids()
-            if s < floor and not self.snapshot(s).summary.get("staged")
+            if s < floor
+            and not self.snapshot(s).summary.get("staged")
+            and not self.snapshot(s).summary.get("branch")
         }
 
     def snapshot_id_as_of(self, ts_ms: int) -> int:
