@@ -15,9 +15,20 @@ Semantics (Iceberg-style):
   deleted — this covers both files only old snapshots referenced and
   debris from crashed writes that never committed (table/meta.py's
   crash-before-flip case).
-
-Single-writer assumption: GC must not run concurrently with a writer
-(same constraint as the reference's one-Glue-job-per-table design).
+- ORPHAN GRACE: an UNREFERENCED orphan (on disk, in NO snapshot living
+  or expired — crash debris or a concurrent writer's in-flight files)
+  younger than ``orphan_grace_ms`` is skipped, Iceberg's
+  remove_orphan_files ``older_than``: a concurrent appender writes its
+  data files BEFORE taking the commit lock, so a zero-grace GC racing
+  that window would delete files the imminent commit references —
+  corrupting the table the moment it flips. The commit lock cannot
+  protect this window (the files exist before any lock is taken); only
+  an age bound can. Files referenced by EXPIRED snapshots and files
+  released by a stale-checkpoint prune are exempt — both are governed
+  by their own rules (retention / stale_checkpoint_ms), no in-flight
+  commit can reference them, and waiting on them would just delay
+  reclaim. Pass ``orphan_grace_ms=0`` when the caller KNOWS no writer
+  is in flight (tests, single-process reclaim).
 """
 
 from __future__ import annotations
@@ -35,6 +46,13 @@ from ..table.meta import Table
 #: on tmpfs-backed tables that is unreclaimable RAM (round-2 advice).
 DEFAULT_STALE_CHECKPOINT_MS = 24 * 3600 * 1000
 
+#: unreferenced on-disk files younger than this survive orphan GC — the
+#: in-flight-writer window (see module docstring). 24 h matches the
+#: stale-checkpoint bound: both answer "how long can a legitimate write
+#: be mid-flight"; a 100 TB append can spend hours writing before its
+#: commit, so minutes-scale grace is not enough at target scale.
+DEFAULT_ORPHAN_GRACE_MS = 24 * 3600 * 1000
+
 
 def expire_snapshots(
     table: Table,
@@ -42,6 +60,7 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     dry_run: bool = False,
     stale_checkpoint_ms: int | None = DEFAULT_STALE_CHECKPOINT_MS,
+    orphan_grace_ms: int = DEFAULT_ORPHAN_GRACE_MS,
 ) -> dict:
     ids = table.snapshot_ids()
     current = table.current_snapshot_id()
@@ -95,6 +114,9 @@ def expire_snapshots(
 
     protected_dirs: set[str] = set()
     stale_checkpoints: list[str] = []
+    #: files a just-pruned STALE checkpoint pinned: known-abandoned, so
+    #: they bypass the orphan grace (no in-flight commit references them)
+    released_by_stale: set[str] = set()
     now_ms = time.time() * 1000
     for ck in glob.glob(os.path.join(table.metadata_dir, "*.ckpt.jsonl")):
         if (
@@ -102,6 +124,17 @@ def expire_snapshots(
             and now_ms - os.path.getmtime(ck) * 1000 > stale_checkpoint_ms
         ):
             stale_checkpoints.append(ck)
+            for rec in Checkpoint(ck).records():
+                for p in rec.get("output_files") or []:
+                    released_by_stale.add(p)
+                for d in rec.get("outputs") or []:
+                    if isinstance(d, dict) and d.get("path"):
+                        released_by_stale.add(d["path"])
+                td = rec.get("tmp_dir")
+                if td:
+                    released_by_stale.add(
+                        os.path.relpath(td, table.root) + os.sep
+                    )
             continue
         for rec in Checkpoint(ck).records():
             for p in rec.get("output_files") or []:
@@ -114,14 +147,35 @@ def expire_snapshots(
                 # full stage-1 redo on resume (correct but wasted work)
                 protected_dirs.add(os.path.relpath(td, table.root))
 
+    # files referenced by EXPIRED snapshots: committed debris, deletable
+    # under the retention rule with no grace (read BEFORE their snap
+    # files are removed below)
+    expired_refs: set[str] = set()
+    for sid in expired:
+        snap = table.snapshot(sid)
+        expired_refs.update(snap.tombstone_paths)
+        for e in table.entries(sid):
+            expired_refs.add(e.path)
+
     # orphan data files = on disk but in no retained snapshot
     on_disk = []
+    skipped_young = 0
     for dirpath, _dirs, files in os.walk(table.data_dir):
         for fn in files:
             p = os.path.join(dirpath, fn)
             rel = os.path.relpath(p, table.root)
             if any(rel.startswith(d + os.sep) for d in protected_dirs):
                 continue
+            if rel in live_rel:
+                continue
+            if rel not in expired_refs and rel not in released_by_stale and not any(
+                rel.startswith(d) for d in released_by_stale if d.endswith(os.sep)
+            ):
+                # UNREFERENCED: crash debris or an in-flight writer's
+                # files — only deletable past the grace window
+                if now_ms - os.path.getmtime(p) * 1000 < orphan_grace_ms:
+                    skipped_young += 1
+                    continue
             on_disk.append(rel)
     orphans = sorted(set(on_disk) - live_rel)
 
@@ -156,5 +210,6 @@ def expire_snapshots(
         "deleted_data_files": len(orphans),
         "deleted_manifests": len(dead_manifests),
         "pruned_stale_checkpoints": len(stale_checkpoints),
+        "skipped_young_orphans": skipped_young,
         "dry_run": dry_run,
     }

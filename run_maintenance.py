@@ -74,6 +74,10 @@ def main(argv=None) -> int:
     p.add_argument("--source", help="merge: corrections parquet path; ingest: landing dir")
     p.add_argument("--checkpoint", help="checkpoint path (ops) / dir (ingest)")
     p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
+    p.add_argument("--orphan-grace-ms", type=int, default=None,
+                   help="expire: age an UNREFERENCED on-disk file must reach "
+                        "before orphan GC may delete it (default 24h — the "
+                        "in-flight-writer window; 0 = collect immediately)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--n-turns", type=int, default=100_000, help="create: synthetic turns")
     p.add_argument("--partition-by", default=None,
@@ -164,8 +168,10 @@ def main(argv=None) -> int:
             result = {"fast_forwarded_to": t.fast_forward(args.branch),
                       "branch": args.branch}
     elif args.op == "expire":  # metadata-only: no Spark session needed
+        kw = ({"orphan_grace_ms": args.orphan_grace_ms}
+              if args.orphan_grace_ms is not None else {})
         result = expire_snapshots(Table.load(args.table, branch=args.branch), keep_last=args.keep_last,
-                                  dry_run=args.dry_run)
+                                  dry_run=args.dry_run, **kw)
     elif args.op == "rewrite-manifests":
         result = rewrite_manifests(Table.load(args.table, branch=args.branch))
     elif args.op == "history":  # metadata-only

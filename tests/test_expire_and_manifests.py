@@ -42,13 +42,23 @@ def test_expire_gc_removes_unreferenced_files(spark, tiny_table):
 
 
 def test_expire_cleans_crash_debris(spark, tiny_table):
+    """Unreferenced debris is grace-bounded: a YOUNG file (possibly an
+    in-flight writer's) survives the default grace; an OLD one (a real
+    crash's) is collected. Referenced-by-expired files are exempt from
+    grace (covered by test_expire_deletes_old_exclusive_files)."""
     debris_dir = os.path.join(tiny_table.data_dir, "merge-99999999")
     os.makedirs(debris_dir)
     debris = os.path.join(debris_dir, "part-dead.parquet")
     with open(debris, "wb") as f:
         f.write(b"dead")
-    expire_snapshots(tiny_table, keep_last=len(tiny_table.snapshot_ids()))
-    assert not os.path.exists(debris)
+    keep = len(tiny_table.snapshot_ids())
+    m = expire_snapshots(tiny_table, keep_last=keep)
+    assert os.path.exists(debris)  # young: could be an in-flight commit
+    assert m["skipped_young_orphans"] >= 1
+    old = os.path.getmtime(debris) - 25 * 3600
+    os.utime(debris, (old, old))
+    expire_snapshots(tiny_table, keep_last=keep)
+    assert not os.path.exists(debris)  # aged past grace: crash debris
 
 
 def test_expire_dry_run_deletes_nothing(spark, tiny_table):

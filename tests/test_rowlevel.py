@@ -197,9 +197,12 @@ def test_mor_noop_and_gc_protection(spark, tiny_df, tiny_table):
         assert os.path.exists(os.path.join(tiny_table.root, t))
     assert scan(spark, tiny_table).where("role = 'tool'").count() == 0
     # after materialization, once no retained snapshot references them,
-    # the applied tombstone files fall to orphan GC
+    # the applied tombstone files fall to orphan GC (grace 0: this test
+    # KNOWS no writer is in flight — the noop delete's unreferenced
+    # tombstone debris would otherwise sit out the in-flight-writer
+    # grace window and keep its dir alive)
     materialize_deletes(spark, tiny_table)
-    expire_snapshots(tiny_table, keep_last=1)
+    expire_snapshots(tiny_table, keep_last=1, orphan_grace_ms=0)
     data_dirs = os.listdir(os.path.join(tiny_table.root, "data"))
     assert not any(d.startswith("tombstone-") for d in data_dirs)
 
