@@ -673,25 +673,30 @@ class Table:
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Tag a snapshot (default: current). Fails on duplicate names —
-        a tag is immutable; delete it first to move it."""
-        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        self.snapshot(sid)  # validate it exists (FileNotFoundError otherwise)
-        tags = self.tags()
-        if name in tags:
-            raise ValueError(f"tag already exists: {name} -> {tags[name]}")
-        if name in self.branches():
-            raise ValueError(f"a branch named {name!r} already exists")
-        tags[name] = sid
-        self._write_tags(tags)
-        return sid
+        a tag is immutable; delete it first to move it. Runs under the
+        commit lock: refs.json is read-modify-write, so two unserialized
+        taggers would silently lose one tag (and a tag/branch name
+        collision could slip past both sides' checks)."""
+        with self._commit_lock():
+            sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+            self.snapshot(sid)  # validate it exists (FileNotFoundError otherwise)
+            tags = self.tags()
+            if name in tags:
+                raise ValueError(f"tag already exists: {name} -> {tags[name]}")
+            if name in self.branches():
+                raise ValueError(f"a branch named {name!r} already exists")
+            tags[name] = sid
+            self._write_tags(tags)
+            return sid
 
     def delete_tag(self, name: str) -> int:
-        tags = self.tags()
-        if name not in tags:
-            raise KeyError(f"no such tag: {name}")
-        sid = tags.pop(name)
-        self._write_tags(tags)
-        return sid
+        with self._commit_lock():
+            tags = self.tags()
+            if name not in tags:
+                raise KeyError(f"no such tag: {name}")
+            sid = tags.pop(name)
+            self._write_tags(tags)
+            return sid
 
     def resolve_ref(self, name: str) -> int:
         """Tag or branch name -> snapshot id (tags win; creation refuses
@@ -729,15 +734,18 @@ class Table:
         if sid is None:
             raise ValueError("cannot branch an empty table")
         self.snapshot(sid)  # validate it exists
-        if name in self.tags():
-            raise ValueError(f"a tag named {name!r} already exists")
-        path = os.path.join(self.metadata_dir, f"BRANCH-{name}")
-        # O_EXCL: branch creation is first-wins, never a silent overwrite
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, str(sid).encode())
-        finally:
-            os.close(fd)
+        # under the commit lock so the tag-name check can't race a
+        # concurrent create_tag of the same name (create_tag also locks)
+        with self._commit_lock():
+            if name in self.tags():
+                raise ValueError(f"a tag named {name!r} already exists")
+            path = os.path.join(self.metadata_dir, f"BRANCH-{name}")
+            # O_EXCL: branch creation is first-wins, never a silent overwrite
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, str(sid).encode())
+            finally:
+                os.close(fd)
         return Table(self.root, branch=name)
 
     def delete_branch(self, name: str) -> int:
@@ -748,9 +756,11 @@ class Table:
         try:
             with open(path) as f:
                 sid = int(f.read().strip())
+            os.remove(path)
         except FileNotFoundError:
+            # covers both the read and the remove: two racing deleters
+            # both get a clean KeyError, not an unhandled OSError
             raise KeyError(f"no such branch: {name}") from None
-        os.remove(path)
         return sid
 
     def fast_forward(self, name: str) -> int:
