@@ -26,8 +26,10 @@ catalog file and sees the same pinned data.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +39,43 @@ from .table.scan import scan
 
 def _tag_name(name: str) -> str:
     return f"catalog:{name}"
+
+
+_LOCK_STALE_S = 300.0
+
+
+@contextlib.contextmanager
+def _registry_lock(path: str):
+    """O_EXCL lock serializing catalog mutations: register/unregister are
+    read-modify-write over one JSON file, so two unserialized writers
+    would silently lose one registration (same rule as the table commit
+    lock). Stale locks (crashed holder) are broken after _LOCK_STALE_S."""
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder just released — retry O_EXCL
+            if age > _LOCK_STALE_S and attempt == 0:
+                with contextlib.suppress(FileNotFoundError, OSError):
+                    os.remove(lock)
+                continue
+            raise RuntimeError(
+                f"{path}: another writer holds the catalog lock (age {age:.0f}s)"
+            ) from None
+    else:  # pragma: no cover - both attempts collided
+        raise RuntimeError(f"{path}: could not acquire catalog lock")
+    try:
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 class Catalog:
@@ -77,6 +116,10 @@ class Catalog:
         if snapshot_id is not None and ref is not None:
             raise ValueError("pass at most one of snapshot_id / ref")
         t = table if isinstance(table, Table) else Table.load(table)
+        with _registry_lock(self.path):
+            return self._register_locked(name, t, snapshot_id, ref, replace)
+
+    def _register_locked(self, name, t, snapshot_id, ref, replace) -> dict:
         tables = self.entries()
         if name in tables and not replace:
             raise ValueError(f"table already registered: {name!r} -> "
@@ -112,13 +155,14 @@ class Catalog:
     def unregister(self, name: str) -> dict:
         """Remove a registration; drops the protective catalog tag (the
         snapshot then ages out with normal retention)."""
-        tables = self.entries()
-        if name not in tables:
-            raise KeyError(f"no such catalog table: {name}")
-        entry = tables.pop(name)
-        self._drop_tag(name, entry)
-        self._write(tables)
-        return entry
+        with _registry_lock(self.path):
+            tables = self.entries()
+            if name not in tables:
+                raise KeyError(f"no such catalog table: {name}")
+            entry = tables.pop(name)
+            self._drop_tag(name, entry)
+            self._write(tables)
+            return entry
 
     # ---------- resolution / attach ----------
 
