@@ -203,10 +203,13 @@ def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
     codec: str = "zstd", field_spec: list | None = None, run_token: str = "",
     group_seq: dict | None = None, group_part: dict | None = None,
+    on_wave=None,
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
-    overhead amortized over the wave). Returns phase metrics."""
+    overhead amortized over the wave). Returns phase metrics.
+    ``on_wave(records)`` fires after each wave's records are checkpointed
+    (partial-progress commits hook in there)."""
     completed = 0
     group_seq = group_seq or {}
     phase = {"wave_sec": 0.0, "task_read_sec": 0.0, "task_write_sec": 0.0, "waves": 0}
@@ -228,23 +231,26 @@ def _run_arrow(
         phase["task_read_sec"] += sum(r["task_read_ms"] for r in results) / 1000
         phase["task_write_sec"] += sum(r["task_write_ms"] for r in results) / 1000
         phase["waves"] += 1
+        wave_recs = []
         for r in sorted(results, key=lambda r: r["group_id"]):
             e = r["entry"]
-            ckpt.record(
-                {
-                    "group_id": r["group_id"],
-                    "status": "done",
-                    "input_files": r["input_files"],
-                    "output_files": [e["path"]],
-                    "outputs": [e],
-                    "rows": e["rows"],
-                    "bytes": e["bytes"],
-                    "wall_ms": wall,
-                }
-            )
+            rec = {
+                "group_id": r["group_id"],
+                "status": "done",
+                "input_files": r["input_files"],
+                "output_files": [e["path"]],
+                "outputs": [e],
+                "rows": e["rows"],
+                "bytes": e["bytes"],
+                "wall_ms": wall,
+            }
+            ckpt.record(rec)
+            wave_recs.append(rec)
             completed += 1
             if fail_after_groups is not None and completed >= fail_after_groups:
                 raise SimulatedCrash(f"simulated crash after {completed} groups")
+        if on_wave is not None:
+            on_wave(wave_recs)
     for k in ("wave_sec", "task_read_sec", "task_write_sec"):
         phase[k] = round(phase[k], 2)
     return phase
@@ -296,9 +302,23 @@ def compact(
     ts_range: tuple | None = None,
     order_preserving: bool = False,
     wave_size: int | None = None,
+    partial_progress: bool = False,
+    partial_max_commits: int = 10,
 ) -> dict:
     """Compact small files; returns metrics. Resumable: re-running with the
     same checkpoint path after a crash skips finished groups and commits.
+
+    ``partial_progress=True`` (arrow mode only — the scale path) commits
+    finished waves incrementally instead of one all-or-nothing commit at
+    the end, capped at ``partial_max_commits`` snapshots per run —
+    Iceberg rewrite_data_files ``partial-progress.enabled`` semantics.
+    On a week-long 100 TB compaction this publishes reclaimable progress
+    continuously (expire can GC the replaced files after each partial
+    commit), shrinks the conflict window per commit, and a crash loses
+    only the uncommitted tail: the next run plans from the advanced head,
+    where committed groups no longer exist. Each partial commit is guarded
+    by the same live-file conflict check as any rewrite; groups are
+    disjoint, so this run's own commits never invalidate its later ones.
 
     ``order_preserving=True`` packs CONSECUTIVE files in conv_id-min order
     instead of size-ordered FFD — use it on CLUSTERED tables, where FFD
@@ -424,6 +444,35 @@ def compact(
     # collision-free output dirs per attempt (see _rewrite_wave_arrow)
     run_token = uuid.uuid4().hex[:12]
 
+    if partial_progress and mode != "arrow":
+        raise ValueError("partial_progress requires mode='arrow'")
+
+    committed_gids: set[int] = set()
+    partial_sids: list[int] = []
+
+    def _commit_pending(recs_by_gid: dict[int, dict], partial: bool) -> None:
+        pending = [gid for gid in sorted(recs_by_gid) if gid not in committed_gids]
+        if not pending:
+            return
+        rm, add = [], []
+        for gid in pending:
+            rec = recs_by_gid[gid]
+            rm.extend(rec["input_files"])
+            add.extend(DataFileEntry.from_dict(d) for d in rec["outputs"])
+        snap = table.commit_rewrite(
+            rm,
+            add,
+            operation="replace",
+            summary={"op": "compact", "groups": len(pending),
+                     "removed_files": len(rm),
+                     **({"partial_progress": True,
+                         "commit_k": len(partial_sids) + 1} if partial else {})},
+        )
+        committed_gids.update(pending)
+        if partial:
+            partial_sids.append(snap.snapshot_id)
+        metrics["committed_snapshot"] = snap.snapshot_id
+
     t_plan_done = monotonic()
     if mode == "arrow":
         # Wave sizing: the rdd runner bundles ~5 slices per core slot, so a
@@ -442,11 +491,29 @@ def compact(
             # runner's 5-slices-per-core bundling needs a big enough wave
             # to amortize the ~150 ms/task dispatch floor on wide pools
             wave_size = max(80, max(8, max_concurrent_groups) * 4, par * 10)
+        on_wave = None
+        if partial_progress:
+            n_waves = max(1, math.ceil(len(todo) / wave_size))
+            # leave room for the final commit inside the cap
+            commit_every = max(1, math.ceil(n_waves / max(1, partial_max_commits - 1)))
+            waves_seen = 0
+            recs_acc: dict[int, dict] = {}
+
+            def on_wave(wave_recs):
+                nonlocal waves_seen
+                waves_seen += 1
+                for r in wave_recs:
+                    recs_acc[r["group_id"]] = r
+                if (waves_seen % commit_every == 0
+                        and len(partial_sids) < partial_max_commits - 1):
+                    _commit_pending(recs_acc, partial=True)
+
         phase = _run_arrow(spark, table, todo, base_snapshot, stat_columns, ckpt,
                            wave_size=wave_size,
                            fail_after_groups=fail_after_groups, codec=codec,
                            field_spec=field_spec, run_token=run_token,
-                           group_seq=group_seq, group_part=group_part)
+                           group_seq=group_seq, group_part=group_part,
+                           on_wave=on_wave)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
@@ -458,21 +525,15 @@ def compact(
     t_rewrite_done = monotonic()
 
     done = ckpt.done()
-    removed, added = [], []
-    for g in groups:
-        rec = done[g.group_id]
-        removed.extend(rec["input_files"])
-        added.extend(DataFileEntry.from_dict(d) for d in rec["outputs"])
-    snap = table.commit_rewrite(
-        removed,
-        added,
-        operation="replace",
-        summary={"op": "compact", "groups": len(groups), "removed_files": len(removed)},
-    )
+    _commit_pending({g.group_id: done[g.group_id] for g in groups}, partial=False)
     ckpt.clear()
+    added = [
+        DataFileEntry.from_dict(d)
+        for g in groups
+        for d in done[g.group_id]["outputs"]
+    ]
     metrics.update(
         {
-            "committed_snapshot": snap.snapshot_id,
             "output_files": len(added),
             "rewritten_bytes": sum(e.bytes for e in added),
             "rewritten_rows": sum(e.rows for e in added),
@@ -481,4 +542,7 @@ def compact(
             "commit_sec": round(monotonic() - t_rewrite_done, 2),
         }
     )
+    if partial_progress:
+        metrics["partial_commits"] = len(partial_sids)
+        metrics["partial_snapshot_ids"] = partial_sids
     return metrics

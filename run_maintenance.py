@@ -69,6 +69,10 @@ def main(argv=None) -> int:
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
+    p.add_argument("--partial-commits", type=int, default=None,
+                   help="compact: enable partial-progress commits, capped at "
+                        "this many snapshots per run (Iceberg "
+                        "partial-progress.enabled/max-commits)")
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     p.add_argument("--shards", type=int, default=1, help="cluster: resumable shard count")
     p.add_argument("--source", help="merge: corrections parquet path; ingest: landing dir")
@@ -281,7 +285,9 @@ def main(argv=None) -> int:
                 lambda: compact(spark, Table.load(args.table, branch=args.branch), target_bytes=target_bytes,
                                 checkpoint_path=args.checkpoint,
                                 order_preserving=args.order_preserving,
-                                conv_id_range=conv_range),
+                                conv_id_range=conv_range,
+                                partial_progress=args.partial_commits is not None,
+                                partial_max_commits=args.partial_commits or 10),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "cluster":
             result = with_retries(

@@ -185,3 +185,47 @@ def test_order_preserving_checkpoint_namespace(spark, tiny_table):
         pass
     names = os.listdir(tiny_table.metadata_dir)
     assert any("-ordered" in n and n.endswith(".ckpt.jsonl") for n in names)
+
+
+def test_compact_partial_progress_commits_incrementally(spark, tiny_table):
+    """Iceberg partial-progress semantics: wave_size=1 + a high commit cap
+    ⇒ one REPLACE commit per wave instead of one at the end; every
+    intermediate snapshot is a consistent full view of the table."""
+    base = tiny_table.current_snapshot_id()
+    before = scan(spark, tiny_table).select("conv_id", "turn_idx", "text")
+    m = compact(spark, tiny_table, target_bytes=TARGET, wave_size=1,
+                partial_progress=True, partial_max_commits=100)
+    assert m["partial_commits"] >= 1
+    assert m["committed_snapshot"] == tiny_table.current_snapshot_id()
+    # every partial snapshot is marked and scans to the SAME logical rows
+    for sid in m["partial_snapshot_ids"]:
+        assert tiny_table.snapshot(sid).summary.get("partial_progress") is True
+        assert_same_rows(before,
+                         scan(spark, tiny_table, snapshot_id=sid)
+                         .select("conv_id", "turn_idx", "text"))
+    # pre-compaction pin unaffected (snapshot isolation across all commits)
+    assert_same_rows(before,
+                     scan(spark, tiny_table, snapshot_id=base)
+                     .select("conv_id", "turn_idx", "text"))
+    assert_same_rows(before, scan(spark, tiny_table).select("conv_id", "turn_idx", "text"))
+
+
+def test_compact_partial_progress_crash_keeps_committed_work(spark, tiny_table):
+    """A crash mid-run loses only the uncommitted tail: the partial
+    commits already published stand, the head stays consistent, and a
+    fresh run (planning from the advanced head) finishes the job."""
+    base = tiny_table.current_snapshot_id()
+    before = scan(spark, tiny_table).select("conv_id", "turn_idx", "text")
+    # ~96 KB target over ~30-50 KB files ⇒ several groups, so the crash
+    # lands AFTER wave 1's partial commit
+    with pytest.raises(SimulatedCrash):
+        compact(spark, tiny_table, target_bytes=96 * 1024, wave_size=1,
+                partial_progress=True, partial_max_commits=100,
+                fail_after_groups=2)
+    head = tiny_table.current_snapshot_id()
+    assert head > base  # wave 1's partial commit survived the crash
+    assert_same_rows(before, scan(spark, tiny_table).select("conv_id", "turn_idx", "text"))
+    # a fresh run plans from the advanced head and completes the rest
+    m = compact(spark, tiny_table, target_bytes=96 * 1024)
+    assert m.get("noop") is not True
+    assert_same_rows(before, scan(spark, tiny_table).select("conv_id", "turn_idx", "text"))
