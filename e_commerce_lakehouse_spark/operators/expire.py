@@ -73,12 +73,20 @@ def expire_snapshots(
                 retained.add(sid)
     # tagged snapshots are pinned until untagged (Iceberg tag semantics)
     retained |= {sid for sid in table.tags().values() if sid in set(ids)}
-    # branch heads pin themselves AND their parent chain down to the
-    # first already-retained ancestor: the head keeps the branch
-    # readable, the connecting chain keeps fast_forward's ancestry walk
-    # (and branch CDC) intact. delete_branch releases all of it.
+    # EVERY ref's head pins itself AND its parent chain down to the first
+    # already-retained ancestor: the head keeps that ref readable, the
+    # connecting chain keeps fast_forward's ancestry walk (and CDC)
+    # intact. delete_branch releases a branch's share. Main's VERSION
+    # head is pinned explicitly — ``table`` may be a BRANCH handle, whose
+    # ``current`` is the branch head; without this, expire run from a
+    # branch could delete main-exclusive snapshots and leave VERSION
+    # pointing at a missing snapshot (review finding).
     id_set = set(ids)
-    for bsid in table.branches().values():
+    ref_heads = list(table.branches().values())
+    main_head = Table(table.root).current_snapshot_id()
+    if main_head is not None:
+        ref_heads.append(main_head)
+    for bsid in ref_heads:
         sid = bsid
         while sid is not None and sid not in retained and sid in id_set:
             retained.add(sid)

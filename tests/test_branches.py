@@ -271,3 +271,28 @@ def test_branch_snapshots_never_served_by_main_time_travel(spark, table):
     assert "branch" not in t2.snapshot(adopted).summary
     assert adopted in t2._published_ids()
     assert t2.snapshot_id_as_of(t2.snapshot(adopted).timestamp_ms) == adopted
+
+
+def test_expire_from_branch_handle_preserves_main(spark, table):
+    """expire run on a BRANCH handle must pin MAIN's chain too: the
+    branch head is `current` there, and main-exclusive snapshots are
+    otherwise unprotected — expire could leave VERSION pointing at a
+    deleted snapshot (review finding)."""
+    t, df = table
+    # main advances past the fork
+    extra_main = transcripts_df(spark, 60, seed=71)
+    append_dataframe(spark, t, extra_main)
+    main_head = t.current_snapshot_id()
+    # branch churns far enough that keep_last covers only branch ids
+    bt = t.create_branch("busy")
+    for seed in (72, 73, 74):
+        append_dataframe(spark, bt, transcripts_df(spark, 40, seed=seed))
+
+    expire_snapshots(bt, keep_last=1, orphan_grace_ms=0)
+
+    # main is fully intact: head snapshot readable, scan returns its rows
+    assert t.current_snapshot_id() == main_head
+    assert main_head in t.snapshot_ids()
+    assert_same_rows(scan(spark, t), df.unionByName(extra_main))
+    # and the branch still reads everything it wrote
+    assert scan(spark, bt).count() == df.count() + 60 + 120
