@@ -52,6 +52,7 @@ def _registry_lock(path: str):
     lock). Stale locks (crashed holder) are broken after _LOCK_STALE_S."""
     lock = path + ".lock"
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    token = f"{os.getpid()}-{time.time_ns()}"
     for attempt in range(2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -62,8 +63,12 @@ def _registry_lock(path: str):
             except FileNotFoundError:
                 continue  # holder just released — retry O_EXCL
             if age > _LOCK_STALE_S and attempt == 0:
+                # atomic break: rename first so only ONE racing breaker
+                # wins (remove-then-create would let two writers both
+                # acquire — same rule as the table commit lock)
                 with contextlib.suppress(FileNotFoundError, OSError):
-                    os.remove(lock)
+                    os.rename(lock, f"{lock}.broken-{token}")
+                    os.remove(f"{lock}.broken-{token}")
                 continue
             raise RuntimeError(
                 f"{path}: another writer holds the catalog lock (age {age:.0f}s)"
