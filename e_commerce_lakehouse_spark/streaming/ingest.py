@@ -84,6 +84,128 @@ def ingest_available_now(
     return {"batches": batches, "snapshot": table.current_snapshot_id()}
 
 
+def txn_last_epoch(table: Table, app_id: str) -> int | None:
+    """The last epoch ``app_id`` committed to this table, or None if no
+    retained snapshot carries its marker. Walks the head's parent chain
+    (O(retained chain), metadata only); the marker lives in the commit's
+    own summary, so it is ATOMIC with the data it covers — there is no
+    second file that can lag the flip after a crash. A chain broken by
+    expire before the app's last commit reads as None; see
+    ingest_append_stream for the retention caveat that makes this safe."""
+    sid = table.current_snapshot_id()
+    while sid is not None:
+        try:
+            snap = table.snapshot(sid)
+        except FileNotFoundError:
+            return None  # chain expired below here — no marker retained
+        if snap.summary.get("txn_app") == app_id:
+            return int(snap.summary["txn_epoch"])
+        sid = snap.parent_id
+    return None
+
+
+def ingest_append_stream(
+    spark: SparkSession,
+    table: Table,
+    landing_dir: str,
+    checkpoint_dir: str,
+    schema=TRANSCRIPTS_SCHEMA,
+    source_format: str = "parquet",
+    app_id: str | None = None,
+    files_per_batch: int | None = None,
+) -> dict:
+    """APPEND-ONLY exactly-once ingest (Trigger.AvailableNow): the fast
+    path for true event streams with no primary-key corrections — no
+    MERGE join, each micro-batch is one O(delta) append commit.
+
+    Exactly-once without keys needs a transaction marker (Delta's
+    txnAppId/txnVersion): every batch commit records (txn_app, txn_epoch)
+    in its snapshot summary, and a re-delivered epoch (streaming
+    checkpoint crashed AFTER the table commit but BEFORE recording the
+    batch) is detected by ``txn_last_epoch`` and SKIPPED instead of
+    double-appended. The marker is in the committed snapshot itself, so
+    the check can never disagree with the data.
+
+    Retention caveat: the guard needs the app's last ingest commit
+    retained. A restarted stream re-delivers only its most recent
+    epoch(s), whose commits sit at or near the head — any sane
+    ``keep_last`` (≥ 2) retains them. If expire somehow removed the
+    app's entire retained history, the guard degrades to at-least-once
+    for exactly the re-delivered batch (same contract as poll-based
+    consumers).
+
+    Composition caveat (same as Delta's txnAppId guidance): the epoch
+    check assumes a restarted stream re-delivers the SAME batch
+    compositions — true when the streaming checkpoint survives (the
+    normal crash window, and the contract this guard covers). After a
+    full checkpoint LOSS, epochs reset and files may regroup: a skipped
+    epoch that happens to contain a genuinely NEW file would drop that
+    file (the fresh checkpoint marks it processed). If a checkpoint is
+    ever lost, restart with a NEW app_id (duplicates the re-delivered
+    tail — at-least-once) or use the MERGE path, which is idempotent by
+    key. Never reuse one app_id across two checkpoint dirs.
+
+    ``app_id`` defaults to a stable name derived from the checkpoint dir
+    (one checkpoint == one logical stream == one transaction stream)."""
+    import hashlib
+    import os
+    import uuid
+
+    from ..operators.constraints import enforce_constraints
+    from ..table.writer import write_files
+
+    app_id = app_id or "ingest-" + hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    reader = spark.readStream.schema(schema)
+    if files_per_batch is not None:
+        # slice the drain into multiple micro-batches (AvailableNow
+        # honors maxFilesPerTrigger) — one append commit per batch
+        reader = reader.option("maxFilesPerTrigger", files_per_batch)
+    if source_format == "csv":
+        stream = reader.option("header", "true").csv(landing_dir)
+    elif source_format == "parquet":
+        stream = reader.parquet(landing_dir)
+    else:
+        raise ValueError(f"unsupported streaming source: {source_format}")
+    batches: list[dict] = []
+
+    def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = txn_last_epoch(table, app_id)
+        if last is not None and epoch_id <= last:
+            batches.append({"epoch": epoch_id, "op": "skipped-duplicate",
+                            "last_committed_epoch": last})
+            return
+        df = enforce_constraints(batch_df, table, context="stream-append")
+        # uuid suffix: a crash between write and commit leaves an orphan
+        # dir (grace-bounded GC), and the retry of the same epoch never
+        # collides with it
+        entries = write_files(
+            spark, table, df,
+            n_files=max(1, df.rdd.getNumPartitions()),
+            subdir=f"stream-{epoch_id:08d}-{uuid.uuid4().hex[:12]}",
+        )
+        snap = table.commit_append(
+            entries,
+            {"op": "stream-append", "txn_app": app_id, "txn_epoch": epoch_id},
+        )
+        batches.append({"epoch": epoch_id, "op": "append",
+                        "snapshot": snap.snapshot_id,
+                        "rows": sum(e.rows for e in entries)})
+
+    q = (
+        stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"batches": batches, "snapshot": table.current_snapshot_id(),
+            "txn_app": app_id}
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str = "ts",

@@ -146,3 +146,52 @@ def test_stream_ingest_enforces_constraints_loudly(spark, tmp_path):
     ingest_available_now(spark, table, landing + "/*", ckpt)
     assert scan(spark, table).where("turn_idx = -3").count() == 4
     df.unpersist()
+
+
+def test_append_stream_exactly_once_txn_markers(spark, tmp_path):
+    """Append-only ingest: one append commit per micro-batch with
+    (txn_app, txn_epoch) markers; a re-delivered epoch (checkpoint lost
+    AFTER the table commit — the crash window) is skipped, not
+    double-appended."""
+    import shutil
+
+    from e_commerce_lakehouse_spark.streaming.ingest import (
+        ingest_append_stream,
+        txn_last_epoch,
+    )
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    troot = str(tmp_path / "tbl")
+    seed_df = transcripts_df(spark, 200, seed=1).cache()
+    table = create_transcripts_table(spark, troot, seed_df, rows_per_file=200)
+
+    b1 = transcripts_df(spark, 300, seed=2).withColumn(
+        "conv_id", F.concat(F.lit("s1-"), F.col("conv_id")))
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(landing, "f1"))
+    m1 = ingest_append_stream(spark, table, landing + "/*", ckpt)
+    assert [b["op"] for b in m1["batches"]] == ["append"]
+    assert scan(spark, table).count() == 500
+    app = m1["txn_app"]
+    epoch1 = m1["batches"][0]["epoch"]
+    assert txn_last_epoch(table, app) == epoch1
+
+    # crash window: the table committed epoch 1 but the streaming
+    # checkpoint is LOST — the restarted stream re-delivers everything;
+    # the txn marker must turn the re-delivery into a skip
+    shutil.rmtree(ckpt)
+    snap_before = table.current_snapshot_id()
+    m2 = ingest_append_stream(spark, table, landing + "/*", ckpt)
+    assert [b["op"] for b in m2["batches"]] == ["skipped-duplicate"]
+    assert table.current_snapshot_id() == snap_before
+    assert scan(spark, table).count() == 500
+
+    # new files resume the epoch sequence and append normally
+    b2 = transcripts_df(spark, 100, seed=3).withColumn(
+        "conv_id", F.concat(F.lit("s2-"), F.col("conv_id")))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(landing, "f2"))
+    m3 = ingest_append_stream(spark, table, landing + "/*", ckpt)
+    assert any(b["op"] == "append" for b in m3["batches"])
+    assert scan(spark, table).count() == 600
+    seed_df.unpersist()
