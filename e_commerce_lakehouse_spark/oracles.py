@@ -838,6 +838,46 @@ UNION ALL SELECT 'main-final' AS slice, * FROM full_t
 """
 
 
+# q61: exactly-once append ingest relationally — both slices (after the
+# drain, and after a FULL re-delivery whose epochs the txn guard skips)
+# must equal the plain aggregate over the whole derivation; a
+# double-append would double the second slice's counts.
+ALL["q61_exactly_once_ingest"] = """
+WITH base AS (
+    SELECT CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           ts
+    FROM events),
+full_t AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base GROUP BY role)
+SELECT 'post-ingest' AS slice, * FROM full_t
+UNION ALL SELECT 'post-redelivery' AS slice, * FROM full_t
+"""
+
+
+# q62: partial-progress compaction relationally — the pre-compaction
+# pin, the last partial commit, and the final head are all
+# content-preserving views of the same rows.
+ALL["q62_partial_progress_compact"] = """
+WITH base AS (
+    SELECT CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           ts
+    FROM events),
+full_t AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base GROUP BY role)
+SELECT 'base-pin' AS slice, * FROM full_t
+UNION ALL SELECT 'last-partial' AS slice, * FROM full_t
+UNION ALL SELECT 'final' AS slice, * FROM full_t
+"""
+
+
 # q57: the typed CDC change feed relationally — each lifecycle leg is a
 # WHERE over documents; deletes emit pre-images, the MoR update emits
 # post-images as inserts.

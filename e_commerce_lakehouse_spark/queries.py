@@ -683,6 +683,106 @@ def q60_branch_isolation(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q61_exactly_once_ingest(spark, sf_dir):
+    """Append-only streaming ingest with txn markers, value-hash oracled:
+    two landing files drain as two micro-batch append commits
+    (maxFilesPerTrigger=1); then the streaming checkpoint is destroyed and
+    the stream re-runs — the re-delivered epochs must be SKIPPED by the
+    (txn_app, txn_epoch) guard, not double-appended. Slices 'post-ingest'
+    and 'post-redelivery' must therefore aggregate identically, and the
+    DuckDB twin computes both from the same derivation — a double-append
+    doubles the second slice's counts and breaks the hash."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.ingest import ingest_append_stream
+    from .table import scan
+    from .table.meta import Table
+
+    df = _q30_transcripts(spark, sf_dir)
+    batch1 = df.where(F.col("turn_idx") % 2 == 0)
+    batch2 = df.where(F.col("turn_idx") % 2 == 1)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = os.path.join(base, f"spark_graft_q61_{uuid.uuid4().hex[:12]}")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    root = os.path.join(work, "tbl")
+    try:
+        batch1.coalesce(1).write.parquet(os.path.join(landing, "f1"))
+        batch2.coalesce(1).write.parquet(os.path.join(landing, "f2"))
+        t = Table.create(root)
+        ingest_append_stream(spark, t, landing + "/*", ckpt,
+                             source_format="parquet", app_id="q61",
+                             files_per_batch=1)
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        rows = agg("post-ingest", scan(spark, t)).collect()
+        # crash window: table committed, checkpoint lost → full re-delivery
+        shutil.rmtree(ckpt)
+        ingest_append_stream(spark, t, landing + "/*", ckpt,
+                             source_format="parquet", app_id="q61",
+                             files_per_batch=1)
+        rows += agg("post-redelivery", scan(spark, t)).collect()
+        schema = agg("x", df).schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q62_partial_progress_compact(spark, sf_dir):
+    """Partial-progress compaction, value-hash oracled: many small files
+    compact with one REPLACE commit per wave (wave_size=1, Iceberg
+    partial-progress shape). Slices: the pre-compaction pin ('base-pin'),
+    the LAST partial snapshot ('last-partial'), and the head ('final')
+    must all aggregate identically — compaction is content-preserving at
+    every intermediate commit, and the pinned base proves snapshot
+    isolation across the whole incremental run."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact
+    from .table import scan
+    from .table.writer import create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q62_{uuid.uuid4().hex[:12]}")
+    try:
+        t = create_transcripts_table(spark, root, df, rows_per_file=400,
+                                     n_append_commits=3)
+        base_sid = t.current_snapshot_id()
+        m = compact(spark, t, target_bytes=1 << 20, wave_size=1,
+                    partial_progress=True, partial_max_commits=100)
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        rows = agg("base-pin", scan(spark, t, snapshot_id=base_sid)).collect()
+        last_partial = (m.get("partial_snapshot_ids") or [m["committed_snapshot"]])[-1]
+        rows += agg("last-partial", scan(spark, t, snapshot_id=last_partial)).collect()
+        rows += agg("final", scan(spark, t)).collect()
+        schema = agg("x", df).schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q27_range_join(spark, sf_dir):
     """Range join (reference lacks one — SURVEY §2.3): for each purchase,
     the same user's events in the preceding 30 minutes. Equi key (user) +
@@ -1216,6 +1316,8 @@ ALL = {
     "q58_partitioned_scan": q58_partitioned_scan,
     "q59_partition_evolution": q59_partition_evolution,
     "q60_branch_isolation": q60_branch_isolation,
+    "q61_exactly_once_ingest": q61_exactly_once_ingest,
+    "q62_partial_progress_compact": q62_partial_progress_compact,
     "q41_running_sum": q41_running_sum,
     "q42_collect_sorted_set": q42_collect_sorted_set,
     "q43_ntile_buckets": q43_ntile_buckets,
