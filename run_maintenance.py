@@ -58,7 +58,7 @@ def main(argv=None) -> int:
         required=True,
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
-            "expire", "ingest", "inspect", "diff", "rollback",
+            "expire", "ingest", "ingest-append", "inspect", "diff", "rollback",
             "add-columns", "drop-columns", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
@@ -77,6 +77,8 @@ def main(argv=None) -> int:
     p.add_argument("--shards", type=int, default=1, help="cluster: resumable shard count")
     p.add_argument("--source", help="merge: corrections parquet path; ingest: landing dir")
     p.add_argument("--checkpoint", help="checkpoint path (ops) / dir (ingest)")
+    p.add_argument("--ingest-format", default="parquet", choices=["parquet", "csv"],
+                   help="ingest-append: landing-file format")
     p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
     p.add_argument("--orphan-grace-ms", type=int, default=None,
                    help="expire: age an UNREFERENCED on-disk file must reach "
@@ -304,6 +306,16 @@ def main(argv=None) -> int:
                 lambda: merge_into(spark, Table.load(args.table, branch=args.branch), src,
                                    target_bytes=target_bytes),
                 attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "ingest-append":
+            from e_commerce_lakehouse_spark.streaming.ingest import ingest_append_stream
+
+            if not (args.source and args.checkpoint):
+                p.error("--op ingest-append requires --source and --checkpoint")
+            t = Table.load(args.table, branch=args.branch)
+            result = ingest_append_stream(
+                spark, t, args.source, args.checkpoint,
+                source_format=args.ingest_format,
+            )
         elif args.op == "ingest":
             from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now
 
