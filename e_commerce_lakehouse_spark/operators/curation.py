@@ -1,0 +1,305 @@
+"""Training-data curation operators: decontamination, repetition quality,
+sequence packing, stratified sampling.
+
+These extend the dedup/text family (SURVEY.md §2 "LLM-data-pipeline
+operators") with the remaining curation stages a pre-training pipeline
+runs between dedup and tokenization:
+
+- ``decontaminate``: benchmark n-gram overlap removal (the GPT-3 appendix-C
+  shape: any document sharing an n-gram with an eval set is flagged).
+- ``repetition_stats``: Gopher-style repetition quality signals
+  (duplicate-word / duplicate-n-gram / top-word fractions; Rae et al. 2021
+  §A1.1) as pure Column expressions plus one (doc_id, token) aggregation.
+- ``pack_sequences``: concat-and-chunk packing offsets — every document's
+  byte position in the virtual concatenated token stream, computed with a
+  DISTRIBUTED prefix sum (partition-local cumsum + broadcast partition
+  offsets), never a single-partition global window.
+- ``stratified_sample``: deterministic per-stratum quota sampling by md5
+  rank (companion to the corpus-wide hash-gate sample, queries.q51).
+
+Scale notes (100 TB): the benchmark side of decontamination is distinct
+shingle hashes — eval sets are tiny relative to the corpus, so it is
+broadcast; the corpus side never self-joins. Repetition stats shuffle on
+(doc_id, token) then (doc_id) — linear in corpus size. Packing's only
+full-data shuffle is one repartitionByRange on the order key; the
+cross-partition carry is numPartitions scalars on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+__all__ = [
+    "decontaminate",
+    "repetition_stats",
+    "distributed_cumsum",
+    "pack_sequences",
+    "stratified_sample",
+]
+
+
+def _shingle_hash60(shingle: Column) -> Column:
+    """60-bit md5-prefix int key (same key the Jaccard/MinHash family uses:
+    8-byte join keys instead of strings)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (GPT-3 style).
+
+    Returns one row per corpus document: ``(id_col, n_hit_shingles,
+    contaminated)`` where ``n_hit_shingles`` is how many of the document's
+    DISTINCT n-grams also occur anywhere in ``benchmark``.
+
+    Plan shape: the benchmark collapses to its distinct 60-bit shingle
+    hashes — for a real eval suite that is thousands of rows against a
+    multi-billion-document corpus, so it is broadcast
+    (``broadcast_benchmark=True``); the corpus side is a single explode +
+    one aggregation keyed by ``id_col``. No corpus self-join, nothing
+    quadratic.
+    """
+    bench_h = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .select(_shingle_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_h = F.broadcast(bench_h)
+    corpus_h = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).select(id_col, _shingle_hash60(F.col("shingle")).alias("h"))
+    hits = (
+        corpus_h.join(bench_h, "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_hit_shingles"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_shingles"), F.lit(0)).alias("n_hit_shingles"),
+            (F.coalesce(F.col("n_hit_shingles"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _gram_frac_dup(words: Column, n: int) -> Column:
+    """Fraction of the document's word n-grams that are repeats
+    (1 - distinct/total); 0.0 when fewer than n words."""
+    m = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.when(
+        m >= 1,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_word_max: float = 0.20,
+    dup_2gram_max: float = 0.60,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Columns: n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac
+    (pure Column expressions — whole-stage codegen, no shuffle),
+    top_word_frac (one (id, token) count + one (id) max — the only
+    shuffled part), and ``gopher_pass`` combining the thresholds.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        id_col,
+        F.size(words).alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct(words)) / F.size(words), 6).alias(
+            "dup_word_frac"
+        ),
+        _gram_frac_dup(words, 2).alias("dup_2gram_frac"),
+        _gram_frac_dup(words, 3).alias("dup_3gram_frac"),
+    )
+    top = (
+        df.select(id_col, F.explode(words).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("_twf"))
+        .select(id_col, F.round(F.col("_twf"), 6).alias("top_word_frac"))
+    )
+    return base.join(top, id_col).select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_word_frac",
+        (
+            (F.col("top_word_frac") <= top_word_max)
+            & (F.col("dup_2gram_frac") <= dup_2gram_max)
+        ).alias("gopher_pass"),
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_col`` order,
+    WITHOUT a single-partition global window.
+
+    The naive ``Window.orderBy(order_col)`` plan collapses the whole table
+    into one task (Spark's global-order window has no partition key) — a
+    non-starter at 100 TB. Instead:
+
+      1. one ``repartitionByRange(order_col)`` + ``sortWithinPartitions``
+         (the only full-data shuffle),
+      2. partition-local cumsum in Arrow batches (``mapInArrow`` with a
+         running carry across the partition's batch iterator — order
+         preserved, zero shuffle),
+      3. per-partition totals → driver (numPartitions scalars), exclusive
+         prefix over THOSE, broadcast-joined back per partition.
+
+    The per-partition join key is the partition's MINIMUM order value —
+    derived from the data, never ``TaskContext.partitionId()``. The task
+    partition id is the STAGE partition index: when Catalyst pipelines the
+    map stage into a union (e.g. inside ``exceptAll``) the ids shift by
+    the sibling child's partition count, and the two evaluations of this
+    subtree (totals side vs row side) would key off different ids and
+    silently drop whole partitions. Range boundaries are deterministic
+    for a given input, so the min-key is stable across re-evaluations.
+
+    Requires ``order_col`` values be globally unique (ties across the
+    range boundary would make the order, hence the sum, nondeterministic).
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(nparts, order_col).sortWithinPartitions(order_col)
+
+    fields = list(ranged.schema.fields)
+    key_type = ranged.schema[order_col].dataType.simpleString()
+    out_schema_ddl = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + f", `_pmin` {key_type}, `{out_col}` bigint"
+    )
+
+    def _local_cumsum(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        carry = 0
+        pmin = None
+        for b in batches:
+            if pmin is None and b.num_rows:
+                pmin = b.column(order_col)[0]  # partition is sorted: first = min
+            vals = pc.cast(b.column(value_col), pa.int64())
+            cs = pc.add(pc.cumulative_sum(vals), carry)
+            carry = cs[-1].as_py() if len(cs) else carry
+            arrays = list(b.columns) + [
+                pa.array([pmin.as_py()] * b.num_rows, b.column(order_col).type),
+                cs,
+            ]
+            names = [f.name for f in fields] + ["_pmin", out_col]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    local = ranged.mapInArrow(_local_cumsum, out_schema_ddl)
+    totals = local.groupBy("_pmin").agg(F.max(out_col).alias("_tot"))
+    w = Window.orderBy("_pmin").rowsBetween(Window.unboundedPreceding, -1)
+    # the window below IS single-partition — over numPartitions rows, not data
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w), F.lit(0)).cast("long")
+    ).select("_pmin", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pmin")
+        .withColumn(out_col, (F.col(out_col) + F.col("_off")).cast("long"))
+        .drop("_pmin", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing offsets (the GPT pre-training shape:
+    documents are concatenated in ``id_col`` order and split into
+    ``budget``-token training sequences; documents may straddle chunks).
+
+    Per document: token count, start offset in the virtual stream, the
+    first/last chunk it lands in, and how many chunks it spans. Built on
+    :func:`distributed_cumsum`, so the only full-data shuffle is the range
+    partition on ``id_col``.
+    """
+    toks = df.select(
+        id_col,
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    cum = distributed_cumsum(
+        toks,
+        order_col=id_col,
+        value_col="n_tokens",
+        out_col="_cum",
+        num_partitions=num_partitions,
+    )
+    start = (F.col("_cum") - F.col("n_tokens")).cast("long")
+    first = F.floor(start / budget).cast("long")
+    last = F.floor((F.col("_cum") - 1) / budget).cast("long")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks_spanned"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    cap_per_stratum: int,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the ``cap_per_stratum``
+    documents with the smallest md5(id) rank inside each stratum.
+
+    Partition-layout independent (rank is a pure function of the id, the
+    tiebreak is the id itself) and shuffle-bounded by the stratum key —
+    the per-stratum sort is a top-k inside each window partition, never a
+    global sort. Companion to the corpus-wide hash-gate sample
+    (queries.q51): quotas rebalance skewed strata (languages, sources)
+    instead of preserving their natural frequencies.
+    """
+    gate = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(gate, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= cap_per_stratum)
+        .select(id_col, strata_col, "sample_rank")
+    )

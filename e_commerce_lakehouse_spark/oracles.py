@@ -894,3 +894,90 @@ changes AS (
 SELECT change_type, lang, count(*) AS n, sum(n_chars) AS chars
 FROM changes GROUP BY change_type, lang
 """
+
+
+# ------------------------------------------------------ curation (round 4)
+
+# q63: both sides shingled exactly like _SHINGLES (distinct word 3-grams,
+# 60-bit md5-prefix keys); overlap counted on DISTINCT hashes per doc.
+ALL["q63_decontamination"] = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 37 = 0),
+bsh AS (
+    SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+        SELECT unnest(list_distinct(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM bench))),
+csh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM corpus))),
+hits AS (
+    SELECT c.doc_id, count(DISTINCT c.h) AS n FROM csh c JOIN bsh b ON c.h = b.h
+    GROUP BY c.doc_id)
+SELECT c.doc_id, coalesce(h.n, 0) AS n_hit_shingles, coalesce(h.n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+# q64: the packing offsets relationally — one global running sum in
+# doc_id order (DuckDB can afford the global window; the Spark side is
+# the distributed prefix sum under test).
+ALL["q64_sequence_packing"] = """
+WITH toks AS (
+    SELECT doc_id,
+        len(regexp_split_to_array(trim(lower(text)), '\\s+'))::INTEGER AS n_tokens
+    FROM documents),
+cum AS (
+    SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c
+    FROM toks)
+SELECT doc_id, n_tokens,
+    (c - n_tokens)::BIGINT AS start_offset,
+    ((c - n_tokens) // 256)::BIGINT AS first_chunk,
+    ((c - 1) // 256)::BIGINT AS last_chunk,
+    ((c - 1) // 256 - (c - n_tokens) // 256 + 1)::BIGINT AS n_chunks_spanned
+FROM cum
+"""
+
+# q65: Gopher repetition signals; fractions rounded to 6 dp in both
+# engines before the pass-flag comparison.
+ALL["q65_repetition_quality"] = """
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+base AS (
+    SELECT doc_id,
+        len(w)::INTEGER AS n_words,
+        round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+        CASE WHEN len(w) >= 2 THEN round(1.0 - len(list_distinct(
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            )) * 1.0 / (len(w) - 1), 6) ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(w) >= 3 THEN round(1.0 - len(list_distinct(
+                list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            )) * 1.0 / (len(w) - 2), 6) ELSE 0.0 END AS dup_3gram_frac
+    FROM w),
+tw AS (
+    SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_word_frac FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+            SELECT doc_id, unnest(w) AS tok FROM w)
+        GROUP BY doc_id, tok)
+    GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.dup_word_frac, b.dup_2gram_frac, b.dup_3gram_frac,
+    t.top_word_frac,
+    (t.top_word_frac <= 0.20 AND b.dup_2gram_frac <= 0.60) AS gopher_pass
+FROM base b JOIN tw t ON b.doc_id = t.doc_id
+"""
+
+# q66: deterministic per-language quota sample by md5 rank.
+ALL["q66_stratified_sample"] = """
+SELECT doc_id, lang, rnk::INTEGER AS sample_rank FROM (
+    SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+    FROM documents) WHERE rnk <= 20
+"""

@@ -1260,6 +1260,57 @@ def q57_cdc_changes(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ------------------------------------------------------ curation (round 4)
+
+
+def q63_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C shape): every corpus
+    document sharing a word 3-gram with the held-out "benchmark" slice
+    (doc_id % 37 == 0) is flagged, with its distinct-overlap count. The
+    benchmark side collapses to distinct 60-bit shingle hashes and is
+    broadcast — no corpus self-join (operators/curation.py)."""
+    from .operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def q64_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing offsets (budget 256 tokens): each
+    document's start offset / chunk span in the virtual concatenated
+    token stream. The global running sum is a DISTRIBUTED prefix sum
+    (partition-local Arrow cumsum + broadcast partition offsets), never
+    a single-partition global window (curation.distributed_cumsum)."""
+    from .operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256)
+
+
+def q65_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word / duplicate-2-gram / duplicate-3-gram fractions as
+    pure Column expressions, top-word fraction via one (doc, token)
+    aggregation, and the combined pass flag."""
+    from .operators.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def q66_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum quota sample: the 20 smallest-md5-rank
+    documents per language. Quota companion to the corpus-wide hash-gate
+    sample (q51) — rebalances skewed strata instead of preserving their
+    natural frequencies."""
+    from .operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="lang", cap_per_stratum=20)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1328,4 +1379,8 @@ ALL = {
     "q48_date_spine_gapfill": q48_date_spine_gapfill,
     "q49_rank_distributions": q49_rank_distributions,
     "q50_embedding_centroids": q50_embedding_centroids,
+    "q63_decontamination": q63_decontamination,
+    "q64_sequence_packing": q64_sequence_packing,
+    "q65_repetition_quality": q65_repetition_quality,
+    "q66_stratified_sample": q66_stratified_sample,
 }

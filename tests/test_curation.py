@@ -1,0 +1,113 @@
+"""Curation operators: decontamination, repetition stats, distributed
+prefix sum / packing, stratified sampling.
+
+The distributed_cumsum tests are the important ones: the op must agree
+with a plain global window (the semantics) while its plan contains no
+single-partition global-order exchange (the reason it exists)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators.curation import (
+    decontaminate,
+    distributed_cumsum,
+    pack_sequences,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox sat still", "en"),
+        (3, "completely different words entirely here now", "en"),
+        (4, "der schnelle braune fuchs springt hoch", "de"),
+        (5, "spam spam spam spam spam spam", "en"),
+        (6, "one", "de"),
+        (7, "alpha beta gamma delta alpha beta gamma delta", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    bench = docs.where("doc_id = 1")
+    corpus = docs.where("doc_id != 1")
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench).collect()}
+    assert set(out) == {2, 3, 4, 5, 6, 7}
+    # doc 2 shares the 3-gram "the quick brown" (and "quick brown fox")
+    assert out[2]["contaminated"] and out[2]["n_hit_shingles"] == 2
+    for d in (3, 4, 5, 6, 7):
+        assert not out[d]["contaminated"] and out[d]["n_hit_shingles"] == 0
+
+
+def test_repetition_stats_values(spark, docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 5: one word 6 times → everything duplicated
+    assert out[5]["dup_word_frac"] == pytest.approx(1 - 1 / 6)
+    assert out[5]["dup_2gram_frac"] == pytest.approx(1 - 1 / 5)
+    assert out[5]["top_word_frac"] == 1.0
+    assert not out[5]["gopher_pass"]
+    # doc 3: all distinct → zero repetition, passes
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0
+    assert out[3]["gopher_pass"]
+    # doc 1: 'the' twice in 9 words
+    assert out[1]["n_words"] == 9
+    assert out[1]["dup_word_frac"] == pytest.approx(1 - 8 / 9, abs=1e-6)
+    # doc 6: single word → n-gram fractions defined as 0
+    assert out[6]["dup_2gram_frac"] == 0.0 and out[6]["dup_3gram_frac"] == 0.0
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    )
+    got = distributed_cumsum(df, order_col="k", value_col="v", out_col="c",
+                             num_partitions=7)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("c", F.sum("v").over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == 5000
+
+
+def test_distributed_cumsum_plan_has_no_global_sort_window(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    plan = distributed_cumsum(df, order_col="k", value_col="v")._jdf.queryExecution().executedPlan().toString()
+    # the data path must not contain a partition-less global-order Window;
+    # the only Window allowed is over the numPartitions-row totals side
+    for line in plan.splitlines():
+        if "Window" in line and "_pmin" not in line:
+            raise AssertionError(f"unexpected global window in plan: {line}")
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in [(1, 100), (2, 200), (3, 50), (4, 300)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=256).collect()}
+    assert out[1]["start_offset"] == 0 and out[1]["first_chunk"] == 0
+    assert out[2]["start_offset"] == 100
+    # doc 2 spans the 256 boundary: tokens 100..299 → chunks 0 and 1
+    assert out[2]["first_chunk"] == 0 and out[2]["last_chunk"] == 1
+    assert out[2]["n_chunks_spanned"] == 2
+    assert out[3]["start_offset"] == 300 and out[3]["first_chunk"] == 1
+    assert out[4]["start_offset"] == 350 and out[4]["last_chunk"] == 2
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out = stratified_sample(docs, strata_col="lang", cap_per_stratum=2)
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert all(len(v) <= 2 for v in by_lang.values())
+    assert len(by_lang["en"]) == 2 and len(by_lang["de"]) == 2
+    # deterministic under repartition
+    again = stratified_sample(
+        docs.repartition(5), strata_col="lang", cap_per_stratum=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
