@@ -42,6 +42,8 @@ __all__ = [
     "distributed_cumsum",
     "pack_sequences",
     "stratified_sample",
+    "tfidf_doc_scores",
+    "domain_mix_weights",
 ]
 
 
@@ -302,4 +304,85 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= cap_per_stratum)
         .select(id_col, strata_col, "sample_rank")
+    )
+
+
+def tfidf_doc_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF document scores: mean and max token IDF per document —
+    the "rare-token density" quality signal (high mean-IDF = unusual
+    vocabulary; near-zero = boilerplate).
+
+    Two aggregations, both keyed well at scale: document frequency
+    shuffles on the token (vocabulary-sized, not corpus-sized), the
+    per-doc rollup shuffles on (id, token) then (id). The tiny DF table
+    (one row per distinct token) is broadcast back onto the token
+    stream. IDF = ln((N + 1) / (df + 1)) (smoothed), rounded to 6 dp in
+    both engines.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    n_docs = df.count()  # one scalar to the driver, reused as a literal
+    docfreq = (
+        toks.select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+        )
+    )
+    per_doc_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    return (
+        per_doc_tok.join(F.broadcast(docfreq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("idf")) / F.sum("tf"), 6).alias(
+                "mean_idf"
+            ),
+            F.round(F.max("idf"), 6).alias("max_idf"),
+        )
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain resampling weights for a target mixture.
+
+    With no explicit ``target``, the target is uniform across observed
+    domains. Output per domain: document count, actual fraction, target
+    fraction, and ``weight = target_frac / actual_frac`` — the factor a
+    sampler multiplies into each document's keep-probability to hit the
+    mixture. One groupBy on the domain key; the totals join is a
+    broadcast of one row.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(
+        F.sum("n_docs").alias("_total"), F.count("*").alias("_n_domains")
+    )
+    out = counts.crossJoin(F.broadcast(total))
+    if target is None:
+        tgt = 1.0 / F.col("_n_domains")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = F.coalesce(mapping[F.col(domain_col)], F.lit(0.0))
+    return out.select(
+        domain_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("actual_frac"),
+        F.round(tgt, 6).alias("target_frac"),
+        F.round(tgt / (F.col("n_docs") / F.col("_total")), 6).alias("weight"),
     )

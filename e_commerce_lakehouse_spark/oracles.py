@@ -981,3 +981,30 @@ SELECT doc_id, lang, rnk::INTEGER AS sample_rank FROM (
                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
     FROM documents) WHERE rnk <= 20
 """
+
+# q67: smoothed IDF = ln((N+1)/(df+1)); tf-weighted mean per doc.
+ALL["q67_tfidf_scores"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents),
+n AS (SELECT count(*) AS nd FROM documents),
+dfreq AS (
+    SELECT tok, ln(((SELECT nd FROM n) + 1.0) / (count(DISTINCT doc_id) + 1.0)) AS idf
+    FROM toks GROUP BY tok),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, count(*)::BIGINT AS n_distinct_tokens,
+    round(sum(tf * idf) / sum(tf), 6) AS mean_idf,
+    round(max(idf), 6) AS max_idf
+FROM tf JOIN dfreq USING (tok) GROUP BY doc_id
+"""
+
+# q68: uniform-target mixture weights per source domain.
+ALL["q68_domain_mix"] = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS t, count(*) AS k FROM counts)
+SELECT source, n_docs,
+    round(n_docs * 1.0 / t, 6) AS actual_frac,
+    round(1.0 / k, 6) AS target_frac,
+    round((1.0 / k) / (n_docs * 1.0 / t), 6) AS weight
+FROM counts, tot
+"""

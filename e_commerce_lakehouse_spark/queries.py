@@ -1311,6 +1311,27 @@ def q66_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, strata_col="lang", cap_per_stratum=20)
 
 
+def q67_tfidf_scores(spark, sf_dir):
+    """TF-IDF document scores (rare-token density quality signal): mean
+    and max token IDF per document. Document frequency shuffles on the
+    token (vocabulary-sized); the tiny DF table is broadcast back onto
+    the (doc, token) stream."""
+    from .operators.curation import tfidf_doc_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_doc_scores(docs)
+
+
+def q68_domain_mix(spark, sf_dir):
+    """Domain-mixture resampling weights: per-source actual fraction vs
+    a uniform target, and the keep-probability multiplier a sampler
+    applies to hit the mixture. One groupBy on the domain key."""
+    from .operators.curation import domain_mix_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mix_weights(docs, domain_col="source")
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1383,4 +1404,6 @@ ALL = {
     "q64_sequence_packing": q64_sequence_packing,
     "q65_repetition_quality": q65_repetition_quality,
     "q66_stratified_sample": q66_stratified_sample,
+    "q67_tfidf_scores": q67_tfidf_scores,
+    "q68_domain_mix": q68_domain_mix,
 }

@@ -111,3 +111,35 @@ def test_stratified_sample_quota_and_determinism(spark, docs):
         docs.repartition(5), strata_col="lang", cap_per_stratum=2
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_tfidf_scores(spark, docs):
+    from e_commerce_lakehouse_spark.operators.curation import tfidf_doc_scores
+    import math
+
+    out = {r["doc_id"]: r for r in tfidf_doc_scores(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # doc 5 is one token repeated: 1 distinct token, mean == max
+    assert out[5]["n_distinct_tokens"] == 1
+    assert out[5]["mean_idf"] == out[5]["max_idf"]
+    # 'spam' occurs only in doc 5 → idf = ln(8/2)
+    assert out[5]["max_idf"] == pytest.approx(round(math.log(8 / 2), 6))
+    # doc 3: six all-unique tokens
+    assert out[3]["n_distinct_tokens"] == 6
+
+
+def test_domain_mix_weights(spark):
+    from e_commerce_lakehouse_spark.operators.curation import domain_mix_weights
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in domain_mix_weights(df, domain_col="source").collect()}
+    assert out["a"]["n_docs"] == 75 and out["b"]["n_docs"] == 25
+    assert out["a"]["actual_frac"] == 0.75 and out["a"]["target_frac"] == 0.5
+    assert out["a"]["weight"] == pytest.approx(0.5 / 0.75, abs=1e-6)
+    assert out["b"]["weight"] == pytest.approx(2.0, abs=1e-6)
+    # explicit target map
+    out2 = {r["source"]: r for r in domain_mix_weights(
+        df, domain_col="source", target={"a": 0.9, "b": 0.1}).collect()}
+    assert out2["a"]["target_frac"] == 0.9
+    assert out2["b"]["weight"] == pytest.approx(0.1 / 0.25, abs=1e-6)
