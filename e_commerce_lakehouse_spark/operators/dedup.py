@@ -51,6 +51,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for near-exact dedup (the normalization pass
+    CCNet/RefinedWeb run before hashing): lowercase, strip everything but
+    ``[a-z0-9]`` and whitespace, collapse whitespace runs, trim. Pure
+    Column expressions (one map stage corpus-wide); the regexes sit in
+    the Java ∩ RE2 subset so the DuckDB oracle normalizes identically."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalized_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on NORMALIZED content: one survivor (min id) per
+    distinct canonical form — catches case/punctuation/whitespace twins
+    that byte-exact dedup misses, without any pairwise stage. Same scale
+    shape as ``exact_dedup``: the md5 of the canonical form (16 bytes,
+    never the text) is the shuffle key."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("norm_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "norm_hash", "n_copies")
+    )
+
+
 # ------------------------------------------------------------- shingling
 
 

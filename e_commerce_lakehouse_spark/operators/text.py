@@ -105,6 +105,61 @@ def fingerprint_shingle_min(col: Column, k: int = 16) -> Column:
     return F.array_min(grams)
 
 
+# ---------------------------------------------------------------- PII
+# Patterns restricted to the Java-regex ∩ RE2 common subset (character
+# classes, bounded repetition, \b word boundary — no lookarounds, no
+# backreferences) so Spark and the DuckDB oracle match IDENTICAL spans.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_PATTERN = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+#: redaction order matters: emails first (their domains contain dots that
+#: the IPv4 pattern could otherwise bite into), then phones (digit runs
+#: with separators), then bare IPv4s.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", PII_EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", PII_PHONE_PATTERN, "<PHONE>"),
+    ("ipv4", PII_IPV4_PATTERN, "<IP>"),
+)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of PII spans of one kind (email / phone / ipv4)."""
+    pat = {k: p for k, p, _ in PII_RULES}[kind]
+    return F.regexp_count(col, F.lit(pat))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with its typed placeholder. Pure chained
+    ``regexp_replace`` Column expressions — JVM-side, whole-stage codegen,
+    exactly the scrubbing pass a pre-training corpus runs corpus-wide
+    (so it must cost one map stage, never a UDF or a second scan)."""
+    out = col
+    for _, pat, token in PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub + audit in ONE pass: per-row PII counts (pre-redaction), the
+    redacted text, and residual counts (post-redaction; 0 unless a span
+    type overlaps another's replacement — the audit column a compliance
+    pipeline keeps)."""
+    c = F.col(text_col)
+    red = redact_pii(c)
+    return df.withColumns(
+        {
+            "n_emails": pii_count(c, "email"),
+            "n_phones": pii_count(c, "phone"),
+            "n_ipv4": pii_count(c, "ipv4"),
+            text_col: red,
+            "n_pii_residual": pii_count(red, "email")
+            + pii_count(red, "phone")
+            + pii_count(red, "ipv4"),
+        }
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     # regex-heavy per-row features: widen a narrow single-file scan so
     # the map stage uses the whole pool (plans/parallelism.py)

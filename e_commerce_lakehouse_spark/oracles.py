@@ -1008,3 +1008,68 @@ SELECT source, n_docs,
     round((1.0 / k) / (n_docs * 1.0 / t), 6) AS weight
 FROM counts, tot
 """
+
+# q69: inject deterministic PII, then count/redact with the SAME regexes
+# (Java ∩ RE2 subset); redaction order email → phone → ipv4 as in
+# operators/text.py PII_RULES.
+ALL["q69_pii_redaction"] = r"""
+WITH inj AS (
+    SELECT doc_id, source,
+        text || ' contact user' || doc_id::VARCHAR
+             || '@mail.example.com or 10.' || (doc_id % 200)::VARCHAR
+             || '.0.1 call +1 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+             || '-0199 done' AS text
+    FROM documents),
+red AS (
+    SELECT doc_id, source,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+        len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS rtext
+    FROM inj)
+SELECT source, count(*)::BIGINT AS n_docs,
+    sum(n_emails)::BIGINT AS emails,
+    sum(n_phones)::BIGINT AS phones,
+    sum(n_ipv4)::BIGINT AS ipv4s,
+    sum(length(rtext))::BIGINT AS redacted_chars,
+    sum(len(regexp_extract_all(rtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      + len(regexp_extract_all(rtext, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+      + len(regexp_extract_all(rtext, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT AS residual
+FROM red GROUP BY source
+"""
+
+# q70: canonical form = lower → strip non-[a-z0-9\s] → collapse \s+ → trim,
+# md5 of the canonical form groups case/punct/whitespace twins.
+ALL["q70_normalized_dedup"] = r"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, '  ' || upper(text) || ' !!  ' FROM documents),
+norm AS (
+    SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+    FROM u)
+SELECT min(doc_id)::BIGINT AS doc_id, norm_hash, count(*)::BIGINT AS n_copies
+FROM norm GROUP BY norm_hash
+"""
+
+# q71: per-source percent_rank length band [0.05, 0.95], rolled up.
+ALL["q71_length_outlier_filter"] = r"""
+WITH ranked AS (
+    SELECT source, lang, n_chars,
+        round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+            AS length_pct
+    FROM documents)
+SELECT source, lang, count(*)::BIGINT AS n_kept,
+    min(n_chars)::BIGINT AS min_len, max(n_chars)::BIGINT AS max_len,
+    sum(n_chars)::BIGINT AS sum_len
+FROM ranked
+WHERE length_pct >= 0.05 AND length_pct <= 0.95
+GROUP BY source, lang
+"""

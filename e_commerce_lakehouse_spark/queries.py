@@ -1332,6 +1332,74 @@ def q68_domain_mix(spark, sf_dir):
     return domain_mix_weights(docs, domain_col="source")
 
 
+def q69_pii_redaction(spark, sf_dir):
+    """PII scrub + audit in one map stage: deterministic synthetic PII
+    (an email, an IPv4, a phone, all derived from doc_id) is appended to
+    each document, then ``pii_scrub`` counts and redacts every span with
+    chained JVM regexp_replace (no UDF). The per-source rollup checks
+    counts, redacted length, and that the residual-PII audit column is
+    zero — all recomputed independently by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +1 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 done"),
+        ),
+    )
+    scrubbed = tx.pii_scrub(injected)
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_phones").alias("phones"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum(F.length("text")).alias("redacted_chars"),
+        F.sum("n_pii_residual").alias("residual"),
+    )
+
+
+def q70_normalized_dedup(spark, sf_dir):
+    """Near-exact dedup on normalized content (the CCNet/RefinedWeb
+    canonicalization pass): documents unioned with case-flipped,
+    punctuation-padded twins (doc_id + 10M) collapse back to one
+    survivor per canonical form — byte-exact dedup (q20) would keep both.
+    Shuffle key is the 16-byte md5 of the canonical form, never the
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!  ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return dd.normalized_exact_dedup(docs.unionByName(mutated))
+
+
+def q71_length_outlier_filter(spark, sf_dir):
+    """Per-domain length-band quality gate (C4/Gopher shape): drop each
+    source's length-distribution tails via percent_rank, keep [5%, 95%],
+    roll up survivors per (source, lang). Ties share a rank, so the cut
+    is a pure function of the values — DuckDB mirrors the window
+    definition exactly."""
+    from .operators.curation import length_outlier_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = length_outlier_filter(docs, lo=0.05, hi=0.95)
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+        F.sum("n_chars").alias("sum_len"),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1406,4 +1474,7 @@ ALL = {
     "q66_stratified_sample": q66_stratified_sample,
     "q67_tfidf_scores": q67_tfidf_scores,
     "q68_domain_mix": q68_domain_mix,
+    "q69_pii_redaction": q69_pii_redaction,
+    "q70_normalized_dedup": q70_normalized_dedup,
+    "q71_length_outlier_filter": q71_length_outlier_filter,
 }

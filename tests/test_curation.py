@@ -143,3 +143,32 @@ def test_domain_mix_weights(spark):
         df, domain_col="source", target={"a": 0.9, "b": 0.1}).collect()}
     assert out2["a"]["target_frac"] == 0.9
     assert out2["b"]["weight"] == pytest.approx(0.1 / 0.25, abs=1e-6)
+
+
+# ------------------------------------------------------------ round-4 s6
+
+
+def test_length_outlier_filter_band(spark):
+    from e_commerce_lakehouse_spark.operators.curation import length_outlier_filter
+
+    # 21 docs in one source: percent_rank = (rank-1)/20, so lengths 100
+    # (pct 0) and 300 (pct 1.0) fall outside [0.05, 0.95]; 110 (0.05) and
+    # 290 (0.95) sit exactly ON the inclusive bounds and survive
+    rows = [(i, "s0", "en", 100 + 10 * i) for i in range(21)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    kept = length_outlier_filter(df, lo=0.05, hi=0.95).collect()
+    lens = sorted(r["n_chars"] for r in kept)
+    assert lens == [100 + 10 * i for i in range(1, 20)]
+    assert all(0.05 <= r["length_pct"] <= 0.95 for r in kept)
+
+
+def test_length_outlier_filter_ties_share_rank(spark):
+    from e_commerce_lakehouse_spark.operators.curation import length_outlier_filter
+
+    # all-equal lengths: percent_rank = 0 for every row (rank 1), the
+    # whole group survives a lo=0 band and dies under lo>0 — pure
+    # function of the values, no ordering nondeterminism
+    rows = [(i, "s0", "en", 200) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    assert length_outlier_filter(df, lo=0.0, hi=1.0).count() == 5
+    assert length_outlier_filter(df, lo=0.01, hi=1.0).count() == 0

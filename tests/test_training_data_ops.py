@@ -180,3 +180,54 @@ def test_fingerprint_shingle_min_matches_python_oracle(spark):
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     got = df.select(tx.fingerprint_shingle_min(F.col("text")).alias("fp")).collect()[0]["fp"]
     assert got == expected
+
+
+# ---------------------------------------------------- PII scrub (round 4)
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@sub.example.org ip 192.168.0.1 tel +44 207-946-0958 end")],
+        "doc_id long, text string",
+    )
+    out = tx.pii_scrub(df).collect()[0]
+    assert out["n_emails"] == 1 and out["n_ipv4"] == 1 and out["n_phones"] == 1
+    assert out["n_pii_residual"] == 0
+    assert out["text"] == "mail <EMAIL> ip <IP> tel +44 <PHONE> end"
+
+
+def test_redact_pii_email_domain_not_eaten_by_ip(spark):
+    # numeric-ish domains: email redaction runs FIRST so the IPv4 pattern
+    # never bites into an address's dotted domain
+    df = spark.createDataFrame([(1, "x 1a@2.33.de y")], "doc_id long, text string")
+    out = tx.pii_scrub(df).collect()[0]
+    assert out["n_emails"] == 1
+    assert out["text"] == "x <EMAIL> y"
+
+
+def test_pii_scrub_clean_text_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "no personal data here, just words and the number 42")],
+        "doc_id long, text string",
+    )
+    out = tx.pii_scrub(df).collect()[0]
+    assert (out["n_emails"], out["n_phones"], out["n_ipv4"]) == (0, 0, 0)
+    assert out["text"] == "no personal data here, just words and the number 42"
+
+
+# -------------------------------------------- normalized dedup (round 4)
+
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox!"),
+            (1, "  the   QUICK brown fox  "),   # normalized twin of 0
+            (2, "the quick brown foxes"),        # NOT a twin
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dd.normalized_exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+    # byte-exact dedup keeps all three — the normalization is the point
+    assert dd.exact_dedup(df).count() == 3
