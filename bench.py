@@ -570,6 +570,11 @@ def main() -> None:
     # the rewrite work and the efficiency number measures overhead, not
     # the engine (0.52 at 1.2M turns vs 0.85 at 12M, same code)
     n_turns = max(8_000_000, int(120_000_000 * sf))
+    # smoke-test override (verification runs only): the floor exists
+    # because sub-8M inputs measure fixed overhead, not the engine —
+    # never set this for a recorded benchmark
+    if os.environ.get("SPARK_GRAFT_BENCH_TURNS"):
+        n_turns = int(os.environ["SPARK_GRAFT_BENCH_TURNS"])
 
     from e_commerce_lakehouse_spark.session import get_spark, stop_spark
 
@@ -730,7 +735,89 @@ def main() -> None:
         "sf": sf,
         "maintenance": maintenance,
     }
-    print(json.dumps(result))
+    print(_emit(result))
+
+
+def _emit(result: dict) -> str:
+    """Serialize the bench result for the driver, GUARANTEED to fit its
+    capture window. The driver keeps only the last 2000 characters of
+    stdout and parses the JSON line out of that tail — r3's line (with
+    the full ``attempts`` array inlined) overflowed the window and the
+    round's bench was recorded as ``"parsed": null``, failing the gate on
+    a formatting artifact. Full detail (every attempt, every cycle, gate
+    readings) goes to BENCH/DETAIL_last.json next to this file; the
+    printed line carries the headline plus compact evidence and is
+    length-checked with progressive fallbacks so it can never overflow."""
+    detail_path = None
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        detail_path = os.path.join(bench_dir, "DETAIL_last.json")
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_path = None
+
+    m = result["maintenance"]
+
+    def _cycle(c: dict) -> dict:
+        keep = {k: c.get(k) for k in
+                ("wall_sec", "compact_sec", "cluster_sec", "cores",
+                 "turns_per_sec", "n_turns")}
+        rd = (c.get("compact_phase") or {}).get("task_read_sec")
+        if rd is not None:
+            keep["task_read_sec"] = rd
+        return keep
+
+    attempts = m.get("attempts") or []
+    compact_m = {
+        "n": _cycle(m["n"]),
+        "4n": _cycle(m["4n"]),
+        "speedup_n_to_4n": m.get("speedup_n_to_4n"),
+        "scaling_efficiency": m.get("scaling_efficiency"),
+        "target": m.get("target"),
+        "clean": m.get("clean"),
+        "sentinel_balance": m.get("sentinel_balance"),
+        "task_read_ratio": m.get("task_read_ratio"),
+        "attempts_total": len(attempts),
+        "attempts_completed": sum(1 for a in attempts if not a.get("aborted")),
+        "attempts_clean": sum(1 for a in attempts if a.get("clean")),
+        "attempt_efficiencies": [a.get("scaling_efficiency")
+                                 for a in attempts if not a.get("aborted")],
+        "compact_only_efficiency": m.get("compact_only_efficiency"),
+        "pure_arrow_ab_efficiency": (m.get("pure_arrow_ab") or {}).get("efficiency"),
+        "hilbert_4n_sec": m.get("hilbert_4n_sec"),
+        "detail": "BENCH/DETAIL_last.json" if detail_path else None,
+    }
+    line_obj = dict(result, maintenance=compact_m)
+    line = json.dumps(line_obj)
+    # progressive fallbacks — each strips the least-essential evidence
+    # first; the driver contract fields (metric/value/unit/queries/sf)
+    # are never dropped, and queries only as the very last resort
+    if len(line) > 1800:
+        compact_m.pop("attempt_efficiencies", None)
+        line = json.dumps(dict(result, maintenance=compact_m))
+    if len(line) > 1800:
+        compact_m["n"] = {"wall_sec": m["n"]["wall_sec"]}
+        compact_m["4n"] = {"wall_sec": m["4n"]["wall_sec"]}
+        line = json.dumps(dict(result, maintenance=compact_m))
+    if len(line) > 1800:
+        line = json.dumps({
+            "metric": result["metric"], "value": result["value"],
+            "unit": result["unit"], "sf": result["sf"],
+            "queries": result["queries"],
+            "maintenance": {"scaling_efficiency": m.get("scaling_efficiency"),
+                            "clean": m.get("clean"), "target": m.get("target")},
+        })
+    if len(line) > 1900:  # pathological: trim query list, keep headline
+        q = dict(sorted(result["queries"].items())[:8])
+        line = json.dumps({
+            "metric": result["metric"], "value": result["value"],
+            "unit": result["unit"], "sf": result["sf"], "queries": q,
+            "maintenance": {"scaling_efficiency": m.get("scaling_efficiency"),
+                            "clean": m.get("clean"), "target": m.get("target")},
+        })
+    return line
 
 
 if __name__ == "__main__":
