@@ -1073,3 +1073,22 @@ FROM ranked
 WHERE length_pct >= 0.05 AND length_pct <= 0.95
 GROUP BY source, lang
 """
+
+# q72: the bounded stream-stream join must equal the plain batch join —
+# purchases attributed to same-user clicks within the preceding 6 hours.
+ALL["q72_stream_stream_join"] = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       floor(date_diff('microsecond', c.ts, p.ts) / 1000000)::BIGINT AS lag_sec,
+       round(p.value, 2) AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 6 HOUR
+"""

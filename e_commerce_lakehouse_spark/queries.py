@@ -1400,6 +1400,78 @@ def q71_length_outlier_filter(spark, sf_dir):
     )
 
 
+def q72_stream_stream_join(spark, sf_dir):
+    """REAL two-source stream-stream join in the value-hash gate: two
+    readStream sources over the events file (clicks / purchases), joined
+    on user_id with purchase time in (click_ts, click_ts + 6h], both
+    sides watermarked — the canonical Structured Streaming attribution
+    join with bounded state (streaming/join.py). On a bounded replay
+    nothing is late, so the streaming result must equal the plain batch
+    join, which is exactly what the DuckDB oracle states. At scale the
+    same plan runs unbounded: one shuffle by user_id per side, state
+    capped by the 6h horizon + watermark."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.join import stream_stream_join
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q72_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q72_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+
+        def _evt(kind):
+            return (
+                spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+                .filter(F.col("event_type") == kind)
+                .select("user_id", "ts", "event_id", "value")
+            )
+
+        joined = stream_stream_join(
+            _evt("click"), _evt("purchase"), key="user_id",
+            within="6 hours", watermark="6 hours",
+            left_prefix="click_", right_prefix="purchase_",
+        )
+        out = joined.select(
+            "user_id",
+            F.col("click_event_id").alias("click_id"),
+            F.col("purchase_event_id").alias("purchase_id"),
+            "click_ts",
+            "purchase_ts",
+            # floor of exact elapsed micros: engine-neutral, unlike
+            # SECOND-granularity diffs (Spark floors elapsed time, DuckDB
+            # counts second-boundary crossings — off by one on sub-second
+            # components)
+            F.floor(
+                F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)") / 1_000_000
+            ).alias("lag_sec"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        sq = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1477,4 +1549,5 @@ ALL = {
     "q69_pii_redaction": q69_pii_redaction,
     "q70_normalized_dedup": q70_normalized_dedup,
     "q71_length_outlier_filter": q71_length_outlier_filter,
+    "q72_stream_stream_join": q72_stream_stream_join,
 }

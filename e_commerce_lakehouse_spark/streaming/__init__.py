@@ -5,11 +5,13 @@ from .ingest import (
     txn_last_epoch,
     windowed_counts,
 )
+from .join import stream_stream_join
 
 __all__ = [
     "ingest_append_stream",
     "ingest_available_now",
     "stream_dedup",
+    "stream_stream_join",
     "txn_last_epoch",
     "windowed_counts",
 ]

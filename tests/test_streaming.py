@@ -195,3 +195,64 @@ def test_append_stream_exactly_once_txn_markers(spark, tmp_path):
     assert any(b["op"] == "append" for b in m3["batches"])
     assert scan(spark, table).count() == 600
     seed_df.unpersist()
+
+
+def test_stream_stream_join_batch_parity(spark, tmp_path):
+    """The bounded-replay contract behind q72: the watermarked
+    stream-stream join must emit exactly the rows the identical batch
+    join produces — same key, same (left_ts, left_ts + within] range."""
+    from e_commerce_lakehouse_spark.streaming.join import stream_stream_join
+
+    rows = []
+    # user 1: click at t0, purchases at +1h (in), +7h (out of 6h window)
+    rows += [(1, "click", "2024-01-01 08:00:00", 10),
+             (1, "purchase", "2024-01-01 09:00:00", 11),
+             (1, "purchase", "2024-01-01 15:00:01", 12)]
+    # user 2: purchase BEFORE the click — strict ">" keeps it out
+    rows += [(2, "click", "2024-01-01 08:00:00", 20),
+             (2, "purchase", "2024-01-01 07:59:59", 21)]
+    # user 3: two clicks share one purchase (fan-out is real join output)
+    rows += [(3, "click", "2024-01-01 08:00:00", 30),
+             (3, "click", "2024-01-01 09:30:00", 31),
+             (3, "purchase", "2024-01-01 10:00:00", 32)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string, event_id int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _sides(frame_fn):
+        c = frame_fn().where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id")
+        p = frame_fn().where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id")
+        return c, p
+
+    batch = stream_stream_join(
+        *_sides(lambda: spark.read.parquet(src)),
+        key="user_id", within="6 hours",
+        left_prefix="c_", right_prefix="p_",
+    )
+    expected = {(r.user_id, r.c_event_id, r.p_event_id) for r in batch.collect()}
+    assert expected == {(1, 10, 11), (3, 30, 32), (3, 31, 32)}
+    # prefixes applied, key kept bare, helper columns dropped
+    assert set(batch.columns) == {"user_id", "c_ts", "c_event_id", "p_ts", "p_event_id"}
+
+    stream = stream_stream_join(
+        *_sides(lambda: spark.readStream.schema(schema).parquet(src)),
+        key="user_id", within="6 hours", watermark="1 hour",
+        left_prefix="c_", right_prefix="p_",
+    )
+    assert stream.isStreaming
+    sq = (
+        stream.writeStream.format("memory").queryName("ssj_parity")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    sq.awaitTermination()
+    got = {(r.user_id, r.c_event_id, r.p_event_id)
+           for r in spark.table("ssj_parity").collect()}
+    spark.catalog.dropTempView("ssj_parity")
+    assert got == expected
