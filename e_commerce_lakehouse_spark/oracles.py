@@ -1092,3 +1092,29 @@ JOIN events p
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL 6 HOUR
 """
+
+# q73: streaming session windows on a bounded replay == relational
+# sessionization — a new session starts when the same-user gap is
+# STRICTLY > 30 min — probed: Spark merges an event landing exactly at
+# prev_ts + gap (the window end is inclusive for merging).
+ALL["q73_streaming_session_window"] = """
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+             THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""

@@ -1472,6 +1472,68 @@ def q72_stream_stream_join(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q73_streaming_session_window(spark, sf_dir):
+    """REAL streaming sessionization in the value-hash gate: readStream
+    over events, watermark + ``F.session_window`` (30-min gap), complete
+    mode so bounded replay emits every session including the tail ones a
+    watermark wouldn't have flushed yet (probed: append mode drops
+    sessions still inside the watermark horizon — the classic bounded-
+    replay pitfall q55 also avoids). Session assignment is gap-based and
+    timezone-independent; emitted bounds are min/max of the ORIGINAL NTZ
+    timestamps, so values never depend on session tz. The DuckDB oracle
+    states the same sessions relationally: a new session starts when the
+    gap from the previous same-user event is STRICTLY > 30 min (probed:
+    Spark merges an event landing exactly at prev_ts + gap — the window
+    end is inclusive for merging; pinned by the parity pytest). At
+    scale: one shuffle by user_id, state per OPEN session pruned by the
+    watermark (with an append/update sink; complete is gate-only)."""
+    import os
+    import shutil
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q73_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q73_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+            .withColumn("ts_evt", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_evt", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.session_window("ts_evt", "30 minutes"), "user_id"
+        ).agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        sq = (
+            agg.select("user_id", "session_start", "session_last",
+                       "n_events", "sum_value")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1550,4 +1612,5 @@ ALL = {
     "q70_normalized_dedup": q70_normalized_dedup,
     "q71_length_outlier_filter": q71_length_outlier_filter,
     "q72_stream_stream_join": q72_stream_stream_join,
+    "q73_streaming_session_window": q73_streaming_session_window,
 }

@@ -256,3 +256,42 @@ def test_stream_stream_join_batch_parity(spark, tmp_path):
            for r in spark.table("ssj_parity").collect()}
     spark.catalog.dropTempView("ssj_parity")
     assert got == expected
+
+
+def test_streaming_session_window_parity_and_boundary(spark, tmp_path):
+    """q73's contract: streaming session_window on a bounded replay ==
+    gap-based relational sessionization, with the boundary convention
+    pinned — an event landing EXACTLY at prev_ts + gap merges into the
+    session (Spark's window end is inclusive for merging), so the
+    relational twin must use strictly-greater-than for session starts."""
+    rows = [
+        (1, "2024-01-01 08:00:00", 1.0), (1, "2024-01-01 08:30:00", 2.0),
+        (1, "2024-01-01 09:00:00.000001", 4.0),           # > gap: new session
+        (2, "2024-01-01 08:00:00", 8.0), (2, "2024-01-01 08:29:59.999999", 16.0),
+        (3, "2024-01-01 23:59:00", 32.0),                  # tail session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v"))
+    sq = (
+        agg.select("user_id", "n", "v")
+        .writeStream.format("memory").queryName("ssw_q73")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    sq.awaitTermination()
+    got = sorted((r.user_id, r.n, r.v) for r in spark.table("ssw_q73").collect())
+    spark.catalog.dropTempView("ssw_q73")
+    # user1: 08:00 + 08:30 merge (exact boundary), 09:00.000001 is new;
+    # user2: one session; user3's tail session must be emitted too
+    assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 2, 24.0), (3, 1, 32.0)]
