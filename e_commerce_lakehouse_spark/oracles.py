@@ -1118,3 +1118,24 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 """
+
+# q74/q75: reader round-trips — the oracle states the truth about the
+# ORIGINAL rows (documents + the literal stress rows); the Spark side
+# must reproduce it through a CSV / xlsx serialize-parse cycle, so any
+# quoting/escaping defect diverges the text-hash sum.
+_READER_ROUNDTRIP_SQL = """
+WITH u AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+        (1000001, 'comma, separated, "quoted" value', 'en', 'synthetic'),
+        (1000002, 'she said "hi, there" & left <tag> intact', 'en', 'synthetic'),
+        (1000003, 'plain & simple < or > text', 'de', 'synthetic')
+    ) t(doc_id, text, lang, source))
+SELECT source, lang, count(*)::BIGINT AS n,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT AS text_hash_sum
+FROM u GROUP BY source, lang
+"""
+ALL["q74_csv_reader_roundtrip"] = _READER_ROUNDTRIP_SQL
+ALL["q75_xlsx_reader"] = _READER_ROUNDTRIP_SQL

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import dedup as dd
 from .operators import etl
@@ -1534,6 +1535,134 @@ def q73_streaming_session_window(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+#: synthetic reader-stress rows (q74/q75): separator, quote, and XML-special
+#: characters — mirrored LITERALLY in the DuckDB oracles, so a reader that
+#: mangles escaping breaks the text-hash sum
+_READER_STRESS_ROWS = [
+    (1000001, 'comma, separated, "quoted" value', "en", "synthetic"),
+    (1000002, 'she said "hi, there" & left <tag> intact', "en", "synthetic"),
+    (1000003, "plain & simple < or > text", "de", "synthetic"),
+]
+
+
+def _reader_roundtrip_agg(df):
+    """Shared q74/q75 shape: per-source/lang row count + recomputed text
+    length + a 40-bit md5-prefix hash SUM over text (40, not 60:
+    the sum of ~1M 60-bit values would overflow int64) — byte-exact
+    round-trip or the sum is off."""
+    return df.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")).alias(
+            "text_hash_sum"
+        ),
+    )
+
+
+def q74_csv_reader_roundtrip(spark, sf_dir):
+    """The S1 schema-pinned CSV reader (sources/readers.read_csv) driven
+    through the value-hash gate (it was pytest-only): documents plus
+    CSV-hostile synthetic rows are WRITTEN to CSV by Spark, read back
+    through the header-contract reader, and aggregated with a text-hash
+    sum the DuckDB oracle recomputes from the original rows — quoting and
+    escaping must round-trip byte-exact or the hashes diverge."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.readers import read_csv
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    extra = spark.createDataFrame(
+        _READER_STRESS_ROWS, "doc_id long, text string, lang string, source string"
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q74_{uuid.uuid4().hex[:12]}")
+    try:
+        docs.unionByName(extra).coalesce(2).write.option("header", "true").csv(d)
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ])
+        back = read_csv(spark, d, schema)
+        out = _reader_roundtrip_agg(back)
+        rows = out.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q75_xlsx_reader(spark, sf_dir):
+    """The S2 stdlib SpreadsheetML reader (sources/readers.read_excel, no
+    openpyxl) driven through the value-hash gate: documents plus
+    XML-special synthetic rows are serialized to a REAL xlsx zip
+    (workbook + rels + inline-string sheet, the subset real exports
+    use), parsed back through the reader, and aggregated with the same
+    text-hash sum as q74 — entity escaping must round-trip byte-exact."""
+    import os
+    import shutil
+    import uuid
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from .sources.readers import read_excel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    rows = [(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()]
+    rows += _READER_STRESS_ROWS  # bounded: sf0.01 documents = 500 rows
+
+    def _cell(ref, v):
+        if isinstance(v, int):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    cols = "ABCD"
+    body = ['<row r="1">' + "".join(
+        _cell(f"{c}1", h) for c, h in zip(cols, ("doc_id", "text", "lang", "source"))
+    ) + "</row>"]
+    for i, r in enumerate(rows, start=2):
+        body.append(
+            f'<row r="{i}">' + "".join(_cell(f"{c}{i}", v) for c, v in zip(cols, r)) + "</row>"
+        )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    workbook = (
+        f'<workbook {ns} {rns}><sheets>'
+        '<sheet name="docs" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q75_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    path = os.path.join(d, "docs.xlsx")
+    try:
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/workbook.xml", workbook)
+            z.writestr("xl/_rels/workbook.xml.rels", rels)
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ])
+        [(name, df)] = read_excel(spark, path, schema)
+        assert name == "docs"
+        out = _reader_roundtrip_agg(df)
+        rows2 = out.collect()
+        return spark.createDataFrame(rows2, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1613,4 +1742,6 @@ ALL = {
     "q71_length_outlier_filter": q71_length_outlier_filter,
     "q72_stream_stream_join": q72_stream_stream_join,
     "q73_streaming_session_window": q73_streaming_session_window,
+    "q74_csv_reader_roundtrip": q74_csv_reader_roundtrip,
+    "q75_xlsx_reader": q75_xlsx_reader,
 }
