@@ -461,15 +461,16 @@ def q55_streaming_windowed_agg(spark, sf_dir):
             )
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         )
-        sq = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .start()
-        )
-        sq.awaitTermination()
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
         result = spark.table(qname)
         rows = result.collect()  # materialize before sink view is dropped
         return spark.createDataFrame(rows, result.schema)
@@ -1453,15 +1454,16 @@ def q72_stream_stream_join(spark, sf_dir):
             ).alias("lag_sec"),
             F.round("purchase_value", 2).alias("purchase_value"),
         )
-        sq = (
-            out.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .start()
-        )
-        sq.awaitTermination()
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                out.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
         result = spark.table(qname)
         rows = result.collect()  # materialize before sink view is dropped
         return spark.createDataFrame(rows, result.schema)
@@ -1513,17 +1515,18 @@ def q73_streaming_session_window(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        sq = (
-            agg.select("user_id", "session_start", "session_last",
-                       "n_events", "sum_value")
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .start()
-        )
-        sq.awaitTermination()
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                agg.select("user_id", "session_start", "session_last",
+                           "n_events", "sum_value")
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
         result = spark.table(qname)
         rows = result.collect()  # materialize before sink view is dropped
         return spark.createDataFrame(rows, result.schema)
@@ -1533,6 +1536,31 @@ def q73_streaming_session_window(spark, sf_dir):
         except Exception:
             pass
         shutil.rmtree(d, ignore_errors=True)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _tmp_conf(spark, **kv):
+    """Temporarily set session confs (restored after). Used by the
+    streaming gate queries: a bare driver session defaults to 200
+    shuffle partitions, and each becomes a state-store instance — 200
+    stores × per-store overhead dominated q72's gate cost (86.7 s bare
+    vs 47.8 s under the repo session). The streams here checkpoint to a
+    fresh dir every call, so re-planning with fewer partitions is safe."""
+    keys = {k.replace("__", "."): v for k, v in kv.items()}
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 #: synthetic reader-stress rows (q74/q75): separator, quote, and XML-special
