@@ -1139,3 +1139,35 @@ FROM u GROUP BY source, lang
 """
 ALL["q74_csv_reader_roundtrip"] = _READER_ROUNDTRIP_SQL
 ALL["q75_xlsx_reader"] = _READER_ROUNDTRIP_SQL
+
+# q76: ANALYZE's exact stats (nulls/min/max as strings) per column.
+ALL["q76_analyze_stats"] = """
+WITH s AS (
+    SELECT 'doc_id' AS col, count(*) FILTER (WHERE doc_id IS NULL)::BIGINT AS nulls,
+           min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*) FILTER (WHERE text IS NULL)::BIGINT,
+           min(text), max(text) FROM documents
+    UNION ALL
+    SELECT 'lang', count(*) FILTER (WHERE lang IS NULL)::BIGINT,
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*) FILTER (WHERE source IS NULL)::BIGINT,
+           min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*) FILTER (WHERE n_chars IS NULL)::BIGINT,
+           min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents)
+SELECT col, nulls, min_str, max_str FROM s
+"""
+
+# q77: JSONL reader — good rows round-trip byte-exact (same shape as
+# q74/q75) plus a literal corrupt-count sentinel row (3 corrupt lines).
+ALL["q77_jsonl_reader"] = """
+SELECT source, lang, count(*)::BIGINT AS n,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT AS text_hash_sum
+FROM documents GROUP BY source, lang
+UNION ALL
+SELECT '__corrupt__', '', 3::BIGINT, 0::BIGINT, 0::BIGINT
+"""

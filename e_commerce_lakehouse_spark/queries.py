@@ -1691,6 +1691,94 @@ def q75_xlsx_reader(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q76_analyze_stats(spark, sf_dir):
+    """The ANALYZE operator's exact statistics (null counts, min, max)
+    against relational truth — the single-pass partial-agg scan that
+    computes them is the thing under test (NDV stays pytest-only: HLL++
+    sketches are engine-specific by construction). Stages documents into
+    a real table (analyze persists per-snapshot), runs analyze, returns
+    one row per column."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.analyze import analyze
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q76_{uuid.uuid4().hex[:12]}")
+    try:
+        table = Table.create(root)
+        entries = write_files(spark, table, docs, 4, "seed",
+                              stat_columns=("doc_id",))
+        snap = table.commit_append(entries, {"op": "seed"})
+        # record the documents schema so analyze's resolve_schema reads
+        # the right columns (the default is the transcripts contract)
+        table.append_schema_version(docs.schema.jsonValue(),
+                                    as_of_snapshot=snap.snapshot_id)
+        stats = analyze(spark, table)
+        rows = [
+            (c, int(v["nulls"]), str(v["min"]), str(v["max"]))
+            for c, v in sorted(stats["columns"].items())
+        ]
+        return spark.createDataFrame(
+            rows, "col string, nulls long, min_str string, max_str string"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+#: literal corrupt JSONL lines (q77) — mirrored in the oracle's expected
+#: corrupt-count row
+_JSONL_CORRUPT_LINES = [
+    '{"doc_id": 7, "text": "unterminated',
+    "not json at all",
+    '{"doc_id": "x", "text": }',
+]
+
+
+def q77_jsonl_reader(spark, sf_dir):
+    """The JSONL reader with corrupt-row audit (sources/readers.read_jsonl)
+    in the value-hash gate: documents serialized to JSONL by Spark plus
+    literal corrupt lines; good rows must round-trip byte-exact (same
+    text-hash sum as q74/q75) and the corrupt lines must land in the
+    audit frame — its count is returned as a sentinel row the oracle
+    states literally."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.readers import read_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q77_{uuid.uuid4().hex[:12]}")
+    try:
+        docs.select(F.to_json(F.struct("doc_id", "text", "lang", "source"))).coalesce(
+            2
+        ).write.text(d)
+        with open(os.path.join(d, "part-corrupt.txt"), "w") as f:
+            f.write("\n".join(_JSONL_CORRUPT_LINES) + "\n")
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ])
+        good, corrupt = read_jsonl(spark, d, schema)
+        agg = _reader_roundtrip_agg(good)
+        sentinel = spark.createDataFrame(
+            [("__corrupt__", "", corrupt.count(), 0, 0)], agg.schema
+        )
+        out = agg.unionByName(sentinel)
+        rows = out.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1772,4 +1860,6 @@ ALL = {
     "q73_streaming_session_window": q73_streaming_session_window,
     "q74_csv_reader_roundtrip": q74_csv_reader_roundtrip,
     "q75_xlsx_reader": q75_xlsx_reader,
+    "q76_analyze_stats": q76_analyze_stats,
+    "q77_jsonl_reader": q77_jsonl_reader,
 }

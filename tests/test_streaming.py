@@ -295,3 +295,58 @@ def test_streaming_session_window_parity_and_boundary(spark, tmp_path):
     # user1: 08:00 + 08:30 merge (exact boundary), 09:00.000001 is new;
     # user2: one session; user3's tail session must be emitted too
     assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 2, 24.0), (3, 1, 32.0)]
+
+
+def test_stream_stream_join_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched left rows emit with NULL
+    right columns only once the watermark closes their match window —
+    the test plants a late sentinel event that pushes the watermark past
+    (left_ts + within + delay) so the unmatched row must flush during
+    the bounded replay."""
+    from e_commerce_lakehouse_spark.streaming.join import stream_stream_join
+
+    rows = [
+        (1, "click", "2024-01-01 08:00:00", 10),      # matched
+        (1, "purchase", "2024-01-01 09:00:00", 11),
+        (2, "click", "2024-01-01 08:00:00", 20),      # never matched
+        # sentinels far in the future ON BOTH SIDES: the query's global
+        # watermark is the MIN across all watermarked inputs, so the
+        # right stream needs one too. Same ts on both: strict ">" in the
+        # join keeps them from matching each other. Watermark = 23:00
+        # - 1h = 22:00, well past 08:00 + 6h for user 2's click.
+        (9, "click", "2024-01-01 23:00:00", 90),
+        (9, "purchase", "2024-01-01 23:00:00", 91),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts string, event_id int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _s(kind):
+        return (
+            spark.readStream.schema(schema).parquet(src)
+            .where(F.col("event_type") == kind)
+            .select("user_id", "ts", "event_id")
+        )
+
+    joined = stream_stream_join(
+        _s("click"), _s("purchase"), key="user_id",
+        within="6 hours", watermark="1 hour",
+        left_prefix="c_", right_prefix="p_", how="leftOuter",
+    )
+    sq = (
+        joined.writeStream.format("memory").queryName("ssj_outer")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    sq.awaitTermination()
+    got = {(r.user_id, r.c_event_id, r.p_event_id)
+           for r in spark.table("ssj_outer").collect()}
+    spark.catalog.dropTempView("ssj_outer")
+    assert (1, 10, 11) in got          # matched pair
+    assert (2, 20, None) in got        # unmatched left flushed with NULLs
+    # user 9's click is NOT expected: its match window (23:00 + 6h) is
+    # still open when the bounded replay ends, so the outer result for
+    # it correctly remains unflushed state
