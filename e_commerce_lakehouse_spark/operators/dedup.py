@@ -110,6 +110,58 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 # ---------------------------------------------------------- n-gram Jaccard
 
 
+def window_containment_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_dup_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-window CONTAINMENT dedup — the "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022) shape,
+    distributed: fixed n-word windows stand in for suffix-array substring
+    matches. Distinct from Jaccard/MinHash SIMILARITY: a short document
+    fully copied into a long one scores near-zero Jaccard but 100%
+    containment here.
+
+    Per document: total distinct n-word windows, how many of them appear
+    in at least one OTHER document, the duplicated fraction, and an
+    ``is_dup`` flag at ``min_dup_frac``.
+
+    Scale shape: windows become 60-bit md5-prefix ints (never strings);
+    per-window document counts come from ONE count-over-window on that
+    key (no second shuffle for a join-back), then one aggregation by
+    doc — two shuffles total, both on compact keys, no pairwise stage
+    anywhere. Stop-window skew is bounded: a window shared by k docs
+    costs k rows, not k² pairs."""
+    from pyspark.sql import Window
+
+    sh = _shingle_table(df, text_col, id_col, n)
+    keyed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("w"),
+    )
+    docs_with = F.count("*").over(Window.partitionBy("w"))
+    per_doc = (
+        keyed.withColumn("docs_with", docs_with)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("docs_with") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    dup_frac = F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+    return per_doc.select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= min_dup_frac).cast("int").alias("is_dup"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,

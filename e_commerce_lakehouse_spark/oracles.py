@@ -1171,3 +1171,28 @@ FROM documents GROUP BY source, lang
 UNION ALL
 SELECT '__corrupt__', '', 3::BIGINT, 0::BIGINT, 0::BIGINT
 """
+
+# q78: substring-window containment — 8-word windows, 60-bit md5-prefix
+# keys, per-window doc counts, per-doc duplicated fraction + flag.
+ALL["q78_window_containment"] = r"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, substr(text, 1, 200) FROM documents WHERE doc_id < 5),
+wds AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM u),
+sh AS (SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+    ELSE [array_to_string(w, ' ')] END)) AS s FROM wds),
+keyed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS wk FROM sh),
+m AS (SELECT doc_id, count(*) OVER (PARTITION BY wk) AS docs_with FROM keyed),
+p AS (SELECT doc_id, count(*) AS n_windows,
+        sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+      FROM m GROUP BY doc_id)
+SELECT doc_id, n_windows::BIGINT AS n_windows,
+       n_dup_windows::BIGINT AS n_dup_windows,
+       round(n_dup_windows::DOUBLE / n_windows, 6) AS dup_frac,
+       (round(n_dup_windows::DOUBLE / n_windows, 6) >= 0.5)::INTEGER AS is_dup
+FROM p
+"""

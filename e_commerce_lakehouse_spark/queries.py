@@ -1779,6 +1779,21 @@ def q77_jsonl_reader(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q78_window_containment(spark, sf_dir):
+    """Substring-window containment dedup (operators/dedup.
+    window_containment_stats — the Lee et al. exact-substring shape,
+    distinct from Jaccard similarity): planted prefix-copies of five
+    documents must flag as contained duplicates while unrelated docs
+    score zero. Fully value-hash oracled — windows, md5 keys, counts and
+    the flag are all deterministic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return dd.window_containment_stats(docs.unionByName(copies))
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1862,4 +1877,5 @@ ALL = {
     "q75_xlsx_reader": q75_xlsx_reader,
     "q76_analyze_stats": q76_analyze_stats,
     "q77_jsonl_reader": q77_jsonl_reader,
+    "q78_window_containment": q78_window_containment,
 }

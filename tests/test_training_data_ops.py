@@ -231,3 +231,36 @@ def test_normalized_dedup_collapses_case_and_punct(spark):
     assert out == {0: 2, 2: 1}
     # byte-exact dedup keeps all three — the normalization is the point
     assert dd.exact_dedup(df).count() == 3
+
+
+def test_window_containment_flags_embedded_copy_not_similar_jaccard(spark):
+    """Containment catches what Jaccard can't: a short doc fully embedded
+    in a much longer one is ~100% contained but low-Jaccard. Unrelated
+    docs must score zero."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"          # 8 words
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))  # 48 words
+    other = " ".join(f"unrelated{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in dd.window_containment_stats(df, n=8).collect()}
+    # doc1: its single 8-word window appears inside doc2 -> fully contained
+    assert out[1].n_windows == 1 and out[1].n_dup_windows == 1
+    assert out[1].is_dup == 1
+    # doc2: only 1 of its 41 windows is shared -> not flagged
+    assert out[2].n_windows == 41 and out[2].n_dup_windows == 1
+    assert out[2].is_dup == 0
+    # doc3: nothing shared
+    assert out[3].n_dup_windows == 0 and out[3].is_dup == 0
+
+
+def test_window_containment_short_doc_fallback(spark):
+    """Docs under n words collapse to one whole-text window (the
+    word_shingles fallback) — two identical short docs flag each other."""
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "different tiny")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dd.window_containment_stats(df, n=8).collect()}
+    assert out[1].is_dup == 1 and out[2].is_dup == 1
+    assert out[3].is_dup == 0
