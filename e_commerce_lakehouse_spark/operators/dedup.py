@@ -331,6 +331,76 @@ def minhash_lsh_pairs(
     return _finish_release(result, sig)
 
 
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.25,
+    num_hashes: int = 12,
+    bands: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup detection: flag NEW documents that collide
+    with an EXISTING corpus — the "dedup today's crawl against the lake"
+    path (RefinedWeb/CCNet shape). The corpus is NEVER self-paired:
+    every band join is strictly new×corpus, so incremental cost is
+    O(|new| + matched bands) regardless of corpus size — at 100 TB the
+    corpus signatures/bands are computed once, stored as a table, and
+    only the new batch is shingled per run (here both derive inline so
+    the op is self-contained and oracle-able).
+
+    Returns (new_id, corpus_id, jaccard_est) for signature-estimate
+    matches ≥ threshold. Same MinHash family/banding as
+    ``minhash_lsh_pairs``, so stored corpus signatures are reusable
+    across both ops."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_df, num_hashes, n, text_col, id_col).persist()
+    sig_old = minhash_signatures(corpus_df, num_hashes, n, text_col, id_col).persist()
+
+    def _banded(sig, out_id):
+        cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        return sig.select(F.col(id_col).alias(out_id), *cols)
+
+    bn, bo = _banded(sig_new, "new_id"), _banded(sig_old, "corpus_id")
+    cands = None
+    for b in range(bands):
+        c = (
+            bn.select("new_id", F.col(f"band{b}").alias("bk"))
+            .join(bo.select("corpus_id", F.col(f"band{b}").alias("bk")), "bk")
+            .select("new_id", "corpus_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    sa = sig_new.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)],
+    )
+    sb = sig_old.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int") for j in range(num_hashes)
+    )
+    result = (
+        cands.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard_est", F.round(matches / F.lit(num_hashes), 6))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("new_id", "corpus_id", "jaccard_est")
+    )
+    return _finish_release(result, sig_new, sig_old)
+
+
 # ---------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60  # 15 hex chars → fits a signed int64 exactly in both engines

@@ -1196,3 +1196,39 @@ SELECT doc_id, n_windows::BIGINT AS n_windows,
        (round(n_dup_windows::DOUBLE / n_windows, 6) >= 0.5)::INTEGER AS is_dup
 FROM p
 """
+
+# q79: incremental MinHash dedup — same signature family as q22, but the
+# source is documents + planted truncated copies, and candidates are
+# strictly new (doc_id >= 400, incl. planted 3000000+) x corpus (< 400).
+_Q79_SHINGLES = r"""
+shingles AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= 3 THEN
+            list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [array_to_string(w, ' ')] END)) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, substr(text, 1, length(text) - 30)
+        FROM documents WHERE doc_id < 10))
+)
+"""
+_EST12 = " + ".join(f"(sa.h{j} = sb.h{j})::INT" for j in range(12))
+ALL["q79_incremental_minhash_dedup"] = (
+    "WITH " + _Q79_SHINGLES + _MINHASH_SIG + _BANDS + """,
+    cands AS (
+        SELECT DISTINCT nid AS new_id, cid AS corpus_id FROM (
+            SELECT x.doc_id nid, y.doc_id cid FROM banded x JOIN banded y
+                ON x.band0 = y.band0 AND x.doc_id >= 400 AND y.doc_id < 400
+            UNION ALL
+            SELECT x.doc_id nid, y.doc_id cid FROM banded x JOIN banded y
+                ON x.band1 = y.band1 AND x.doc_id >= 400 AND y.doc_id < 400
+            UNION ALL
+            SELECT x.doc_id nid, y.doc_id cid FROM banded x JOIN banded y
+                ON x.band2 = y.band2 AND x.doc_id >= 400 AND y.doc_id < 400))
+    SELECT c.new_id, c.corpus_id,
+        round((""" + _EST12 + """) / 12.0, 6) AS jaccard_est
+    FROM cands c JOIN sig sa ON sa.doc_id = c.new_id
+                 JOIN sig sb ON sb.doc_id = c.corpus_id
+    WHERE round((""" + _EST12 + """) / 12.0, 6) >= 0.25
+""")

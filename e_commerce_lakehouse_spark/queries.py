@@ -1794,6 +1794,26 @@ def q78_window_containment(spark, sf_dir):
     return dd.window_containment_stats(docs.unionByName(copies))
 
 
+def q79_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental MinHash dedup (operators/dedup.minhash_lsh_incremental):
+    a 'new crawl batch' (docs 400+, plus planted truncated copies of ten
+    corpus docs) is deduped AGAINST the existing corpus (docs < 400)
+    without ever self-pairing the corpus — the path a daily ingest takes
+    against a 100 TB lake. The planted copies must surface with high
+    signature-estimate Jaccard; same deterministic MinHash family as
+    q22, so DuckDB mirrors every stage."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 400)
+    fresh = docs.where(F.col("doc_id") >= 400)
+    planted = corpus.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 30)").alias("text"),
+    )
+    return dd.minhash_lsh_incremental(
+        fresh.unionByName(planted), corpus, threshold=0.25
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1878,4 +1898,5 @@ ALL = {
     "q76_analyze_stats": q76_analyze_stats,
     "q77_jsonl_reader": q77_jsonl_reader,
     "q78_window_containment": q78_window_containment,
+    "q79_incremental_minhash_dedup": q79_incremental_minhash_dedup,
 }

@@ -264,3 +264,25 @@ def test_window_containment_short_doc_fallback(spark):
     out = {r.doc_id: r for r in dd.window_containment_stats(df, n=8).collect()}
     assert out[1].is_dup == 1 and out[2].is_dup == 1
     assert out[3].is_dup == 0
+
+
+def test_incremental_minhash_never_self_pairs_corpus(spark):
+    """The incremental op only reports new-vs-corpus matches: two
+    identical docs INSIDE the corpus produce no row, while a new doc
+    matching a corpus doc does."""
+    base = " ".join(f"word{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base),                      # identical pair IN corpus
+         (3, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " tiny tail change"),          # near-dup of corpus 1/2
+         (101, " ".join(f"fresh{i}" for i in range(60)))],
+        "doc_id int, text string",
+    )
+    rows = dd.minhash_lsh_incremental(new, corpus, threshold=0.25).collect()
+    assert all(r.new_id >= 100 and r.corpus_id < 100 for r in rows)
+    matched = {(r.new_id, r.corpus_id) for r in rows}
+    assert (100, 1) in matched and (100, 2) in matched
+    assert not any(nid == 101 for nid, _ in matched)
