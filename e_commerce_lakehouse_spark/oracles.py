@@ -1232,3 +1232,11 @@ ALL["q79_incremental_minhash_dedup"] = (
                  JOIN sig sb ON sb.doc_id = c.corpus_id
     WHERE round((""" + _EST12 + """) / 12.0, 6) >= 0.25
 """)
+
+# q80: stream-static enrichment join on bounded replay == batch join.
+ALL["q80_stream_static_join"] = """
+SELECT c.c_mktsegment, e.event_type, count(*)::BIGINT AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""

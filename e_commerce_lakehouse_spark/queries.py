@@ -1814,6 +1814,56 @@ def q79_incremental_minhash_dedup(spark, sf_dir):
     )
 
 
+def q80_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join — the remaining streaming join class
+    (q72 covers stream-stream): a live event stream joined to a STATIC
+    dimension (customer) needs no watermark and no state, because the
+    static side is just re-planned per micro-batch; at scale it's a
+    broadcast of the dim to every executor. Bounded replay == the batch
+    join, which is what the DuckDB oracle states. Aggregates per
+    (mktsegment, event_type) so the compared frame is small."""
+    import os
+    import shutil
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q80_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q80_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id")
+        agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1899,4 +1949,5 @@ ALL = {
     "q77_jsonl_reader": q77_jsonl_reader,
     "q78_window_containment": q78_window_containment,
     "q79_incremental_minhash_dedup": q79_incremental_minhash_dedup,
+    "q80_stream_static_join": q80_stream_static_join,
 }
