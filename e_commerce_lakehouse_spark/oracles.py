@@ -1240,3 +1240,10 @@ SELECT c.c_mktsegment, e.event_type, count(*)::BIGINT AS n,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment, e.event_type
 """
+
+# q81: table-as-stream drain == relational truth over documents (the
+# in-between compaction must contribute zero rows).
+ALL["q81_table_stream_source"] = """
+SELECT source, lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY source, lang
+"""

@@ -1864,6 +1864,66 @@ def q80_stream_static_join(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q81_table_stream_source(spark, sf_dir):
+    """The lakehouse table as a readStream SOURCE (Python Data Source
+    API, streaming/table_source.py — the Delta/Iceberg table-streaming
+    analog): documents staged into a real table across two append
+    commits plus a compaction in between, then drained via
+    ``spark.readStream.format("lakehouse_stream")``. The compaction must
+    contribute ZERO rows (physical rewrites never re-feed downstream),
+    so the drained aggregate equals the plain relational aggregate over
+    documents — which is what the oracle states."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact
+    from .streaming.table_source import LakehouseStreamDataSource
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    try:
+        spark.dataSource.register(LakehouseStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q81_{uuid.uuid4().hex[:12]}")
+    d = root + "-ck"
+    try:
+        table = Table.create(root)
+        first = docs.where(F.col("doc_id") % 2 == 0)
+        second = docs.where(F.col("doc_id") % 2 == 1)
+        e1 = write_files(spark, table, first, 3, "seed-a", stat_columns=("doc_id",))
+        table.commit_append(e1, {"op": "append"})
+        table.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=1)
+        compact(spark, table, target_bytes=1 << 22, schema=docs.schema,
+                stat_columns=("doc_id",))
+        e2 = write_files(spark, table, second, 3, "seed-b", stat_columns=("doc_id",))
+        table.commit_append(e2, {"op": "append"})
+        stream = spark.readStream.format("lakehouse_stream").load(root)
+        qname = "q81_" + uuid.uuid4().hex[:8]
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                stream.groupBy("source", "lang")
+                .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", d)
+                .start()
+            )
+            sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -1950,4 +2010,5 @@ ALL = {
     "q78_window_containment": q78_window_containment,
     "q79_incremental_minhash_dedup": q79_incremental_minhash_dedup,
     "q80_stream_static_join": q80_stream_static_join,
+    "q81_table_stream_source": q81_table_stream_source,
 }

@@ -6,8 +6,10 @@ from .ingest import (
     windowed_counts,
 )
 from .join import stream_stream_join
+from .table_source import LakehouseStreamDataSource
 
 __all__ = [
+    "LakehouseStreamDataSource",
     "ingest_append_stream",
     "ingest_available_now",
     "stream_dedup",

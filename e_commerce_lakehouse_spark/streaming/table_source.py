@@ -1,0 +1,166 @@
+"""The lakehouse TABLE as a Structured Streaming SOURCE.
+
+Delta/Iceberg expose committed table changes as a stream
+(``spark.readStream.format("delta")``); the reference has no analog (its
+"stream" is S3 events). This module gives our table format the same
+capability through PySpark 4's Python Data Source API: offsets are
+SNAPSHOT IDS, each micro-batch delivers the data files added by the
+commits in ``(start, end]``, and planning is metadata-only (manifest
+lists, no data scan).
+
+Semantics — identical to ``table/cdc.py``'s chain mode, which this
+module shares its op classification with:
+
+- append-class commits (append / stream-append / merge / update …)
+  deliver their NEW manifests' rows;
+- physical-only commits (compaction ``replace``, manifest rewrite,
+  expire, materialize-deletes …, ``cdc._NON_DATA_OPS``) deliver ZERO
+  rows — a rewrite never re-feeds downstream;
+- for MERGE/UPDATE the new manifests are rewritten files, i.e. the
+  batch over-delivers unchanged rows of touched files (at-least-once,
+  same contract as the poll consumer); on an APPEND-ONLY table
+  (``ingest_append_stream``) delivery is exactly the appended rows,
+  exactly once per offset range.
+
+Retention contract (same as Delta's): a consumer lagging across a
+compaction reads the ORIGINAL pre-rewrite files (copy-on-write leaves
+them on disk until expire GC), so snapshot retention + GC grace must
+cover the maximum consumer lag, or the stream fails with a clear
+FileNotFoundError and must be restarted from a fresh offset.
+
+Scale shape: ``partitions()`` returns one InputPartition per file group,
+so a 1000-executor cluster reads a big catch-up batch in parallel;
+``read()`` ships Arrow record batches straight from the parquet files
+(no Python row loop). The reader instance is pickled to executors, so
+it holds only strings — tables are re-opened lazily on the driver-side
+methods only.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: data files per input partition in one micro-batch read
+_FILES_PER_PARTITION = 4
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, root: str, paths: list[str]):
+        self.root = root
+        self.paths = paths
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    """Snapshot-log stream reader. Offsets: ``{"snapshot": <id>}``."""
+
+    def __init__(self, options: dict):
+        self._root = options["path"]
+        start = int(options.get("starting_snapshot", 0))
+        self._start = start
+
+    # ---- driver-side planning (metadata only) ----
+
+    def _table(self):
+        from ..table.meta import Table
+
+        return Table.load(self._root)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self._start}
+
+    def latestOffset(self) -> dict:
+        head = self._table().current_snapshot_id()
+        return {"snapshot": int(head or self._start)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from ..table.cdc import _NON_DATA_OPS
+
+        t = self._table()
+        lo, hi = int(start["snapshot"]), int(end["snapshot"])
+        chain: list = []
+        sid = hi
+        while sid is not None and sid > lo:
+            snap = t.snapshot(sid)
+            chain.append(snap)
+            sid = snap.parent_id
+        chain.reverse()  # oldest first: delivery order = commit order
+        # first DATA op (oldest wins) that removed each path in-window:
+        # those entries' surviving rows ship in that op's OWN manifests,
+        # so the original entry is skipped. Paths removed by NON-data
+        # rewrites (compaction) are KEPT — copy-on-write leaves the
+        # original bytes on disk until expire GC, and the rewrite's own
+        # manifests are skipped, so the original file is exactly the
+        # right (and only) copy of those rows.
+        data_remover: dict[str, str] = {}
+        for snap in chain:
+            if snap.operation in _NON_DATA_OPS:
+                continue
+            parent_removed = (
+                set(t.snapshot(snap.parent_id).removed_files)
+                if snap.parent_id else set()
+            )
+            for p in set(snap.removed_files) - parent_removed:
+                data_remover.setdefault(p, snap.operation)
+        paths: list[str] = []
+        seen: set[str] = set()
+        for snap in chain:
+            if snap.operation in _NON_DATA_OPS:
+                continue
+            parent_manifests = (
+                set(t.snapshot(snap.parent_id).manifests) if snap.parent_id else set()
+            )
+            for mf in snap.manifests:
+                if mf in parent_manifests:
+                    continue
+                for e in t.manifest_entries(mf):
+                    if e.path in data_remover or e.path in seen:
+                        continue
+                    seen.add(e.path)
+                    paths.append(e.path)
+        groups = [
+            paths[i : i + _FILES_PER_PARTITION]
+            for i in range(0, len(paths), _FILES_PER_PARTITION)
+        ]
+        # an empty list is a valid no-data micro-batch
+        return [_FilesPartition(self._root, g) for g in groups]
+
+    # ---- executor-side read (Arrow batches, no row loop) ----
+
+    def read(self, partition: _FilesPartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        for rel in partition.paths:
+            tbl = pq.read_table(os.path.join(partition.root, rel))
+            yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:  # checkpoint-managed; nothing to do
+        pass
+
+
+class LakehouseStreamDataSource(DataSource):
+    """``spark.readStream.format("lakehouse_stream").load(table_root)``
+    after ``spark.dataSource.register(LakehouseStreamDataSource)``.
+
+    Options: ``path`` (table root, or pass to ``load()``),
+    ``starting_snapshot`` (deliver commits AFTER this id; default 0 =
+    everything)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse_stream"
+
+    def schema(self):
+        from ..table.meta import Table
+        from ..table.scan import resolve_schema
+
+        return resolve_schema(Table.load(self.options["path"]))
+
+    def streamReader(self, schema) -> LakehouseStreamReader:
+        return LakehouseStreamReader(self.options)

@@ -350,3 +350,52 @@ def test_stream_stream_join_left_outer_emits_after_watermark(spark, tmp_path):
     # user 9's click is NOT expected: its match window (23:00 + 6h) is
     # still open when the bounded replay ends, so the outer result for
     # it correctly remains unflushed state
+
+
+def test_table_as_streaming_source_drain_resume_and_rewrite_silence(spark, tmp_path):
+    """The lakehouse table as a readStream SOURCE (Python Data Source API,
+    streaming/table_source.py): (1) a full drain delivers exactly the
+    table's rows; (2) a checkpointed restart delivers ONLY commits after
+    the last offset; (3) a compaction between appends delivers zero rows
+    (physical rewrites never re-feed downstream)."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table, write_files
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 2000, seed=5)
+    tbl = create_transcripts_table(spark, root, df, rows_per_file=250,
+                                   n_append_commits=2)
+
+    def _drain(_label):
+        # foreachBatch, not a memory sink: memory sinks refuse checkpoint
+        # RECOVERY, and the resume leg is the point of this test
+        got: list[int] = []
+        stream = spark.readStream.format("lakehouse_stream").load(root)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: got.append(bdf.count())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+        return sum(got)
+
+    assert _drain("ts_d1") == scan(spark, tbl).count() == 2000
+
+    # compaction + a fresh append; the resumed stream must deliver ONLY
+    # the appended rows (not the compacted rewrite of the first 2000)
+    compact(spark, tbl, target_bytes=1 << 20)
+    extra = transcripts_df(spark, 300, seed=77)
+    entries = write_files(spark, tbl, extra, 2, "probe-append")
+    tbl.commit_append(entries, {"op": "append"})
+    assert _drain("ts_d2") == 300
+
+    # nothing new -> an empty micro-batch, zero rows
+    assert _drain("ts_d3") == 0
