@@ -6,9 +6,11 @@ from .ingest import (
     windowed_counts,
 )
 from .join import stream_stream_join
+from .table_sink import LakehouseSinkDataSource
 from .table_source import LakehouseStreamDataSource
 
 __all__ = [
+    "LakehouseSinkDataSource",
     "LakehouseStreamDataSource",
     "ingest_append_stream",
     "ingest_available_now",

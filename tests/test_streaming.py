@@ -399,3 +399,58 @@ def test_table_as_streaming_source_drain_resume_and_rewrite_silence(spark, tmp_p
 
     # nothing new -> an empty micro-batch, zero rows
     assert _drain("ts_d3") == 0
+
+
+def test_table_as_native_streaming_sink(spark, tmp_path):
+    """The native lakehouse SINK (streaming/table_sink.py): executors
+    write Arrow parquet + footer stats, the driver commits one atomic
+    append per epoch with (txn_app, txn_epoch) markers. Covers: drain,
+    exactly-once redelivery skip after checkpoint loss, and CHECK
+    constraints failing the epoch with the table left untouched."""
+    import shutil
+
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators.constraints import add_constraint
+    from e_commerce_lakehouse_spark.streaming.table_sink import LakehouseSinkDataSource
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import Table, scan
+
+    spark.dataSource.register(LakehouseSinkDataSource)
+    root, ck, land = str(tmp_path / "tbl"), str(tmp_path / "ck"), str(tmp_path / "land")
+    tbl = Table.create(root)
+    df = transcripts_df(spark, 800, seed=3).cache()
+    df.coalesce(2).write.parquet(land)
+
+    def _run():
+        stream = spark.readStream.schema(df.schema).parquet(land)
+        q = (
+            stream.writeStream.format("lakehouse_sink").option("path", root)
+            .trigger(availableNow=True).option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+
+    _run()
+    assert scan(spark, tbl, schema=df.schema).count() == 800
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    assert snap.summary["op"] == "stream-append"
+    assert snap.summary["txn_epoch"] == 0
+
+    # checkpoint loss after the table commit: redelivery must SKIP
+    shutil.rmtree(ck)
+    _run()
+    assert scan(spark, tbl, schema=df.schema).count() == 800
+    assert tbl.current_snapshot_id() == snap.snapshot_id
+
+    # constrained tables: the sink cannot evaluate SQL predicates in its
+    # session-less commit worker, so it must REFUSE the epoch loudly
+    # (pointing at the enforcing ingest paths) and leave the table at its
+    # pre-batch snapshot — never land unvalidated rows silently
+    add_constraint(spark, tbl, "no_neg_turn", "turn_idx >= 0", schema=df.schema)
+    more = transcripts_df(spark, 50, seed=9)
+    more.coalesce(1).write.mode("append").parquet(land)
+    with pytest.raises(Exception, match="no_neg_turn|CHECK constraints"):
+        _run()
+    assert tbl.current_snapshot_id() == snap.snapshot_id
+    assert scan(spark, tbl, schema=df.schema).count() == 800
+    df.unpersist()
