@@ -454,3 +454,49 @@ def test_table_as_native_streaming_sink(spark, tmp_path):
     assert tbl.current_snapshot_id() == snap.snapshot_id
     assert scan(spark, tbl, schema=df.schema).count() == 800
     df.unpersist()
+
+
+def test_native_table_to_table_streaming_replication(spark, tmp_path):
+    """Source and sink composed: readStream from table A (snapshot-log
+    offsets) -> writeStream into table B (atomic epoch commits) with
+    AvailableNow — incremental table replication entirely through the
+    native streaming surfaces. A second pass after more commits on A
+    ships ONLY the delta."""
+    from e_commerce_lakehouse_spark.streaming.table_sink import LakehouseSinkDataSource
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import Table, scan
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table, write_files
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    spark.dataSource.register(LakehouseSinkDataSource)
+    ra, rb, ck = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 900, seed=21).cache()
+    ta = create_transcripts_table(spark, ra, df, rows_per_file=300,
+                                  n_append_commits=2)
+    tb = Table.create(rb)
+
+    def _replicate():
+        q = (
+            spark.readStream.format("lakehouse_stream").load(ra)
+            .writeStream.format("lakehouse_sink").option("path", rb)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+
+    _replicate()
+    assert scan(spark, tb).count() == 900
+    # full-fidelity check, not just counts
+    assert scan(spark, tb).exceptAll(scan(spark, ta)).count() == 0
+
+    extra = transcripts_df(spark, 150, seed=22).withColumn(
+        "conv_id", F.concat(F.lit("delta-"), F.col("conv_id")))
+    entries = write_files(spark, ta, extra, 1, "delta-append")
+    ta.commit_append(entries, {"op": "append"})
+    _replicate()
+    assert scan(spark, tb).count() == 1050
+    assert scan(spark, tb).where("conv_id like 'delta-%'").count() == 150
+    df.unpersist()
