@@ -65,7 +65,7 @@ def main(argv=None) -> int:
             "materialize-deletes", "skipping-report", "verify", "pipeline",
             "consume-changes", "register", "unregister", "catalog-sql",
             "evolve-partition", "create-branch", "delete-branch",
-            "branches", "fast-forward",
+            "branches", "fast-forward", "replicate",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -316,6 +316,41 @@ def main(argv=None) -> int:
                 spark, t, args.source, args.checkpoint,
                 source_format=args.ingest_format,
             )
+        elif args.op == "replicate":
+            # incremental table->table replication entirely through the
+            # native streaming surfaces: source offsets = snapshot ids,
+            # sink commits one atomic append per epoch with txn markers.
+            # Resumable via --checkpoint; re-runs ship only the delta.
+            from e_commerce_lakehouse_spark.streaming.table_sink import (
+                LakehouseSinkDataSource,
+            )
+            from e_commerce_lakehouse_spark.streaming.table_source import (
+                LakehouseStreamDataSource,
+            )
+
+            if not (args.source and args.checkpoint):
+                p.error("--op replicate requires --source (target table "
+                        "root) and --checkpoint")
+            target_root = args.source
+            if not _is_table(target_root):
+                Table.create(target_root)
+            try:
+                spark.dataSource.register(LakehouseStreamDataSource)
+                spark.dataSource.register(LakehouseSinkDataSource)
+            except Exception:
+                pass  # already registered in this session
+            q = (
+                spark.readStream.format("lakehouse_stream").load(args.table)
+                .writeStream.format("lakehouse_sink")
+                .option("path", target_root)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", args.checkpoint)
+                .start()
+            )
+            q.awaitTermination()
+            tgt = Table.load(target_root)
+            result = {"target": target_root,
+                      "target_snapshot": tgt.current_snapshot_id()}
         elif args.op == "ingest":
             from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now
 
