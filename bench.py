@@ -68,6 +68,8 @@ HEADLINE = [
     "q28_asof_join",
     "q53_ivf_ann_topk",
     "q44_multiway_dim_join",
+    "q78_window_containment",
+    "q79_incremental_minhash_dedup",
 ]
 
 
