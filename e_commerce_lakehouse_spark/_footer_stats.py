@@ -32,8 +32,19 @@ def norm_stat(v):
     return v
 
 
-def file_stats_dict(abs_path: str, root: str, stat_columns: Iterable[str]) -> dict:
-    """DataFileEntry-shaped dict from one parquet footer (no data pages)."""
+def file_stats_dict(
+    abs_path: str,
+    root: str,
+    stat_columns: Iterable[str],
+    bloom_spec: dict | None = None,
+) -> dict:
+    """DataFileEntry-shaped dict from one parquet footer (no data pages).
+
+    ``bloom_spec`` ({col: {"fpp":..., "max_bits":...}}, from
+    ``Table.bloom_spec()``) additionally reads EACH declared column's
+    data pages (one column, not the file) and attaches a per-file bloom
+    over its distinct values under ``"blooms"`` — the opt-in
+    point-lookup skipping index (_bloom.py)."""
     pf = pq.ParquetFile(abs_path)
     md = pf.metadata
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -52,9 +63,27 @@ def file_stats_dict(abs_path: str, root: str, stat_columns: Iterable[str]) -> di
             maxs.append(norm_stat(st.max))
         if mins:
             stats[col] = [min(mins), max(maxs)]
-    return {
+    out = {
         "path": os.path.relpath(abs_path, root),
         "rows": md.num_rows,
         "bytes": os.path.getsize(abs_path),
         "stats": stats,
     }
+    if bloom_spec:
+        blooms = {}
+        for col, params in bloom_spec.items():
+            if col not in name_to_idx:
+                continue
+            import pyarrow.compute as pc
+
+            from ._bloom import build_bloom
+
+            vals = pc.unique(pf.read(columns=[col]).column(col))
+            blooms[col] = build_bloom(
+                (str(v) for v in vals.to_pylist() if v is not None),
+                **{k: v for k, v in (params or {}).items()
+                   if k in ("fpp", "max_bits")},
+            )
+        if blooms:
+            out["blooms"] = blooms
+    return out

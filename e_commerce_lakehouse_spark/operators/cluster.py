@@ -238,7 +238,8 @@ def cluster(
                 .parquet(out_dir)
             )
             added = collect_entries(
-                list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+                list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
+                bloom_spec=table.bloom_spec(),
             )
             for e in added:
                 e.partition = partition_from_path(e.path, part_spec)
@@ -257,7 +258,8 @@ def cluster(
                 .parquet(out_dir)
             )
             added = collect_entries(
-                list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+                list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
+                bloom_spec=table.bloom_spec(),
             )
         else:
             added = _cluster_sharded(
@@ -439,7 +441,8 @@ def _cluster_sharded(
                 .option("compression", "zstd")
                 .parquet(out_dir)
             )
-        outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
+        outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
+                               bloom_spec=table.bloom_spec())
         if part_spec:
             for e in outs:
                 e.partition = partition_from_path(e.path, part_spec)

@@ -50,6 +50,7 @@ def _rewrite_wave_arrow(
     codec: str = "zstd",
     field_spec: list | None = None,
     run_token: str = "",
+    bloom_spec: dict | None = None,
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -137,6 +138,24 @@ def _rewrite_wave_arrow(
             )
             t_write = _mono()
             e = file_stats_dict(out_path, table_root, cols)
+            if bloom_spec:
+                # bloom from the IN-MEMORY merged table — no second read
+                # of the file just written
+                import pyarrow.compute as pc
+
+                from e_commerce_lakehouse_spark._bloom import build_bloom
+
+                blooms = {}
+                for bcol, params in bloom_spec.items():
+                    if bcol in merged.column_names:
+                        vals = pc.unique(merged.column(bcol))
+                        blooms[bcol] = build_bloom(
+                            (str(v) for v in vals.to_pylist() if v is not None),
+                            **{k: v for k, v in (params or {}).items()
+                               if k in ("fpp", "max_bits")},
+                        )
+                if blooms:
+                    e["blooms"] = blooms
             yield {
                 "group_id": gid,
                 "entry": e,
@@ -183,7 +202,8 @@ def _rewrite_group(
     df = spark.read.schema(schema).parquet(*in_paths)
     # coalesce: no shuffle — small whole files concatenate into n_out files
     df.coalesce(n_out).write.mode("error").parquet(out_dir)
-    outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns)
+    outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
+                           bloom_spec=table.bloom_spec())
     for e in outs:
         e.seq = out_seq
         e.partition = out_partition
@@ -220,6 +240,7 @@ def _run_arrow(
         results = _rewrite_wave_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
             field_spec=field_spec, run_token=run_token,
+            bloom_spec=table.bloom_spec(),
         )
         for r in results:  # outputs carry the group's preserved seq
             r["entry"]["seq"] = group_seq[r["group_id"]]

@@ -489,7 +489,8 @@ def _update_merge_on_read(
     tomb_dir = os.path.join(table.data_dir, f"tombstone-{sid:08d}-{token}")
     post.coalesce(1).write.mode("error").parquet(data_dir)
     all_out = collect_entries(list_parquet_files(data_dir), table.root,
-                              stat_columns, spark=spark)
+                              stat_columns, spark=spark,
+                              bloom_spec=table.bloom_spec())
     added = [e for e in all_out if e.rows > 0]
     n_rows = sum(e.rows for e in added)
     if n_rows == 0:

@@ -1247,3 +1247,14 @@ ALL["q81_table_stream_source"] = """
 SELECT source, lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY source, lang
 """
+
+# q82: bloom-index point lookups == plain key-IN filter (a bloom false
+# NEGATIVE would drop rows and break the hash; false positives only cost
+# an extra file read and change nothing relationally).
+ALL["q82_bloom_point_lookup"] = """
+SELECT printf('doc-%09d', doc_id) AS conv_id, doc_id, source, lang, n_chars
+FROM documents
+WHERE printf('doc-%09d', doc_id) IN
+    ('doc-000000003', 'doc-000000057', 'doc-000000123',
+     'doc-000000250', 'doc-000000411')
+"""

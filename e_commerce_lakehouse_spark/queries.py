@@ -1924,6 +1924,51 @@ def q81_table_stream_source(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q82_bloom_point_lookup(spark, sf_dir):
+    """Point lookups through the bloom-filter skipping index
+    (Table.set_bloom_columns, _bloom.py — Delta bloom-index / Iceberg
+    puffin analog). The table is written as hash-bucket appends: every
+    file spans nearly the whole key RANGE (min/max stats prune nothing)
+    but holds a disjoint key SET, so the planner's bloom refinement does
+    the skipping. The value-hash proves the index NEVER false-negatives:
+    a wrongly skipped file would drop rows and break the hash. One
+    absent-but-in-range key is probed too — it must contribute zero rows
+    whether or not a bloom false-positive keeps a file."""
+    import functools
+    import os
+    import shutil
+    import uuid
+
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%09d", F.col("doc_id")).alias("conv_id"),
+        "doc_id", "source", "lang", "n_chars",
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q82_{uuid.uuid4().hex[:12]}")
+    keys = [f"doc-{i:09d}" for i in (3, 57, 123, 250, 411)]
+    keys.append("doc-000000123-absent")  # in-range, never written
+    try:
+        t = Table.create(root)
+        t.set_bloom_columns(["conv_id"])
+        for i in range(4):
+            part = docs.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i)
+            entries = write_files(spark, t, part, 2, f"ingest-b{i}",
+                                  stat_columns=("conv_id",))
+            t.commit_append(entries, {"op": f"ingest-{i}"})
+        parts = [
+            scan(spark, t, conv_id=k, schema=docs.schema) for k in keys
+        ]
+        result = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2011,4 +2056,5 @@ ALL = {
     "q79_incremental_minhash_dedup": q79_incremental_minhash_dedup,
     "q80_stream_static_join": q80_stream_static_join,
     "q81_table_stream_source": q81_table_stream_source,
+    "q82_bloom_point_lookup": q82_bloom_point_lookup,
 }

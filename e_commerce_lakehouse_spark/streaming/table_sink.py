@@ -47,6 +47,7 @@ class _FileMessage(WriterCommitMessage):
     rows: int = 0
     bytes: int = 0
     stats: dict = field(default_factory=dict)
+    blooms: dict | None = None
 
 
 class LakehouseStreamWriter(DataSourceStreamWriter):
@@ -60,6 +61,11 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         )
         stat_cols = options.get("stat_columns", "conv_id,ts")
         self._stat_columns = tuple(c for c in stat_cols.split(",") if c)
+        # bloom spec resolved DRIVER-side at sink construction (the
+        # executor write task must stay session- and metadata-free)
+        from ..table.meta import Table
+
+        self._bloom_spec = Table.load(self._root).bloom_spec()
         self._schema = schema
         self._run = uuid.uuid4().hex[:12]
 
@@ -103,9 +109,11 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         abs_path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(tbl, abs_path, compression="zstd",
                        coerce_timestamps="us", allow_truncated_timestamps=True)
-        d = file_stats_dict(abs_path, self._root, self._stat_columns)
+        d = file_stats_dict(abs_path, self._root, self._stat_columns,
+                            bloom_spec=self._bloom_spec)
         return _FileMessage(path=d["path"], rows=d["rows"],
-                            bytes=d["bytes"], stats=d["stats"])
+                            bytes=d["bytes"], stats=d["stats"],
+                            blooms=d.get("blooms"))
 
     # ---- driver side ----
 
@@ -114,7 +122,8 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         from .ingest import txn_last_epoch
 
         entries = [
-            DataFileEntry(path=m.path, rows=m.rows, bytes=m.bytes, stats=m.stats)
+            DataFileEntry(path=m.path, rows=m.rows, bytes=m.bytes, stats=m.stats,
+                          blooms=getattr(m, "blooms", None))
             for m in messages
             if m is not None and m.rows > 0
         ]

@@ -98,19 +98,26 @@ class DataFileEntry:
     #: files written before/without a spec — the planner keeps those
     #: conservative (never pruned by partition).
     partition: dict | None = None
+    #: per-column bloom filters {col: {"m","k","ndv","b64"}} for
+    #: point-lookup file skipping (_bloom.py); None for files written
+    #: before/without a bloom spec — the planner keeps those
+    #: conservative (never pruned by bloom).
+    blooms: dict | None = None
 
     def to_dict(self) -> dict:
         d = {"path": self.path, "rows": self.rows, "bytes": self.bytes,
              "stats": self.stats, "seq": self.seq if self.seq is not None else 0}
         if self.partition is not None:
             d["partition"] = self.partition
+        if self.blooms is not None:
+            d["blooms"] = self.blooms
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DataFileEntry":
         return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
                    stats=d.get("stats", {}), seq=d.get("seq", 0),
-                   partition=d.get("partition"))
+                   partition=d.get("partition"), blooms=d.get("blooms"))
 
 
 @dataclass
@@ -840,6 +847,50 @@ class Table:
             json.dump({"constraints": constraints}, f)
         os.replace(tmp, self._constraints_path())
 
+    # ---------- bloom-filter skipping index ----------
+
+    def _bloom_spec_path(self) -> str:
+        return os.path.join(self.metadata_dir, "bloom.json")
+
+    def bloom_spec(self) -> dict[str, dict]:
+        """Declared bloom-index columns: {col: {"fpp":..., "max_bits":...}}.
+        Empty = no bloom index. Consulted by every write path (append /
+        rewrite / streaming sink) when footer stats are collected; files
+        written BEFORE the declaration simply carry no bloom and stay
+        conservative (never bloom-pruned) until a rewrite touches them —
+        Delta's bloom-filter-index backfill semantics."""
+        try:
+            with open(self._bloom_spec_path()) as f:
+                return json.load(f)["blooms"]
+        except FileNotFoundError:
+            return {}
+
+    def set_bloom_columns(
+        self,
+        columns: list[str],
+        fpp: float = 0.01,
+        max_bits: int | None = None,
+    ) -> None:
+        """Declare bloom-index columns (Delta `bloomfilter index` /
+        Iceberg puffin analog). ``columns=[]`` drops the index for future
+        writes (existing file blooms stay in manifests; they remain
+        correct, just unmaintained)."""
+        if self.branch is not None:
+            # table-global write policy (every ref's writers consult it) —
+            # same main-line-only rule as partition/schema evolution
+            raise ValueError("bloom index declaration on a branch is not "
+                             "supported; declare on main")
+        from .._bloom import DEFAULT_MAX_BITS
+
+        spec = {
+            c: {"fpp": fpp, "max_bits": max_bits or DEFAULT_MAX_BITS}
+            for c in columns
+        }
+        tmp = self._bloom_spec_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"blooms": spec}, f)
+        os.replace(tmp, self._bloom_spec_path())
+
     # ---------- hidden partitioning ----------
 
     def partition_spec(self) -> list:
@@ -1045,6 +1096,7 @@ class Table:
 _STAT_MIN = "stat_min_"
 _STAT_MAX = "stat_max_"
 _PART = "part_"
+_BLOOM = "bloom_"
 
 
 def _arrow_stat_type(values):
@@ -1101,6 +1153,27 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
     for k in part_keys:
         vals = [(e.partition or {}).get(k) for e in entries]
         arrays[_PART + k] = pa.array(vals, _arrow_stat_type(vals))
+    bloom_keys: list[str] = []
+    bseen: set[str] = set()
+    for e in entries:
+        for k in (e.blooms or {}):
+            if k not in bseen:
+                bseen.add(k)
+                bloom_keys.append(k)
+    for k in bloom_keys:
+        # compact-JSON bytes per file; the PLANNER never reads these
+        # columns for range pruning (scan._arrow_pruned_entries selects
+        # stat columns only) — bloom refinement re-reads (path, bloom_<k>)
+        # filtered to the min/max survivors
+        arrays[_BLOOM + k] = pa.array(
+            [
+                json.dumps(e.blooms[k], separators=(",", ":")).encode()
+                if e.blooms and k in e.blooms
+                else None
+                for e in entries
+            ],
+            pa.binary(),
+        )
     pq.write_table(pa.table(arrays), path, compression="zstd")
 
 
@@ -1111,6 +1184,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     this loop only ever runs over pruning survivors."""
     stat_keys = [c[len(_STAT_MIN):] for c in t.column_names if c.startswith(_STAT_MIN)]
     part_keys = [c[len(_PART):] for c in t.column_names if c.startswith(_PART)]
+    bloom_keys = [c[len(_BLOOM):] for c in t.column_names if c.startswith(_BLOOM)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
     seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
     out: list[DataFileEntry] = []
@@ -1126,11 +1200,17 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
             if v is not None:
                 part = part or {}
                 part[k] = v
+        blooms = None
+        for k in bloom_keys:
+            b = cols[_BLOOM + k][i]
+            if b is not None:
+                blooms = blooms or {}
+                blooms[k] = json.loads(b)
         out.append(
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
                           bytes=cols["bytes"][i], stats=stats,
                           seq=seqs[i] if seqs is not None else 0,
-                          partition=part)
+                          partition=part, blooms=blooms)
         )
     return out
 

@@ -51,11 +51,22 @@ def prune_entries(
 ) -> list[DataFileEntry]:
     if conv_id is not None:
         conv_id_range = (conv_id, conv_id)
+    point = None
+    if conv_id_range is not None and conv_id_range[0] is not None \
+            and conv_id_range[0] == conv_id_range[1]:
+        point = conv_id_range[0]
     out = []
     for e in entries:
         keep = True
         if conv_id_range is not None:
             keep = _overlaps(e.stats, "conv_id", conv_id_range[0], conv_id_range[1])
+        if keep and point is not None and e.blooms and "conv_id" in e.blooms:
+            # membership refinement (bloom index, _bloom.py): min/max says
+            # the key is in the file's RANGE; the bloom says whether it is
+            # plausibly in the file's SET. False = definitely absent.
+            from .._bloom import bloom_contains
+
+            keep = bloom_contains(e.blooms["conv_id"], point)
         if keep and ts_range is not None:
             lo = _ts_to_micros(ts_range[0]) if ts_range[0] is not None else None
             hi = _ts_to_micros(ts_range[1]) if ts_range[1] is not None else None
@@ -75,9 +86,17 @@ def _arrow_pruned_entries(manifest_path: str, conv_id_range, ts_range) -> list[D
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from .meta import arrow_manifest_to_entries
+    from .meta import _BLOOM, arrow_manifest_to_entries
 
-    t = pq.read_table(manifest_path)
+    # bloom blobs are NEVER read here — range pruning needs stats only;
+    # point-lookup bloom refinement re-reads (path, bloom_<col>) filtered
+    # to the survivors (_bloom_refine_arrow), so the planning scan stays
+    # O(stat columns) however large the bloom index is
+    schema_names = pq.read_schema(manifest_path).names
+    t = pq.read_table(
+        manifest_path,
+        columns=[c for c in schema_names if not c.startswith(_BLOOM)],
+    )
     cols = set(t.column_names)
 
     def _range_mask(col: str, lo, hi):
@@ -102,6 +121,42 @@ def _arrow_pruned_entries(manifest_path: str, conv_id_range, ts_range) -> list[D
     if mask is not None:
         t = t.filter(mask)
     return arrow_manifest_to_entries(t)
+
+
+def _bloom_refine_arrow(
+    manifest_path: str,
+    entries: list[DataFileEntry],
+    col: str,
+    value: str,
+) -> list[DataFileEntry]:
+    """Drop min/max survivors whose bloom says ``value`` is DEFINITELY
+    absent. Reads only (path, bloom_<col>) rows matching the survivor
+    paths — parquet row-group pruning on the path predicate keeps this
+    O(survivor row groups), not O(manifest); files without a bloom
+    (pre-declaration vintage) are conservatively kept."""
+    if not entries:
+        return entries
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from .._bloom import bloom_contains
+    from .meta import _BLOOM
+
+    bcol = _BLOOM + col
+    if bcol not in pq.read_schema(manifest_path).names:
+        return entries
+    paths = [e.path for e in entries]
+    t = pq.read_table(
+        manifest_path, columns=["path", bcol], filters=[("path", "in", paths)]
+    )
+    blob_by_path = dict(zip(t.column("path").to_pylist(), t.column(bcol).to_pylist()))
+    out = []
+    for e in entries:
+        blob = blob_by_path.get(e.path)
+        if blob is None or bloom_contains(_json.loads(blob), value):
+            out.append(e)
+    return out
 
 
 def planned_entries(
@@ -132,11 +187,16 @@ def planned_entries(
     seen: set[str] = set()
     import os
 
+    point = None
+    if conv_id_range is not None and conv_id_range[0] is not None \
+            and conv_id_range[0] == conv_id_range[1]:
+        point = conv_id_range[0]
     for m in snap.manifests:
         if m.endswith(".parquet") and (conv_id_range is not None or ts_range is not None):
-            ents = _arrow_pruned_entries(
-                os.path.join(table.metadata_dir, m), conv_id_range, ts_range
-            )
+            full = os.path.join(table.metadata_dir, m)
+            ents = _arrow_pruned_entries(full, conv_id_range, ts_range)
+            if point is not None:
+                ents = _bloom_refine_arrow(full, ents, "conv_id", point)
         else:
             ents = prune_entries(
                 table.manifest_entries(m), conv_id_range=conv_id_range, ts_range=ts_range

@@ -25,13 +25,20 @@ from .meta import DataFileEntry
 _DISTRIBUTE_THRESHOLD = 512
 
 
-def file_entry(abs_path: str, root: str, stat_columns: Iterable[str]) -> DataFileEntry:
+def file_entry(
+    abs_path: str,
+    root: str,
+    stat_columns: Iterable[str],
+    bloom_spec: dict | None = None,
+) -> DataFileEntry:
     """Build a DataFileEntry from one file's footer. Freshly collected
     entries are seq-UNSTAMPED (None): the commit that adds them assigns
     their data sequence number; rewrites that must preserve an older seq
     set it explicitly afterwards (from_dict's 0-default is for reading
     pre-seq manifests, not for new files)."""
-    e = DataFileEntry.from_dict(file_stats_dict(abs_path, root, stat_columns))
+    e = DataFileEntry.from_dict(
+        file_stats_dict(abs_path, root, stat_columns, bloom_spec=bloom_spec)
+    )
     e.seq = None
     return e
 
@@ -41,9 +48,13 @@ def collect_entries(
     root: str,
     stat_columns: Iterable[str],
     spark=None,
+    bloom_spec: dict | None = None,
 ) -> list[DataFileEntry]:
     """Footer-stat collection; distributed over executors when the file
-    count is large and a SparkSession is provided."""
+    count is large and a SparkSession is provided. ``bloom_spec``
+    (Table.bloom_spec()) additionally builds the per-file bloom index —
+    one extra column read per declared column, amortized into the same
+    (distributed) pass."""
     stat_columns = tuple(stat_columns)
     if spark is not None and len(abs_paths) > _DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
@@ -53,7 +64,10 @@ def collect_entries(
             # import-light executor path: _footer_stats pulls no pyspark
             from e_commerce_lakehouse_spark._footer_stats import file_stats_dict
 
-            return [file_stats_dict(p, root, stat_columns) for p in paths]
+            return [
+                file_stats_dict(p, root, stat_columns, bloom_spec=bloom_spec)
+                for p in paths
+            ]
 
         dicts = sc.parallelize(abs_paths, n_slices).mapPartitions(_part).collect()
         by_path = {}
@@ -63,7 +77,7 @@ def collect_entries(
             by_path[d["path"]] = e
         # preserve caller ordering
         return [by_path[os.path.relpath(p, root)] for p in abs_paths]
-    return [file_entry(p, root, stat_columns) for p in abs_paths]
+    return [file_entry(p, root, stat_columns, bloom_spec=bloom_spec) for p in abs_paths]
 
 
 def list_parquet_files(directory: str) -> list[str]:

@@ -68,7 +68,8 @@ def write_files(
             shaped = shaped.sortWithinPartitions(*sort_within)
         shaped.write.mode("error").partitionBy(*names).parquet(out_dir)
         paths = list_parquet_files(out_dir)
-        entries = collect_entries(paths, table.root, stat_columns, spark=spark)
+        entries = collect_entries(paths, table.root, stat_columns, spark=spark,
+                                  bloom_spec=table.bloom_spec())
         for e in entries:
             e.partition = partition_from_path(e.path, partition_spec)
         return entries
@@ -77,7 +78,8 @@ def write_files(
         shaped = shaped.sortWithinPartitions(*sort_within)
     shaped.write.mode("error").parquet(out_dir)
     paths = list_parquet_files(out_dir)
-    return collect_entries(paths, table.root, stat_columns, spark=spark)
+    return collect_entries(paths, table.root, stat_columns, spark=spark,
+                           bloom_spec=table.bloom_spec())
 
 
 def write_rewrite_files(
@@ -110,14 +112,16 @@ def write_rewrite_files(
             .parquet(out_dir)
         )
         entries = collect_entries(
-            list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+            list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
+            bloom_spec=table.bloom_spec(),
         )
         for e in entries:
             e.partition = partition_from_path(e.path, spec)
         return entries
     df.repartition(max(1, n_out)).write.mode("error").parquet(out_dir)
     return collect_entries(
-        list_parquet_files(out_dir), table.root, stat_columns, spark=spark
+        list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
+        bloom_spec=table.bloom_spec(),
     )
 
 

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
             "materialize-deletes", "skipping-report", "verify", "pipeline",
             "consume-changes", "register", "unregister", "catalog-sql",
             "evolve-partition", "create-branch", "delete-branch",
-            "branches", "fast-forward", "replicate",
+            "branches", "fast-forward", "replicate", "set-bloom",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -120,6 +120,11 @@ def main(argv=None) -> int:
                    help="update: semicolon-separated col=SQL-expr assignments")
     p.add_argument("--stages", default="compact,cluster,rewrite-manifests,expire",
                    help="pipeline: comma-separated stage list")
+    p.add_argument("--bloom-columns", default=None,
+                   help="set-bloom: comma-separated columns to bloom-index "
+                        "(empty string drops the index for future writes)")
+    p.add_argument("--bloom-fpp", type=float, default=0.01,
+                   help="set-bloom: target false-positive probability")
     p.add_argument("--tables", default=None,
                    help="pipeline: comma-separated EXTRA table roots to fan out "
                         "with --table in parallel (per-branch catch)")
@@ -219,6 +224,14 @@ def main(argv=None) -> int:
         result = drop_constraint(Table.load(args.table, branch=args.branch), args.constraint_name)
     elif args.op == "constraints":  # metadata-only
         result = {"constraints": Table.load(args.table, branch=args.branch).constraints()}
+    elif args.op == "set-bloom":  # metadata-only
+        if args.bloom_columns is None:
+            p.error("--op set-bloom requires --bloom-columns (may be empty to drop)")
+        t = Table.load(args.table, branch=args.branch)
+        t.set_bloom_columns(
+            [c for c in args.bloom_columns.split(",") if c], fpp=args.bloom_fpp
+        )
+        result = {"blooms": t.bloom_spec()}
     elif args.op == "skipping-report":  # metadata-only planning probe
         from e_commerce_lakehouse_spark.table.scan import prune_entries
 
