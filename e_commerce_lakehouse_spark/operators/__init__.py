@@ -3,6 +3,7 @@ from .cluster import cluster
 from .compact import compact
 from .expire import expire_snapshots
 from .manifest_rewrite import rewrite_manifests
+from .matview import create_matview, read_matview, refresh_matview
 from .merge import merge_into, merge_upsert_dataframes
 from .rollback import rollback_to
 from .rowlevel import delete_where, materialize_deletes, update_where
@@ -19,6 +20,9 @@ __all__ = [
     "cluster",
     "rewrite_manifests",
     "expire_snapshots",
+    "create_matview",
+    "refresh_matview",
+    "read_matview",
     "merge_into",
     "merge_upsert_dataframes",
     "rollback_to",

@@ -127,7 +127,7 @@ def merge_into(
     table: Table,
     source: DataFrame,
     keys=DEFAULT_KEYS,
-    order_col: str = "ts",
+    order_col: str | None = "ts",
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     schema=None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
@@ -151,7 +151,9 @@ def merge_into(
     # columns fill with NULL instead of failing analysis (review finding)
     from ..table.writer import align_to_schema
 
-    source = dedup_keep_latest(align_to_schema(source, schema), keys, order_col)
+    source = align_to_schema(source, schema)
+    if order_col is not None:  # None: caller guarantees unique keys
+        source = dedup_keep_latest(source, keys, order_col)
     from .constraints import enforce_constraints
 
     source = enforce_constraints(source, table, context="merge")  # O(batch), no-op w/o constraints

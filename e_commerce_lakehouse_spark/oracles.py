@@ -1248,6 +1248,37 @@ SELECT source, lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY source, lang
 """
 
+# q83: the incrementally-maintained rollup == a relational recompute of
+# the same mutation chain. Chain order matters: cow delete -> cow update
+# (zh) -> MoR delete (src0) -> MoR update (fr) -> MERGE upsert of
+# doc_id<40 (re-inserting previously deleted keys with the corr values,
+# which derive from the ORIGINAL documents rows).
+ALL["q83_matview_incremental"] = """
+WITH s1 AS (
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE NOT (lang = 'de' OR n_chars < 150)
+), s2 AS (
+    SELECT doc_id, source, lang,
+           CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+    FROM s1
+), s3 AS (
+    SELECT * FROM s2 WHERE source <> 'src0'
+), s4 AS (
+    SELECT doc_id, source, lang,
+           CASE WHEN lang = 'fr' THEN n_chars * 2 ELSE n_chars END AS n_chars
+    FROM s3
+), corr AS (
+    SELECT doc_id, source, lang, n_chars + 500 AS n_chars
+    FROM documents WHERE doc_id < 40
+), fin AS (
+    SELECT * FROM s4 WHERE doc_id >= 40
+    UNION ALL
+    SELECT * FROM corr
+)
+SELECT source, lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+FROM fin GROUP BY source, lang
+"""
+
 # q82: bloom-index point lookups == plain key-IN filter (a bloom false
 # NEGATIVE would drop rows and break the hash; false positives only cost
 # an extra file read and change nothing relationally).

@@ -1969,6 +1969,66 @@ def q82_bloom_point_lookup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q83_matview_incremental(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate
+    (operators/matview.py): a (source, lang) COUNT/SUM rollup is created
+    over a real table, the source then takes a cow DELETE, cow UPDATE,
+    MoR DELETE, MoR UPDATE and a MERGE upsert, and ONE refresh applies
+    the whole exact change-feed chain (balanced delete+insert deltas,
+    cdc poll_changes(exact=True)) — never recomputing from the source.
+    The oracle recomputes the same mutation chain relationally, so the
+    value hash proves the incremental path equals a full recompute."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.matview import create_matview, read_matview, refresh_matview
+    from .operators.merge import merge_into
+    from .operators.rowlevel import delete_where, update_where
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q83_{uuid.uuid4().hex[:12]}")
+    vroot = root + "-view"
+    try:
+        src = Table.create(root)
+        entries = write_files(spark, src, docs, 4, "ingest",
+                              stat_columns=("doc_id",))
+        src.commit_append(entries, {"op": "initial-ingest"})
+        view = create_matview(
+            spark, src, vroot, ["source", "lang"],
+            {"n": ("count", "*"), "sum_chars": ("sum", "n_chars")},
+            source_schema=docs.schema,
+        )
+        delete_where(spark, src, "lang = 'de' OR n_chars < 150",
+                     schema=docs.schema, stat_columns=("doc_id",))
+        update_where(spark, src, "lang = 'zh'", {"n_chars": "n_chars + 1000"},
+                     schema=docs.schema, stat_columns=("doc_id",))
+        delete_where(spark, src, "source = 'src0'", schema=docs.schema,
+                     mode="merge-on-read", keys=["doc_id"])
+        update_where(spark, src, "lang = 'fr'", {"n_chars": "n_chars * 2"},
+                     schema=docs.schema, stat_columns=("doc_id",),
+                     mode="merge-on-read", keys=["doc_id"])
+        corr = docs.where("doc_id < 40").withColumn(
+            "n_chars", F.col("n_chars") + 500
+        )
+        merge_into(spark, src, corr, keys=["doc_id"], order_col=None,
+                   schema=docs.schema, stat_columns=("doc_id",))
+        refresh_matview(spark, src, view, source_schema=docs.schema)
+        result = read_matview(spark, view).select(
+            "source", "lang", "n", "sum_chars"
+        )
+        rows = result.collect()  # materialize before the temp tables die
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(vroot, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2057,4 +2117,5 @@ ALL = {
     "q80_stream_static_join": q80_stream_static_join,
     "q81_table_stream_source": q81_table_stream_source,
     "q82_bloom_point_lookup": q82_bloom_point_lookup,
+    "q83_matview_incremental": q83_matview_incremental,
 }

@@ -238,7 +238,21 @@ class ChangeFeedConsumer(IncrementalConsumer):
     (/root/reference/src/lambda/file_processor.py) pushes object-created
     only; the delete feed is what its consumers lacked."""
 
-    def poll_changes(self, spark: SparkSession) -> dict | None:
+    def poll_changes(self, spark: SparkSession, exact: bool = False) -> dict | None:
+        """``exact=True`` upgrades the feed to a BALANCED delta (delete +
+        insert pairs that cancel additively — what incremental aggregate
+        maintenance needs, operators/matview.py):
+
+        - merge / cow-UPDATE / overwrite additionally emit the parent
+          snapshot's VISIBLE rows of each removed file as 'delete', so a
+          rewrite's carried-along re-inserts cancel instead of
+          double-counting;
+        - MoR UPDATE additionally emits its tombstone pre-images as
+          'delete' (the post-image 'insert' side already flows).
+
+        Exact batches are larger (O(rewritten files) instead of
+        O(changed rows)); plain consumers that re-key on upsert should
+        keep the default."""
         from pyspark.sql import functions as F
 
         from .scan import read_with_tombstones, scan
@@ -310,6 +324,26 @@ class ChangeFeedConsumer(IncrementalConsumer):
                     *[os.path.join(t.root, e.path) for e in new_entries]
                 )
                 parts.append(_with_change_cols(df, "insert", sid))
+            if exact and snap.operation in ("merge", "update", "overwrite"):
+                # balanced delete side: the parent's VISIBLE rows of each
+                # newly-removed file (tombstone-aware — a MoR-dead row was
+                # never visible, so it must not be "deleted" downstream);
+                # carried-along rows cancel against their re-emitted insert
+                parent_removed = set(psnap.removed_files) if psnap else set()
+                removed_new = set(snap.removed_files) - parent_removed
+                if removed_new:
+                    try:
+                        rm_entries = [e for e in t.entries(parent)
+                                      if e.path in removed_new]
+                    except FileNotFoundError as e:
+                        raise ChangeFeedError(
+                            f"snapshot {parent} expired — no pre-image basis "
+                            f"for the rewrite at {sid}; re-sync"
+                        ) from e
+                    pre = read_with_tombstones(
+                        spark, t, rm_entries, schema, snapshot_id=parent
+                    )
+                    parts.append(_with_change_cols(pre, "delete", sid))
             if snap.operation == "delete":
                 parent_removed = set(psnap.removed_files) if psnap else set()
                 removed_new = set(snap.removed_files) - parent_removed
@@ -323,7 +357,9 @@ class ChangeFeedConsumer(IncrementalConsumer):
                         )
                         pre = pre.exceptAll(post)
                     parts.append(_with_change_cols(pre, "delete", sid))
-            if snap.operation == "delete-mor":
+            if snap.operation == "delete-mor" or (
+                exact and snap.operation == "update-mor"
+            ):
                 prev_paths = {d["path"] for d in psnap.tombstones} if psnap else set()
                 new_tombs = [d["path"] for d in snap.tombstones
                              if d["path"] not in prev_paths]
