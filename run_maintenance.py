@@ -66,6 +66,7 @@ def main(argv=None) -> int:
             "consume-changes", "register", "unregister", "catalog-sql",
             "evolve-partition", "create-branch", "delete-branch",
             "branches", "fast-forward", "replicate", "set-bloom",
+            "matview-create", "matview-refresh",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -125,6 +126,13 @@ def main(argv=None) -> int:
                         "(empty string drops the index for future writes)")
     p.add_argument("--bloom-fpp", type=float, default=0.01,
                    help="set-bloom: target false-positive probability")
+    p.add_argument("--view", default=None,
+                   help="matview-create/refresh: view table root")
+    p.add_argument("--group-by", default=None,
+                   help="matview-create: comma-separated group columns")
+    p.add_argument("--aggs", default=None,
+                   help="matview-create: semicolon list out=fn:col "
+                        "(fn: count|sum), e.g. 'n=count:*;sum_chars=sum:n_chars'")
     p.add_argument("--tables", default=None,
                    help="pipeline: comma-separated EXTRA table roots to fan out "
                         "with --table in parallel (per-branch catch)")
@@ -329,6 +337,30 @@ def main(argv=None) -> int:
                 spark, t, args.source, args.checkpoint,
                 source_format=args.ingest_format,
             )
+        elif args.op == "matview-create":
+            from e_commerce_lakehouse_spark.operators.matview import create_matview
+
+            if not (args.view and args.group_by and args.aggs):
+                p.error("--op matview-create requires --view, --group-by, --aggs")
+            aggs = {}
+            for part in args.aggs.split(";"):
+                out, _, spec = part.partition("=")
+                fn, _, col = spec.partition(":")
+                aggs[out.strip()] = (fn.strip(), col.strip() or "*")
+            v = create_matview(spark, Table.load(args.table), args.view,
+                               [c for c in args.group_by.split(",") if c], aggs)
+            result = {"view": args.view, "view_snapshot": v.current_snapshot_id(),
+                      "rows": v.total_rows(),
+                      "at_source_sid": v.snapshot().summary["matview_to_sid"]}
+        elif args.op == "matview-refresh":
+            from e_commerce_lakehouse_spark.operators.matview import refresh_matview
+
+            if not args.view:
+                p.error("--op matview-refresh requires --view")
+            result = with_retries(
+                lambda: refresh_matview(spark, Table.load(args.table),
+                                        Table.load(args.view)),
+                attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "replicate":
             # incremental table->table replication entirely through the
             # native streaming surfaces: source offsets = snapshot ids,
