@@ -1,0 +1,71 @@
+"""Deterministic cardinality sketches (KMV / k-minimum-values).
+
+Distinct-count ESTIMATION is a workhorse on a 100 TB lake — shuffle
+sizing, join-side selection, dedup-rate monitoring — but HLL-class
+sketches (Spark's approx_count_distinct) are engine-specific, so their
+answers cannot be value-hash oracled. KMV (Bar-Yossef et al. 2002) over
+a DETERMINISTIC hash is both: keep the k smallest md5-derived hash
+values of a column; with the hash mapped to [0, 2^60), the k-th
+smallest h_k estimates ndv as (k-1) * 2^60 / h_k, and any engine that
+can md5 reproduces the estimate bit-for-bit (DuckDB twin: q84).
+
+Exactness guarantee: a group with fewer than k distinct hashes reports
+its EXACT distinct count (the sketch degenerates to the full set).
+
+Scale shape: one shuffle on (group, hash) with map-side partial
+aggregation reduces the stream to distinct hashes; the per-group k-min
+is a window top-k over those distinct hashes. A production variant
+would pre-reduce each map partition to its local k smallest per group
+before the shuffle (same answer, bounded shuffle volume) — the
+formulation here keeps every stage a relational op so the DuckDB
+oracle can state it verbatim.
+
+Reference: no analog (the reference counts with exact COUNT(DISTINCT)
+in Athena, /root/reference/src/glue_jobs/orders_etl.py:224-240 scale
+notes in SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)  # md5 15-hex-char prefix → [0, 2^60)
+
+
+def _h60(col: str):
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group estimated distinct count of ``col``.
+
+    Returns (group_cols..., n_min, kth_hash, est_distinct): n_min = how
+    many of the k minimum slots filled (= exact distinct count when
+    < k), est_distinct = the KMV estimate rounded to 2 dp (exact when
+    n_min < k)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by h_k)")
+    from pyspark.sql import Window
+
+    hashes = df.select(*group_cols, _h60(col).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    ranked = hashes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_min"), F.max("_h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("kth_hash"), 2)
+    )
+    return per_group.select(
+        *group_cols, "n_min", "kth_hash", est.alias("est_distinct")
+    )

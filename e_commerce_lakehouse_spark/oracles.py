@@ -1289,3 +1289,22 @@ WHERE printf('doc-%09d', doc_id) IN
     ('doc-000000003', 'doc-000000057', 'doc-000000123',
      'doc-000000250', 'doc-000000411')
 """
+
+# q84: KMV sketch — the deterministic md5 hash makes the ESTIMATE itself
+# reproducible across engines (same k-th minimum, same arithmetic).
+ALL["q84_kmv_distinct_sketch"] = """
+WITH h AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS _h
+    FROM documents
+), ranked AS (
+    SELECT source, _h,
+           row_number() OVER (PARTITION BY source ORDER BY _h) AS rn
+    FROM h
+)
+SELECT source, count(*)::BIGINT AS n_min, max(_h) AS kth_hash,
+       CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+            ELSE round(15.0 * 1152921504606846976.0 / max(_h), 2)
+       END AS est_distinct
+FROM ranked WHERE rn <= 16 GROUP BY source
+"""

@@ -2029,6 +2029,21 @@ def q83_matview_incremental(spark, sf_dir):
         shutil.rmtree(vroot, ignore_errors=True)
 
 
+def q84_kmv_distinct_sketch(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.py): per-source
+    estimated distinct doc ids with k=16 minimum md5-hash slots. Unlike
+    HLL (approx_count_distinct), the deterministic hash makes even the
+    ESTIMATE value-hash oracle-able — DuckDB computes the identical
+    k-th minimum and the identical (k-1)*2^60/h_k estimate. Groups with
+    fewer than k distinct values report exactly."""
+    from .operators.sketch import kmv_distinct_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    return kmv_distinct_by_group(docs, ["source"], "doc_key", k=16)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2118,4 +2133,5 @@ ALL = {
     "q81_table_stream_source": q81_table_stream_source,
     "q82_bloom_point_lookup": q82_bloom_point_lookup,
     "q83_matview_incremental": q83_matview_incremental,
+    "q84_kmv_distinct_sketch": q84_kmv_distinct_sketch,
 }
