@@ -185,6 +185,16 @@ class Table:
         #: Table flips BRANCH-<name> instead of VERSION, so main readers
         #: never see branch work until fast_forward.
         self.branch = branch
+        #: seconds a commit will WAIT for a fresh foreign COMMIT.lock
+        #: before raising CommitConflictError. 0 (default) = fail fast —
+        #: the historical single-writer contract. A positive value turns
+        #: lock contention into transparent serialization: appends never
+        #: conflict semantically (parent is re-read inside the lock), so
+        #: N concurrent appenders with lock_wait_s all land, no caller
+        #: retry loop. Rewrite commits still conflict on stale inputs
+        #: after the wait (snapshot-isolation guard) — waiting buys them
+        #: nothing but a faster re-plan signal.
+        self.lock_wait_s: float = 0.0
         # snapshot-id -> entry list. Snapshots are immutable once written,
         # so caching is always sound; bounded to 2 so an 800k-file table
         # holds at most ~2 entry lists in driver memory. Keeps the commit
@@ -202,12 +212,14 @@ class Table:
         return t
 
     @classmethod
-    def load(cls, root: str, branch: str | None = None) -> "Table":
+    def load(cls, root: str, branch: str | None = None,
+             lock_wait_s: float = 0.0) -> "Table":
         t = cls(root, branch=branch)
         if not os.path.isdir(t.metadata_dir):
             raise FileNotFoundError(f"not a table: {root}")
         if branch is not None and not os.path.exists(t._version_path()):
             raise ValueError(f"no such branch: {branch}")
+        t.lock_wait_s = lock_wait_s
         return t
 
     # ---------- metadata reads ----------
@@ -301,7 +313,12 @@ class Table:
         cannot delete the new holder's lock."""
         path = self._lock_path()
         token = f"{os.getpid()}-{time.time_ns()}"
-        for attempt in range(2):
+        # lock_wait_s > 0: bounded poll turns contention into transparent
+        # serialization (concurrent appends all land — Iceberg's
+        # commit-retry shape); 0 keeps the historical fail-fast contract
+        deadline = time.monotonic() + max(0.0, self.lock_wait_s)
+        broke_stale = False
+        while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
@@ -310,17 +327,20 @@ class Table:
                     age = time.time() - os.stat(path).st_mtime
                 except FileNotFoundError:
                     continue  # holder just released — retry O_EXCL
-                if age > _LOCK_STALE_S and attempt == 0:
+                if age > _LOCK_STALE_S and not broke_stale:
+                    broke_stale = True
                     with contextlib.suppress(FileNotFoundError, OSError):
                         os.rename(path, f"{path}.broken-{token}")
                         os.remove(f"{path}.broken-{token}")
                     continue
+                if time.monotonic() < deadline:
+                    time.sleep(0.05)
+                    continue
                 raise CommitConflictError(
                     f"{self.root}: another writer holds COMMIT.lock "
-                    f"(age {age:.0f}s); this table is single-writer"
+                    f"(age {age:.0f}s); this table is single-writer "
+                    f"(set lock_wait_s to serialize instead)"
                 ) from None
-        else:  # pragma: no cover - both attempts collided
-            raise CommitConflictError(f"{self.root}: could not acquire COMMIT.lock")
         try:
             os.write(fd, token.encode())
             os.close(fd)

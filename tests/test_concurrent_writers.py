@@ -137,3 +137,37 @@ def test_concurrent_append_compact_mor_delete(spark, tmp_path):
         chain.add(sid)
         sid = table.snapshot(sid).parent_id
     assert chain == set(sids), "orphaned snapshot outside the head chain"
+
+
+def test_lock_wait_serializes_concurrent_appends_without_retries(spark, tmp_path):
+    """lock_wait_s > 0: N concurrent appenders all land with ZERO caller
+    retry loops — contention becomes transparent serialization (the
+    parent is re-read inside the lock, so appends never conflict
+    semantically). Default 0 keeps fail-fast
+    (test_commit_lock_enforces_single_writer)."""
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+
+    root = str(tmp_path / "lockwait_tbl")
+    df = transcripts_df(spark, 2_000, seed=11).cache()
+    create_transcripts_table(spark, root, df, rows_per_file=1_000)
+    batches = [df.limit(200) for _ in range(3)]
+    errors: list = []
+
+    def _worker(i):
+        try:
+            t = Table.load(root, lock_wait_s=30.0)
+            entries = write_files(spark, t, batches[i], 1, f"lw-{i:02d}")
+            t.commit_append(entries, {"op": f"lw-{i}"})  # NO with_retries
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=_worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    table = Table.load(root)
+    # all three appends landed on a linear chain
+    assert table.current_snapshot_id() == 4  # create(1) + 3 appends
+    assert scan(spark, table).count() == 2_000 + 3 * 200
