@@ -110,6 +110,23 @@ class SimulatedCrash(RuntimeError):
     """Raised by fail_after_shards to exercise kill/resume in tests."""
 
 
+def _last_cluster_sid(table: Table) -> int | None:
+    """Newest snapshot on the head chain that was a cluster commit (full
+    or incremental), by its summary op marker. A chain broken by expire
+    returns None — the caller falls back to a full cluster, which is
+    always safe."""
+    try:
+        sid = table.current_snapshot_id()
+        while sid is not None:
+            s = table.snapshot(sid)
+            if str(s.summary.get("op", "")).startswith("cluster-"):
+                return sid
+            sid = s.parent_id
+    except FileNotFoundError:
+        pass
+    return None
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -122,6 +139,7 @@ def cluster(
     fail_after_shards: int | None = None,
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Cluster the table (or, with ``conv_id_range``/``ts_range``, ONLY
     the files whose stat ranges overlap the predicate — a hot-slice
@@ -140,6 +158,33 @@ def cluster(
     entries = table.entries()
     scoped = conv_id_range is not None or ts_range is not None
     scoped_seq = None
+    if incremental:
+        # LIQUID-style incremental clustering: rewrite ONLY the files
+        # whose data-sequence number postdates the last cluster commit —
+        # appends, merge outputs and cow rewrites since then. Selection
+        # is pure metadata (seq vs the last cluster snapshot id): cluster
+        # outputs carry seq <= their own commit, so they are never
+        # re-picked; a later full run consolidates the per-increment
+        # sorted sets. On a 100 TB table this makes the daily cadence
+        # O(new data), not O(table).
+        if scoped:
+            raise ValueError(
+                "incremental clustering and predicate scoping are "
+                "mutually exclusive (incremental derives its own scope)"
+            )
+        thr = _last_cluster_sid(table)
+        if thr is not None:
+            entries = [e for e in entries if (e.seq or 0) > thr]
+            if not entries:
+                return {"base_snapshot": base_snapshot,
+                        "committed_snapshot": base_snapshot,
+                        "noop": True, "incremental": True}
+            # reuse the scoped machinery: raw file-slice reads, tombstone
+            # applicability-class guard, preserved max-input seq,
+            # tombstones propagated (NOT cleared — out-of-scope files may
+            # still carry live tombstoned rows)
+            scoped = True
+        # thr None: never clustered -> a plain FULL cluster bootstraps
     if scoped:
         from ..table.scan import prune_entries, tombstone_classes
 
@@ -284,7 +329,8 @@ def cluster(
         added,
         operation="replace",
         summary={"op": f"cluster-{curve}", "output_files": len(added),
-                 "shards": shards, "scoped": scoped},
+                 "shards": shards, "scoped": scoped,
+                 "incremental": incremental},
         # full-table source was the tombstone-filtered scan: deletes are
         # now physically applied. Scoped source was raw files: keep them.
         # expected_tombstones: a delete-mor landing between our scan and

@@ -111,6 +111,9 @@ def main(argv=None) -> int:
                    help="add-constraint/drop-constraint: the constraint name")
     p.add_argument("--order-preserving", action="store_true",
                    help="compact: pack consecutive key ranges (use on clustered tables)")
+    p.add_argument("--incremental", action="store_true",
+                   help="cluster: rewrite only files appended/rewritten since "
+                        "the last cluster commit (liquid-style; seq-selected)")
     p.add_argument("--mode", default="copy-on-write",
                    choices=["copy-on-write", "merge-on-read"],
                    help="delete: cow rewrites touched files; mor writes key tombstones only")
@@ -317,7 +320,8 @@ def main(argv=None) -> int:
                 lambda: cluster(spark, Table.load(args.table, branch=args.branch), curve=args.curve,
                                 target_bytes=target_bytes, shards=args.shards,
                                 checkpoint_path=args.checkpoint,
-                                conv_id_range=conv_range),
+                                conv_id_range=conv_range,
+                                incremental=args.incremental),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "merge":
             if not args.source:
