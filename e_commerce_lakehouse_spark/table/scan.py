@@ -30,6 +30,17 @@ def _ts_to_micros(v) -> int:
     return int(v)
 
 
+def _bloom_probe_value(v) -> str | None:
+    """Canonical bloom probe string, or None when probing is UNSAFE.
+    Blooms are built over str(value) of the column's Python values
+    (_footer_stats): exact only for str and int. A float/Decimal/bool
+    probe (e.g. 123.0 for an int column) would canonicalize differently
+    and FALSE-NEGATIVE — those skip the bloom (stats still prune)."""
+    if type(v) in (str, int):
+        return str(v)
+    return None
+
+
 def _overlaps(stats: dict, col: str, lo, hi) -> bool:
     """Conservative interval overlap; missing stats -> keep the file."""
     rng = stats.get(col)
@@ -48,25 +59,40 @@ def prune_entries(
     conv_id: str | None = None,
     conv_id_range: tuple[str | None, str | None] | None = None,
     ts_range: tuple | None = None,
+    eq: dict | None = None,
 ) -> list[DataFileEntry]:
+    """``eq`` adds GENERIC point predicates ({col: value}, str/int
+    columns): each prunes by the col's [min, max] stat range and — when
+    the file carries a bloom for that col — by set membership. Values
+    probe the bloom as str(value), matching the write side."""
     if conv_id is not None:
         conv_id_range = (conv_id, conv_id)
-    point = None
+    points = dict(eq or {})
     if conv_id_range is not None and conv_id_range[0] is not None \
             and conv_id_range[0] == conv_id_range[1]:
-        point = conv_id_range[0]
+        points["conv_id"] = conv_id_range[0]
     out = []
     for e in entries:
         keep = True
         if conv_id_range is not None:
             keep = _overlaps(e.stats, "conv_id", conv_id_range[0], conv_id_range[1])
-        if keep and point is not None and e.blooms and "conv_id" in e.blooms:
-            # membership refinement (bloom index, _bloom.py): min/max says
-            # the key is in the file's RANGE; the bloom says whether it is
-            # plausibly in the file's SET. False = definitely absent.
-            from .._bloom import bloom_contains
+        for col, v in (points.items() if keep else ()):
+            if col != "conv_id":
+                try:
+                    keep = _overlaps(e.stats, col, v, v)
+                except TypeError:
+                    keep = True  # stat/value type mismatch: conservative
+            probe = _bloom_probe_value(v)
+            if keep and probe is not None and e.blooms and col in e.blooms:
+                # membership refinement (bloom index, _bloom.py): min/max
+                # says the key is in the file's RANGE; the bloom says
+                # whether it is plausibly in the file's SET. False =
+                # definitely absent.
+                from .._bloom import bloom_contains
 
-            keep = bloom_contains(e.blooms["conv_id"], point)
+                keep = bloom_contains(e.blooms[col], probe)
+            if not keep:
+                break
         if keep and ts_range is not None:
             lo = _ts_to_micros(ts_range[0]) if ts_range[0] is not None else None
             hi = _ts_to_micros(ts_range[1]) if ts_range[1] is not None else None
@@ -76,7 +102,9 @@ def prune_entries(
     return out
 
 
-def _arrow_pruned_entries(manifest_path: str, conv_id_range, ts_range) -> list[DataFileEntry]:
+def _arrow_pruned_entries(
+    manifest_path: str, conv_id_range, ts_range, eq: dict | None = None
+) -> list[DataFileEntry]:
     """Vectorized manifest pruning: evaluate the stat-range predicates on
     the parquet manifest's typed columns (pyarrow.compute) and materialize
     Python entries ONLY for survivors. At 800k files this plans a point
@@ -112,6 +140,13 @@ def _arrow_pruned_entries(manifest_path: str, conv_id_range, ts_range) -> list[D
     mask = None
     if conv_id_range is not None:
         mask = _range_mask("conv_id", conv_id_range[0], conv_id_range[1])
+    for col, v in (eq or {}).items():
+        try:
+            m2 = _range_mask(col, v, v)
+        except Exception:  # stat/value type mismatch: conservative
+            m2 = None
+        if m2 is not None:
+            mask = m2 if mask is None else pc.and_(mask, m2)
     if ts_range is not None:
         lo = _ts_to_micros(ts_range[0]) if ts_range[0] is not None else None
         hi = _ts_to_micros(ts_range[1]) if ts_range[1] is not None else None
@@ -165,6 +200,7 @@ def planned_entries(
     conv_id: str | None = None,
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
+    eq: dict | None = None,
 ) -> list[DataFileEntry]:
     """Plan a (possibly predicate-pruned) scan: the live file set of a
     snapshot restricted to files whose stat ranges overlap the predicates.
@@ -187,19 +223,23 @@ def planned_entries(
     seen: set[str] = set()
     import os
 
-    point = None
+    points = dict(eq or {})
     if conv_id_range is not None and conv_id_range[0] is not None \
             and conv_id_range[0] == conv_id_range[1]:
-        point = conv_id_range[0]
+        points["conv_id"] = conv_id_range[0]
+    any_pred = conv_id_range is not None or ts_range is not None or bool(eq)
     for m in snap.manifests:
-        if m.endswith(".parquet") and (conv_id_range is not None or ts_range is not None):
+        if m.endswith(".parquet") and any_pred:
             full = os.path.join(table.metadata_dir, m)
-            ents = _arrow_pruned_entries(full, conv_id_range, ts_range)
-            if point is not None:
-                ents = _bloom_refine_arrow(full, ents, "conv_id", point)
+            ents = _arrow_pruned_entries(full, conv_id_range, ts_range, eq=eq)
+            for col, v in points.items():
+                probe = _bloom_probe_value(v)
+                if probe is not None:
+                    ents = _bloom_refine_arrow(full, ents, col, probe)
         else:
             ents = prune_entries(
-                table.manifest_entries(m), conv_id_range=conv_id_range, ts_range=ts_range
+                table.manifest_entries(m), conv_id_range=conv_id_range,
+                ts_range=ts_range, eq=eq,
             )
         for e in ents:
             if e.path not in removed and e.path not in seen:
@@ -313,12 +353,16 @@ def scan(
     schema=None,
     as_of_ts_ms: int | None = None,
     ref: str | None = None,
+    eq: dict | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot with manifest-level file skipping.
 
     ``as_of_ts_ms`` time-travels to the snapshot current at that
     wall-clock time; ``ref`` pins a named tag — each is mutually
     exclusive with ``snapshot_id``.
+    ``eq`` ({col: value}) adds generic point predicates on any
+    stat-tracked (and optionally bloom-indexed) column — file skipping
+    plus the row filter, like ``conv_id=`` but for arbitrary columns.
     ``schema=None`` resolves the table's schema as of the pinned snapshot
     (see resolve_schema). Returns an empty typed DataFrame when
     everything prunes away."""
@@ -329,7 +373,8 @@ def scan(
     if ref is not None:
         snapshot_id = table.resolve_ref(ref)
     schema = resolve_schema(table, snapshot_id, schema)
-    entries = planned_entries(table, snapshot_id, conv_id, conv_id_range, ts_range)
+    entries = planned_entries(table, snapshot_id, conv_id, conv_id_range,
+                              ts_range, eq=eq)
     # merge-on-read tombstones are applied seq-aware inside the read (see
     # read_with_tombstones); applied before the column projection so key
     # columns need not be selected
@@ -349,6 +394,8 @@ def scan(
             df = df.where(F.col("ts") >= lo)
         if hi is not None:
             df = df.where(F.col("ts") <= hi)
+    for col, v in (eq or {}).items():
+        df = df.where(F.col(col) == v)
     if columns:
         df = df.select(*columns)
     return df

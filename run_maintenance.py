@@ -120,6 +120,10 @@ def main(argv=None) -> int:
     p.add_argument("--conv-id-range", default=None, metavar="LO:HI",
                    help="compact/cluster: scope the rewrite to files whose conv_id "
                         "stats overlap [LO, HI] (either side empty = unbounded)")
+    p.add_argument("--eq", default=None, metavar="COL=VALUE",
+                   help="skipping-report: generic point predicate on any "
+                        "stat-tracked (and bloom-indexed) column; integer "
+                        "values auto-cast")
     p.add_argument("--set", default=None, dest="set_exprs",
                    help="update: semicolon-separated col=SQL-expr assignments")
     p.add_argument("--stages", default="compact,cluster,rewrite-manifests,expire",
@@ -251,11 +255,16 @@ def main(argv=None) -> int:
         if args.conv_id_range:
             lo, _, hi = args.conv_id_range.partition(":")
             conv_range = (lo or None, hi or None)
+        eq = None
+        if args.eq:
+            col, _, val = args.eq.partition("=")
+            eq = {col: int(val) if val.lstrip("-").isdigit() else val}
         entries = t.entries(args.snapshot)
-        kept = prune_entries(entries, conv_id_range=conv_range)
+        kept = prune_entries(entries, conv_id_range=conv_range, eq=eq)
         result = {
             "snapshot": args.snapshot or t.current_snapshot_id(),
             "conv_id_range": conv_range,
+            "eq": eq,
             "total_files": len(entries),
             "files_scanned": len(kept),
             "files_skipped": len(entries) - len(kept),

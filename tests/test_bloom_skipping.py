@@ -170,3 +170,36 @@ def test_pre_declaration_files_stay_conservative(spark, tiny_table, tiny_df):
     compact(spark, tiny_table, target_bytes=1 << 20)
     assert all(e.blooms for e in tiny_table.entries())
     assert planned_entries(tiny_table, conv_id=ABSENT_IN_RANGE) == []
+
+
+def test_generic_eq_point_pruning_non_transcript_column(spark, tmp_path):
+    """scan(eq={col: value}): point skipping for ANY stat-tracked +
+    bloom-indexed column — here an int64 doc_id on a documents-shaped
+    table (no conv_id anywhere)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "source", "lang", "n_chars")
+    t = Table.create(str(tmp_path / "eqtbl"))
+    t.set_bloom_columns(["doc_id"])
+    from e_commerce_lakehouse_spark.table.writer import write_files
+
+    for i in range(4):
+        part = docs.where(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4)) == i)
+        entries = write_files(spark, t, part, 2, f"eq-{i}", stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": f"eq-{i}"})
+    total = len(t.entries())
+    # every file spans nearly the full doc_id range; the bloom must cut
+    # the plan down to (about) the key's own bucket
+    kept = planned_entries(t, eq={"doc_id": 123})
+    assert 0 < len(kept) < total
+    got = scan(spark, t, eq={"doc_id": 123}, schema=docs.schema)
+    want = scan(spark, t, schema=docs.schema).where("doc_id = 123")
+    assert_same_rows(got, want)
+    assert got.count() == 1
+    # int out of every file's range: stats alone prune to zero
+    assert planned_entries(t, eq={"doc_id": 10**12}) == []
+    # a FLOAT probe must NOT bloom-probe (str(123.0) != str(123) — a
+    # false negative hazard): plan stays conservative and the row filter
+    # still finds the value under SQL numeric-equality semantics
+    assert len(planned_entries(t, eq={"doc_id": 123.0})) == total
+    got_f = scan(spark, t, eq={"doc_id": 123.0}, schema=docs.schema)
+    assert got_f.count() == 1
