@@ -59,7 +59,10 @@ def build_bloom(
     vals = set(values)
     n = max(1, len(vals))
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = min(max(64, ((m + 63) // 64) * 64), max_bits)
+    # cap first ROUNDED DOWN to a 64-bit multiple: a caller-supplied cap
+    # like 1001 must never leave bit positions past the bytearray's end
+    cap = max(64, (int(max_bits) // 64) * 64)
+    m = min(max(64, ((m + 63) // 64) * 64), cap)
     k = max(1, min(16, round(m / n * math.log(2))))
     bits = bytearray(m // 8)
     for v in vals:
@@ -73,6 +76,18 @@ def build_bloom(
         "ndv": len(vals),
         "b64": base64.b64encode(bytes(bits)).decode("ascii"),
     }
+
+
+def build_bloom_from_values(values, params: dict | None = None) -> dict:
+    """THE canonicalization contract, shared by every builder
+    (_footer_stats footer pass, compact's in-memory Arrow wave): non-null
+    values hashed as str(value), sizing params filtered to the supported
+    keys. scan._bloom_probe_value mirrors the str() form on the probe
+    side — change them together."""
+    return build_bloom(
+        (str(v) for v in values if v is not None),
+        **{k: v for k, v in (params or {}).items() if k in ("fpp", "max_bits")},
+    )
 
 
 def bloom_contains(bloom: dict, value: str) -> bool:

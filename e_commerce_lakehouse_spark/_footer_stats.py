@@ -76,14 +76,10 @@ def file_stats_dict(
                 continue
             import pyarrow.compute as pc
 
-            from ._bloom import build_bloom
+            from ._bloom import build_bloom_from_values
 
             vals = pc.unique(pf.read(columns=[col]).column(col))
-            blooms[col] = build_bloom(
-                (str(v) for v in vals.to_pylist() if v is not None),
-                **{k: v for k, v in (params or {}).items()
-                   if k in ("fpp", "max_bits")},
-            )
+            blooms[col] = build_bloom_from_values(vals.to_pylist(), params)
         if blooms:
             out["blooms"] = blooms
     return out

@@ -143,17 +143,13 @@ def _rewrite_wave_arrow(
                 # of the file just written
                 import pyarrow.compute as pc
 
-                from e_commerce_lakehouse_spark._bloom import build_bloom
+                from e_commerce_lakehouse_spark._bloom import build_bloom_from_values
 
                 blooms = {}
                 for bcol, params in bloom_spec.items():
                     if bcol in merged.column_names:
                         vals = pc.unique(merged.column(bcol))
-                        blooms[bcol] = build_bloom(
-                            (str(v) for v in vals.to_pylist() if v is not None),
-                            **{k: v for k, v in (params or {}).items()
-                               if k in ("fpp", "max_bits")},
-                        )
+                        blooms[bcol] = build_bloom_from_values(vals.to_pylist(), params)
                 if blooms:
                     e["blooms"] = blooms
             yield {

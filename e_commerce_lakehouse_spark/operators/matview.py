@@ -105,10 +105,17 @@ def _spec_path(view: Table) -> str:
 
 
 def _write_view(spark, view: Table, df: DataFrame, subdir: str):
+    """Persist across the sizing count and the write — the combine
+    pipeline upstream (exact change-feed read + two aggregations) must
+    evaluate once, not once per action (review finding)."""
     from ..table.writer import write_files
 
-    n_files = max(1, math.ceil(df.count() / 500_000))
-    return write_files(spark, view, df, n_files, subdir, stat_columns=())
+    df = df.persist()
+    try:
+        n_files = max(1, math.ceil(df.count() / 500_000))
+        return write_files(spark, view, df, n_files, subdir, stat_columns=())
+    finally:
+        df.unpersist()
 
 
 def create_matview(
@@ -144,6 +151,24 @@ def matview_spec(view: Table) -> dict:
         return json.load(f)
 
 
+def _applied_sid(view: Table) -> int:
+    """The newest committed source cursor: walk the view's chain for the
+    latest summary carrying matview_to_sid — the view is a normal table,
+    so maintenance commits (compact, rewrite-manifests) may sit on top
+    of the last refresh (review finding: plain head indexing raised
+    KeyError after any such commit and bricked the view)."""
+    sid = view.current_snapshot_id()
+    while sid is not None:
+        snap = view.snapshot(sid)
+        if "matview_to_sid" in snap.summary:
+            return snap.summary["matview_to_sid"]
+        sid = snap.parent_id
+    raise ValueError(
+        f"{view.root}: no snapshot carries matview_to_sid — not a "
+        f"materialized view (create_matview first)"
+    )
+
+
 def refresh_matview(
     spark: SparkSession,
     source: Table,
@@ -160,16 +185,25 @@ def refresh_matview(
         )
     group_by = spec["group_by"]
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
-    last = view.snapshot().summary["matview_to_sid"]
+    last = _applied_sid(view)
     head = source.current_snapshot_id()
     if head == last:
         return {"noop": True, "at_sid": head}
     batch = _PinnedConsumer(source, last, schema=source_schema).poll_changes(
         spark, exact=True
     )
-    delta_rows = batch["df"]
+    # the cursor we COMMIT must be the head the consumer actually read —
+    # poll_changes re-reads the source head itself, and a concurrent
+    # commit landing between our read and its read would otherwise be
+    # applied now but recorded as unapplied (double-count on the next
+    # refresh; review finding)
+    head = batch["to"]
+    # persist: the exact feed is the expensive leg and feeds BOTH the
+    # isEmpty probe and the delta aggregate (review finding)
+    delta_rows = batch["df"].persist()
     out_cols = [*group_by, _COUNT_COL, *aggs.keys()]
     if delta_rows.isEmpty():
+        delta_rows.unpersist()
         # physical-only source commits (compact/cluster/expire): advance
         # the cursor metadata-only, keep the view files byte-identical
         snap = view.snapshot()
@@ -196,9 +230,12 @@ def refresh_matview(
         *group_by, *[F.col(c).cast(old_types[c]).alias(c)
                      for c in [_COUNT_COL, *aggs.keys()]]
     )
-    entries = _write_view(
-        spark, view, combined, f"mv-{head:08d}-{uuid.uuid4().hex[:12]}"
-    )
+    try:
+        entries = _write_view(
+            spark, view, combined, f"mv-{head:08d}-{uuid.uuid4().hex[:12]}"
+        )
+    finally:
+        delta_rows.unpersist()
     live = [e.path for e in view.entries()]
     view.commit_rewrite(
         live, entries, operation="matview-refresh",

@@ -53,7 +53,14 @@ def kmv_distinct_by_group(
         raise ValueError("k must be >= 2 (the estimator divides by h_k)")
     from pyspark.sql import Window
 
-    hashes = df.select(*group_cols, _h60(col).alias("_h")).distinct()
+    # NULL column values hash to NULL and must not occupy a k-min slot
+    # (COUNT(DISTINCT) semantics exclude NULL; Spark would rank the NULL
+    # hash FIRST while DuckDB ranks it LAST — review finding)
+    hashes = (
+        df.select(*group_cols, _h60(col).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
     ranked = hashes.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= k

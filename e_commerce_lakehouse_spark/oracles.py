@@ -1297,6 +1297,7 @@ WITH h AS (
     SELECT DISTINCT source,
            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS _h
     FROM documents
+    WHERE doc_id IS NOT NULL
 ), ranked AS (
     SELECT source, _h,
            row_number() OVER (PARTITION BY source ORDER BY _h) AS rn

@@ -77,7 +77,10 @@ def prune_entries(
         if conv_id_range is not None:
             keep = _overlaps(e.stats, "conv_id", conv_id_range[0], conv_id_range[1])
         for col, v in (points.items() if keep else ()):
-            if col != "conv_id":
+            # skip the range re-check ONLY when conv_id_range already did
+            # it above; conv_id arriving purely via eq= still needs stats
+            # (review finding)
+            if col != "conv_id" or conv_id_range is None:
                 try:
                     keep = _overlaps(e.stats, col, v, v)
                 except TypeError:

@@ -203,3 +203,35 @@ def test_generic_eq_point_pruning_non_transcript_column(spark, tmp_path):
     assert len(planned_entries(t, eq={"doc_id": 123.0})) == total
     got_f = scan(spark, t, eq={"doc_id": 123.0}, schema=docs.schema)
     assert got_f.count() == 1
+
+
+def test_build_bloom_odd_max_bits_no_crash():
+    """A cap not divisible by 64 must round DOWN, never index past the
+    bitmap (review finding: 1001 -> bytearray(125) but pos up to 1000)."""
+    vals = [f"v-{i}" for i in range(5000)]
+    b = build_bloom(vals, fpp=0.01, max_bits=1001)
+    assert b["m"] == 960 and b["m"] % 64 == 0
+    assert all(bloom_contains(b, v) for v in vals)  # probes don't crash either
+
+
+def test_eq_conv_id_stat_pruning_without_range(spark, tiny_df, tmp_path):
+    """conv_id arriving ONLY via eq= must still stat-prune (review
+    finding: the dedup guard skipped _overlaps entirely)."""
+    from e_commerce_lakehouse_spark.table import meta as M
+    from e_commerce_lakehouse_spark.table.writer import write_files
+
+    old = M.MANIFEST_CODEC
+    M.MANIFEST_CODEC = "json"  # exercises the prune_entries (non-arrow) path
+    try:
+        t = Table.create(str(tmp_path / "eqconvtbl"))
+        sorted_df = tiny_df.orderBy("conv_id").coalesce(1)
+        entries = write_files(spark, t, sorted_df.where("conv_id < 'conv-000000000100'"),
+                              1, "lo")
+        t.commit_append(entries, {"op": "lo"})
+        entries = write_files(spark, t, sorted_df.where("conv_id >= 'conv-000000000100'"),
+                              1, "hi")
+        t.commit_append(entries, {"op": "hi"})
+        kept = planned_entries(t, eq={"conv_id": "conv-000000000002"})
+        assert len(kept) == 1  # the hi file's [min,max] excludes the key
+    finally:
+        M.MANIFEST_CODEC = old

@@ -177,3 +177,19 @@ def test_matview_group_death_and_rebirth(spark, mv_pair):
     refresh_matview(spark, src, view, source_schema=sch)
     assert "de" in langs()
     _assert_view_is_recompute(spark, src, view, sch)
+
+
+def test_matview_survives_maintenance_commit_on_the_view(spark, mv_pair):
+    """The view is a normal table: a rewrite-manifests commit on it must
+    not brick refresh (review finding: head-summary indexing raised
+    KeyError — the cursor now chain-walks)."""
+    from e_commerce_lakehouse_spark.operators.manifest_rewrite import rewrite_manifests
+
+    docs, src, view = mv_pair
+    rewrite_manifests(view)  # head summary now lacks matview_to_sid
+    e = write_files(spark, src, docs.where("doc_id >= 400 and doc_id < 430"),
+                    1, "post-maint", stat_columns=("doc_id",))
+    src.commit_append(e, {"op": "append"})
+    out = refresh_matview(spark, src, view, source_schema=docs.schema)
+    assert out["noop"] is False
+    _assert_view_is_recompute(spark, src, view, docs.schema)

@@ -45,3 +45,17 @@ def test_kmv_rejects_degenerate_k(spark):
     df = spark.range(3).select(F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_distinct_by_group(df, ["g"], "v", k=1)
+
+
+def test_kmv_nulls_excluded_like_count_distinct(spark):
+    """NULL values must not fill k-min slots (review finding: Spark
+    ranks a NULL hash FIRST; COUNT(DISTINCT) and the DuckDB oracle
+    exclude it)."""
+    df = spark.range(0, 30).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("string")).alias("v"),
+    )
+    row = kmv_distinct_by_group(df, ["g"], "v", k=64).collect()[0]
+    assert row["n_min"] == 20  # 20 non-null distinct, NULLs excluded
+    assert row["est_distinct"] == 20.0
