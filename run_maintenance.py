@@ -261,11 +261,21 @@ def main(argv=None) -> int:
             eq = {col: int(val) if val.lstrip("-").isdigit() else val}
         entries = t.entries(args.snapshot)
         kept = prune_entries(entries, conv_id_range=conv_range, eq=eq)
+        # attribution: how much skipping came from [min,max] stats alone
+        # vs the bloom membership refinement on top
+        import dataclasses as _dc
+
+        stats_only = prune_entries(
+            [_dc.replace(e, blooms=None) for e in entries],
+            conv_id_range=conv_range, eq=eq,
+        )
         result = {
             "snapshot": args.snapshot or t.current_snapshot_id(),
             "conv_id_range": conv_range,
             "eq": eq,
             "total_files": len(entries),
+            "files_kept_by_stats": len(stats_only),
+            "files_bloom_refined_away": len(stats_only) - len(kept),
             "files_scanned": len(kept),
             "files_skipped": len(entries) - len(kept),
             "bytes_scanned": sum(e.bytes for e in kept),
