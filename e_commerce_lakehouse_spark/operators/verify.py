@@ -33,6 +33,7 @@ def verify_table(
     snapshot_id: int | None = None,
     stat_columns=TRANSCRIPTS_STAT_COLUMNS,
     spark=None,
+    check_blooms: bool = False,
 ) -> dict:
     """Audit a snapshot's integrity. Returns {"ok": bool, "issues": [...],
     plus per-category counts}; never raises on findings (callers decide)."""
@@ -100,6 +101,34 @@ def verify_table(
                                        "footer": f.stats[col]})
                         break
 
+    # bloom-index audit (OPT-IN: unlike everything above this reads the
+    # indexed column's data pages, one column per bloom-carrying file):
+    # every distinct value in the file must probe True — a false negative
+    # means point scans silently drop rows — and the recorded ndv must
+    # match the file's
+    bloom_bad = []
+    if check_blooms:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .._bloom import bloom_contains
+
+        for e in present:
+            for col, b in (e.blooms or {}).items():
+                try:
+                    pf = pq.ParquetFile(os.path.join(table.root, e.path))
+                    raw = pc.unique(pf.read(columns=[col]).column(col)).to_pylist()
+                except Exception:
+                    continue  # missing column: schema evolution, not a bloom fault
+                vals = {str(v) for v in raw if v is not None}
+                fn = sum(1 for v in vals if not bloom_contains(b, v))
+                if fn or b.get("ndv") != len(vals):
+                    bloom_bad.append(e.path)
+                    issues.append({"kind": "bloom-mismatch", "path": e.path,
+                                   "column": col, "false_negatives": fn,
+                                   "manifest_ndv": b.get("ndv"),
+                                   "file_ndv": len(vals)})
+
     # live MoR tombstones must exist
     for tpath in table.tombstones(sid):
         if not os.path.exists(os.path.join(table.root, tpath)):
@@ -145,6 +174,7 @@ def verify_table(
         "unreadable_footers": len(unreadable),
         "stat_mismatches": len(stat_mismatch),
         "unresolvable_constraints": len(bad_constraints),
+        "bloom_mismatches": len(bloom_bad),
         "orphan_files": len(orphans),  # informational: GC's job, not an error
         "issues": issues[:100],
     }

@@ -111,6 +111,9 @@ def main(argv=None) -> int:
                    help="add-constraint/drop-constraint: the constraint name")
     p.add_argument("--order-preserving", action="store_true",
                    help="compact: pack consecutive key ranges (use on clustered tables)")
+    p.add_argument("--check-blooms", action="store_true",
+                   help="verify: audit bloom indexes for false negatives "
+                        "(reads the indexed column's data pages)")
     p.add_argument("--incremental", action="store_true",
                    help="cluster: rewrite only files appended/rewritten since "
                         "the last cluster commit (liquid-style; seq-selected)")
@@ -521,7 +524,7 @@ def main(argv=None) -> int:
             from e_commerce_lakehouse_spark.operators.verify import verify_table
 
             result = verify_table(Table.load(args.table, branch=args.branch), snapshot_id=args.snapshot,
-                                  spark=spark)
+                                  spark=spark, check_blooms=args.check_blooms)
         elif args.op == "materialize-deletes":
             from e_commerce_lakehouse_spark.operators.rowlevel import materialize_deletes
 

@@ -235,3 +235,23 @@ def test_eq_conv_id_stat_pruning_without_range(spark, tiny_df, tmp_path):
         assert len(kept) == 1  # the hi file's [min,max] excludes the key
     finally:
         M.MANIFEST_CODEC = old
+
+
+def test_verify_table_bloom_audit(spark, bloom_table):
+    """Doctor opt-in: a healthy index audits clean; a tampered bloom (one
+    file's bloom swapped for another's) is flagged as bloom-mismatch."""
+    from e_commerce_lakehouse_spark.operators.verify import verify_table
+
+    ok = verify_table(bloom_table, spark=spark, check_blooms=True)
+    assert ok["ok"] and ok["bloom_mismatches"] == 0
+    # tamper: give file 0 the bloom of file 1 (disjoint conv sets), commit
+    entries = bloom_table.entries()
+    entries[0].blooms = dict(entries[1].blooms)
+    names = [bloom_table.write_manifest_for(entries, 0)]
+    bloom_table.commit_manifests(names, operation="reset")
+    bad = verify_table(bloom_table, spark=spark, check_blooms=True)
+    assert not bad["ok"] and bad["bloom_mismatches"] >= 1
+    assert any(i["kind"] == "bloom-mismatch" and i["false_negatives"] > 0
+               for i in bad["issues"])
+    # default (no data pages) still passes: blooms are opt-in to audit
+    assert verify_table(bloom_table, spark=spark)["bloom_mismatches"] == 0
