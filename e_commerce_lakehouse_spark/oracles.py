@@ -1309,3 +1309,22 @@ SELECT source, count(*)::BIGINT AS n_min, max(_h) AS kth_hash,
        END AS est_distinct
 FROM ranked WHERE rn <= 16 GROUP BY source
 """
+
+# q85: bucketized range join == plain inequality join (exactly-once pair
+# production means the aggregate is identical).
+ALL["q85_interval_range_join"] = """
+WITH win AS (
+    SELECT o_orderkey AS win_id,
+           datediff('day', DATE '1970-01-01', o_orderdate) AS ws,
+           datediff('day', DATE '1970-01-01', o_orderdate) + 14 AS we
+    FROM orders WHERE o_orderkey % 97 = 0
+), pts AS (
+    SELECT l_extendedprice,
+           datediff('day', DATE '1970-01-01', l_shipdate) AS sd
+    FROM lineitem
+)
+SELECT w.win_id, count(*)::BIGINT AS n_ship,
+       round(sum(p.l_extendedprice), 2) AS sum_price
+FROM pts p JOIN win w ON p.sd BETWEEN w.ws AND w.we
+GROUP BY w.win_id
+"""

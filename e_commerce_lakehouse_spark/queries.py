@@ -2044,6 +2044,37 @@ def q84_kmv_distinct_sketch(spark, sf_dir):
     return kmv_distinct_by_group(docs, ["source"], "doc_key", k=16)
 
 
+def q85_interval_range_join(spark, sf_dir):
+    """Bucketized interval (range) join (operators/rangejoin.py): every
+    97th order opens a 14-day fulfillment window; count the lineitems
+    (ANY order's) shipping inside each window. Naively this is a
+    points-x-intervals theta join (BroadcastNestedLoopJoin); the
+    operator turns it into an exploded-bucket EQUI join with an exact
+    residual filter — each qualifying pair produced exactly once, so
+    the aggregate hashes against DuckDB's plain inequality join."""
+    from .operators.rangejoin import interval_join
+
+    epoch = F.lit("1970-01-01")
+    windows = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("win_id"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("ws"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 14).alias("we"),
+        )
+    )
+    points = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.datediff(F.col("l_shipdate"), epoch).alias("sd"),
+    )
+    joined = interval_join(points, windows, "sd", "ws", "we", bucket_width=7)
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_ship"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2135,4 +2166,5 @@ ALL = {
     "q82_bloom_point_lookup": q82_bloom_point_lookup,
     "q83_matview_incremental": q83_matview_incremental,
     "q84_kmv_distinct_sketch": q84_kmv_distinct_sketch,
+    "q85_interval_range_join": q85_interval_range_join,
 }
