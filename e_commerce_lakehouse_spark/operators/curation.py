@@ -308,6 +308,45 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme over md5-derived uniforms: each row
+    draws u = md5_frac(id) in (0,1] and priority ln(u)/w (monotone
+    equivalent of u^(1/w)); the n LARGEST priorities are the sample, and
+    inclusion probability is proportional to weight. Quality-weighted
+    data selection ("sample 10M docs, favor high-quality") with a fixed,
+    replayable outcome — the u's are pure functions of the id, so the
+    SAME sample falls out on any cluster, any partitioning, any engine
+    that can md5 (DuckDB twin: q86).
+
+    Scale shape: one global top-n (TakeOrdered — per-partition heaps,
+    no full sort). Priorities are ROUNDED to 9 dp before ranking with
+    the id as tiebreak: Java and DuckDB libm may differ in the last ulp
+    of ln(), and an unrounded rank could flip the n-th boundary between
+    engines; at 9 dp a flip needs two priorities within 1e-9 — ties are
+    then broken identically by id. Rows with NULL or non-positive
+    weights are excluded (zero weight = never sampled)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # u in (0, 1]: (h60 + 1) / 2^60 — md5 prefix as a 60-bit uniform
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)         .cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    prio = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    ranked = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", prio)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(n)
+    )
+    return ranked.select(id_col, weight_col, "priority")
+
+
 def tfidf_doc_scores(
     df: DataFrame,
     *,

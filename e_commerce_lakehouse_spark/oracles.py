@@ -1328,3 +1328,18 @@ SELECT w.win_id, count(*)::BIGINT AS n_ship,
 FROM pts p JOIN win w ON p.sd BETWEEN w.ws AND w.we
 GROUP BY w.win_id
 """
+
+# q86: A-ES weighted sample — ln(u)/w rounded to 9 dp (see operator
+# docstring for why rounding makes the rank engine-independent), id
+# tiebreak, top-100.
+ALL["q86_weighted_sample"] = '''
+WITH pri AS (
+    SELECT doc_id, n_chars,
+           round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     + 1.0) / 1152921504606846976.0)
+                 / n_chars::DOUBLE, 9) AS priority
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, priority FROM pri
+ORDER BY priority DESC, doc_id LIMIT 100
+'''

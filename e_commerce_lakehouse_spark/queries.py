@@ -2075,6 +2075,18 @@ def q85_interval_range_join(spark, sf_dir):
     )
 
 
+def q86_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (curation.weighted_sample, the
+    Efraimidis-Spirakis A-ES scheme over md5 uniforms): pick the 100
+    documents with the largest ln(u)/n_chars priority — inclusion odds
+    proportional to length, outcome a pure function of the ids, so the
+    SAMPLE ITSELF (not just its size) hashes against DuckDB."""
+    from .operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, weight_col="n_chars", n=100)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2167,4 +2179,5 @@ ALL = {
     "q83_matview_incremental": q83_matview_incremental,
     "q84_kmv_distinct_sketch": q84_kmv_distinct_sketch,
     "q85_interval_range_join": q85_interval_range_join,
+    "q86_weighted_sample": q86_weighted_sample,
 }

@@ -172,3 +172,31 @@ def test_length_outlier_filter_ties_share_rank(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
     assert length_outlier_filter(df, lo=0.0, hi=1.0).count() == 5
     assert length_outlier_filter(df, lo=0.01, hi=1.0).count() == 0
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES: heavier rows sampled proportionally more; outcome
+    deterministic and layout-independent; nonpositive weights excluded."""
+    from e_commerce_lakehouse_spark.operators.curation import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000).select(
+        F.col("id").alias("doc_id"),
+        # 10% of rows carry 20x the weight
+        F.when(F.col("id") % 10 == 0, 200).otherwise(10).alias("w"),
+    )
+    got = weighted_sample(df, weight_col="w", n=400, id_col="doc_id")
+    rows = got.collect()
+    assert len(rows) == 400
+    heavy = sum(1 for r in rows if r["w"] == 200)
+    # heavy rows are 10% of the population but ~20x likelier: expect a
+    # strong majority of the sample (deterministic draw, generous band)
+    assert heavy > 200, heavy
+    # deterministic + partitioning-independent
+    again = weighted_sample(df.repartition(13), weight_col="w", n=400,
+                            id_col="doc_id")
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in rows}
+    # zero/NULL weights never sampled
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 3_900, None)
+                        .otherwise(F.lit(0)))
+    assert weighted_sample(df2, weight_col="w", n=10, id_col="doc_id").count() == 0
