@@ -155,6 +155,7 @@ def cluster(
     base_snapshot = table.current_snapshot_id()
     if base_snapshot is None:
         raise ValueError("cannot cluster an empty table")
+    sv_plan = table.schema_version_count() or None  # outputs' write version
     entries = table.entries()
     scoped = conv_id_range is not None or ts_range is not None
     scoped_seq = None
@@ -214,9 +215,10 @@ def cluster(
         from ..table.scan import resolve_schema
 
         read_schema = resolve_schema(table, base_snapshot, schema)
-        df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(table.root, e.path) for e in entries]
-        )
+        from ..table.scan import read_entries
+
+        # vintage-aware: pre-rename files resolve written names by field id
+        df = read_entries(spark, table, entries, read_schema, base_snapshot)
     else:
         df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
     bounds = _ts_bounds_from_manifest(entries)
@@ -323,6 +325,8 @@ def cluster(
     if scoped_seq is not None:
         for e in added:  # preserve applicability of the propagated tombstones
             e.seq = scoped_seq
+    for e in added:  # outputs carry the PLAN-time write-schema version
+        e.sv = sv_plan
     removed = [e.path for e in entries]
     snap = table.commit_rewrite(
         removed,

@@ -51,6 +51,7 @@ def _rewrite_wave_arrow(
     field_spec: list | None = None,
     run_token: str = "",
     bloom_spec: dict | None = None,
+    sv_plan: int | None = None,
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -104,6 +105,17 @@ def _rewrite_wave_arrow(
             )
             os.makedirs(out_dir, exist_ok=True)
             parts = [pq.read_table(os.path.join(table_root, p)) for p in spec["paths"]]
+            renames = spec.get("renames")
+            if renames:
+                # schema evolution (rename): bind each file's WRITTEN
+                # column names onto the current ones by field id — the
+                # map was resolved driver-side from the file's sv
+                # (table/fieldids.rename_map); zero-copy in arrow
+                parts = [
+                    p.rename_columns([m.get(c, c) for c in p.column_names])
+                    if m else p
+                    for p, m in zip(parts, renames)
+                ]
             if field_spec:
                 # schema evolution: one group can mix files written under
                 # different schema versions — align each onto the current
@@ -138,6 +150,11 @@ def _rewrite_wave_arrow(
             )
             t_write = _mono()
             e = file_stats_dict(out_path, table_root, cols)
+            if sv_plan:
+                # write-schema version RECORDED AT WRITE TIME: stays
+                # correct across resume even if an evolution lands
+                # between attempts (commit replays checkpointed dicts)
+                e["sv"] = sv_plan
             if bloom_spec:
                 # bloom from the IN-MEMORY merged table — no second read
                 # of the file just written
@@ -193,9 +210,14 @@ def _rewrite_group(
     # checkpointed output paths
     subdir = f"compact-{base_snapshot:08d}-g{group.group_id:05d}-{run_token}"
     out_dir = os.path.join(table.data_dir, subdir)
-    in_paths = [os.path.join(table.root, p) for p in group.paths]
     n_out = max(1, math.ceil(group.bytes / target_bytes))
-    df = spark.read.schema(schema).parquet(*in_paths)
+    from ..table.scan import read_entries
+
+    # vintage-aware read (rename/widen resolve by field id); entries(sid)
+    # is cached on the Table, so per-group lookups stay O(1) amortized
+    ents = {e.path: e for e in table.entries(base_snapshot)}
+    df = read_entries(spark, table,
+                      [ents[p] for p in group.paths], schema)
     # coalesce: no shuffle — small whole files concatenate into n_out files
     df.coalesce(n_out).write.mode("error").parquet(out_dir)
     outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
@@ -203,6 +225,7 @@ def _rewrite_group(
     for e in outs:
         e.seq = out_seq
         e.partition = out_partition
+        e.sv = table.schema_version_count() or None
     return {
         "group_id": group.group_id,
         "status": "done",
@@ -219,7 +242,7 @@ def _run_arrow(
     spark, table, todo, base_snapshot, stat_columns, ckpt, wave_size, fail_after_groups,
     codec: str = "zstd", field_spec: list | None = None, run_token: str = "",
     group_seq: dict | None = None, group_part: dict | None = None,
-    on_wave=None,
+    on_wave=None, ren_by_path: dict | None = None, sv_plan: int | None = None,
 ) -> None:
     """Arrow mode: one Spark job per WAVE of groups; a checkpoint line per
     group lands after its wave completes (resume granularity = group, job
@@ -232,11 +255,14 @@ def _run_arrow(
     for w in range(0, len(todo), wave_size):
         wave = todo[w : w + wave_size]
         specs = [{"group_id": g.group_id, "paths": g.paths} for g in wave]
+        if ren_by_path:
+            for s in specs:
+                s["renames"] = [ren_by_path.get(p) for p in s["paths"]]
         t0 = monotonic()
         results = _rewrite_wave_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
             field_spec=field_spec, run_token=run_token,
-            bloom_spec=table.bloom_spec(),
+            bloom_spec=table.bloom_spec(), sv_plan=sv_plan,
         )
         for r in results:  # outputs carry the group's preserved seq
             r["entry"]["seq"] = group_seq[r["group_id"]]
@@ -361,7 +387,28 @@ def compact(
     # plain-string (name, spark simple type) pairs: picklable, and the
     # executor-side align stays pyspark-free (_arrow_align)
     field_spec = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    sv_plan = table.schema_version_count() or None  # outputs' write version
     entries = table.entries()
+    # per-file written-name -> current-name maps for the arrow rewrite
+    # tasks (empty until a rename exists; see table/fieldids.py)
+    ren_by_path: dict[str, dict] = {}
+    versions = table.schema_versions()
+    from ..table.fieldids import (
+        legacy_version_number,
+        mapping_required,
+        rename_map,
+    )
+
+    if mapping_required(versions):
+        cur_ver = table.schema_version_at() or 1
+        legacy = legacy_version_number(versions)
+        by_ver = {}
+        for e in entries:
+            wv = e.sv if e.sv is not None else legacy
+            if wv not in by_ver:
+                by_ver[wv] = rename_map(versions, wv, cur_ver)
+            if by_ver[wv]:
+                ren_by_path[e.path] = by_ver[wv]
     _scope_tag = ""
     if conv_id_range is not None or ts_range is not None:
         from ..table.scan import prune_entries
@@ -530,7 +577,8 @@ def compact(
                            fail_after_groups=fail_after_groups, codec=codec,
                            field_spec=field_spec, run_token=run_token,
                            group_seq=group_seq, group_part=group_part,
-                           on_wave=on_wave)
+                           on_wave=on_wave, ren_by_path=ren_by_path,
+                           sv_plan=sv_plan)
         metrics["phase"] = phase
     elif mode == "jobs":
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,

@@ -138,6 +138,7 @@ def merge_into(
     from ..table.scan import resolve_schema
 
     schema = resolve_schema(table, schema=schema)
+    sv_plan = table.schema_version_count() or None  # outputs' write version
     # apply pending merge-on-read tombstones first: an upsert of a
     # tombstoned key must RESURRECT it — with the tombstone still live,
     # the scan-side anti-join would silently kill the fresh row
@@ -163,8 +164,13 @@ def merge_into(
     touched_bytes = sum(entries_by_path[p].bytes for p in touched)
 
     if touched:
-        abs_paths = [os.path.join(table.root, p) for p in touched]
-        target_df = spark.read.schema(schema).parquet(*abs_paths)
+        # vintage-aware read: pre-rename files resolve their written
+        # column names onto the current schema by field id
+        from ..table.scan import read_entries
+
+        target_df = read_entries(
+            spark, table, [entries_by_path[p] for p in touched], schema
+        )
     else:
         target_df = spark.createDataFrame([], schema)
     merged = merge_upsert_dataframes(target_df, source, keys, order_col=None)
@@ -178,6 +184,8 @@ def merge_into(
     from ..table.writer import write_rewrite_files
 
     added = write_rewrite_files(spark, table, merged, n_out, out_dir, stat_columns)
+    for e in added:  # written under the PLAN-time schema version
+        e.sv = sv_plan
 
     snap = table.commit_rewrite(
         touched,

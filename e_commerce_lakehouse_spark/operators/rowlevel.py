@@ -55,10 +55,13 @@ def _touched_by_predicate(
     entries = table.entries()
     if not entries:
         return {}
-    abs_paths = [os.path.join(table.root, e.path) for e in entries]
+    from ..table.scan import read_entries
+
+    # vintage-aware read: the predicate references CURRENT column names;
+    # pre-rename files must resolve them by field id (input_file_name()
+    # still attributes rows per leaf scan inside the union)
     hits = (
-        spark.read.schema(schema)
-        .parquet(*abs_paths)
+        read_entries(spark, table, entries, schema)
         .where(predicate)
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -199,14 +202,16 @@ def delete_where(
                 "touched_files": len(full), "total_files": len(rows_by_path),
                 "added_files": 0, "dropped_files": len(full),
                 "wall_ms": int((monotonic() - t0) * 1000)}
-    abs_paths = [os.path.join(table.root, p) for p in partial]
+    ents_by_path = {e.path: e for e in table.entries()}
+    from ..table.scan import read_entries
+
     # SQL DELETE semantics: only pred=TRUE rows are deleted; a NULL
     # predicate KEEPS the row. A bare ~pred would silently drop
     # NULL-predicate rows (~NULL is NULL, filtered out) — found in review;
     # the MoR path and UPDATE already had this right.
-    kept = spark.read.schema(schema).parquet(*abs_paths).where(
-        ~F.coalesce(pred, F.lit(False))
-    )
+    kept = read_entries(
+        spark, table, [ents_by_path[p] for p in partial], schema
+    ).where(~F.coalesce(pred, F.lit(False)))
     # expected_tombstones=[]: this rewrite planned right after its own
     # materialize (empty tombstone list); a concurrent MoR delete landing
     # before our commit must CONFLICT — freshly-stamped outputs would be
@@ -322,9 +327,11 @@ def materialize_deletes(
         touched = _touched_paths(spark, table, tomb_df, keys[0], entries=ents)
         if not touched:
             continue
-        abs_paths = [os.path.join(table.root, p) for p in touched]
+        from ..table.scan import read_entries
+
+        by_path = {e.path: e for e in ents}
         kept_parts.append(
-            spark.read.schema(schema).parquet(*abs_paths)
+            read_entries(spark, table, [by_path[p] for p in touched], schema)
             .join(tomb_df, on=keys, how="left_anti")
         )
         touched_all.extend(touched)
@@ -402,8 +409,10 @@ def update_where(
         return {"committed_snapshot": None, "touched_files": 0,
                 "total_files": len(table.entries()), "added_files": 0,
                 "wall_ms": int((monotonic() - t0) * 1000)}
-    abs_paths = [os.path.join(table.root, p) for p in touched]
-    src = spark.read.schema(schema).parquet(*abs_paths)
+    from ..table.scan import read_entries
+
+    ents_by_path = {e.path: e for e in table.entries()}
+    src = read_entries(spark, table, [ents_by_path[p] for p in touched], schema)
     from .constraints import enforce_constraints
 
     projected = src.select(

@@ -1343,3 +1343,21 @@ WITH pri AS (
 SELECT doc_id, n_chars, priority FROM pri
 ORDER BY priority DESC, doc_id LIMIT 100
 '''
+
+
+# q87: the schema-evolution lifecycle's final state, purely relationally —
+# the rename is an alias, the widen a cast, the vintage split a CASE on
+# the deterministic doc_id parity used to build the batches. If any
+# vintage misbinds a column (rename) or truncates (widen), the value
+# hash diverges.
+ALL["q87_schema_evolution_lifecycle"] = """
+SELECT source,
+       lang AS language,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1
+                     THEN CAST(doc_id % 97 AS BIGINT) END) AS BIGINT)
+           AS sum_qscore
+FROM documents
+GROUP BY source, lang
+"""

@@ -427,6 +427,66 @@ def q54_rowlevel_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q87_schema_evolution_lifecycle(spark, sf_dir):
+    """Schema-evolution lifecycle through the REAL table format, fully
+    value-hash oracled: ingest half the documents in the ORIGINAL shape,
+    RENAME lang->language (metadata-only, field-id binding), ADD an int
+    qscore, append the other half in the NEW shape, WIDEN qscore to
+    bigint, then compact (arrow tasks apply per-file rename maps before
+    align). The final grouped scan reads pre-rename vintages under the
+    new name and narrow vintages as bigint — relationally the whole
+    dance is just aliasing + casting, which is exactly what the DuckDB
+    oracle states. Proves rename/widen correctness end to end, the way
+    q54 proves row-level ops."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact as compact_op
+    from .operators.schema_evolution import (
+        add_columns,
+        rename_column,
+        widen_column,
+    )
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import append_dataframe, write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q87_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        # non-default schema: record it as version 1 up front so
+        # resolve_schema (and evolution) bind to the documents shape
+        t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+        batch1 = docs.where(F.col("doc_id") % 2 == 0)
+        entries = write_files(spark, t, batch1, 4, "ingest-00000001-0000",
+                              stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": "initial-ingest"})
+        rename_column(t, "lang", "language")
+        add_columns(t, [("qscore", "int")])
+        batch2 = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", F.col("lang").alias("language"), "source",
+            "n_chars", (F.col("doc_id") % 97).cast("int").alias("qscore"),
+        )
+        append_dataframe(spark, t, batch2)
+        widen_column(t, "qscore", "bigint")
+        compact_op(spark, t, target_bytes=8 << 20, stat_columns=("doc_id",))
+        result = (
+            scan(spark, t)
+            .groupBy("source", "language")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("qscore").alias("sum_qscore"))
+        )
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2180,4 +2240,5 @@ ALL = {
     "q84_kmv_distinct_sketch": q84_kmv_distinct_sketch,
     "q85_interval_range_join": q85_interval_range_join,
     "q86_weighted_sample": q86_weighted_sample,
+    "q87_schema_evolution_lifecycle": q87_schema_evolution_lifecycle,
 }

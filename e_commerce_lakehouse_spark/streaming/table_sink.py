@@ -65,7 +65,22 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         # executor write task must stay session- and metadata-free)
         from ..table.meta import Table
 
-        self._bloom_spec = Table.load(self._root).bloom_spec()
+        t = Table.load(self._root)
+        self._bloom_spec = t.bloom_spec()
+        # write-schema version captured at STREAM START: entries commit
+        # with this sv, so files written here bind their column names
+        # correctly even if an evolution lands mid-stream
+        self._sv = t.schema_version_count() or None
+        from ..table.scan import resolve_schema
+
+        expected = [f.name for f in resolve_schema(t).fields]
+        got = [f.name for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"lakehouse_sink stream schema {got} does not match the "
+                f"table's current schema {expected} — align the stream "
+                f"(schema evolution renames bind by name at write time)"
+            )
         self._schema = schema
         self._run = uuid.uuid4().hex[:12]
 
@@ -123,7 +138,7 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
 
         entries = [
             DataFileEntry(path=m.path, rows=m.rows, bytes=m.bytes, stats=m.stats,
-                          blooms=getattr(m, "blooms", None))
+                          blooms=getattr(m, "blooms", None), sv=self._sv)
             for m in messages
             if m is not None and m.rows > 0
         ]

@@ -52,9 +52,15 @@ _FILES_PER_PARTITION = 4
 
 
 class _FilesPartition(InputPartition):
-    def __init__(self, root: str, paths: list[str]):
+    def __init__(self, root: str, paths: list[str],
+                 renames: list | None = None, field_spec: list | None = None):
         self.root = root
         self.paths = paths
+        #: per-path {written name -> current name} (schema evolution);
+        #: field_spec = current (name, type) targets for the arrow align.
+        #: Both None on never-renamed tables — read() stays zero-copy.
+        self.renames = renames
+        self.field_spec = field_spec
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
@@ -109,6 +115,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             for p in set(snap.removed_files) - parent_removed:
                 data_remover.setdefault(p, snap.operation)
         paths: list[str] = []
+        svs: list[int | None] = []
         seen: set[str] = set()
         for snap in chain:
             if snap.operation in _NON_DATA_OPS:
@@ -124,20 +131,61 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         continue
                     seen.add(e.path)
                     paths.append(e.path)
-        groups = [
-            paths[i : i + _FILES_PER_PARTITION]
-            for i in range(0, len(paths), _FILES_PER_PARTITION)
-        ]
+                    svs.append(e.sv)
+        # schema evolution (rename/widen): resolve each file's written
+        # names DRIVER-side (metadata only); read() applies them as
+        # zero-copy arrow renames + a cast-align against the CURRENT
+        # schema the source declared
+        renames = field_spec = None
+        versions = t.schema_versions()
+        from ..table.fieldids import (
+            legacy_version_number,
+            mapping_required,
+            rename_map,
+        )
+
+        if mapping_required(versions):
+            from pyspark.sql import types as T
+
+            from ..table.scan import resolve_schema
+
+            cur_ver = t.schema_version_at() or 1
+            legacy = legacy_version_number(versions)
+            by_ver: dict[int, dict] = {}
+            renames = []
+            for sv in svs:
+                wv = sv if sv is not None else legacy
+                if wv not in by_ver:
+                    by_ver[wv] = rename_map(versions, wv, cur_ver)
+                renames.append(by_ver[wv] or None)
+            field_spec = [(f.name, f.dataType.simpleString())
+                          for f in resolve_schema(t).fields]
+        groups = []
+        for i in range(0, len(paths), _FILES_PER_PARTITION):
+            g = paths[i : i + _FILES_PER_PARTITION]
+            rg = renames[i : i + _FILES_PER_PARTITION] if renames else None
+            groups.append(_FilesPartition(self._root, g, rg, field_spec))
         # an empty list is a valid no-data micro-batch
-        return [_FilesPartition(self._root, g) for g in groups]
+        return groups
 
     # ---- executor-side read (Arrow batches, no row loop) ----
 
     def read(self, partition: _FilesPartition) -> Iterator:
         import pyarrow.parquet as pq
 
-        for rel in partition.paths:
+        renames = getattr(partition, "renames", None)
+        field_spec = getattr(partition, "field_spec", None)
+        for i, rel in enumerate(partition.paths):
             tbl = pq.read_table(os.path.join(partition.root, rel))
+            if field_spec is not None:
+                m = renames[i] if renames else None
+                if m:
+                    tbl = tbl.rename_columns(
+                        [m.get(c, c) for c in tbl.column_names]
+                    )
+                from .._arrow_align import align_table
+
+                tbl = align_table(tbl, field_spec)
             yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:  # checkpoint-managed; nothing to do

@@ -189,7 +189,7 @@ class IncrementalConsumer:
         # delivered as a live insert (the cow-delete path already excludes
         # it). Seq-aware (read_with_tombstones): an update-mor's post-image
         # rows in this window are exempt from their own tombstone.
-        from .scan import read_with_tombstones
+        from .scan import read_entries, read_with_tombstones
 
         df = read_with_tombstones(spark, t, entries, schema, snapshot_id=current)
         return {"df": df, "mode": "chain"}
@@ -255,7 +255,7 @@ class ChangeFeedConsumer(IncrementalConsumer):
         keep the default."""
         from pyspark.sql import functions as F
 
-        from .scan import read_with_tombstones, scan
+        from .scan import read_entries, read_with_tombstones, scan
 
         t = self.table
         current = t.current_snapshot_id()
@@ -320,9 +320,10 @@ class ChangeFeedConsumer(IncrementalConsumer):
             new_manifests = [m for m in snap.manifests if m not in parent_manifests]
             new_entries = [e for m in new_manifests for e in t.manifest_entries(m)]
             if snap.operation in _INSERT_OPS and new_entries:
-                df = spark.read.schema(schema).parquet(
-                    *[os.path.join(t.root, e.path) for e in new_entries]
-                )
+                # vintage-aware (rename/widen): read_ver pinned at
+                # ``current`` so every batch lands in ONE consumer shape
+                df = read_entries(spark, t, new_entries, schema,
+                                  snapshot_id=current)
                 parts.append(_with_change_cols(df, "insert", sid))
             if exact and snap.operation in ("merge", "update", "overwrite"):
                 # balanced delete side: the parent's VISIBLE rows of each
@@ -348,13 +349,19 @@ class ChangeFeedConsumer(IncrementalConsumer):
                 parent_removed = set(psnap.removed_files) if psnap else set()
                 removed_new = set(snap.removed_files) - parent_removed
                 if removed_new:
-                    pre = spark.read.schema(schema).parquet(
-                        *[os.path.join(t.root, p) for p in sorted(removed_new)]
-                    )
+                    try:
+                        rm_entries = [e for e in t.entries(parent)
+                                      if e.path in removed_new]
+                    except FileNotFoundError as e:
+                        raise ChangeFeedError(
+                            f"snapshot {parent} expired — no pre-image basis "
+                            f"for the delete at {sid}; re-sync"
+                        ) from e
+                    pre = read_entries(spark, t, rm_entries, schema,
+                                       snapshot_id=current)
                     if new_entries:
-                        post = spark.read.schema(schema).parquet(
-                            *[os.path.join(t.root, e.path) for e in new_entries]
-                        )
+                        post = read_entries(spark, t, new_entries, schema,
+                                            snapshot_id=current)
                         pre = pre.exceptAll(post)
                     parts.append(_with_change_cols(pre, "delete", sid))
             if snap.operation == "delete-mor" or (

@@ -103,6 +103,14 @@ class DataFileEntry:
     #: before/without a bloom spec — the planner keeps those
     #: conservative (never pruned by bloom).
     blooms: dict | None = None
+    #: SCHEMA VERSION the file's bytes were WRITTEN under (Iceberg binds
+    #: columns by field-id in the file footer; plain parquet can't, so the
+    #: version number recorded here binds each file's WRITTEN column names
+    #: to field ids via the schema-version history — what makes RENAME and
+    #: type WIDENING metadata-only, see table/fieldids.py). None = written
+    #: before the table ever evolved (or before sv stamping existed):
+    #: read under the last derived-era schema, names as-introduced.
+    sv: int | None = None
 
     def to_dict(self) -> dict:
         d = {"path": self.path, "rows": self.rows, "bytes": self.bytes,
@@ -111,13 +119,16 @@ class DataFileEntry:
             d["partition"] = self.partition
         if self.blooms is not None:
             d["blooms"] = self.blooms
+        if self.sv is not None:
+            d["sv"] = self.sv
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DataFileEntry":
         return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
                    stats=d.get("stats", {}), seq=d.get("seq", 0),
-                   partition=d.get("partition"), blooms=d.get("blooms"))
+                   partition=d.get("partition"), blooms=d.get("blooms"),
+                   sv=d.get("sv"))
 
 
 @dataclass
@@ -415,7 +426,7 @@ class Table:
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
             tombs = list(self.snapshot(parent).tombstones) if parent else []
-            _stamp_seq(added, sid)
+            _stamp_seq(added, sid, self.schema_version_count())
             manifests.append(self._write_manifest(sid, len(manifests), added))
             s = _summarize(added, summary)
             if not publish:
@@ -532,7 +543,7 @@ class Table:
             tombs = [] if clear_tombstones else head_tombs
             removed = sorted(set(removed) | set(removed_paths))
             if added:
-                _stamp_seq(added, sid)
+                _stamp_seq(added, sid, self.schema_version_count())
                 manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, operation, manifests, removed,
                             _summarize(added, summary), int(time.time() * 1000),
@@ -619,7 +630,7 @@ class Table:
                     f"({len(expected_tombstones)} expected vs "
                     f"{len(psnap.tombstones)} at head); re-plan from the head"
                 )
-            _stamp_seq(added, sid)
+            _stamp_seq(added, sid, self.schema_version_count())
             manifests = list(psnap.manifests)
             manifests.append(self._write_manifest(sid, len(manifests), added))
             snap = Snapshot(sid, parent, "update-mor", manifests,
@@ -1009,17 +1020,49 @@ class Table:
                 best = v
         return best["schema"] if best else None
 
-    def append_schema_version(self, schema_json: dict, as_of_snapshot: int) -> int:
-        """Record a new schema version (atomic os.replace). Returns the
-        version number."""
+    def schema_version_count(self) -> int:
+        """Number of recorded schema versions (0 = never evolved).
+        Writers capture this WHEN they resolve their write schema and
+        stamp it onto the entries they produce (DataFileEntry.sv), so a
+        rename landing between plan and commit can never mis-label a
+        file's written column names."""
+        return len(self.schema_versions())
+
+    def schema_version_at(self, snapshot_id: int | None = None) -> int | None:
+        """The schema VERSION NUMBER current at ``snapshot_id`` (default
+        now); None if the table never evolved. Same resolution rule as
+        table_schema_json (latest version with as_of_snapshot <= sid)."""
         versions = self.schema_versions()
-        versions.append(
-            {
-                "version": len(versions) + 1,
-                "as_of_snapshot": as_of_snapshot,
-                "schema": schema_json,
-            }
-        )
+        if not versions:
+            return None
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        best = None
+        for v in versions:
+            if v["as_of_snapshot"] <= sid:
+                best = v["version"]
+        return best
+
+    def append_schema_version(self, schema_json: dict, as_of_snapshot: int,
+                              field_ids: dict | None = None,
+                              mapped: bool = False) -> int:
+        """Record a new schema version (atomic os.replace). Returns the
+        version number. ``field_ids`` ({name: id}, Iceberg-style) binds
+        the version's column NAMES to stable field identities — required
+        for rename/widen versions; derivable for older add/drop-only
+        history (table/fieldids.py). ``mapped=True`` marks a version whose
+        reads REQUIRE per-file name/type mapping (rename or widen): the
+        scan fast path stays a single plain read until one exists."""
+        versions = self.schema_versions()
+        rec = {
+            "version": len(versions) + 1,
+            "as_of_snapshot": as_of_snapshot,
+            "schema": schema_json,
+        }
+        if field_ids is not None:
+            rec["field_ids"] = field_ids
+        if mapped:
+            rec["mapped"] = True
+        versions.append(rec)
         tmp = self._schema_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"versions": versions}, f)
@@ -1157,6 +1200,11 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
         "seq": pa.array([e.seq if e.seq is not None else 0 for e in entries],
                         pa.int64()),
     }
+    if any(e.sv is not None for e in entries):
+        # nullable on purpose: None = pre-evolution vintage (read path
+        # resolves it to the derived-era schema); omitting the column
+        # entirely keeps never-evolved tables' manifests byte-stable
+        arrays["sv"] = pa.array([e.sv for e in entries], pa.int64())
     for k in stat_keys:
         mins = [e.stats[k][0] if k in e.stats else None for e in entries]
         maxs = [e.stats[k][1] if k in e.stats else None for e in entries]
@@ -1207,6 +1255,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     bloom_keys = [c[len(_BLOOM):] for c in t.column_names if c.startswith(_BLOOM)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
     seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
+    svs = cols.get("sv")  # pre-evolution manifests: None (legacy vintage)
     out: list[DataFileEntry] = []
     for i in range(t.num_rows):
         stats = {}
@@ -1230,7 +1279,8 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
                           bytes=cols["bytes"][i], stats=stats,
                           seq=seqs[i] if seqs is not None else 0,
-                          partition=part, blooms=blooms)
+                          partition=part, blooms=blooms,
+                          sv=svs[i] if svs is not None else None)
         )
     return out
 
@@ -1241,12 +1291,20 @@ def _read_manifest_parquet(path: str) -> list[DataFileEntry]:
     return arrow_manifest_to_entries(pq.read_table(path))
 
 
-def _stamp_seq(added: list[DataFileEntry], sid: int) -> None:
+def _stamp_seq(added: list[DataFileEntry], sid: int,
+               sv: int | None = None) -> None:
     """Give unstamped entries this commit's data sequence number; entries
-    carrying an explicit seq (rewrites preserving old rows) keep it."""
+    carrying an explicit seq (rewrites preserving old rows) keep it.
+    ``sv`` (the table's CURRENT schema version at commit) backfills
+    entries whose writer didn't stamp their write-schema version — a
+    safety net only: operators that resolve a schema at plan time stamp
+    sv themselves (stats.collect_entries sv=), which stays correct even
+    if an evolution lands between plan and commit."""
     for e in added:
         if e.seq is None:
             e.seq = sid
+        if e.sv is None and sv:
+            e.sv = sv
 
 
 def _summarize(added: list[DataFileEntry], extra: dict | None) -> dict:

@@ -304,6 +304,75 @@ def tombstone_classes(
     return classes
 
 
+def read_entries(
+    spark: SparkSession,
+    table: Table,
+    entries: list[DataFileEntry],
+    schema,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read data files resolving each file's WRITTEN column names and
+    types onto ``schema`` (the shape current at ``snapshot_id``).
+
+    Fast path — no rename/widen anywhere in the table's history — is the
+    plain single ``spark.read.schema(schema).parquet(paths)`` (one scan
+    relation, unchanged plans). Once a mapped evolution exists, entries
+    are grouped by their write-schema version (DataFileEntry.sv): each
+    group is read under its own written schema, then SELECTed onto the
+    target by FIELD ID (table/fieldids.py) — rename resolves to
+    col(written).alias(current), widen to a lossless cast, a field the
+    vintage predates to typed NULL — and the groups union by name. The
+    group count is bounded by the number of schema versions (a handful),
+    not files, so the plan stays a union of a few scan relations."""
+    import os
+
+    if not entries:
+        return spark.createDataFrame([], schema)
+    versions = table.schema_versions()
+    from .fieldids import (
+        legacy_version_number,
+        mapping_required,
+        version_field_maps,
+    )
+
+    if not mapping_required(versions):
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table.root, e.path) for e in entries]
+        )
+    from pyspark.sql import types as T
+
+    maps = version_field_maps(versions)
+    read_ver = table.schema_version_at(snapshot_id)
+    if read_ver is None:  # pinned before the first evolution commit
+        read_ver = 1
+    rmap = maps[read_ver - 1]
+    legacy = legacy_version_number(versions)
+    groups: dict[int, list[DataFileEntry]] = {}
+    for e in entries:
+        groups.setdefault(e.sv if e.sv is not None else legacy, []).append(e)
+    parts = []
+    for wv in sorted(groups):
+        ents = groups[wv]
+        wschema = T.StructType.fromJson(versions[wv - 1]["schema"])
+        wmap = maps[wv - 1]
+        by_id = {i: n for n, i in wmap.items()}
+        d = spark.read.schema(wschema).parquet(
+            *[os.path.join(table.root, e.path) for e in ents]
+        )
+        exprs = []
+        for f in schema.fields:
+            wname = by_id.get(rmap.get(f.name))
+            if wname is not None:
+                exprs.append(F.col(wname).cast(f.dataType).alias(f.name))
+            else:  # field added after this vintage was written
+                exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+        parts.append(d.select(*exprs))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def read_with_tombstones(
     spark: SparkSession,
     table: Table,
@@ -324,15 +393,12 @@ def read_with_tombstones(
     if not entries:
         return spark.createDataFrame([], schema)
     if not tomb_entries:
-        paths = [os.path.join(table.root, e.path) for e in entries]
-        return spark.read.schema(schema).parquet(*paths)
+        return read_entries(spark, table, entries, schema, snapshot_id)
     parts = []
     classes = tombstone_classes(entries, tomb_entries)
     for ap in sorted(classes):
         ents = classes[ap]
-        d = spark.read.schema(schema).parquet(
-            *[os.path.join(table.root, e.path) for e in ents]
-        )
+        d = read_entries(spark, table, ents, schema, snapshot_id)
         if ap:
             tomb_df = spark.read.parquet(
                 *[os.path.join(table.root, p) for p in ap]

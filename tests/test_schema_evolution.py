@@ -150,3 +150,189 @@ def test_merge_accepts_schema_lagged_producer(spark, tiny_df, tiny_table):
     got = scan(spark, tiny_table).where("text = 'lagged-fix'")
     assert got.count() >= 1
     assert got.where(F.col("quality2").isNotNull()).count() == 0
+
+
+# ---------- rename / widen (field-id mapping) ----------
+
+
+def test_rename_old_files_surface_values_under_new_name(spark, tiny_table):
+    """Rename is metadata-only: pre-rename files keep old column names in
+    their footers; the field-id mapping (DataFileEntry.sv +
+    scan.read_entries) must surface their VALUES under the new name, and
+    pinned pre-rename reads must keep the old one."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    pre_sid = t.current_snapshot_id()
+    pre = {(r.conv_id, r.turn_idx): r.tool for r in scan(spark, t).collect()}
+    n_files = len(t.entries())
+
+    rename_column(t, "tool", "tool_name")
+    assert len(t.entries()) == n_files  # no data file touched
+    got = scan(spark, t)
+    assert "tool_name" in got.columns and "tool" not in got.columns
+    post = {(r.conv_id, r.turn_idx): r.tool_name for r in got.collect()}
+    assert post == pre  # byte-equal values, new name
+
+    old = scan(spark, t, snapshot_id=pre_sid)
+    assert "tool" in old.columns and "tool_name" not in old.columns
+
+
+def test_rename_mixed_vintages_append_compact_roundtrip(spark, tiny_table, tiny_df):
+    """Post-rename appends (new name in the footer) and pre-rename files
+    (old name) must read as one table, and compact must merge the
+    vintages onto the current name (arrow rename_columns + align)."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    rename_column(t, "tool", "tool_name")
+    extra = tiny_df.limit(150).select(
+        F.concat(F.lit("rn-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", F.col("tool").alias("tool_name"), "ts",
+    )
+    append_dataframe(spark, t, extra)
+    before = scan(spark, t).collect()
+    assert len(before) == N_TURNS + 150
+
+    compact(spark, t, target_bytes=1 << 20)  # arrow mode
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # post-compact files are uniform current-schema: every entry now
+    # carries the current write-schema version
+    assert all(e.sv == t.schema_version_count() for e in t.entries())
+
+
+def test_rename_then_rowlevel_and_merge(spark, tiny_table, tiny_df):
+    """DELETE/UPDATE predicates and MERGE keys reference CURRENT names;
+    pre-rename files must resolve them by field id."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import (
+        delete_where,
+        update_where,
+    )
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    rename_column(t, "role", "speaker")
+    n_user = scan(spark, t).where(F.col("speaker") == "user").count()
+    assert n_user > 0
+
+    delete_where(spark, t, F.col("speaker") == "user", mode="merge-on-read")
+    assert scan(spark, t).where(F.col("speaker") == "user").count() == 0
+    assert scan(spark, t).count() == N_TURNS - n_user
+
+    update_where(spark, t, F.col("speaker") == "assistant",
+                 {"text": F.lit("edited")})
+    got = scan(spark, t)
+    assert got.where((F.col("speaker") == "assistant")
+                     & (F.col("text") != "edited")).count() == 0
+
+    from e_commerce_lakehouse_spark.operators import merge_into
+
+    src = (
+        scan(spark, t).limit(20)
+        .withColumn("text", F.lit("merged-fix"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    merge_into(spark, t, src)
+    assert scan(spark, t).where(F.col("text") == "merged-fix").count() == 20
+
+
+def test_widen_int_column_reads_old_files_as_bigint(spark, tiny_table, tiny_df):
+    """Widen int->bigint: old narrow files cast losslessly on read; new
+    files write wide; compact unifies to the wide type."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns,
+        widen_column,
+    )
+
+    t = tiny_table
+    add_columns(t, [("attempt", "int")])
+    extra = tiny_df.limit(100).select(
+        F.concat(F.lit("w-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+        F.lit(3).cast("int").alias("attempt"),
+    )
+    append_dataframe(spark, t, extra)  # narrow (int) vintage
+
+    widen_column(t, "attempt", "bigint")
+    got = scan(spark, t)
+    assert got.schema["attempt"].dataType.simpleString() == "bigint"
+    assert got.where(F.col("attempt") == 3).count() == 100
+
+    wide = tiny_df.limit(50).select(
+        F.concat(F.lit("w2-"), "conv_id").alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+        F.lit(2**40).cast("bigint").alias("attempt"),
+    )
+    append_dataframe(spark, t, wide)  # wide vintage
+    got = scan(spark, t)
+    assert got.where(F.col("attempt") == 2**40).count() == 50
+
+    before = got.collect()
+    compact(spark, t, target_bytes=1 << 20)
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+def test_rename_widen_guards(tiny_table):
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        rename_column,
+        widen_column,
+    )
+
+    t = tiny_table
+    with pytest.raises(ValueError, match="core column"):
+        rename_column(t, "conv_id", "cid")
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(t, "tool", "text")
+    # burned-name rule: a historical name can never come back
+    add_columns(t, [("tmp", "string")])
+    drop_columns(t, ["tmp"])
+    with pytest.raises(ValueError, match="earlier schema version"):
+        rename_column(t, "tool", "tmp")
+    with pytest.raises(ValueError, match="core column"):
+        widen_column(t, "turn_idx", "bigint")
+    with pytest.raises(ValueError, match="unsupported widening"):
+        widen_column(t, "text", "bigint")
+
+
+def test_rename_refuses_constraint_and_spec_bindings(spark, tiny_table):
+    """Specs that address columns by name must be re-declared before the
+    column they bind can move."""
+    from e_commerce_lakehouse_spark.operators.constraints import add_constraint
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    add_constraint(spark, t, "tool_known", "tool IS NOT NULL OR role != 'tool'")
+    with pytest.raises(ValueError, match="CHECK"):
+        rename_column(t, "tool", "tool_name")
+
+
+def test_time_travel_across_rename_and_widen_chain(spark, tiny_table):
+    """Each pinned snapshot reads in the shape (names AND types) current
+    at that snapshot, with values intact across the whole chain."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns,
+        rename_column,
+        widen_column,
+    )
+
+    t = tiny_table
+    s0 = t.current_snapshot_id()
+    add_columns(t, [("n", "int")])
+    s1 = t.current_snapshot_id()
+    rename_column(t, "n", "attempts")
+    s2 = t.current_snapshot_id()
+    widen_column(t, "attempts", "bigint")
+
+    assert "n" not in scan(spark, t, snapshot_id=s0).columns
+    d1 = scan(spark, t, snapshot_id=s1)
+    assert d1.schema["n"].dataType.simpleString() == "int"
+    d2 = scan(spark, t, snapshot_id=s2)
+    assert "n" not in d2.columns
+    assert d2.schema["attempts"].dataType.simpleString() == "int"
+    cur = scan(spark, t)
+    assert cur.schema["attempts"].dataType.simpleString() == "bigint"
+    assert cur.count() == N_TURNS
