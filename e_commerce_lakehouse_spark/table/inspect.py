@@ -80,6 +80,16 @@ def _part_map(partition: dict | None) -> dict | None:
     return {k: str(v) for k, v in partition.items()}
 
 
+_SCHEMAS_SCHEMA = T.StructType([
+    T.StructField("version", T.IntegerType()),
+    T.StructField("as_of_snapshot", T.LongType()),
+    T.StructField("mapped", T.BooleanType()),
+    T.StructField("columns", T.StringType()),
+    T.StructField("field_ids", T.StringType()),
+    T.StructField("change", T.StringType()),
+])
+
+
 def files_df(spark: SparkSession, table: Table, snapshot_id: int | None = None):
     """One row per LIVE data file of the (pinned or current) snapshot —
     the planner's exact inputs: size/rows for compaction planning, seq
@@ -143,12 +153,49 @@ def partitions_df(spark: SparkSession, table: Table, snapshot_id: int | None = N
     return spark.createDataFrame(rows, _PARTITIONS_SCHEMA)
 
 
+def schemas_df(spark: SparkSession, table: Table,
+               snapshot_id: int | None = None):
+    """The schema-version history (Iceberg ``.metadata_log`` analog for
+    shapes): one row per recorded version with its column list, field-id
+    bindings (rename/widen resolve by these — table/fieldids.py), the
+    snapshot it took effect at, and the evolution that created it (from
+    that snapshot's summary). Empty for never-evolved tables."""
+    from .fieldids import version_field_maps
+
+    versions = table.schema_versions()
+    maps = version_field_maps(versions)
+    rows = []
+    for v, m in zip(versions, maps):
+        change = None
+        if v["as_of_snapshot"]:
+            try:
+                change = json.dumps(
+                    table.snapshot(v["as_of_snapshot"]).summary, sort_keys=True
+                )
+            except FileNotFoundError:
+                pass  # evolution snapshot expired; the version remains
+        rows.append(
+            (
+                int(v["version"]),
+                int(v["as_of_snapshot"]),
+                bool(v.get("mapped", False)),
+                json.dumps(
+                    [f'{f["name"]}:{f["type"]}' for f in v["schema"]["fields"]]
+                ),
+                json.dumps(m, sort_keys=True),
+                change,
+            )
+        )
+    return spark.createDataFrame(rows, _SCHEMAS_SCHEMA)
+
+
 #: view-name suffix -> builder; Catalog.attach and register_metadata_views
 #: both iterate this single registry
 METADATA_TABLES = {
     "files": files_df,
     "snapshots": snapshots_df,
     "partitions": partitions_df,
+    "schemas": schemas_df,
 }
 
 

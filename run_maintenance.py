@@ -59,7 +59,8 @@ def main(argv=None) -> int:
         choices=[
             "create", "compact", "cluster", "merge", "rewrite-manifests",
             "expire", "ingest", "ingest-append", "inspect", "diff", "rollback",
-            "add-columns", "drop-columns", "tag", "untag", "analyze",
+            "add-columns", "drop-columns", "rename-column",
+            "widen-column", "tag", "untag", "analyze",
             "consume", "history", "delete", "update",
             "add-constraint", "drop-constraint", "constraints",
             "materialize-deletes", "skipping-report", "verify", "pipeline",
@@ -101,7 +102,8 @@ def main(argv=None) -> int:
                         "rollback: the snapshot to restore")
     p.add_argument("--columns", default=None,
                    help="add-columns: name:type[,name:type...]; "
-                        "drop-columns: name[,name...]")
+                        "drop-columns: name[,name...]; "
+                        "rename-column: old:new; widen-column: name:type")
     p.add_argument("--tag-name", default=None, help="tag/untag: the ref name")
     p.add_argument("--to-snapshot", type=int, default=None, help="diff: the TO snapshot")
     p.add_argument("--predicate", default=None,
@@ -234,6 +236,26 @@ def main(argv=None) -> int:
             result = drop_columns(
                 Table.load(args.table, branch=args.branch), [c.strip() for c in args.columns.split(",")]
             )
+    elif args.op == "rename-column":  # metadata-only (field-id binding)
+        from e_commerce_lakehouse_spark.operators.schema_evolution import (
+            rename_column,
+        )
+
+        if not args.columns or ":" not in args.columns:
+            p.error("--op rename-column requires --columns old:new")
+        old_name, _, new_name = args.columns.partition(":")
+        result = rename_column(Table.load(args.table, branch=args.branch),
+                               old_name.strip(), new_name.strip())
+    elif args.op == "widen-column":  # metadata-only (lossless cast on read)
+        from e_commerce_lakehouse_spark.operators.schema_evolution import (
+            widen_column,
+        )
+
+        if not args.columns or ":" not in args.columns:
+            p.error("--op widen-column requires --columns name:type")
+        name, _, type_str = args.columns.partition(":")
+        result = widen_column(Table.load(args.table, branch=args.branch),
+                              name.strip(), type_str.strip())
     elif args.op == "drop-constraint":  # metadata-only
         from e_commerce_lakehouse_spark.operators.constraints import drop_constraint
 

@@ -96,7 +96,7 @@ def test_catalog_attach_with_metadata_views(spark, tmp_path):
     cat.register("conv", t.root)
     views = cat.attach(spark, metadata_views=True)
     assert set(views) == {"conv", "conv__files", "conv__snapshots",
-                          "conv__partitions"}
+                          "conv__partitions", "conv__schemas"}
     small = spark.sql(
         "SELECT count(*) AS n FROM conv__files WHERE bytes < 1024*1024"
     ).collect()[0]["n"]
@@ -111,3 +111,28 @@ def test_catalog_attach_with_metadata_views(spark, tmp_path):
     n_before = spark.sql("SELECT count(*) AS n FROM conv__files").collect()[0]["n"]
     compact(spark, t, target_bytes=256 << 20)
     assert spark.sql("SELECT count(*) AS n FROM conv__files").collect()[0]["n"] == n_before
+
+
+def test_schemas_metadata_table_tracks_evolution(spark, tmp_path):
+    """``.schemas``: one row per schema version, field-id bindings
+    included, change summary linked from the evolution snapshot."""
+    import json as _json
+
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns,
+        rename_column,
+    )
+    from e_commerce_lakehouse_spark.table.inspect import schemas_df
+
+    t, _ = _table(spark, tmp_path)
+    assert schemas_df(spark, t).count() == 0  # never evolved
+    add_columns(t, [("q", "double")])
+    rename_column(t, "q", "quality")
+    rows = {r["version"]: r for r in schemas_df(spark, t).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert not rows[1]["mapped"] and not rows[2]["mapped"] and rows[3]["mapped"]
+    # rename keeps the field id under the new name
+    ids2 = _json.loads(rows[2]["field_ids"])
+    ids3 = _json.loads(rows[3]["field_ids"])
+    assert ids3["quality"] == ids2["q"]
+    assert "renamed" in (rows[3]["change"] or "")

@@ -336,3 +336,30 @@ def test_time_travel_across_rename_and_widen_chain(spark, tiny_table):
     cur = scan(spark, t)
     assert cur.schema["attempts"].dataType.simpleString() == "bigint"
     assert cur.count() == N_TURNS
+
+
+def test_cli_rename_and_widen_ops(spark, tiny_table, capsys):
+    """run_maintenance --op rename-column / widen-column: metadata-only,
+    no SparkSession needed by the CLI path itself."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    t = tiny_table
+    assert main(["--table", t.root, "--op", "rename-column",
+                 "--columns", "tool:tool_name"]) == 0
+    with pytest.raises(ValueError, match="no such column"):
+        main(["--table", t.root, "--op", "widen-column",
+              "--columns", "nope:bigint"])
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        add_columns,
+    )
+
+    add_columns(t, [("n_retries", "int")])
+    assert main(["--table", t.root, "--op", "widen-column",
+                 "--columns", "n_retries:bigint"]) == 0
+    got = scan(spark, t)
+    assert "tool_name" in got.columns
+    assert got.schema["n_retries"].dataType.simpleString() == "bigint"
+    assert got.count() == N_TURNS
