@@ -209,30 +209,7 @@ def ivf_ann_topk(
     spark = vectors.sparkSession
     v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
     try:
-        seeds = (
-            v.orderBy(F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id"))
-            .limit(n_cells)
-            .collect()
-        )  # n_cells rows of dim doubles — trivially driver-safe
-        cents0 = [
-            (i + 1, [float(x) for x in r["nv"]], float(r["nn"])) for i, r in enumerate(seeds)
-        ]
-        assigned0 = v.select("neighbor_id", "nv", _centroid_argmax(cents0, "nv", "nn"))
-        mean_rows = (
-            assigned0.select("cell", F.posexplode("nv").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()
-        )  # <= n_cells*dim scalars
-        by_cell: dict[int, list] = {}
-        for r in mean_rows:
-            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["m"])
-        import math as _math
-
-        cents = [
-            (cell, vec, _math.sqrt(sum(x * x for x in vec)))
-            for cell, vec in sorted(by_cell.items())
-        ]
+        cents = _ivf_centroids(v, dim, n_cells)
         assigned = v.select("neighbor_id", "nv", "nn", _centroid_argmax(cents, "nv", "nn"))
         q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col)
         probes = q.select(
@@ -301,3 +278,102 @@ def lsh_ann_topk(
         .select(query_id_col, "neighbor_id", "rank", "cos")
     )
     return _finish_release(result, v, q)
+
+def _ivf_centroids(v: DataFrame, dim: int, n_cells: int) -> list[tuple[int, list[float], float]]:
+    """Deterministic coarse quantizer shared by ivf_ann_topk and
+    semdedup: seeds = the n_cells vectors with smallest md5(id) (the q51
+    deterministic-sampling trick — reproducible across engines and
+    cluster sizes), ONE Lloyd refinement with per-(cell, dim) means
+    rounded to 6 dp so an independent engine lands on identical
+    centroids. Driver handles <= n_cells*dim scalars; the corpus never
+    shuffles. ``v`` is a _norms frame (neighbor_id, nv, nn)."""
+    seeds = (
+        v.orderBy(F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id"))
+        .limit(n_cells)
+        .collect()
+    )  # n_cells rows of dim doubles — trivially driver-safe
+    cents0 = [
+        (i + 1, [float(x) for x in r["nv"]], float(r["nn"])) for i, r in enumerate(seeds)
+    ]
+    assigned0 = v.select("neighbor_id", "nv", _centroid_argmax(cents0, "nv", "nn"))
+    mean_rows = (
+        assigned0.select("cell", F.posexplode("nv").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )  # <= n_cells*dim scalars
+    by_cell: dict[int, list] = {}
+    for r in mean_rows:
+        by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = float(r["m"])
+    import math as _math
+
+    return [
+        (cell, vec, _math.sqrt(sum(x * x for x in vec)))
+        for cell, vec in sorted(by_cell.items())
+    ]
+
+
+def semdedup(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    tau: float = 0.96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 shape): semantic
+    dedup of an embedding corpus by clustering THEN within-cluster
+    pairwise cosine — the clustering bounds the quadratic stage to
+    O(sum cell_i^2), the trick that makes semantic dedup feasible at
+    LAION/LLM-corpus scale (k ~ sqrt(n) cells keeps cells ~sqrt(n)).
+
+    Deterministic end to end (md5-seeded IVF quantizer, 6-dp centroid
+    means, 4-dp cosines), so the RESULT — not just its size — is SQL
+    value-hash oracle-able (q88): a row is a duplicate iff a SMALLER-id
+    row in the SAME cell has cosine >= tau. Returns one row per input:
+    (vec_id, cell, is_dup). The within-cell self-join shuffles on the
+    cell id; a pathologically hot cell is the standard SemDeDup caveat —
+    raise n_cells (paper uses k in the tens of thousands at 5B docs).
+    """
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
+    assigned = v  # rebound below; keeps the except-path unpersist total
+    try:
+        cents = _ivf_centroids(v, dim, n_cells)
+        assigned = v.select(
+            "neighbor_id", "nv", "nn", _centroid_argmax(cents, "nv", "nn")
+        ).persist()
+        a = assigned.select(
+            F.col("neighbor_id").alias("aid"), F.col("nv").alias("av"),
+            F.col("nn").alias("an"), "cell",
+        )
+        b = assigned.select(
+            F.col("neighbor_id").alias("bid"), F.col("nv").alias("bv"),
+            F.col("nn").alias("bn"), "cell",
+        )
+        dups = (
+            a.join(b, "cell")
+            .where(F.col("bid") < F.col("aid"))
+            .where(
+                F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 4)
+                >= F.lit(tau)
+            )
+            .select(F.col("aid").alias("neighbor_id"))
+            .distinct()
+            .withColumn("dup", F.lit(1))
+        )
+        result = (
+            assigned.join(dups, "neighbor_id", "left")
+            .select(
+                F.col("neighbor_id").alias(id_col),
+                "cell",
+                F.coalesce(F.col("dup"), F.lit(0)).alias("is_dup"),
+            )
+        )
+        return _finish_release(result, assigned, v)
+    except Exception:
+        for df in (v, assigned):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        raise

@@ -1361,3 +1361,51 @@ SELECT source,
 FROM documents
 GROUP BY source, lang
 """
+
+
+# q88: SemDeDup mirror. The assignment CTEs are q53's (same deterministic
+# quantizer); dup rule: EXISTS a smaller-id row in the same cell with
+# 4-dp cosine >= tau. tau low on purpose — synthetic embeddings have no
+# true near-dups; the hash proves the machinery.
+def _semdedup_sql(n_cells: int = 8, tau: float = 0.3) -> str:
+    cos5 = """
+round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+ / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 5)
+"""
+    cos4 = cos5.replace(", 5)", ", 4)")
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+    SELECT vec_id, e,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cell
+    FROM ev QUALIFY cell <= {n_cells}),
+assign0 AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT a.vec_id, a.e, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
+        FROM ev a CROSS JOIN (SELECT cell, e FROM seeds) b) WHERE rn = 1),
+cent AS (
+    SELECT cell, i, round(avg(e[i]), 6) AS m
+    FROM assign0 CROSS JOIN (SELECT unnest(range(1, len((SELECT e FROM ev LIMIT 1)) + 1)) AS i)
+    GROUP BY cell, i),
+centl AS (SELECT cell, list(m ORDER BY i) AS e FROM cent GROUP BY cell),
+assign AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT a.vec_id, a.e, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
+        FROM ev a CROSS JOIN centl b) WHERE rn = 1),
+dups AS (
+    SELECT DISTINCT a.vec_id
+    FROM assign a JOIN assign b
+      ON b.cell = a.cell AND b.vec_id < a.vec_id
+    WHERE {cos4} >= {tau})
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+"""
+
+
+ALL["q88_semdedup"] = _semdedup_sql()

@@ -487,6 +487,19 @@ def q87_schema_evolution_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q88_semdedup(spark, sf_dir):
+    """SemDeDup: embedding-cluster semantic dedup (cluster with the
+    deterministic IVF quantizer, then within-cluster pairwise cosine —
+    the O(sum cell^2) trick that makes semantic dedup feasible at corpus
+    scale). tau=0.3 is deliberately low: the synthetic embeddings are
+    near-random (max pairwise cos ~0.51), so a realistic 0.95 marks
+    nothing — the oracle proves the MACHINERY (assignment + pair marking)
+    value-for-value, not a semantic claim about synthetic vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup(e, dim=64, n_cells=8, tau=0.3)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2241,4 +2254,5 @@ ALL = {
     "q85_interval_range_join": q85_interval_range_join,
     "q86_weighted_sample": q86_weighted_sample,
     "q87_schema_evolution_lifecycle": q87_schema_evolution_lifecycle,
+    "q88_semdedup": q88_semdedup,
 }

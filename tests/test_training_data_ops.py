@@ -286,3 +286,36 @@ def test_incremental_minhash_never_self_pairs_corpus(spark):
     matched = {(r.new_id, r.corpus_id) for r in rows}
     assert (100, 1) in matched and (100, 2) in matched
     assert not any(nid == 101 for nid, _ in matched)
+
+
+def test_semdedup_marks_within_cluster_neardups(spark):
+    """SemDeDup: exact/near duplicate vectors land in one cell and every
+    copy but the smallest-id one is marked; distinct directions are kept.
+    Deterministic — two runs produce identical assignments."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.02, 0.0, 0.0]),   # near-dup of 0
+        (2, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in sim.semdedup(emb, dim=4, n_cells=3,
+                                                tau=0.95).collect()}
+    assert len(got) == 6
+    # near/exact dups of the smallest id are marked; the rest kept
+    assert got[0]["is_dup"] == 0
+    assert got[1]["is_dup"] == 1 and got[2]["is_dup"] == 1
+    assert got[1]["cell"] == got[0]["cell"] == got[2]["cell"]
+    assert {got[i]["is_dup"] for i in (3, 4, 5)} == {0}
+
+    again = {r["vec_id"]: (r["cell"], r["is_dup"])
+             for r in sim.semdedup(emb, dim=4, n_cells=3, tau=0.95).collect()}
+    assert again == {k: (v["cell"], v["is_dup"]) for k, v in got.items()}
+
+    # scale shape: the within-cluster pair stage is an EQUI join on cell,
+    # never a cartesian/nested-loop plan
+    plan = sim.semdedup(emb, dim=4, n_cells=3, tau=0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
