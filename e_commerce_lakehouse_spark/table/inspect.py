@@ -80,6 +80,22 @@ def _part_map(partition: dict | None) -> dict | None:
     return {k: str(v) for k, v in partition.items()}
 
 
+_REFS_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType(), False),
+    T.StructField("type", T.StringType(), False),  # main | tag | branch
+    T.StructField("snapshot_id", T.LongType(), True),
+    T.StructField("mutable", T.BooleanType(), False),
+])
+
+_MANIFESTS_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),
+    T.StructField("position", T.IntegerType(), False),
+    T.StructField("n_entries", T.LongType(), False),
+    T.StructField("live_entries", T.LongType(), False),
+    T.StructField("rows", T.LongType(), False),
+    T.StructField("bytes", T.LongType(), False),
+])
+
 _SCHEMAS_SCHEMA = T.StructType([
     T.StructField("version", T.IntegerType()),
     T.StructField("as_of_snapshot", T.LongType()),
@@ -189,6 +205,35 @@ def schemas_df(spark: SparkSession, table: Table,
     return spark.createDataFrame(rows, _SCHEMAS_SCHEMA)
 
 
+def refs_df(spark: SparkSession, table: Table,
+            snapshot_id: int | None = None):
+    """Every named ref (Iceberg ``.refs``): the main pointer, immutable
+    tags (GC-pinned), and mutable branch heads."""
+    rows = [("main", "main", table.current_snapshot_id(), True)]
+    rows += [(n, "tag", int(s), False) for n, s in sorted(table.tags().items())]
+    rows += [(n, "branch", int(s), True)
+             for n, s in sorted(table.branches().items())]
+    return spark.createDataFrame(rows, _REFS_SCHEMA)
+
+
+def manifests_df(spark: SparkSession, table: Table,
+                 snapshot_id: int | None = None):
+    """Per-manifest rollup for the pinned snapshot (Iceberg
+    ``.manifests``): entry counts, how many entries are still LIVE
+    (not in the accumulated removed set), and live row/byte totals —
+    the signal `--op rewrite-manifests` acts on (a snapshot dragging
+    many mostly-dead manifests plans slowly)."""
+    snap = table.snapshot(snapshot_id)
+    removed = set(snap.removed_files)
+    rows = []
+    for k, m in enumerate(snap.manifests):
+        ents = table.manifest_entries(m)
+        live = [e for e in ents if e.path not in removed]
+        rows.append((m, k, len(ents), len(live),
+                     sum(e.rows for e in live), sum(e.bytes for e in live)))
+    return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+
 #: view-name suffix -> builder; Catalog.attach and register_metadata_views
 #: both iterate this single registry
 METADATA_TABLES = {
@@ -196,6 +241,8 @@ METADATA_TABLES = {
     "snapshots": snapshots_df,
     "partitions": partitions_df,
     "schemas": schemas_df,
+    "refs": refs_df,
+    "manifests": manifests_df,
 }
 
 

@@ -96,7 +96,8 @@ def test_catalog_attach_with_metadata_views(spark, tmp_path):
     cat.register("conv", t.root)
     views = cat.attach(spark, metadata_views=True)
     assert set(views) == {"conv", "conv__files", "conv__snapshots",
-                          "conv__partitions", "conv__schemas"}
+                          "conv__partitions", "conv__schemas",
+                          "conv__refs", "conv__manifests"}
     small = spark.sql(
         "SELECT count(*) AS n FROM conv__files WHERE bytes < 1024*1024"
     ).collect()[0]["n"]
@@ -136,3 +137,27 @@ def test_schemas_metadata_table_tracks_evolution(spark, tmp_path):
     ids3 = _json.loads(rows[3]["field_ids"])
     assert ids3["quality"] == ids2["q"]
     assert "renamed" in (rows[3]["change"] or "")
+
+
+def test_refs_and_manifests_metadata_tables(spark, tmp_path):
+    """``.refs`` lists main + tags + branches; ``.manifests`` attributes
+    live vs dead entries per manifest (the rewrite-manifests signal)."""
+    from e_commerce_lakehouse_spark.operators import compact
+    from e_commerce_lakehouse_spark.table.inspect import manifests_df, refs_df
+
+    t, df = _table(spark, tmp_path)
+    t.create_tag("v1")
+    t.create_branch("dev")
+    refs = {r["name"]: r for r in refs_df(spark, t).collect()}
+    assert refs["main"]["type"] == "main" and refs["main"]["mutable"]
+    assert refs["v1"]["type"] == "tag" and not refs["v1"]["mutable"]
+    assert refs["dev"]["type"] == "branch"
+    assert refs["v1"]["snapshot_id"] == t.current_snapshot_id()
+
+    pre = manifests_df(spark, t).collect()
+    assert sum(r["live_entries"] for r in pre) == len(t.entries())
+    compact(spark, t, target_bytes=1 << 20)
+    post = manifests_df(spark, t).collect()
+    # the compacted-away entries are now dead in their old manifests
+    assert sum(r["n_entries"] for r in post) > sum(r["live_entries"] for r in post)
+    assert sum(r["live_entries"] for r in post) == len(t.entries())
