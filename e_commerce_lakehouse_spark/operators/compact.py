@@ -201,6 +201,7 @@ def _rewrite_group(
     run_token: str = "",
     out_seq: int | None = None,
     out_partition: dict | None = None,
+    sv_plan: int | None = None,
 ) -> dict:
     t0 = monotonic()
     # run token = collision-free per attempt: a prior crashed attempt's
@@ -225,7 +226,11 @@ def _rewrite_group(
     for e in outs:
         e.seq = out_seq
         e.partition = out_partition
-        e.sv = table.schema_version_count() or None
+        # PLAN-time write version, not re-read per group: outputs are
+        # written under the schema compact() resolved at plan time, and a
+        # mid-run evolution must not relabel later groups (review
+        # finding — arrow mode already worked this way via sv_plan)
+        e.sv = sv_plan
     return {
         "group_id": group.group_id,
         "status": "done",
@@ -303,6 +308,7 @@ def _run_jobs(
     spark, table, todo, base_snapshot, target_bytes, schema, stat_columns, ckpt,
     max_concurrent_groups, fail_after_groups, run_token: str = "",
     group_seq: dict | None = None, group_part: dict | None = None,
+    sv_plan: int | None = None,
 ) -> None:
     """Jobs mode: one Spark SQL job per group, FAIR-scheduled from a
     thread pool (the generic path — works for any schema/transform)."""
@@ -313,7 +319,8 @@ def _run_jobs(
         rec = _rewrite_group(spark, table, g, base_snapshot, target_bytes, schema,
                              stat_columns, run_token=run_token,
                              out_seq=(group_seq or {}).get(g.group_id),
-                             out_partition=(group_part or {}).get(g.group_id))
+                             out_partition=(group_part or {}).get(g.group_id),
+                             sv_plan=sv_plan)
         nonlocal completed
         with lock:
             ckpt.record(rec)
@@ -393,22 +400,12 @@ def compact(
     # tasks (empty until a rename exists; see table/fieldids.py)
     ren_by_path: dict[str, dict] = {}
     versions = table.schema_versions()
-    from ..table.fieldids import (
-        legacy_version_number,
-        mapping_required,
-        rename_map,
-    )
+    from ..table.fieldids import entry_rename_maps, mapping_required
 
     if mapping_required(versions):
-        cur_ver = table.schema_version_at() or 1
-        legacy = legacy_version_number(versions)
-        by_ver = {}
-        for e in entries:
-            wv = e.sv if e.sv is not None else legacy
-            if wv not in by_ver:
-                by_ver[wv] = rename_map(versions, wv, cur_ver)
-            if by_ver[wv]:
-                ren_by_path[e.path] = by_ver[wv]
+        ren_by_path = entry_rename_maps(
+            versions, entries, table.schema_version_at() or 1
+        )
     _scope_tag = ""
     if conv_id_range is not None or ts_range is not None:
         from ..table.scan import prune_entries
@@ -584,7 +581,7 @@ def compact(
         _run_jobs(spark, table, todo, base_snapshot, target_bytes, schema,
                   stat_columns, ckpt, max_concurrent_groups, fail_after_groups,
                   run_token=run_token, group_seq=group_seq,
-                  group_part=group_part)
+                  group_part=group_part, sv_plan=sv_plan)
     else:
         raise ValueError(f"unknown compaction mode: {mode}")
     t_rewrite_done = monotonic()

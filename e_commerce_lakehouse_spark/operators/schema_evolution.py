@@ -78,10 +78,15 @@ def _commit_evolution(table: Table, new_schema: T.StructType, change: dict,
         )
     if field_ids is None:
         # derive: existing names keep their ids, fresh names get fresh
-        # ids (add case); a dropped name's id simply falls out (and stays
-        # burned — fieldids.next_field_id never recycles it)
+        # ids (add case). Fresh ids come from next_field_id over the
+        # WHOLE version history, never max(prev)+1 — a dropped column's
+        # id must stay burned like its name, or a later add would bind
+        # old files' bytes of the dropped column to the new field
+        # (review finding: silent cross-column corruption)
+        from ..table.fieldids import next_field_id
+
         prev = version_field_maps(table.schema_versions())[-1]
-        nxt = (max(prev.values()) + 1) if prev else 1
+        nxt = next_field_id(table.schema_versions())
         field_ids = {}
         for f in new_schema.fields:
             if f.name in prev:
@@ -177,6 +182,19 @@ def drop_columns(table: Table, names: list[str]) -> dict:
     return _commit_evolution(table, T.StructType(keep), {"dropped": list(names)})
 
 
+def _require_main(table: Table) -> None:
+    """Refuse branch evolution BEFORE any metadata write: rename/widen
+    pin version 1 up front, and a refused branch op must not leave that
+    side effect behind (review finding) — _commit_evolution re-checks
+    for the add/drop paths."""
+    if table.branch is not None:
+        raise ValueError(
+            "schema evolution on a branch is not supported (schema "
+            "versions are resolved by snapshot id table-wide); evolve on "
+            "main, before or after fast_forward"
+        )
+
+
 def _constraint_offenders(table: Table, name: str) -> list[str]:
     import re
 
@@ -201,6 +219,7 @@ def rename_column(table: Table, old: str, new: str) -> dict:
     unambiguous forever), columns referenced by CHECK constraints,
     partition-spec sources, or bloom-spec columns (those specs address
     columns by name; rewrite them first)."""
+    _require_main(table)
     schema = current_schema(table)
     existing = {f.name for f in schema.fields}
     if old in CORE_COLUMNS:
@@ -260,6 +279,7 @@ def widen_column(table: Table, name: str, to_type: str) -> dict:
     float->double) — metadata-only. Old files keep their narrow bytes;
     reads cast each vintage losslessly onto the current type
     (scan.read_entries); new files are written wide."""
+    _require_main(table)
     schema = current_schema(table)
     by_name = {f.name: f for f in schema.fields}
     if name in CORE_COLUMNS:

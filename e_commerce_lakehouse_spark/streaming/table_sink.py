@@ -73,13 +73,19 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         self._sv = t.schema_version_count() or None
         from ..table.scan import resolve_schema
 
-        expected = [f.name for f in resolve_schema(t).fields]
+        expected = {f.name for f in resolve_schema(t).fields}
         got = [f.name for f in schema.fields]
-        if got != expected:
+        unknown = sorted(set(got) - expected)
+        if unknown:
+            # by-name binding makes column ORDER and missing nullable
+            # columns (a schema-lagged producer, like the batch append
+            # path accepts) both safe — only names the current schema
+            # does not know are refusable: after a rename they would
+            # land unreadable (the old name is burned, never re-bound)
             raise ValueError(
-                f"lakehouse_sink stream schema {got} does not match the "
-                f"table's current schema {expected} — align the stream "
-                f"(schema evolution renames bind by name at write time)"
+                f"lakehouse_sink stream columns {unknown} are not in the "
+                f"table's current schema {sorted(expected)} — align the "
+                f"stream (after a rename, produce the NEW column name)"
             )
         self._schema = schema
         self._run = uuid.uuid4().hex[:12]

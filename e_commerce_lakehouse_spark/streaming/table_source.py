@@ -70,6 +70,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._root = options["path"]
         start = int(options.get("starting_snapshot", 0))
         self._start = start
+        # pin the STREAM-START schema version: the source already
+        # declared schema() to Spark, so every micro-batch must align to
+        # THAT shape even if an evolution lands mid-stream (review
+        # finding — deriving per batch from the live head would emit
+        # arrow batches diverging from the declared schema)
+        t = self._table()
+        self._read_ver = t.schema_version_at() or 1
+        from ..table.fieldids import mapping_required
+
+        self._mapped = mapping_required(t.schema_versions())
+        if self._mapped:
+            from ..table.scan import resolve_schema
+
+            self._field_spec = [(f.name, f.dataType.simpleString())
+                                for f in resolve_schema(t).fields]
+        else:
+            self._field_spec = None
 
     # ---- driver-side planning (metadata only) ----
 
@@ -134,32 +151,24 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     svs.append(e.sv)
         # schema evolution (rename/widen): resolve each file's written
         # names DRIVER-side (metadata only); read() applies them as
-        # zero-copy arrow renames + a cast-align against the CURRENT
-        # schema the source declared
-        renames = field_spec = None
-        versions = t.schema_versions()
-        from ..table.fieldids import (
-            legacy_version_number,
-            mapping_required,
-            rename_map,
-        )
+        # zero-copy arrow renames + a cast-align against the schema the
+        # source DECLARED at stream start (self._read_ver — pinned, see
+        # __init__)
+        renames = None
+        field_spec = self._field_spec
+        if self._mapped:
+            from ..table.fieldids import entry_rename_maps
 
-        if mapping_required(versions):
-            from pyspark.sql import types as T
+            class _E:  # adapt (path-less) sv list to entry_rename_maps
+                __slots__ = ("path", "sv")
 
-            from ..table.scan import resolve_schema
+                def __init__(self, i, sv):
+                    self.path, self.sv = i, sv
 
-            cur_ver = t.schema_version_at() or 1
-            legacy = legacy_version_number(versions)
-            by_ver: dict[int, dict] = {}
-            renames = []
-            for sv in svs:
-                wv = sv if sv is not None else legacy
-                if wv not in by_ver:
-                    by_ver[wv] = rename_map(versions, wv, cur_ver)
-                renames.append(by_ver[wv] or None)
-            field_spec = [(f.name, f.dataType.simpleString())
-                          for f in resolve_schema(t).fields]
+            ents = [_E(i, sv) for i, sv in enumerate(svs)]
+            by_idx = entry_rename_maps(t.schema_versions(), ents,
+                                       self._read_ver)
+            renames = [by_idx.get(i) for i in range(len(svs))]
         groups = []
         for i in range(0, len(paths), _FILES_PER_PARTITION):
             g = paths[i : i + _FILES_PER_PARTITION]

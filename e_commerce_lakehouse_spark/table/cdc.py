@@ -189,7 +189,7 @@ class IncrementalConsumer:
         # delivered as a live insert (the cow-delete path already excludes
         # it). Seq-aware (read_with_tombstones): an update-mor's post-image
         # rows in this window are exempt from their own tombstone.
-        from .scan import read_entries, read_with_tombstones
+        from .scan import read_with_tombstones
 
         df = read_with_tombstones(spark, t, entries, schema, snapshot_id=current)
         return {"df": df, "mode": "chain"}

@@ -103,3 +103,23 @@ def rename_map(versions: list[dict], write_version: int,
         for wname, i in wmap.items()
         if i in by_id and by_id[i] != wname
     }
+
+
+def entry_rename_maps(versions: list[dict], entries,
+                      read_version: int) -> dict[str, dict]:
+    """{file path -> {written name -> read-version name}} for every entry
+    whose written names differ from ``read_version``'s (others omitted).
+    The per-write-version map is memoized, so cost is O(versions) map
+    builds + O(entries) dict lookups. Shared by compact's arrow rewrite
+    and the streaming table source (review finding: keep the legacy-
+    fallback logic in exactly one place)."""
+    legacy = legacy_version_number(versions)
+    by_ver: dict[int, dict] = {}
+    out: dict[str, dict] = {}
+    for e in entries:
+        wv = e.sv if e.sv is not None else legacy
+        if wv not in by_ver:
+            by_ver[wv] = rename_map(versions, wv, read_version)
+        if by_ver[wv]:
+            out[e.path] = by_ver[wv]
+    return out

@@ -1297,9 +1297,11 @@ def _stamp_seq(added: list[DataFileEntry], sid: int,
     carrying an explicit seq (rewrites preserving old rows) keep it.
     ``sv`` (the table's CURRENT schema version at commit) backfills
     entries whose writer didn't stamp their write-schema version — a
-    safety net only: operators that resolve a schema at plan time stamp
-    sv themselves (stats.collect_entries sv=), which stays correct even
-    if an evolution lands between plan and commit."""
+    safety net only: long-running or race-exposed writers (append,
+    compact, cluster, merge, the streaming sink) capture the version
+    WHEN they resolve their write schema and stamp entries themselves,
+    which stays correct even if an evolution lands between plan and
+    commit."""
     for e in added:
         if e.seq is None:
             e.seq = sid

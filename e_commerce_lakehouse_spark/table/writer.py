@@ -171,6 +171,11 @@ def append_dataframe(
     from .scan import resolve_schema
 
     schema = resolve_schema(table)
+    # stamp outputs with the version this schema WAS resolved at — a
+    # rename committed by another process between here and commit_append
+    # must not relabel these files' written names (review finding; the
+    # commit-time backfill only covers legacy callers)
+    sv_plan = table.schema_version_count() or None
     df = align_to_schema(df, schema)
     from ..operators.constraints import enforce_constraints  # deferred: avoids import cycle
 
@@ -188,6 +193,8 @@ def append_dataframe(
         n_files = max(1, -(-n_rows // max(1, rows_per_file)))
         subdir = f"append-{uuid.uuid4().hex[:12]}"
         entries = write_files(spark, table, df, n_files, subdir)
+        for e in entries:
+            e.sv = sv_plan
     finally:
         df.unpersist()
     return table.commit_append(

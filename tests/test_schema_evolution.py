@@ -363,3 +363,70 @@ def test_cli_rename_and_widen_ops(spark, tiny_table, capsys):
     assert "tool_name" in got.columns
     assert got.schema["n_retries"].dataType.simpleString() == "bigint"
     assert got.count() == N_TURNS
+
+
+def test_dropped_field_id_never_recycled(spark, tiny_table, tiny_df):
+    """Review finding: after a mapped evolution, a drop-then-add must
+    give the new column a FRESH field id — recycling the dropped id
+    would bind old files' dropped-column bytes to the new column."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+    from e_commerce_lakehouse_spark.table.fieldids import version_field_maps
+
+    t = tiny_table
+    rename_column(t, "role", "speaker")  # make the table mapped
+    add_columns(t, [("c", "string")])
+    extra = tiny_df.limit(60).select(
+        F.concat(F.lit("x-"), "conv_id").alias("conv_id"),
+        "turn_idx", F.col("role").alias("speaker"), "text", "tool", "ts",
+        F.lit("SECRET").alias("c"),
+    )
+    append_dataframe(spark, t, extra)  # files carrying c bytes
+    drop_columns(t, ["c"])
+    add_columns(t, [("d", "string")])
+    maps = version_field_maps(t.schema_versions())
+    c_id = maps[-3]["c"]
+    assert maps[-1]["d"] != c_id  # fresh id, dropped id stays burned
+    got = scan(spark, t)
+    # the dropped column's bytes must NOT surface as d
+    assert got.where(F.col("d").isNotNull()).count() == 0
+    assert got.count() == N_TURNS + 60
+
+
+def test_branch_evolution_refused_without_side_effect(spark, tiny_table):
+    """Review finding: a refused branch rename must not leave version 1
+    pinned in the table-global schema history."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    dev = t.create_branch("dev")
+    assert t.schema_versions() == []
+    with pytest.raises(ValueError, match="branch"):
+        rename_column(dev, "tool", "tool_name")
+    assert t.schema_versions() == []  # no metadata side effect
+
+
+def test_sink_schema_guard_allows_order_and_lag(spark, tiny_table):
+    """Review finding: the sink guard must only refuse UNKNOWN columns —
+    reordered and schema-lagged (missing nullable) streams bind by name
+    and were always safe."""
+    from pyspark.sql import types as T
+
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+    from e_commerce_lakehouse_spark.streaming.table_sink import LakehouseStreamWriter
+
+    t = tiny_table
+    add_columns(t, [("extra_col", "double")])
+    full = [f.name for f in scan(spark, t).schema.fields]
+    reordered = T.StructType(
+        [scan(spark, t).schema[n] for n in reversed(full)]
+    )
+    LakehouseStreamWriter({"path": t.root}, reordered)  # order: OK
+    lagged = T.StructType([scan(spark, t).schema[n] for n in full
+                           if n != "extra_col"])
+    LakehouseStreamWriter({"path": t.root}, lagged)  # missing nullable: OK
+    rename_column(t, "tool", "tool_name")
+    stale = T.StructType(
+        [scan(spark, t).schema[n] for n in full if n != "tool"]
+    ).add("tool", T.StringType())  # pre-rename producer
+    with pytest.raises(ValueError, match="tool"):
+        LakehouseStreamWriter({"path": t.root}, stale)
