@@ -49,26 +49,40 @@ def file_stats_dict(
     md = pf.metadata
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     for col in stat_columns:
         ci = name_to_idx.get(col)
         if ci is None:
             continue
         mins, maxs = [], []
+        nc, nc_ok = 0, True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 mins, maxs = [], []
+                nc_ok = False
                 break
             mins.append(norm_stat(st.min))
             maxs.append(norm_stat(st.max))
+            if st.null_count is None:
+                nc_ok = False
+            else:
+                nc += int(st.null_count)
         if mins:
             stats[col] = [min(mins), max(maxs)]
+        if nc_ok:
+            # exact per-file null count: what lets metadata_count prove a
+            # file FULLY satisfies a range predicate (min/max ignore
+            # nulls, so containment alone cannot)
+            nulls[col] = nc
     out = {
         "path": os.path.relpath(abs_path, root),
         "rows": md.num_rows,
         "bytes": os.path.getsize(abs_path),
         "stats": stats,
     }
+    if nulls:
+        out["nulls"] = nulls
     if bloom_spec:
         blooms = {}
         for col, params in bloom_spec.items():

@@ -1409,3 +1409,21 @@ FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
 
 
 ALL["q88_semdedup"] = _semdedup_sql()
+
+
+# q89: six windowed counts over the q30 transcripts derivation — the
+# Spark side answers them metadata-first from manifest stats (boundary
+# files only are read); relationally they are plain WHERE counts.
+ALL["q89_metadata_count"] = """
+WITH tr AS (
+    SELECT ts FROM events
+),
+w AS (SELECT unnest(range(0, 6))::INT AS window_id)
+SELECT w.window_id,
+       (SELECT COUNT(*) FROM tr
+        WHERE ts >= TIMESTAMP '2024-01-01' + INTERVAL (30 * w.window_id) DAY
+          AND (w.window_id = 5 OR
+               ts <= TIMESTAMP '2024-01-01' + INTERVAL (30 * (w.window_id + 3)) DAY)
+       ) AS n_rows
+FROM w
+"""

@@ -500,6 +500,49 @@ def q88_semdedup(spark, sf_dir):
     return sim.semdedup(e, dim=64, n_cells=8, tau=0.3)
 
 
+
+def q89_metadata_count(spark, sf_dir):
+    """Metadata-only COUNT(*): predicate counts answered from manifest
+    stats + boundary-file residual reads (operators/metaagg.py —
+    Iceberg/Delta metadata-count generalized to predicates). The table is
+    built from the q30 transcripts derivation, order-preserving-compacted
+    so per-file ts ranges are narrow, then counted over six windows (one
+    full-range: zero files opened). The oracle is the same six counts as
+    plain SQL — if the containment classification ever over- or
+    under-counts a file, the value hash diverges."""
+    import datetime as dt
+    import os
+    import shutil
+    import uuid
+
+    from .operators.cluster import cluster as cluster_op
+    from .table.meta import Table
+    from .table.writer import write_files
+    from .operators.metaagg import metadata_count
+
+    df = _q30_transcripts(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q89_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        entries = write_files(spark, t, df, 8, "ingest-00000001-0000")
+        t.commit_append(entries, {"op": "initial-ingest"})
+        # hilbert cluster narrows per-file (conv_id, ts) stat ranges —
+        # the layout metadata_count is designed to exploit
+        cluster_op(spark, t, curve="hilbert", target_bytes=4 << 20)
+        lo = dt.datetime(2024, 1, 1)
+        rows = []
+        for k in range(6):
+            # six ts windows, widening; window 5 covers everything
+            a = lo + dt.timedelta(days=30 * k)
+            b = lo + dt.timedelta(days=30 * (k + 3)) if k < 5 else None
+            m = metadata_count(spark, t, ts_range=(a, b))
+            rows.append((k, int(m["count"])))
+        return spark.createDataFrame(rows, "window_id int, n_rows bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2255,4 +2298,5 @@ ALL = {
     "q86_weighted_sample": q86_weighted_sample,
     "q87_schema_evolution_lifecycle": q87_schema_evolution_lifecycle,
     "q88_semdedup": q88_semdedup,
+    "q89_metadata_count": q89_metadata_count,
 }

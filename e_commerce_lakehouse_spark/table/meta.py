@@ -103,6 +103,12 @@ class DataFileEntry:
     #: before/without a bloom spec — the planner keeps those
     #: conservative (never pruned by bloom).
     blooms: dict | None = None
+    #: per-stat-column NULL counts ({col: n}); None for legacy files.
+    #: min/max stats ignore nulls, so exact metadata-only aggregation
+    #: (operators/metaagg.py) needs this to classify a file as FULLY
+    #: inside a predicate; files without it fall to the boundary-read
+    #: path (conservative, never wrong).
+    nulls: dict | None = None
     #: SCHEMA VERSION the file's bytes were WRITTEN under (Iceberg binds
     #: columns by field-id in the file footer; plain parquet can't, so the
     #: version number recorded here binds each file's WRITTEN column names
@@ -121,6 +127,8 @@ class DataFileEntry:
             d["blooms"] = self.blooms
         if self.sv is not None:
             d["sv"] = self.sv
+        if self.nulls is not None:
+            d["nulls"] = self.nulls
         return d
 
     @classmethod
@@ -128,7 +136,7 @@ class DataFileEntry:
         return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
                    stats=d.get("stats", {}), seq=d.get("seq", 0),
                    partition=d.get("partition"), blooms=d.get("blooms"),
-                   sv=d.get("sv"))
+                   sv=d.get("sv"), nulls=d.get("nulls"))
 
 
 @dataclass
@@ -1157,6 +1165,7 @@ class Table:
 
 
 _STAT_MIN = "stat_min_"
+_NULLC = "nullc_"
 _STAT_MAX = "stat_max_"
 _PART = "part_"
 _BLOOM = "bloom_"
@@ -1205,6 +1214,17 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
         # resolves it to the derived-era schema); omitting the column
         # entirely keeps never-evolved tables' manifests byte-stable
         arrays["sv"] = pa.array([e.sv for e in entries], pa.int64())
+    null_keys: list[str] = []
+    nseen: set[str] = set()
+    for e in entries:
+        for k in (e.nulls or {}):
+            if k not in nseen:
+                nseen.add(k)
+                null_keys.append(k)
+    for k in null_keys:
+        arrays[_NULLC + k] = pa.array(
+            [(e.nulls or {}).get(k) for e in entries], pa.int64()
+        )
     for k in stat_keys:
         mins = [e.stats[k][0] if k in e.stats else None for e in entries]
         maxs = [e.stats[k][1] if k in e.stats else None for e in entries]
@@ -1253,6 +1273,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     stat_keys = [c[len(_STAT_MIN):] for c in t.column_names if c.startswith(_STAT_MIN)]
     part_keys = [c[len(_PART):] for c in t.column_names if c.startswith(_PART)]
     bloom_keys = [c[len(_BLOOM):] for c in t.column_names if c.startswith(_BLOOM)]
+    null_keys = [c[len(_NULLC):] for c in t.column_names if c.startswith(_NULLC)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
     seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
     svs = cols.get("sv")  # pre-evolution manifests: None (legacy vintage)
@@ -1275,12 +1296,19 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
             if b is not None:
                 blooms = blooms or {}
                 blooms[k] = json.loads(b)
+        nulls = None
+        for k in null_keys:
+            n = cols[_NULLC + k][i]
+            if n is not None:
+                nulls = nulls or {}
+                nulls[k] = int(n)
         out.append(
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
                           bytes=cols["bytes"][i], stats=stats,
                           seq=seqs[i] if seqs is not None else 0,
                           partition=part, blooms=blooms,
-                          sv=svs[i] if svs is not None else None)
+                          sv=svs[i] if svs is not None else None,
+                          nulls=nulls)
         )
     return out
 
