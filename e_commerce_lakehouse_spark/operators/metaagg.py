@@ -186,3 +186,90 @@ def _norm_like_stats(v):
     from .._footer_stats import norm_stat
 
     return None if v is None else norm_stat(v)
+
+
+def retention_delete(
+    spark: SparkSession,
+    table: Table,
+    before_ts,
+    target_bytes: int = 128 * 1024 * 1024,
+    stat_columns=("conv_id", "ts"),
+) -> dict:
+    """DELETE WHERE ts < ``before_ts``, classified from manifest stats:
+    files whose ENTIRE ts range (with zero recorded ts nulls — a
+    NULL-ts row never matches ``ts <``, so it must be kept) lies below
+    the cutoff are dropped METADATA-ONLY; only cutoff-BOUNDARY files are
+    rewritten; everything newer is untouched. The cold-data retention
+    path for an append-mostly transcript table: at 100 TB, expiring a
+    month costs O(manifest) + a rewrite of the files straddling the
+    boundary — delete_where would SCAN every file to classify it.
+
+    Row semantics are exactly ``delete_where(ts < cutoff)`` (NULL ts
+    kept). MoR tombstones are materialized first (same rule as every
+    rewrite). One atomic snapshot; conflicts surface as
+    CommitConflictError like any rewrite."""
+    import os
+    import uuid
+    from time import monotonic
+
+    from pyspark.sql import functions as F
+
+    from .rowlevel import materialize_deletes
+    from ..table.writer import write_rewrite_files
+
+    t0 = monotonic()
+    schema = resolve_schema(table)
+    materialize_deletes(spark, table, target_bytes=target_bytes,
+                        schema=schema, stat_columns=stat_columns)
+    cutoff = _ts_to_micros(before_ts)
+    entries = table.entries()
+    drop, boundary = [], []
+    for e in entries:
+        rng = e.stats.get("ts")
+        if rng is None:  # stat-less vintage: classify by reading
+            boundary.append(e)
+        elif rng[1] < cutoff and (e.nulls or {}).get("ts") == 0:
+            drop.append(e)  # provably all rows match; NULL-free
+        elif rng[0] < cutoff:
+            boundary.append(e)  # straddles the cutoff (or has NULLs)
+        # else: entirely >= cutoff — untouched
+    metrics = {
+        "files_total": len(entries),
+        "files_dropped_metadata_only": len(drop),
+        "files_rewritten": len(boundary),
+        "files_untouched": len(entries) - len(drop) - len(boundary),
+    }
+    if not drop and not boundary:
+        metrics.update(committed_snapshot=None,
+                       wall_ms=int((monotonic() - t0) * 1000))
+        return metrics
+    added = []
+    sv_plan = table.schema_version_count() or None
+    if boundary:
+        kept = read_entries(spark, table, boundary, schema).where(
+            ~F.coalesce(F.col("ts") < F.lit(before_ts), F.lit(False))
+        )
+        out_dir = os.path.join(
+            table.data_dir,
+            f"retention-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}",
+        )
+        n_out = max(1, sum(e.bytes for e in boundary) // target_bytes or 1)
+        added = write_rewrite_files(spark, table, kept, n_out, out_dir,
+                                    stat_columns)
+        added = [e for e in added if e.rows > 0]
+        for e in added:
+            e.sv = sv_plan
+    snap = table.commit_rewrite(
+        [e.path for e in drop] + [e.path for e in boundary],
+        added,
+        operation="delete",
+        summary={"op": "retention-delete",
+                 "before_ts_micros": cutoff,
+                 "dropped_files": len(drop),
+                 "rewritten_files": len(boundary)},
+        expected_tombstones=[],
+    )
+    metrics.update(committed_snapshot=snap.snapshot_id,
+                   added_files=len(added),
+                   wall_ms=int((monotonic() - t0) * 1000))
+    return metrics

@@ -1427,3 +1427,23 @@ SELECT w.window_id,
        ) AS n_rows
 FROM w
 """
+
+
+# q90: retention delete == WHERE NOT (ts < cutoff) over the q30
+# transcripts derivation (NULL ts kept, like SQL DELETE), re-aggregated.
+ALL["q90_retention_delete"] = """
+WITH tr AS (
+    SELECT CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           ELSE 'tool' END AS role,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           ts
+    FROM events
+)
+SELECT role,
+       COUNT(*) AS n_turns,
+       MIN(ts) AS min_ts,
+       COUNT(tool) AS n_tool
+FROM tr
+WHERE NOT COALESCE(ts < TIMESTAMP '2023-12-15', FALSE)
+GROUP BY role
+"""

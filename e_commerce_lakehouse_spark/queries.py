@@ -543,6 +543,48 @@ def q89_metadata_count(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q90_retention_delete(spark, sf_dir):
+    """Stats-driven retention delete through the REAL table format:
+    cluster (narrow ts ranges), then expire everything before a cutoff —
+    cold interior files drop METADATA-ONLY (never opened), only
+    cutoff-boundary files rewrite. Relationally it is a plain WHERE
+    complement, which is exactly what the oracle states; the hash proves
+    the stats classification never drops or keeps a wrong file."""
+    import datetime as dt
+    import os
+    import shutil
+    import uuid
+
+    from .operators.cluster import cluster as cluster_op
+    from .operators.metaagg import retention_delete
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    df = _q30_transcripts(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q90_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        entries = write_files(spark, t, df, 8, "ingest-00000001-0000")
+        t.commit_append(entries, {"op": "initial-ingest"})
+        cluster_op(spark, t, curve="hilbert", target_bytes=2 << 20)
+        retention_delete(spark, t, dt.datetime(2023, 12, 15),
+                         target_bytes=4 << 20)
+        result = (
+            scan(spark, t)
+            .groupBy("role")
+            .agg(F.count("*").alias("n_turns"),
+                 F.min("ts").alias("min_ts"),
+                 F.count("tool").alias("n_tool"))
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2299,4 +2341,5 @@ ALL = {
     "q87_schema_evolution_lifecycle": q87_schema_evolution_lifecycle,
     "q88_semdedup": q88_semdedup,
     "q89_metadata_count": q89_metadata_count,
+    "q90_retention_delete": q90_retention_delete,
 }

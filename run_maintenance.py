@@ -67,7 +67,7 @@ def main(argv=None) -> int:
             "consume-changes", "register", "unregister", "catalog-sql",
             "evolve-partition", "create-branch", "delete-branch",
             "branches", "fast-forward", "replicate", "set-bloom",
-            "matview-create", "matview-refresh",
+            "matview-create", "matview-refresh", "retention", "count",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -82,6 +82,11 @@ def main(argv=None) -> int:
     p.add_argument("--ingest-format", default="parquet", choices=["parquet", "csv"],
                    help="ingest-append: landing-file format")
     p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
+    p.add_argument("--before-ts", default=None,
+                   help="retention: ISO timestamp; DELETE rows with ts < this")
+    p.add_argument("--ts-range", default=None, metavar="LO/HI",
+                   help="count: ISO-8601 interval LO/HI (either side blank = "
+                        "open; '/' because ISO timestamps contain ':')")
     p.add_argument("--orphan-grace-ms", type=int, default=None,
                    help="expire: age an UNREFERENCED on-disk file must reach "
                         "before orphan GC may delete it (default 24h — the "
@@ -236,6 +241,43 @@ def main(argv=None) -> int:
             result = drop_columns(
                 Table.load(args.table, branch=args.branch), [c.strip() for c in args.columns.split(",")]
             )
+    elif args.op == "retention":
+        import datetime as dt
+
+        from e_commerce_lakehouse_spark.operators.metaagg import retention_delete
+        from e_commerce_lakehouse_spark.session import get_spark
+
+        if not args.before_ts:
+            p.error("--op retention requires --before-ts")
+        spark = get_spark(app_name="retention")
+        result = with_retries(
+            lambda: retention_delete(
+                spark, Table.load(args.table, branch=args.branch),
+                dt.datetime.fromisoformat(args.before_ts),
+                target_bytes=args.target_mb * 1024 * 1024,
+            ),
+            attempts=args.retries, backoff_s=args.retry_backoff,
+        )
+    elif args.op == "count":
+        import datetime as dt
+
+        from e_commerce_lakehouse_spark.operators.metaagg import metadata_count
+        from e_commerce_lakehouse_spark.session import get_spark
+
+        ts_range = None
+        if args.ts_range:
+            lo, _, hi = args.ts_range.partition("/")
+            ts_range = (dt.datetime.fromisoformat(lo) if lo else None,
+                        dt.datetime.fromisoformat(hi) if hi else None)
+        eq = None
+        if args.eq:
+            c, _, v = args.eq.partition("=")
+            eq = {c: v}
+        spark = get_spark(app_name="count")
+        result = metadata_count(
+            spark, Table.load(args.table, branch=args.branch),
+            ts_range=ts_range, eq=eq, snapshot_id=args.snapshot,
+        )
     elif args.op == "rename-column":  # metadata-only (field-id binding)
         from e_commerce_lakehouse_spark.operators.schema_evolution import (
             rename_column,

@@ -99,3 +99,72 @@ def test_metadata_min_max_matches_scan(spark, tiny_table):
     row2 = scan(spark, t).agg(F.min("conv_id"), F.max("conv_id")).collect()[0]
     mm2 = metadata_min_max(spark, t, "conv_id")
     assert (mm2["min"], mm2["max"]) == (row2[0], row2[1])
+
+
+def test_retention_delete_drops_cold_files_without_reading(spark, tiny_df, tmp_path):
+    """Files entirely below the cutoff drop metadata-only; boundary files
+    rewrite; rows equal delete_where(ts < cutoff) semantics (NULL ts
+    kept)."""
+    from e_commerce_lakehouse_spark.operators.cluster import cluster
+    from e_commerce_lakehouse_spark.operators.metaagg import retention_delete
+    from e_commerce_lakehouse_spark.table.meta import Table
+
+    root = str(tmp_path / "ret_tbl")
+    t = Table.create(root)
+    entries = write_files(spark, t, tiny_df, 6, "ingest-00000001-0000")
+    t.commit_append(entries, {"op": "ingest"})
+    # order ts into narrow per-file ranges so the stats classification
+    # has cold interior files to drop
+    cluster(spark, t, curve="hilbert", target_bytes=64 * 1024)
+
+    lo = tiny_df.selectExpr("min(ts)").first()[0]
+    hi = tiny_df.selectExpr("max(ts)").first()[0]
+    cutoff = lo + (hi - lo) // 2
+    expect = scan(spark, t).where(
+        ~F.coalesce(F.col("ts") < F.lit(cutoff), F.lit(False))
+    ).collect()
+
+    m = retention_delete(spark, t, cutoff, target_bytes=1 << 20)
+    assert m["files_dropped_metadata_only"] > 0
+    assert m["files_untouched"] > 0
+    got = scan(spark, t).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    # idempotent: nothing left below the cutoff
+    m2 = retention_delete(spark, t, cutoff, target_bytes=1 << 20)
+    assert m2["committed_snapshot"] is None
+
+
+def test_retention_delete_after_mor_tombstones(spark, tiny_table):
+    """Live tombstones materialize first, so retention can never
+    resurrect a MoR-deleted row."""
+    from e_commerce_lakehouse_spark.operators.metaagg import retention_delete
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+
+    t = tiny_table
+    delete_where(spark, t, F.col("role") == "tool", mode="merge-on-read")
+    lo = scan(spark, t).selectExpr("min(ts)").first()[0]
+    hi = scan(spark, t).selectExpr("max(ts)").first()[0]
+    cutoff = lo + (hi - lo) // 3
+    expect = scan(spark, t).where(F.col("ts") >= cutoff).count()
+    retention_delete(spark, t, cutoff, target_bytes=1 << 20)
+    got = scan(spark, t)
+    assert got.count() == expect
+    assert got.where(F.col("role") == "tool").count() == 0
+
+
+def test_cli_retention_and_count_ops(spark, tiny_table):
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    t = tiny_table
+    lo = scan(spark, t).selectExpr("min(ts)").first()[0]
+    hi = scan(spark, t).selectExpr("max(ts)").first()[0]
+    cut = (lo + (hi - lo) // 2).isoformat()
+    assert main(["--table", t.root, "--op", "count",
+                 "--ts-range", f"{cut}/"]) == 0
+    expect = scan(spark, t).where(F.col("ts") >= cut).count()
+    assert main(["--table", t.root, "--op", "retention",
+                 "--before-ts", cut, "--target-mb", "1"]) == 0
+    assert scan(spark, t).count() == expect
