@@ -1447,3 +1447,29 @@ FROM tr
 WHERE NOT COALESCE(ts < TIMESTAMP '2023-12-15', FALSE)
 GROUP BY role
 """
+
+
+# q91: the CDF stream's net state == the table's final state, stated as
+# the plain relational mirror of the cow lifecycle (delete role='tool',
+# update role='system' text) over the q30 transcripts derivation.
+ALL["q91_cdf_stream_replay"] = """
+WITH tr AS (
+    SELECT CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           ELSE 'tool' END AS role,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           props AS text
+    FROM events
+),
+fin AS (
+    SELECT role, tool,
+           CASE WHEN role = 'assistant' THEN 'SYS' ELSE text END AS text
+    FROM tr
+    WHERE NOT COALESCE(role = 'tool', FALSE)
+)
+SELECT role,
+       COUNT(*) AS n_turns,
+       COUNT(tool) AS n_tool,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
+FROM fin
+GROUP BY role
+"""

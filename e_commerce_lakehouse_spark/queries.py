@@ -585,6 +585,74 @@ def q90_retention_delete(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q91_cdf_stream_replay(spark, sf_dir):
+    """The native streaming source in CDF mode, value-hash oracled:
+    drive a cow DELETE + UPDATE lifecycle through the real table format,
+    drain the change feed with Trigger.AvailableNow, then compute the
+    NET state relationally (sum +1 insert / -1 delete per row image,
+    keep net > 0) — which must equal the table's final state, i.e. the
+    plain WHERE/CASE mirror the oracle states. Proves retraction
+    exactness end to end (delete+reinsert pairs cancel; compaction
+    contributes nothing)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact as compact_op
+    from .operators.rowlevel import delete_where, update_where
+    from .streaming.table_source import LakehouseStreamDataSource
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    df = _q30_transcripts(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tag = uuid.uuid4().hex[:12]
+    root = os.path.join(base, f"spark_graft_q91_{tag}")
+    ck = os.path.join(base, f"spark_graft_q91ck_{tag}")
+    try:
+        spark.dataSource.register(LakehouseStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    try:
+        t = Table.create(root)
+        entries = write_files(spark, t, df, 6, "ingest-00000001-0000")
+        t.commit_append(entries, {"op": "initial-ingest"})
+        delete_where(spark, t, "role = 'tool'", schema=df.schema)
+        update_where(spark, t, "role = 'assistant'", {"text": "'SYS'"},
+                     schema=df.schema)
+        compact_op(spark, t, target_bytes=8 << 20)
+        qname = f"q91_feed_{tag}"
+        q = (
+            spark.readStream.format("lakehouse_stream")
+            .option("mode", "cdf").load(root)
+            .writeStream.format("memory").queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+        feed = spark.table(qname)
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_commit_sid")]
+        net = (
+            feed.groupBy(*data_cols)
+            .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                       .otherwise(-1)).alias("net"))
+            .where(F.col("net") > 0)
+        )
+        result = (
+            net.groupBy("role")
+            .agg(F.sum("net").alias("n_turns"),
+                 F.count("tool").alias("n_tool"),
+                 F.sum(F.length("text")).alias("text_chars"))
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2342,4 +2410,5 @@ ALL = {
     "q88_semdedup": q88_semdedup,
     "q89_metadata_count": q89_metadata_count,
     "q90_retention_delete": q90_retention_delete,
+    "q91_cdf_stream_replay": q91_cdf_stream_replay,
 }

@@ -53,7 +53,8 @@ _FILES_PER_PARTITION = 4
 
 class _FilesPartition(InputPartition):
     def __init__(self, root: str, paths: list[str],
-                 renames: list | None = None, field_spec: list | None = None):
+                 renames: list | None = None, field_spec: list | None = None,
+                 change: str | None = None, sid: int | None = None):
         self.root = root
         self.paths = paths
         #: per-path {written name -> current name} (schema evolution);
@@ -61,6 +62,17 @@ class _FilesPartition(InputPartition):
         #: Both None on never-renamed tables — read() stays zero-copy.
         self.renames = renames
         self.field_spec = field_spec
+        #: CDF mode only: every row of this partition's files gets
+        #: (_change_type=change, _commit_sid=sid) literal columns
+        self.change = change
+        self.sid = sid
+
+
+#: CDF mode: ops with NO logical row change — contribute nothing
+_CDF_SKIP = {"replace", "rewrite-manifests", "expire", "evolve-schema"}
+#: CDF mode: ops whose delete side needs key joins / has no exact basis —
+#: refused with a pointer at ChangeFeedConsumer.poll_changes
+_CDF_REFUSE = {"delete-mor", "update-mor", "materialize-deletes", "rollback"}
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
@@ -75,6 +87,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # THAT shape even if an evolution lands mid-stream (review
         # finding — deriving per batch from the live head would emit
         # arrow batches diverging from the declared schema)
+        self._cdf = str(options.get("mode", "")).lower() == "cdf"
         t = self._table()
         self._read_ver = t.schema_version_at() or 1
         from ..table.fieldids import mapping_required
@@ -114,6 +127,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
             chain.append(snap)
             sid = snap.parent_id
         chain.reverse()  # oldest first: delivery order = commit order
+        if self._cdf:
+            return self._cdf_partitions(t, chain)
         # first DATA op (oldest wins) that removed each path in-window:
         # those entries' surviving rows ship in that op's OWN manifests,
         # so the original entry is skipped. Paths removed by NON-data
@@ -177,13 +192,75 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # an empty list is a valid no-data micro-batch
         return groups
 
+    def _rename_slices(self, t, ents):
+        """Per-entry rename maps against the pinned stream-start version
+        (None when the table never renamed)."""
+        if not self._mapped:
+            return None
+        from ..table.fieldids import entry_rename_maps
+
+        by_path = entry_rename_maps(t.schema_versions(), ents, self._read_ver)
+        return [by_path.get(e.path) for e in ents]
+
+    def _cdf_partitions(self, t, chain) -> list[InputPartition]:
+        """CDF (change-data-feed) planning: per DATA snapshot, the new
+        manifests' rows are ``insert`` and the newly-removed files' rows
+        are ``delete`` — rows a rewrite carried along appear as a
+        delete+insert PAIR for the same ``_commit_sid`` (Delta CDF
+        without row tracking does the same for updates); a consumer
+        applies delete-before-insert per sid. Copy-on-write leaves
+        removed files on disk until expire GC, so both sides are plain
+        file reads — zero joins, executor-safe. Merge-on-read ops and
+        rollback have no join-free exact delete basis and are REFUSED
+        (ChangeFeedConsumer.poll_changes covers them)."""
+        groups: list[InputPartition] = []
+
+        def _emit(ents, change, sid):
+            renames = self._rename_slices(t, ents)
+            for i in range(0, len(ents), _FILES_PER_PARTITION):
+                g = ents[i : i + _FILES_PER_PARTITION]
+                rg = (renames[i : i + _FILES_PER_PARTITION]
+                      if renames else None)
+                groups.append(_FilesPartition(
+                    self._root, [e.path for e in g], rg, self._field_spec,
+                    change=change, sid=sid))
+
+        for snap in chain:
+            op = snap.operation
+            if op in _CDF_SKIP:
+                continue
+            if op in _CDF_REFUSE:
+                raise ValueError(
+                    f"lakehouse_stream mode=cdf has no join-free exact "
+                    f"delete basis for snapshot {snap.snapshot_id} "
+                    f"({op}); consume via table.cdc.ChangeFeedConsumer."
+                    f"poll_changes, or materialize/avoid merge-on-read "
+                    f"ops on CDF-streamed tables"
+                )
+            parent = snap.parent_id
+            parent_manifests = set(t.snapshot(parent).manifests) if parent else set()
+            new_entries = [e for mf in snap.manifests
+                           if mf not in parent_manifests
+                           for e in t.manifest_entries(mf)]
+            if new_entries:
+                _emit(new_entries, "insert", snap.snapshot_id)
+            parent_removed = (set(t.snapshot(parent).removed_files)
+                              if parent else set())
+            removed_new = set(snap.removed_files) - parent_removed
+            if removed_new:
+                rm = [e for e in t.entries(parent) if e.path in removed_new]
+                _emit(rm, "delete", snap.snapshot_id)
+        return groups
+
     # ---- executor-side read (Arrow batches, no row loop) ----
 
     def read(self, partition: _FilesPartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         renames = getattr(partition, "renames", None)
         field_spec = getattr(partition, "field_spec", None)
+        change = getattr(partition, "change", None)
         for i, rel in enumerate(partition.paths):
             tbl = pq.read_table(os.path.join(partition.root, rel))
             if field_spec is not None:
@@ -195,6 +272,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 from .._arrow_align import align_table
 
                 tbl = align_table(tbl, field_spec)
+            if change is not None:  # CDF mode: literal change columns
+                n = len(tbl)
+                tbl = tbl.append_column(
+                    "_change_type", pa.array([change] * n, pa.string())
+                ).append_column(
+                    "_commit_sid",
+                    pa.array([partition.sid] * n, pa.int64()),
+                )
             yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:  # checkpoint-managed; nothing to do
@@ -207,7 +292,10 @@ class LakehouseStreamDataSource(DataSource):
 
     Options: ``path`` (table root, or pass to ``load()``),
     ``starting_snapshot`` (deliver commits AFTER this id; default 0 =
-    everything)."""
+    everything), ``mode`` (default additions-only; ``cdf`` adds
+    ``_change_type``/``_commit_sid`` columns and delivers copy-on-write
+    DELETEs as retractions — see _cdf_partitions for semantics and the
+    merge-on-read refusal)."""
 
     @classmethod
     def name(cls) -> str:
@@ -217,7 +305,15 @@ class LakehouseStreamDataSource(DataSource):
         from ..table.meta import Table
         from ..table.scan import resolve_schema
 
-        return resolve_schema(Table.load(self.options["path"]))
+        s = resolve_schema(Table.load(self.options["path"]))
+        if str(self.options.get("mode", "")).lower() == "cdf":
+            from pyspark.sql import types as T
+
+            s = T.StructType(list(s.fields) + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_sid", T.LongType(), False),
+            ])
+        return s
 
     def streamReader(self, schema) -> LakehouseStreamReader:
         return LakehouseStreamReader(self.options)

@@ -3,6 +3,8 @@ windowed agg with watermark (SURVEY.md §2.8 re-expressed Spark-first)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.streaming.ingest import ingest_available_now, windowed_counts
@@ -500,3 +502,80 @@ def test_native_table_to_table_streaming_replication(spark, tmp_path):
     assert scan(spark, tb).count() == 1050
     assert scan(spark, tb).where("conv_id like 'delta-%'").count() == 150
     df.unpersist()
+
+
+def test_table_streaming_source_cdf_mode(spark, tmp_path):
+    """mode=cdf: copy-on-write deletes/updates stream as retractions —
+    applying the feed (per _commit_sid: deletes then inserts) rebuilds
+    the table's final state exactly; compaction contributes nothing;
+    merge-on-read commits in the window are refused."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+    from e_commerce_lakehouse_spark.operators.rowlevel import (
+        delete_where,
+        update_where,
+    )
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import (
+        create_transcripts_table,
+        write_files,
+    )
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 1200, seed=9)
+    tbl = create_transcripts_table(spark, root, df, rows_per_file=200,
+                                   n_append_commits=2)
+    delete_where(spark, tbl, F.col("role") == "tool")  # cow delete
+    update_where(spark, tbl, F.col("role") == "system",
+                 {"text": F.lit("SYS")})  # cow update
+    compact(spark, tbl, target_bytes=1 << 20)  # must contribute nothing
+
+    batches = []
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("mode", "cdf").load(root)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append(bdf.collect())
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination()
+    rows = [r for b in batches for r in b]
+    assert rows and all(r["_change_type"] in ("insert", "delete") for r in rows)
+
+    # replay the feed: per commit, deletes retract then inserts apply
+    data_cols = [c for c in scan(spark, tbl).columns]
+    state: dict[tuple, int] = {}
+    for sid in sorted({r["_commit_sid"] for r in rows}):
+        for r in rows:
+            if r["_commit_sid"] != sid or r["_change_type"] != "delete":
+                continue
+            k = tuple(r[c] for c in data_cols)
+            state[k] -= 1
+            if not state[k]:
+                del state[k]
+        for r in rows:
+            if r["_commit_sid"] != sid or r["_change_type"] != "insert":
+                continue
+            k = tuple(r[c] for c in data_cols)
+            state[k] = state.get(k, 0) + 1
+    replayed = sorted(k for k, n in state.items() for _ in range(n))
+    expect = sorted(map(tuple, scan(spark, tbl).collect()))
+    assert replayed == expect
+
+    # merge-on-read in the window: refused with a pointer at poll_changes
+    delete_where(spark, tbl, F.col("role") == "user", mode="merge-on-read")
+    q2 = (
+        spark.readStream.format("lakehouse_stream")
+        .option("mode", "cdf").load(root)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2")).start()
+    )
+    with pytest.raises(Exception, match="cdf|merge-on-read|poll_changes"):
+        q2.awaitTermination()
