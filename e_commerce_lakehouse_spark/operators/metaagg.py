@@ -49,9 +49,14 @@ def _full_range(e, col: str, lo, hi) -> bool:
     if (e.nulls or {}).get(col) != 0:
         return False
     mn, mx = rng
-    if lo is not None and not (mn >= lo):
-        return False
-    if hi is not None and not (mx <= hi):
+    try:
+        if lo is not None and not (mn >= lo):
+            return False
+        if hi is not None and not (mx <= hi):
+            return False
+    except TypeError:
+        # stat/predicate type mismatch: not provable — boundary path
+        # (same conservative rule as prune_entries._overlaps)
         return False
     return True
 
@@ -85,7 +90,11 @@ def metadata_count(
         df = scan(spark, table, snapshot_id=snapshot_id, conv_id=conv_id,
                   conv_id_range=conv_id_range, ts_range=ts_range, eq=eq)
         metrics["fallback"] = "tombstones"
-        metrics["files_scanned"] = len(entries)
+        # attribution stays honest: the fallback scan still prunes
+        survivors = planned_entries(table, snapshot_id, conv_id,
+                                    conv_id_range, ts_range, eq=eq)
+        metrics["files_scanned"] = len(survivors)
+        metrics["files_pruned"] = len(entries) - len(survivors)
         metrics["count"] = df.count()
         return metrics
 
@@ -115,24 +124,11 @@ def metadata_count(
         else:
             boundary.append(e)
     if boundary:
+        from ..table.scan import apply_row_predicates
+
         schema = resolve_schema(table, snapshot_id)
         df = read_entries(spark, table, boundary, schema, snapshot_id)
-        if conv_id is not None:
-            df = df.where(F.col("conv_id") == conv_id)
-        elif conv_id_range is not None:
-            lo, hi = conv_id_range
-            if lo is not None:
-                df = df.where(F.col("conv_id") >= lo)
-            if hi is not None:
-                df = df.where(F.col("conv_id") <= hi)
-        if ts_range is not None:
-            lo, hi = ts_range
-            if lo is not None:
-                df = df.where(F.col("ts") >= lo)
-            if hi is not None:
-                df = df.where(F.col("ts") <= hi)
-        for col, v in (eq or {}).items():
-            df = df.where(F.col(col) == v)
+        df = apply_row_predicates(df, conv_id, conv_id_range, ts_range, eq)
         count += df.count()
         metrics["files_scanned"] = len(boundary)
     metrics["count"] = count
@@ -161,10 +157,25 @@ def metadata_min_max(
         metrics.update(fallback="tombstones", files_scanned=len(entries),
                        min=row["mn"], max=row["mx"])
         return metrics
-    # files whose footer lacked usable stats for col must be read — but
-    # only if their schema VINTAGE can contain the column at all
     have = [e for e in entries if col in e.stats]
     missing = [e for e in entries if col not in e.stats and e.rows > 0]
+    versions = table.schema_versions()
+    if missing and versions:
+        # skip vintages whose write schema cannot CONTAIN the column —
+        # matched by FIELD ID, not name (a renamed column lives in old
+        # vintages under its old name and must still be read): such
+        # files contribute only typed NULLs, which MIN/MAX ignore
+        from ..table.fieldids import legacy_version_number, version_field_maps
+
+        maps = version_field_maps(versions)
+        legacy = legacy_version_number(versions)
+        read_ver = table.schema_version_at(snapshot_id) or 1
+        fid = maps[read_ver - 1].get(col)
+        if fid is not None:
+            missing = [
+                e for e in missing
+                if fid in maps[(e.sv if e.sv is not None else legacy) - 1].values()
+            ]
     mn = min((e.stats[col][0] for e in have), default=None)
     mx = max((e.stats[col][1] for e in have), default=None)
     if missing:
@@ -253,9 +264,14 @@ def retention_delete(
             table.data_dir,
             f"retention-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}",
         )
-        n_out = max(1, sum(e.bytes for e in boundary) // target_bytes or 1)
+        import math
+
+        n_out = max(1, math.ceil(sum(e.bytes for e in boundary) / target_bytes))
         added = write_rewrite_files(spark, table, kept, n_out, out_dir,
                                     stat_columns)
+        for e in added:
+            if e.rows == 0:  # same rule as rowlevel's rewrite path
+                os.remove(os.path.join(table.root, e.path))
         added = [e for e in added if e.rows > 0]
         for e in added:
             e.sv = sv_plan

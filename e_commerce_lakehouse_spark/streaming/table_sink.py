@@ -48,6 +48,7 @@ class _FileMessage(WriterCommitMessage):
     bytes: int = 0
     stats: dict = field(default_factory=dict)
     blooms: dict | None = None
+    nulls: dict | None = None
 
 
 class LakehouseStreamWriter(DataSourceStreamWriter):
@@ -134,7 +135,7 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
                             bloom_spec=self._bloom_spec)
         return _FileMessage(path=d["path"], rows=d["rows"],
                             bytes=d["bytes"], stats=d["stats"],
-                            blooms=d.get("blooms"))
+                            blooms=d.get("blooms"), nulls=d.get("nulls"))
 
     # ---- driver side ----
 
@@ -144,7 +145,8 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
 
         entries = [
             DataFileEntry(path=m.path, rows=m.rows, bytes=m.bytes, stats=m.stats,
-                          blooms=getattr(m, "blooms", None), sv=self._sv)
+                          blooms=getattr(m, "blooms", None), sv=self._sv,
+                          nulls=getattr(m, "nulls", None))
             for m in messages
             if m is not None and m.rows > 0
         ]

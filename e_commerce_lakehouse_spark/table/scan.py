@@ -411,6 +411,30 @@ def read_with_tombstones(
     return df
 
 
+def apply_row_predicates(df, conv_id=None, conv_id_range=None,
+                         ts_range=None, eq=None):
+    """The ONE place scan predicates become row filters — shared by
+    scan() and metadata_count's boundary reads so their semantics can
+    never drift (review finding)."""
+    if conv_id is not None:
+        df = df.where(F.col("conv_id") == conv_id)
+    elif conv_id_range is not None:
+        lo, hi = conv_id_range
+        if lo is not None:
+            df = df.where(F.col("conv_id") >= lo)
+        if hi is not None:
+            df = df.where(F.col("conv_id") <= hi)
+    if ts_range is not None:
+        lo, hi = ts_range
+        if lo is not None:
+            df = df.where(F.col("ts") >= lo)
+        if hi is not None:
+            df = df.where(F.col("ts") <= hi)
+    for col, v in (eq or {}).items():
+        df = df.where(F.col(col) == v)
+    return df
+
+
 def scan(
     spark: SparkSession,
     table: Table,
@@ -449,22 +473,7 @@ def scan(
     # columns need not be selected
     df = read_with_tombstones(spark, table, entries, schema, snapshot_id)
     # re-apply predicates row-level (files are supersets of the predicate)
-    if conv_id is not None:
-        df = df.where(F.col("conv_id") == conv_id)
-    elif conv_id_range is not None:
-        lo, hi = conv_id_range
-        if lo is not None:
-            df = df.where(F.col("conv_id") >= lo)
-        if hi is not None:
-            df = df.where(F.col("conv_id") <= hi)
-    if ts_range is not None:
-        lo, hi = ts_range
-        if lo is not None:
-            df = df.where(F.col("ts") >= lo)
-        if hi is not None:
-            df = df.where(F.col("ts") <= hi)
-    for col, v in (eq or {}).items():
-        df = df.where(F.col(col) == v)
+    df = apply_row_predicates(df, conv_id, conv_id_range, ts_range, eq)
     if columns:
         df = df.select(*columns)
     return df

@@ -272,7 +272,8 @@ def main(argv=None) -> int:
         eq = None
         if args.eq:
             c, _, v = args.eq.partition("=")
-            eq = {c: v}
+            # same auto-cast rule as skipping-report (--eq help text)
+            eq = {c: int(v) if v.lstrip("-").isdigit() else v}
         spark = get_spark(app_name="count")
         result = metadata_count(
             spark, Table.load(args.table, branch=args.branch),

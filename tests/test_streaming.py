@@ -437,6 +437,10 @@ def test_table_as_native_streaming_sink(spark, tmp_path):
     snap = tbl.snapshot(tbl.current_snapshot_id())
     assert snap.summary["op"] == "stream-append"
     assert snap.summary["txn_epoch"] == 0
+    # sink-written entries must carry null counts + stream-start sv —
+    # without them metadata_count/retention demote every sink file to
+    # the read path (review finding)
+    assert all(e.nulls is not None for e in tbl.entries())
 
     # checkpoint loss after the table commit: redelivery must SKIP
     shutil.rmtree(ck)
