@@ -300,3 +300,155 @@ def test_random_branch_program_matches_model(spark, tmp_path, seed):
     rewrite_manifests(t)
     expire_snapshots(t, keep_last=1, orphan_grace_ms=0)
     _assert_equal(spark, t, model, cols, "final")
+
+
+@pytest.mark.parametrize("seed", [13, 59, 101])
+def test_random_lifecycle_with_rename_widen_matches_model(spark, tmp_path, seed):
+    """Evolution-heavy fuzz: random interleavings of RENAME and WIDEN with
+    append / compact / cluster / merge / row-level ops / rollback, checked
+    step-by-step against a model keyed by LOGICAL column identity (the
+    test's own field ids) — scan must surface every vintage's values
+    under the current physical names, types widened, across arbitrary
+    histories."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import (
+        delete_where,
+        update_where,
+    )
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        rename_column,
+        widen_column,
+    )
+
+    rng = random.Random(seed)
+    next_conv = [0]
+    # logical name -> current physical name; model rows use LOGICAL keys
+    phys = {c: c for c in _BASE_COLS}
+    types = {"conv_id": "string", "turn_idx": "int", "role": "string",
+             "text": "string", "tool": "string", "ts": "timestamp"}
+    logicals = list(_BASE_COLS)
+    n_renames = [0]
+
+    def fresh_rows(n):
+        rows = []
+        for _ in range(n):
+            conv = next_conv[0]
+            next_conv[0] += 1
+            for turn in range(rng.randint(1, 3)):
+                r = _mkrow(rng, conv, turn, [])
+                for lg in logicals:
+                    if lg not in r:  # post-creation extras
+                        r[lg] = (rng.randrange(100)
+                                 if types[lg] in ("int", "bigint")
+                                 else round(rng.random(), 6))
+                rows.append(r)
+        return rows
+
+    def to_df(rows):
+        tmap = {"string": T.StringType(), "int": T.IntegerType(),
+                "bigint": T.LongType(), "double": T.DoubleType(),
+                "timestamp": T.TimestampType()}
+        fields = [T.StructField(phys[lg], tmap[types[lg]]) for lg in logicals]
+        data = [tuple(r.get(lg) for lg in logicals) for r in rows]
+        return spark.createDataFrame(data, T.StructType(fields))
+
+    def check(step):
+        got = sorted(
+            tuple(r) for r in
+            scan(spark, t).select(*[phys[lg] for lg in logicals]).collect()
+        )
+        want = sorted(tuple(r.get(lg) for lg in logicals) for r in model)
+        assert got == want, (
+            f"seed {seed} step {step}: diverged ({len(got)} vs {len(want)}; "
+            f"first diff {next(((a, b) for a, b in zip(got, want) if a != b), 'count')})"
+        )
+
+    root = str(tmp_path / f"evfuzz-{seed}")
+    model = fresh_rows(30)
+    t = create_transcripts_table(spark, root, to_df(model), rows_per_file=25,
+                                 n_append_commits=2)
+    history = {t.current_snapshot_id(): [dict(r) for r in model]}
+    next_extra = [0]
+
+    ops = ["append", "compact", "cluster", "merge", "rename", "widen",
+           "add_col", "delete_cow", "update", "rollback", "rewrite"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "append":
+            rows = fresh_rows(rng.randint(2, 5))
+            append_dataframe(spark, t, to_df(rows))
+            model = model + rows
+        elif op == "compact":
+            compact(spark, t, target_bytes=1 << 20,
+                    mode=rng.choice(["arrow", "jobs"]))
+        elif op == "cluster":
+            cluster(spark, t, curve=rng.choice(["zorder", "hilbert"]),
+                    target_bytes=1 << 19)
+        elif op == "merge":
+            victims, seen = [], set()
+            for v in rng.sample(model, min(4, len(model))):
+                key = (v["conv_id"], v["turn_idx"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                c = dict(v)
+                c["text"] = f"fixed-{rng.randrange(10**9)}"
+                c["ts"] = v["ts"] + dt.timedelta(hours=1)
+                victims.append(c)
+            merge_into(spark, t, to_df(victims))
+            by_key = {(c["conv_id"], c["turn_idx"]): c for c in victims}
+            model = [by_key.pop((r["conv_id"], r["turn_idx"]), r) for r in model]
+            model += list(by_key.values())
+        elif op == "rename":
+            cands = [lg for lg in logicals
+                     if lg not in ("conv_id", "turn_idx", "ts")]
+            lg = rng.choice(cands)
+            n_renames[0] += 1
+            new = f"{phys[lg]}_r{n_renames[0]}"
+            rename_column(t, phys[lg], new)
+            phys[lg] = new
+        elif op == "widen":
+            cands = [lg for lg in logicals if types[lg] == "int"
+                     and lg != "turn_idx"]
+            if cands:
+                lg = rng.choice(cands)
+                widen_column(t, phys[lg], "bigint")
+                types[lg] = "bigint"
+        elif op == "add_col" and next_extra[0] < 3:
+            lg = f"x{next_extra[0]}"
+            next_extra[0] += 1
+            typ = rng.choice(["int", "double"])
+            add_columns(t, [(lg, typ)])
+            logicals.append(lg)
+            phys[lg] = lg
+            types[lg] = typ
+            for r in model:
+                r.setdefault(lg, None)
+        elif op == "delete_cow" and model:
+            k = rng.randint(1, 2)
+            delete_where(spark, t, f"turn_idx >= {k}")
+            model = [r for r in model if r["turn_idx"] < k]
+        elif op == "update" and model:
+            role_phys = phys["role"]
+            text_phys = phys["text"]
+            who = rng.choice(["user", "assistant", "tool"])
+            update_where(spark, t, f"{role_phys} = '{who}'",
+                         {text_phys: f"concat({text_phys}, '!')"},
+                         mode=rng.choice(["copy-on-write", "merge-on-read"]))
+            model = [
+                {**r, "text": (r["text"] or "") + "!"} if r["role"] == who else r
+                for r in model
+            ]
+        elif op == "rollback":
+            cands = [s for s in history if s != t.current_snapshot_id()
+                     and s in set(t.snapshot_ids())]
+            if cands:
+                target = rng.choice(cands)
+                rollback_to(t, target)
+                model = [dict(r) for r in history[target]]
+                for r in model:  # columns added after that snapshot: NULL
+                    for lg in logicals:
+                        r.setdefault(lg, None)
+        elif op == "rewrite":
+            rewrite_manifests(t)
+        check(f"{step}:{op}")
+        history[t.current_snapshot_id()] = [dict(r) for r in model]
