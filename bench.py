@@ -649,6 +649,11 @@ def main() -> None:
             m["sentinel_after_gbps"] = _sentinel_reading()
             m["page_reporting_suspended"] = guarded
             m["implausible_4n_slower"] = m["speedup_n_to_4n"] < 1.0
+            # > 4x speedup through 4x cores on identical work means the
+            # N leg ran contaminated (the session-10 run shipped 1.003
+            # beside a 0.336 sibling — both windows were noise): flag it
+            # so it neither early-stops the loop nor wins the headline
+            m["implausible_superlinear"] = m["scaling_efficiency"] > 1.0
             s_n = m["n"].get("sentinel_gbps") or 0.01
             s_4n = m["4n"].get("sentinel_gbps") or 0.01
             # symmetry of the two USED cycles' windows — the criterion
@@ -672,6 +677,7 @@ def main() -> None:
                 and (m["task_read_ratio"] is None
                      or 0.5 <= m["task_read_ratio"] <= 2.0)
                 and not m["implausible_4n_slower"]
+                and not m["implausible_superlinear"]
             )
             attempts.append(m)
             green = m["scaling_efficiency"] >= 0.8 and m["clean"]
@@ -698,11 +704,14 @@ def main() -> None:
                       "sentinel_after_gbps": _sentinel_reading(),
                       "page_reporting_suspended": guarded,
                       "implausible_4n_slower": m["speedup_n_to_4n"] < 1.0,
+                      "implausible_superlinear": m["scaling_efficiency"] > 1.0,
                       "sentinel_balance": None, "clean": False})
             attempts.append(m)
             completed = [m]
         clean_attempts = [m for m in completed if m["clean"]]
-        plausible = [m for m in completed if not m["implausible_4n_slower"]]
+        plausible = [m for m in completed
+                     if not m["implausible_4n_slower"]
+                     and not m.get("implausible_superlinear")]
         pool = clean_attempts or plausible or completed
         maintenance = max(pool, key=lambda m: m["scaling_efficiency"])
         maintenance = dict(maintenance, attempts=attempts)

@@ -87,6 +87,136 @@ def _conv_projection(entries) -> tuple[int, int, int]:
     return pl, str31_py(lo_s, pl), str31_py(hi_s, pl)
 
 
+#: dictionary-rank projection cutoff for string cluster keys; above it
+#: the order-preserving char-pack projection takes over (high-NDV keys
+#: like conv_id never collect a dictionary)
+_DICT_MAX = 64
+
+
+def _generic_projections(df, entries, key_cols, schema):
+    """Per-key-column 31-bit ORDER-PRESERVING projections + bounds for
+    arbitrary (string / int / bigint / float / double / timestamp / date)
+    columns — the generalization of the (conv_id, ts) fast path. Bounds
+    come from manifest stats when EVERY entry tracks the column; else one
+    min/max agg over the data (same fallback the ts path has). Returns
+    [(Column31, lo, hi)], ready for min-max scaling."""
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    specs = []
+    need_agg = []
+    for c in key_cols:
+        typ = by_name.get(c)
+        if typ is None:
+            raise ValueError(f"cluster key column not in schema: {c}")
+        los = [e.stats[c][0] for e in entries if c in e.stats]
+        his = [e.stats[c][1] for e in entries if c in e.stats]
+        have = bool(los) and len(los) == len(entries)
+        specs.append([c, typ, (min(los) if have else None),
+                      (max(his) if have else None)])
+        if not have:
+            need_agg.append(c)
+    if need_agg:
+        row = df.agg(*[f(c) for c in need_agg
+                       for f in (lambda c: F.min(c).alias(f"lo_{c}"),
+                                 lambda c: F.max(c).alias(f"hi_{c}"))]
+                     ).collect()[0]
+        for s in specs:
+            if s[0] in need_agg:
+                s[2], s[3] = row[f"lo_{s[0]}"], row[f"hi_{s[0]}"]
+    out = []
+    for c, typ, lo, hi in specs:
+        col = F.col(c)
+        if typ == "string":
+            # LOW-CARDINALITY strings (lang/source/category keys) get a
+            # DICTIONARY-RANK projection: min-max over raw char packs
+            # squashes the whole dictionary into a sliver whenever one
+            # value is a lexicographic outlier (measured: lang={de..fr}
+            # landed in the bottom 10% of the domain next to 'zh', so the
+            # interleave ignored the column). Ranks spread values evenly;
+            # the dictionary is collected once, driver-side, bounded.
+            distinct = [r[0] for r in
+                        df.select(c).distinct().limit(_DICT_MAX + 1).collect()]
+            if len(distinct) <= _DICT_MAX:
+                vals = sorted(v for v in distinct if v is not None)
+                n = max(1, len(vals) - 1)
+                pairs = []
+                for i, v in enumerate(vals):
+                    pairs += [F.lit(v), F.lit(i * MASK31 // n)]
+                m = F.create_map(*pairs) if pairs else None
+                proj = (F.coalesce(m[col], F.lit(0)) if m is not None
+                        else F.lit(0))
+                out.append((proj, 0, MASK31))
+            else:
+                import os.path as _p
+
+                lo_s = "" if lo is None else str(lo)
+                hi_s = "" if hi is None else str(hi)
+                pl = len(_p.commonprefix([lo_s, hi_s]))
+                out.append((order_preserving_str31(col, pl),
+                            str31_py(lo_s, pl), str31_py(hi_s, pl)))
+        elif typ == "timestamp":
+            v = F.unix_micros(col)
+            lo_i = _ts_micros_any(lo)
+            hi_i = _ts_micros_any(hi)
+            out.append((v, lo_i, hi_i))
+        elif typ in ("int", "bigint", "date"):
+            v = col.cast("long")
+            out.append((v, _long_any(lo), _long_any(hi)))
+        elif typ in ("float", "double"):
+            # min-max scale doubles straight onto the 31-bit domain
+            lo_f, hi_f = float(lo or 0.0), float(hi or 0.0)
+            span = (hi_f - lo_f) or 1.0
+            v = ((col.cast("double") - F.lit(lo_f)) / F.lit(span)
+                 * F.lit(float(MASK31))).cast("long")
+            out.append((v, 0, MASK31))
+        else:
+            raise ValueError(f"unsupported cluster key type {typ} for {c}")
+    return out
+
+
+def _ts_micros_any(v):
+    if v is None:
+        return 0
+    if isinstance(v, int):
+        return v  # manifest stats store epoch micros
+    from ..table.scan import _ts_to_micros
+
+    return _ts_to_micros(v)
+
+
+def _long_any(v):
+    if v is None:
+        return 0
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        import datetime as _dt
+
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        raise
+
+
+def _with_generic_key(df, curve: str, projections):
+    """Interleave 1 or 2 projected dimensions into the cluster key —
+    same scaling/interleave rules as the (conv_id, ts) path. One column
+    degenerates to a plain range sort on its scaled value."""
+    dims = [norm31_scale(v, lo, hi) for v, lo, hi in projections]
+    if len(dims) == 1:
+        key = dims[0]
+    elif len(dims) == 2:
+        if curve == "zorder":
+            key = zorder_key_col(dims[0], dims[1])
+        elif curve == "hilbert":
+            key = hilbert_key_udf()(dims[0].cast("long"), dims[1].cast("long"))
+        else:
+            raise ValueError(f"unknown curve: {curve}")
+    else:
+        raise ValueError("cluster key_cols supports 1 or 2 columns "
+                         "(like the built-in (conv_id, ts) pair); more "
+                         "dimensions dilute every dimension's locality")
+    return df.withColumn(_KEY, key)
+
+
 def _with_cluster_key(
     df, curve: str, ts_lo: int, ts_hi: int, conv_proj: tuple[int, int, int] = (0, 0, MASK31)
 ):
@@ -140,6 +270,7 @@ def cluster(
     conv_id_range: tuple | None = None,
     ts_range: tuple | None = None,
     incremental: bool = False,
+    key_cols: list[str] | None = None,
 ) -> dict:
     """Cluster the table (or, with ``conv_id_range``/``ts_range``, ONLY
     the files whose stat ranges overlap the predicate — a hot-slice
@@ -221,13 +352,28 @@ def cluster(
         df = read_entries(spark, table, entries, read_schema, base_snapshot)
     else:
         df = scan(spark, table, snapshot_id=base_snapshot, schema=schema)
-    bounds = _ts_bounds_from_manifest(entries)
-    if bounds is None:  # fall back to a data-scan agg (min/max only)
-        row = df.agg(
-            F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
-        ).collect()[0]
-        bounds = (row["lo"], row["hi"])
-    keyed = _with_cluster_key(df, curve, *bounds, conv_proj=_conv_projection(entries))
+    if key_cols is not None:
+        # GENERIC cluster keys (Delta ZORDER BY / Iceberg sort-order
+        # analog): 1 or 2 arbitrary schema columns, order-preserving
+        # 31-bit projections + the same curve interleave. Pass
+        # stat_columns covering the keys so post-cluster file skipping
+        # engages on them.
+        from ..table.scan import resolve_schema as _rs
+
+        keyed = _with_generic_key(
+            df, curve,
+            _generic_projections(df, entries, list(key_cols),
+                                 _rs(table, base_snapshot, schema)),
+        )
+    else:
+        bounds = _ts_bounds_from_manifest(entries)
+        if bounds is None:  # fall back to a data-scan agg (min/max only)
+            row = df.agg(
+                F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+            ).collect()[0]
+            bounds = (row["lo"], row["hi"])
+        keyed = _with_cluster_key(df, curve, *bounds,
+                                  conv_proj=_conv_projection(entries))
 
     # Scan parallelism: a freshly-compacted table may have only ~total/32MB
     # file-split partitions — fewer than the executor pool, so the map stage
@@ -334,7 +480,8 @@ def cluster(
         operation="replace",
         summary={"op": f"cluster-{curve}", "output_files": len(added),
                  "shards": shards, "scoped": scoped,
-                 "incremental": incremental},
+                 "incremental": incremental,
+                 **({"key_cols": list(key_cols)} if key_cols else {})},
         # full-table source was the tombstone-filtered scan: deletes are
         # now physically applied. Scoped source was raw files: keep them.
         # expected_tombstones: a delete-mor landing between our scan and

@@ -1473,3 +1473,16 @@ SELECT role,
 FROM fin
 GROUP BY role
 """
+
+
+# q92: generic-key clustering is content-preserving — the oracle is the
+# plain group-by over documents; any row the rewrite dropped/duplicated
+# diverges the hash.
+ALL["q92_generic_cluster"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM documents
+GROUP BY lang
+"""

@@ -653,6 +653,48 @@ def q91_cdf_stream_replay(spark, sf_dir):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+
+def q92_generic_cluster(spark, sf_dir):
+    """Generic-key clustering (Delta ZORDER BY analog) through the real
+    table format: documents clustered on (lang, n_chars) — dictionary-
+    rank projection for the low-NDV string key, then the standard curve
+    interleave. Content must be byte-identical (the oracle is the plain
+    group-by); the LAYOUT effect (narrow per-file lang/n_chars stats,
+    point skipping) is asserted in tests/test_cluster.py."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.cluster import cluster as cluster_op
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q92_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+        entries = write_files(spark, t, docs, 6, "ingest-00000001-0000",
+                              stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": "ingest"})
+        cluster_op(spark, t, curve="zorder", target_bytes=64 << 10,
+                   key_cols=["lang", "n_chars"],
+                   stat_columns=("doc_id", "lang", "n_chars"))
+        result = (
+            scan(spark, t)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc"))
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2411,4 +2453,5 @@ ALL = {
     "q89_metadata_count": q89_metadata_count,
     "q90_retention_delete": q90_retention_delete,
     "q91_cdf_stream_replay": q91_cdf_stream_replay,
+    "q92_generic_cluster": q92_generic_cluster,
 }

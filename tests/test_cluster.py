@@ -1,6 +1,8 @@
 """Op-2 clustering: byte-equality, file-skipping improvement, sharded
 resume path, Hilbert parity (SURVEY.md §7.3 step 4)."""
 
+import pytest
+
 from e_commerce_lakehouse_spark.operators.cluster import cluster
 from e_commerce_lakehouse_spark.table import prune_entries, scan
 from tests.conftest import assert_same_rows
@@ -159,3 +161,46 @@ def test_full_cluster_materializes_tombstones(spark, tiny_df, tiny_table):
     assert tiny_table.tombstones() == []
     assert scan(spark, tiny_table).where("role = 'tool'").count() == 0
     assert tiny_table.total_rows() == tiny_df.count() - n_tool
+
+
+def test_generic_cluster_keys_content_and_skipping(spark, tmp_path):
+    """cluster(key_cols=...): arbitrary 1-2 column clustering (Delta
+    ZORDER BY analog) — content byte-identical, per-file stat ranges
+    narrow on the keys, point skipping engages on a non-core column."""
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.scan import planned_entries
+    from e_commerce_lakehouse_spark.table.writer import write_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "doc_tbl")
+    t = Table.create(root)
+    t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
+                          stat_columns=("doc_id",))
+    t.commit_append(entries, {"op": "ingest"})
+    before = scan(spark, t).collect()
+
+    cluster(spark, t, curve="zorder", target_bytes=2 * 1024,
+            key_cols=["lang", "n_chars"],
+            stat_columns=("doc_id", "lang", "n_chars"))
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    ents = t.entries()
+    langs = sorted({r["lang"] for r in before})
+    # corner dictionary value: only files whose range reaches it survive
+    surv = planned_entries(t, eq={"lang": langs[-1]})
+    assert len(surv) < len(ents)
+
+    # 1-D key degenerates to a range sort: adjacent file ranges disjoint
+    cluster(spark, t, curve="zorder", target_bytes=2 * 1024,
+            key_cols=["n_chars"], stat_columns=("doc_id", "n_chars"))
+    assert sorted(map(tuple, scan(spark, t).collect())) == sorted(map(tuple, before))
+    rngs = sorted(e.stats["n_chars"] for e in t.entries()
+                  if "n_chars" in e.stats)
+    assert all(a[1] <= b[0] for a, b in zip(rngs, rngs[1:]))
+
+    # guards
+    with pytest.raises(ValueError, match="not in schema"):
+        cluster(spark, t, key_cols=["nope"])
+    with pytest.raises(ValueError, match="1 or 2"):
+        cluster(spark, t, key_cols=["lang", "n_chars", "doc_id"])
