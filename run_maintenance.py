@@ -76,6 +76,9 @@ def main(argv=None) -> int:
                         "this many snapshots per run (Iceberg "
                         "partial-progress.enabled/max-commits)")
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--key-cols", default=None,
+                   help="cluster: comma-separated 1-2 key columns "
+                        "(default: the built-in (conv_id, ts) pair)")
     p.add_argument("--shards", type=int, default=1, help="cluster: resumable shard count")
     p.add_argument("--source", help="merge: corrections parquet path; ingest: landing dir")
     p.add_argument("--checkpoint", help="checkpoint path (ops) / dir (ingest)")
@@ -408,7 +411,9 @@ def main(argv=None) -> int:
                                 target_bytes=target_bytes, shards=args.shards,
                                 checkpoint_path=args.checkpoint,
                                 conv_id_range=conv_range,
-                                incremental=args.incremental),
+                                incremental=args.incremental,
+                                key_cols=(args.key_cols.split(",")
+                                          if args.key_cols else None)),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "merge":
             if not args.source:
