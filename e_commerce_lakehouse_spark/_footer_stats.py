@@ -32,11 +32,28 @@ def norm_stat(v):
     return v
 
 
+def kmv_mins(values, k: int) -> list[int]:
+    """The k smallest 60-bit md5 hashes of ``values`` (None excluded) —
+    the per-file KMV sketch. Hashing mirrors Spark's md5(CAST(col AS
+    STRING)) exactly (15-hex prefix as int), so merged estimates
+    value-hash oracle against a SQL twin (operators/sketch.py)."""
+    import hashlib
+    import heapq
+
+    hs = {
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in values
+        if v is not None
+    }
+    return sorted(heapq.nsmallest(k, hs))
+
+
 def file_stats_dict(
     abs_path: str,
     root: str,
     stat_columns: Iterable[str],
     bloom_spec: dict | None = None,
+    ndv_spec: dict | None = None,
 ) -> dict:
     """DataFileEntry-shaped dict from one parquet footer (no data pages).
 
@@ -96,4 +113,16 @@ def file_stats_dict(
             blooms[col] = build_bloom_from_values(vals.to_pylist(), params)
         if blooms:
             out["blooms"] = blooms
+    if ndv_spec:
+        import pyarrow.compute as pc
+
+        ndv = {}
+        for col, params in ndv_spec.items():
+            if col not in name_to_idx:
+                continue
+            vals = pc.unique(pf.read(columns=[col]).column(col))
+            k = int(params.get("k", 256))
+            ndv[col] = {"k": k, "mins": kmv_mins(vals.to_pylist(), k)}
+        if ndv:
+            out["ndv"] = ndv
     return out

@@ -432,7 +432,7 @@ def cluster(
             )
             added = collect_entries(
                 list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
-                bloom_spec=table.bloom_spec(),
+                bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(),
             )
             for e in added:
                 e.partition = partition_from_path(e.path, part_spec)
@@ -452,7 +452,7 @@ def cluster(
             )
             added = collect_entries(
                 list_parquet_files(out_dir), table.root, stat_columns, spark=spark,
-                bloom_spec=table.bloom_spec(),
+                bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(),
             )
         else:
             added = _cluster_sharded(
@@ -639,7 +639,7 @@ def _cluster_sharded(
                 .parquet(out_dir)
             )
         outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
-                               bloom_spec=table.bloom_spec())
+                               bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec())
         if part_spec:
             for e in outs:
                 e.partition = partition_from_path(e.path, part_spec)

@@ -52,6 +52,7 @@ def _rewrite_wave_arrow(
     run_token: str = "",
     bloom_spec: dict | None = None,
     sv_plan: int | None = None,
+    ndv_spec: dict | None = None,
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -150,6 +151,22 @@ def _rewrite_wave_arrow(
             )
             t_write = _mono()
             e = file_stats_dict(out_path, table_root, cols)
+            if ndv_spec:
+                # KMV sketch from the IN-MEMORY merged table — no second
+                # read of the file just written (same rule as blooms)
+                import pyarrow.compute as pc
+
+                from e_commerce_lakehouse_spark._footer_stats import kmv_mins
+
+                nd = {}
+                for ncol, params in ndv_spec.items():
+                    if ncol in merged.column_names:
+                        vals = pc.unique(merged.column(ncol))
+                        kk = int(params.get("k", 256))
+                        nd[ncol] = {"k": kk,
+                                    "mins": kmv_mins(vals.to_pylist(), kk)}
+                if nd:
+                    e["ndv"] = nd
             if sv_plan:
                 # write-schema version RECORDED AT WRITE TIME: stays
                 # correct across resume even if an evolution lands
@@ -222,7 +239,7 @@ def _rewrite_group(
     # coalesce: no shuffle — small whole files concatenate into n_out files
     df.coalesce(n_out).write.mode("error").parquet(out_dir)
     outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
-                           bloom_spec=table.bloom_spec())
+                           bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec())
     for e in outs:
         e.seq = out_seq
         e.partition = out_partition
@@ -267,7 +284,8 @@ def _run_arrow(
         results = _rewrite_wave_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
             field_spec=field_spec, run_token=run_token,
-            bloom_spec=table.bloom_spec(), sv_plan=sv_plan,
+            bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(),
+            sv_plan=sv_plan,
         )
         for r in results:  # outputs carry the group's preserved seq
             r["entry"]["seq"] = group_seq[r["group_id"]]

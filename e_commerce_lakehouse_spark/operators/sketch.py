@@ -76,3 +76,47 @@ def kmv_distinct_by_group(
     return per_group.select(
         *group_cols, "n_min", "kth_hash", est.alias("est_distinct")
     )
+
+
+def table_ndv(table, col: str, snapshot_id: int | None = None) -> dict:
+    """Table-level distinct-count estimate for ``col`` MERGED from the
+    per-file KMV sketches in the manifests (Iceberg puffin theta-sketch
+    analog, deterministic) — zero data reads, O(live files * k) driver
+    work. The merge is exact sketch algebra: the k smallest of the UNION
+    of per-file k-minimums IS the global k-minimum set (every global
+    minimum is a minimum of its own file), so the merged estimate equals
+    the estimate computed over the whole column — which is what the q93
+    oracle states in SQL.
+
+    Files without a sketch for ``col`` (pre-declaration vintage, or a
+    write-schema vintage lacking the column) are counted in
+    ``files_missing``: the estimate then covers only sketched files
+    (a lower bound; rewrite/compact backfills sketches like blooms)."""
+    import heapq
+
+    entries = table.entries(snapshot_id)
+    k = None
+    hashes: set[int] = set()
+    missing = 0
+    for e in entries:
+        sk = (e.ndv or {}).get(col)
+        if sk is None:
+            if e.rows > 0:
+                missing += 1
+            continue
+        k = sk["k"] if k is None else min(k, sk["k"])
+        hashes.update(sk["mins"])
+    out = {"files_total": len(entries), "files_missing": missing,
+           "column": col}
+    if k is None:
+        out.update(n_min=0, kth_hash=None, est_distinct=None)
+        return out
+    mins = heapq.nsmallest(k, hashes)
+    n_min = len(mins)
+    kth = mins[-1] if mins else None
+    if n_min < k:
+        est = float(n_min)
+    else:
+        est = round((k - 1) * _HASH_SPACE / kth, 2)
+    out.update(n_min=n_min, kth_hash=kth, est_distinct=est)
+    return out

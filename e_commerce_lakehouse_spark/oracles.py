@@ -1486,3 +1486,27 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+# q93: merged per-file KMV sketches == the global k-minimum estimate,
+# stated directly over the whole column (q84's expression, k=64, per
+# column). If any file's sketch dropped or fabricated a hash, or the
+# merge lost one, n_min/kth_hash/estimate diverge.
+def _ndv_one(col: str, k: int = 64) -> str:
+    return f"""
+SELECT '{col}' AS "column", count(*)::BIGINT AS n_min,
+       max(_h) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+            ELSE round({k - 1}.0 * 1152921504606846976.0 / max(_h), 2)
+       END AS est_distinct
+FROM (
+    SELECT _h, row_number() OVER (ORDER BY _h) AS rn FROM (
+        SELECT DISTINCT ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS _h
+        FROM documents WHERE {col} IS NOT NULL)
+) WHERE rn <= {k}
+"""
+
+
+ALL["q93_manifest_ndv_sketch"] = (
+    _ndv_one("lang") + " UNION ALL " + _ndv_one("text")
+)

@@ -695,6 +695,51 @@ def q92_generic_cluster(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q93_manifest_ndv_sketch(spark, sf_dir):
+    """Per-file KMV NDV sketches merged from MANIFESTS (Iceberg puffin
+    theta-sketch analog, deterministic md5 KMV): declare the spec, write
+    two batches, compact (rewrites re-sketch from the in-memory merged
+    table), then estimate distinct counts with ZERO data reads
+    (sketch.table_ndv). The merge is exact sketch algebra — k smallest
+    of the union of per-file k-minimums IS the global k-minimum set —
+    so the oracle states the same estimate computed over the whole
+    column in SQL."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.compact import compact as compact_op
+    from .operators.sketch import table_ndv
+    from .table.meta import Table
+    from .table.writer import append_dataframe, write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q93_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+        t.set_ndv_columns(["lang", "text"], k=64)
+        entries = write_files(spark, t, docs.where(F.col("doc_id") % 2 == 0),
+                              4, "ingest-00000001-0000",
+                              stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": "ingest"})
+        append_dataframe(spark, t, docs.where(F.col("doc_id") % 2 == 1))
+        compact_op(spark, t, target_bytes=1 << 20, stat_columns=("doc_id",))
+        rows = []
+        for col in ("lang", "text"):
+            r = table_ndv(t, col)
+            assert r["files_missing"] == 0, r
+            rows.append((col, int(r["n_min"]), int(r["kth_hash"]),
+                         float(r["est_distinct"])))
+        return spark.createDataFrame(
+            rows, "column string, n_min bigint, kth_hash bigint, "
+                  "est_distinct double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2454,4 +2499,5 @@ ALL = {
     "q90_retention_delete": q90_retention_delete,
     "q91_cdf_stream_replay": q91_cdf_stream_replay,
     "q92_generic_cluster": q92_generic_cluster,
+    "q93_manifest_ndv_sketch": q93_manifest_ndv_sketch,
 }

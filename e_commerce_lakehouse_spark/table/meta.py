@@ -109,6 +109,12 @@ class DataFileEntry:
     #: inside a predicate; files without it fall to the boundary-read
     #: path (conservative, never wrong).
     nulls: dict | None = None
+    #: per-column KMV NDV sketch {col: {"k": int, "mins": [int...]}} —
+    #: the k smallest 60-bit md5 hashes of the file's distinct values;
+    #: mergeable (union + re-min = the global sketch), deterministic, so
+    #: table-level estimates oracle (operators/sketch.table_ndv). None
+    #: for files written before/without a spec.
+    ndv: dict | None = None
     #: SCHEMA VERSION the file's bytes were WRITTEN under (Iceberg binds
     #: columns by field-id in the file footer; plain parquet can't, so the
     #: version number recorded here binds each file's WRITTEN column names
@@ -129,6 +135,8 @@ class DataFileEntry:
             d["sv"] = self.sv
         if self.nulls is not None:
             d["nulls"] = self.nulls
+        if self.ndv is not None:
+            d["ndv"] = self.ndv
         return d
 
     @classmethod
@@ -136,7 +144,7 @@ class DataFileEntry:
         return cls(path=d["path"], rows=d["rows"], bytes=d["bytes"],
                    stats=d.get("stats", {}), seq=d.get("seq", 0),
                    partition=d.get("partition"), blooms=d.get("blooms"),
-                   sv=d.get("sv"), nulls=d.get("nulls"))
+                   sv=d.get("sv"), nulls=d.get("nulls"), ndv=d.get("ndv"))
 
 
 @dataclass
@@ -930,6 +938,36 @@ class Table:
             json.dump({"blooms": spec}, f)
         os.replace(tmp, self._bloom_spec_path())
 
+    def _ndv_spec_path(self) -> str:
+        return os.path.join(self.metadata_dir, "ndv.json")
+
+    def ndv_spec(self) -> dict[str, dict]:
+        """Declared per-file KMV NDV-sketch columns: {col: {"k": int}}.
+        Iceberg puffin's apache-datasketches-theta analog, but with a
+        deterministic md5 KMV so merged estimates value-hash oracle
+        (operators/sketch.table_ndv). Consulted by every write path;
+        files written before the declaration carry no sketch and are
+        reported in the merge's files_missing."""
+        try:
+            with open(self._ndv_spec_path()) as f:
+                return json.load(f)["ndv"]
+        except FileNotFoundError:
+            return {}
+
+    def set_ndv_columns(self, columns: list[str], k: int = 256) -> None:
+        """Declare NDV-sketch columns (string/int; ``columns=[]`` drops
+        the sketch for future writes)."""
+        if self.branch is not None:
+            raise ValueError("ndv sketch declaration on a branch is not "
+                             "supported; declare on main")
+        if k < 2:
+            raise ValueError("k must be >= 2 (the estimator divides by h_k)")
+        spec = {c: {"k": int(k)} for c in columns}
+        tmp = self._ndv_spec_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ndv": spec}, f)
+        os.replace(tmp, self._ndv_spec_path())
+
     # ---------- hidden partitioning ----------
 
     def partition_spec(self) -> list:
@@ -1166,6 +1204,7 @@ class Table:
 
 _STAT_MIN = "stat_min_"
 _NULLC = "nullc_"
+_NDV = "ndv_"
 _STAT_MAX = "stat_max_"
 _PART = "part_"
 _BLOOM = "bloom_"
@@ -1225,6 +1264,23 @@ def _write_manifest_parquet(path: str, entries: list[DataFileEntry]) -> None:
         arrays[_NULLC + k] = pa.array(
             [(e.nulls or {}).get(k) for e in entries], pa.int64()
         )
+    ndv_keys: list[str] = []
+    kseen: set[str] = set()
+    for e in entries:
+        for k in (e.ndv or {}):
+            if k not in kseen:
+                kseen.add(k)
+                ndv_keys.append(k)
+    for k in ndv_keys:
+        # compact-JSON per file, excluded from planning reads like blooms
+        arrays[_NDV + k] = pa.array(
+            [
+                json.dumps(e.ndv[k], separators=(",", ":")).encode()
+                if e.ndv and k in e.ndv else None
+                for e in entries
+            ],
+            pa.binary(),
+        )
     for k in stat_keys:
         mins = [e.stats[k][0] if k in e.stats else None for e in entries]
         maxs = [e.stats[k][1] if k in e.stats else None for e in entries]
@@ -1274,6 +1330,7 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
     part_keys = [c[len(_PART):] for c in t.column_names if c.startswith(_PART)]
     bloom_keys = [c[len(_BLOOM):] for c in t.column_names if c.startswith(_BLOOM)]
     null_keys = [c[len(_NULLC):] for c in t.column_names if c.startswith(_NULLC)]
+    ndv_keys = [c[len(_NDV):] for c in t.column_names if c.startswith(_NDV)]
     cols = {c: t.column(c).to_pylist() for c in t.column_names}
     seqs = cols.get("seq")  # pre-seq manifests: default 0 (legacy)
     svs = cols.get("sv")  # pre-evolution manifests: None (legacy vintage)
@@ -1302,13 +1359,19 @@ def arrow_manifest_to_entries(t) -> list[DataFileEntry]:
             if n is not None:
                 nulls = nulls or {}
                 nulls[k] = int(n)
+        ndv = None
+        for k in ndv_keys:
+            b = cols[_NDV + k][i]
+            if b is not None:
+                ndv = ndv or {}
+                ndv[k] = json.loads(b)
         out.append(
             DataFileEntry(path=cols["path"][i], rows=cols["rows"][i],
                           bytes=cols["bytes"][i], stats=stats,
                           seq=seqs[i] if seqs is not None else 0,
                           partition=part, blooms=blooms,
                           sv=svs[i] if svs is not None else None,
-                          nulls=nulls)
+                          nulls=nulls, ndv=ndv)
         )
     return out
 

@@ -117,16 +117,17 @@ def _arrow_pruned_entries(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from .meta import _BLOOM, arrow_manifest_to_entries
+    from .meta import _BLOOM, _NDV, arrow_manifest_to_entries
 
-    # bloom blobs are NEVER read here — range pruning needs stats only;
+    # bloom/ndv blobs are NEVER read here — range pruning needs stats only;
     # point-lookup bloom refinement re-reads (path, bloom_<col>) filtered
     # to the survivors (_bloom_refine_arrow), so the planning scan stays
     # O(stat columns) however large the bloom index is
     schema_names = pq.read_schema(manifest_path).names
     t = pq.read_table(
         manifest_path,
-        columns=[c for c in schema_names if not c.startswith(_BLOOM)],
+        columns=[c for c in schema_names
+                 if not c.startswith(_BLOOM) and not c.startswith(_NDV)],
     )
     cols = set(t.column_names)
 

@@ -68,6 +68,7 @@ def main(argv=None) -> int:
             "evolve-partition", "create-branch", "delete-branch",
             "branches", "fast-forward", "replicate", "set-bloom",
             "matview-create", "matview-refresh", "retention", "count",
+            "set-ndv", "ndv",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -282,6 +283,20 @@ def main(argv=None) -> int:
             spark, Table.load(args.table, branch=args.branch),
             ts_range=ts_range, eq=eq, snapshot_id=args.snapshot,
         )
+    elif args.op == "set-ndv":  # metadata-only spec declaration
+        if not args.columns:
+            p.error("--op set-ndv requires --columns col[,col...] ('' drops)")
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        Table.load(args.table, branch=args.branch).set_ndv_columns(cols)
+        result = {"ndv_columns": cols}
+    elif args.op == "ndv":  # metadata-only estimate
+        from e_commerce_lakehouse_spark.operators.sketch import table_ndv
+
+        if not args.columns:
+            p.error("--op ndv requires --columns col[,col...]")
+        t = Table.load(args.table, branch=args.branch)
+        result = {c.strip(): table_ndv(t, c.strip(), snapshot_id=args.snapshot)
+                  for c in args.columns.split(",")}
     elif args.op == "rename-column":  # metadata-only (field-id binding)
         from e_commerce_lakehouse_spark.operators.schema_evolution import (
             rename_column,

@@ -59,3 +59,49 @@ def test_kmv_nulls_excluded_like_count_distinct(spark):
     row = kmv_distinct_by_group(df, ["g"], "v", k=64).collect()[0]
     assert row["n_min"] == 20  # 20 non-null distinct, NULLs excluded
     assert row["est_distinct"] == 20.0
+
+
+def test_per_file_ndv_sketches_merge_and_survive_rewrites(spark, tmp_path):
+    """Manifest KMV sketches: declared spec -> every write path sketches;
+    the merged estimate is invariant under compaction (exact sketch
+    algebra) and exact below k; undeclared/legacy files count as
+    missing; CLI ops round-trip."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    from e_commerce_lakehouse_spark.operators.compact import compact
+    from e_commerce_lakehouse_spark.operators.sketch import table_ndv
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import (
+        append_dataframe,
+        write_files,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "ndv_tbl")
+    t = Table.create(root)
+    t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    entries = write_files(spark, t, docs.limit(20), 1, "legacy-0000",
+                          stat_columns=("doc_id",))
+    t.commit_append(entries, {"op": "pre-spec"})  # legacy: no sketch
+
+    assert main(["--table", root, "--op", "set-ndv",
+                 "--columns", "lang,text"]) == 0
+    append_dataframe(spark, t, docs.exceptAll(docs.limit(20)))
+
+    r = table_ndv(t, "lang")
+    assert r["files_missing"] == 1  # the pre-spec file
+    exact_lang = docs.select("lang").distinct().count()
+    # lang NDV is far below k: the covered files report exactly
+    assert r["n_min"] <= exact_lang
+
+    before = table_ndv(t, "text")
+    compact(spark, t, target_bytes=1 << 20, stat_columns=("doc_id",))
+    after = table_ndv(t, "text")
+    assert after["files_missing"] == 0  # compaction backfilled the legacy file
+    # post-compact estimate covers MORE data (legacy rows included) and
+    # n_min can only grow; with full coverage it equals the global sketch
+    assert after["n_min"] >= before["n_min"]
+    assert main(["--table", root, "--op", "ndv", "--columns", "lang"]) == 0
