@@ -583,3 +583,53 @@ def test_table_streaming_source_cdf_mode(spark, tmp_path):
     )
     with pytest.raises(Exception, match="cdf|merge-on-read|poll_changes"):
         q2.awaitTermination()
+
+
+def test_cdf_stream_across_rename(spark, tmp_path):
+    """CDF mode on a renamed table: pre-rename vintages surface their
+    delete/insert images under the CURRENT column names (the reader's
+    per-file rename maps), and the net replay still matches the table."""
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.operators.schema_evolution import (
+        rename_column,
+    )
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 600, seed=3)
+    tbl = create_transcripts_table(spark, root, df, rows_per_file=150)
+    rename_column(tbl, "role", "speaker")
+    delete_where(spark, tbl, F.col("speaker") == "tool")  # cow, mixed vintages
+
+    batches = []
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("mode", "cdf").load(root)
+        .writeStream.foreachBatch(lambda bdf, bid: batches.append(bdf.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination()
+    rows = [r for b in batches for r in b]
+    assert rows and "speaker" in rows[0].asDict() and "role" not in rows[0].asDict()
+    data_cols = scan(spark, tbl).columns
+    state: dict[tuple, int] = {}
+    for sid in sorted({r["_commit_sid"] for r in rows}):
+        for r in rows:
+            if r["_commit_sid"] == sid and r["_change_type"] == "delete":
+                k = tuple(r[c] for c in data_cols)
+                state[k] -= 1
+                if not state[k]:
+                    del state[k]
+        for r in rows:
+            if r["_commit_sid"] == sid and r["_change_type"] == "insert":
+                k = tuple(r[c] for c in data_cols)
+                state[k] = state.get(k, 0) + 1
+    replayed = sorted(k for k, n in state.items() for _ in range(n))
+    assert replayed == sorted(map(tuple, scan(spark, tbl).collect()))
