@@ -24,7 +24,13 @@ format implemented here from scratch:
 - ``table/cdc``   at-least-once upsert consumer AND the typed change
                   feed (insert/delete rows with commit ordering)
 - ``table/inspect`` Iceberg-style metadata tables (files / snapshots /
-                  partitions as DataFrames + catalog SQL views)
+                  partitions / schemas / refs / manifests as DataFrames
+                  + catalog SQL views)
+- ``table/fieldids`` field-id binding for metadata-only RENAME/WIDEN
+                  (write-schema versions recover Iceberg's id semantics
+                  on name-addressed parquet)
+- ``operators/metaagg`` metadata-only COUNT/MIN/MAX and the
+                  stats-driven retention delete (boundary files only)
 
 Refs: immutable tags, write-audit-publish staging, and mutable BRANCHES
 with fast-forward publish (``Table.create_branch`` — every operator

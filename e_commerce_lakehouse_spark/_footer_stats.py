@@ -45,7 +45,7 @@ def kmv_mins(values, k: int) -> list[int]:
         for v in values
         if v is not None
     }
-    return sorted(heapq.nsmallest(k, hs))
+    return heapq.nsmallest(k, hs)  # already ascending-sorted
 
 
 def file_stats_dict(
@@ -100,29 +100,48 @@ def file_stats_dict(
     }
     if nulls:
         out["nulls"] = nulls
-    if bloom_spec:
-        blooms = {}
-        for col, params in bloom_spec.items():
-            if col not in name_to_idx:
-                continue
-            import pyarrow.compute as pc
-
-            from ._bloom import build_bloom_from_values
-
-            vals = pc.unique(pf.read(columns=[col]).column(col))
-            blooms[col] = build_bloom_from_values(vals.to_pylist(), params)
-        if blooms:
-            out["blooms"] = blooms
-    if ndv_spec:
+    if bloom_spec or ndv_spec:
+        # ONE data-page read + unique per column, shared by bloom and ndv
+        # (declaring both on the same point-lookup column is the natural
+        # pairing; reading it twice doubled the write-path cost — review
+        # finding)
         import pyarrow.compute as pc
 
-        ndv = {}
-        for col, params in ndv_spec.items():
-            if col not in name_to_idx:
-                continue
-            vals = pc.unique(pf.read(columns=[col]).column(col))
-            k = int(params.get("k", 256))
-            ndv[col] = {"k": k, "mins": kmv_mins(vals.to_pylist(), k)}
+        need = set(bloom_spec or ()) | set(ndv_spec or ())
+        uniq = {
+            col: pc.unique(pf.read(columns=[col]).column(col)).to_pylist()
+            for col in need
+            if col in name_to_idx
+        }
+        blooms = {}
+        for col, params in (bloom_spec or {}).items():
+            if col in uniq:
+                from ._bloom import build_bloom_from_values
+
+                blooms[col] = build_bloom_from_values(uniq[col], params)
+        if blooms:
+            out["blooms"] = blooms
+        ndv = {
+            col: {"k": int(params.get("k", 256)),
+                  "mins": kmv_mins(uniq[col], int(params.get("k", 256)))}
+            for col, params in (ndv_spec or {}).items()
+            if col in uniq
+        }
         if ndv:
             out["ndv"] = ndv
+    return out
+
+
+def ndv_from_arrow(t, ndv_spec: dict) -> dict:
+    """Per-column KMV sketches from an IN-MEMORY arrow table — the one
+    construction shared by the footer pass and compact's rewrite tasks
+    (review finding: two copies could drift)."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for col, params in (ndv_spec or {}).items():
+        if col in t.column_names:
+            k = int(params.get("k", 256))
+            out[col] = {"k": k,
+                        "mins": kmv_mins(pc.unique(t.column(col)).to_pylist(), k)}
     return out

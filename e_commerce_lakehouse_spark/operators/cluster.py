@@ -1,4 +1,7 @@
-"""Op-2: Z-order / Hilbert clustering on (conv_id, ts).
+"""Op-2: Z-order / Hilbert clustering on (conv_id, ts) — or, via
+``key_cols=``, on ANY 1-2 schema columns (Delta ZORDER BY analog;
+typed order-preserving projections, dictionary-rank for low-NDV
+strings).
 
 The reference's only layout control is static partitionBy
 (`/root/reference/src/glue_jobs/orders_etl.py:191-194`). Clustering

@@ -154,17 +154,9 @@ def _rewrite_wave_arrow(
             if ndv_spec:
                 # KMV sketch from the IN-MEMORY merged table — no second
                 # read of the file just written (same rule as blooms)
-                import pyarrow.compute as pc
+                from e_commerce_lakehouse_spark._footer_stats import ndv_from_arrow
 
-                from e_commerce_lakehouse_spark._footer_stats import kmv_mins
-
-                nd = {}
-                for ncol, params in ndv_spec.items():
-                    if ncol in merged.column_names:
-                        vals = pc.unique(merged.column(ncol))
-                        kk = int(params.get("k", 256))
-                        nd[ncol] = {"k": kk,
-                                    "mins": kmv_mins(vals.to_pylist(), kk)}
+                nd = ndv_from_arrow(merged, ndv_spec)
                 if nd:
                     e["ndv"] = nd
             if sv_plan:

@@ -117,6 +117,14 @@ def table_ndv(table, col: str, snapshot_id: int | None = None) -> dict:
     if n_min < k:
         est = float(n_min)
     else:
-        est = round((k - 1) * _HASH_SPACE / kth, 2)
+        # HALF-AWAY-FROM-ZERO to 2 dp, matching DuckDB/Spark round —
+        # Python's built-in round is banker's (half-even), a THIRD
+        # rounding scheme that could flip a .xx5 boundary against the
+        # q93 oracle (review finding)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        v = (k - 1) * _HASH_SPACE / kth
+        est = float(Decimal(repr(v)).quantize(Decimal("0.01"),
+                                              rounding=ROUND_HALF_UP))
     out.update(n_min=n_min, kth_hash=kth, est_distinct=est)
     return out

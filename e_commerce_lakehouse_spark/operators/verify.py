@@ -129,6 +129,32 @@ def verify_table(
                                    "manifest_ndv": b.get("ndv"),
                                    "file_ndv": len(vals)})
 
+    # ndv-sketch audit (OPT-IN, same cost class as the bloom audit):
+    # recompute each sketched column's KMV from the file's distinct
+    # values — manifest mins must match exactly (the sketch is
+    # deterministic), or table_ndv silently mis-estimates
+    ndv_bad = []
+    if check_blooms:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .._footer_stats import kmv_mins
+
+        for e in present:
+            for col, sk in (e.ndv or {}).items():
+                try:
+                    pf = pq.ParquetFile(os.path.join(table.root, e.path))
+                    raw = pc.unique(pf.read(columns=[col]).column(col)).to_pylist()
+                except Exception:
+                    continue  # missing column: schema evolution, not a fault
+                want = kmv_mins(raw, int(sk["k"]))
+                if list(sk.get("mins", [])) != want:
+                    ndv_bad.append(e.path)
+                    issues.append({"kind": "ndv-sketch-mismatch",
+                                   "path": e.path, "column": col,
+                                   "manifest_n": len(sk.get("mins", [])),
+                                   "recomputed_n": len(want)})
+
     # live MoR tombstones must exist
     for tpath in table.tombstones(sid):
         if not os.path.exists(os.path.join(table.root, tpath)):

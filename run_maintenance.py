@@ -284,7 +284,7 @@ def main(argv=None) -> int:
             ts_range=ts_range, eq=eq, snapshot_id=args.snapshot,
         )
     elif args.op == "set-ndv":  # metadata-only spec declaration
-        if not args.columns:
+        if args.columns is None:
             p.error("--op set-ndv requires --columns col[,col...] ('' drops)")
         cols = [c.strip() for c in args.columns.split(",") if c.strip()]
         Table.load(args.table, branch=args.branch).set_ndv_columns(cols)
@@ -296,7 +296,7 @@ def main(argv=None) -> int:
             p.error("--op ndv requires --columns col[,col...]")
         t = Table.load(args.table, branch=args.branch)
         result = {c.strip(): table_ndv(t, c.strip(), snapshot_id=args.snapshot)
-                  for c in args.columns.split(",")}
+                  for c in args.columns.split(",") if c.strip()}
     elif args.op == "rename-column":  # metadata-only (field-id binding)
         from e_commerce_lakehouse_spark.operators.schema_evolution import (
             rename_column,
@@ -427,7 +427,9 @@ def main(argv=None) -> int:
                                 checkpoint_path=args.checkpoint,
                                 conv_id_range=conv_range,
                                 incremental=args.incremental,
-                                key_cols=(args.key_cols.split(",")
+                                key_cols=([c.strip() for c in
+                                           args.key_cols.split(",")
+                                           if c.strip()]
                                           if args.key_cols else None)),
                 attempts=args.retries, backoff_s=args.retry_backoff)
         elif args.op == "merge":
