@@ -484,3 +484,62 @@ def length_outlier_filter(
     return out.where(
         (F.col("length_pct") >= lo) & (F.col("length_pct") <= hi)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window_words: int = 64,
+    stride_words: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — the RAG/pretraining primitive that turns
+    long documents into fixed-size overlapping windows (stride <= window
+    gives ``window - stride`` words of overlap between neighbors, so a
+    fact straddling a boundary appears whole in some chunk).
+
+    All JVM column expressions, zero UDFs: split to words once, generate
+    the start offsets with ``sequence`` (step = stride, ending at the
+    last offset that still starts a NEW span — short docs yield exactly
+    one chunk), posexplode, slice + rejoin. Cost is O(total output
+    words) in whole-stage codegen; no shuffle at all (the explode is
+    pipelined into the scan), so it scales embarrassingly. Returns
+    (id, chunk_idx, n_chunks, chunk_text, n_words).
+
+    Unlike pack_sequences (q64: concat-and-cut to a token budget, no
+    overlap, crosses documents) this is per-document and overlapping —
+    the two ends of the chunking spectrum a training pipeline needs."""
+    if window_words < 1 or stride_words < 1:
+        raise ValueError("window_words and stride_words must be >= 1")
+    if stride_words > window_words:
+        raise ValueError("stride_words must be <= window_words "
+                         "(gaps would silently drop words)")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # last start: the largest multiple of stride <= n-1 that still adds
+    # coverage; ceil((n - window) / stride) * stride, floored at 0
+    last = F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(window_words)).cast("double")
+               / F.lit(stride_words)).cast("int") * F.lit(stride_words),
+    )
+    starts = F.sequence(F.lit(0), last, F.lit(stride_words))
+    out = (
+        df.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.size(starts).alias("n_chunks"),
+            F.posexplode(starts).alias("chunk_idx", "_s"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_chunks",
+            F.array_join(
+                F.slice("_w", F.col("_s") + 1, window_words), " "
+            ).alias("chunk_text"),
+            F.least(F.size("_w") - F.col("_s"),
+                    F.lit(window_words)).alias("n_words"),
+        )
+    )
+    return out

@@ -1510,3 +1510,28 @@ FROM (
 ALL["q93_manifest_ndv_sketch"] = (
     _ndv_one("lang") + " UNION ALL " + _ndv_one("text")
 )
+
+
+# q94: sliding-window chunking mirror — same start-offset arithmetic
+# (ceil((n - window)/stride) * stride, floored at 0), 1-based inclusive
+# list_slice == Spark's slice(start, length).
+ALL["q94_chunk_documents"] = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+    SELECT doc_id, w, len(w) AS n,
+           GREATEST(0, CAST(ceil((len(w) - 64)::DOUBLE / 48) AS INT) * 48)
+               AS last
+    FROM d
+), c AS (
+    SELECT doc_id, w, n, (last / 48 + 1)::INT AS n_chunks,
+           unnest(range(0, last + 1, 48)) AS st
+    FROM s
+)
+SELECT doc_id,
+       (st / 48)::INT AS chunk_idx,
+       n_chunks,
+       array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text,
+       LEAST(n - st, 64)::INT AS n_words
+FROM c
+"""

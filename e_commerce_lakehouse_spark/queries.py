@@ -740,6 +740,18 @@ def q93_manifest_ndv_sketch(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def q94_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (curation.chunk_documents): every document
+    split into overlapping fixed-size word windows — per-chunk rows, so
+    the hash proves offsets, overlap, tail clamping, and single-chunk
+    short docs, value for value."""
+    from .operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window_words=64, stride_words=48)
+
+
 def q55_streaming_windowed_agg(spark, sf_dir):
     """REAL Structured Streaming in the value-hash gate (streaming was
     pytest-only before): readStream over the events file, 1-hour
@@ -2500,4 +2512,5 @@ ALL = {
     "q91_cdf_stream_replay": q91_cdf_stream_replay,
     "q92_generic_cluster": q92_generic_cluster,
     "q93_manifest_ndv_sketch": q93_manifest_ndv_sketch,
+    "q94_chunk_documents": q94_chunk_documents,
 }

@@ -200,3 +200,37 @@ def test_weighted_sample_properties(spark):
     df2 = df.withColumn("w", F.when(F.col("doc_id") < 3_900, None)
                         .otherwise(F.lit(0)))
     assert weighted_sample(df2, weight_col="w", n=10, id_col="doc_id").count() == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from e_commerce_lakehouse_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "x y z"), (3, "one")],
+        "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window_words=4, stride_words=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # full coverage with 1-word overlap: starts 0,3,6 over 10 words
+    assert [r["chunk_text"] for r in by_doc[1]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert all(r["n_chunks"] == 3 for r in by_doc[1])
+    # short docs: exactly one (possibly short) chunk
+    assert [(r["chunk_text"], r["n_words"]) for r in by_doc[2]] == [("x y z", 3)]
+    assert [(r["chunk_text"], r["n_words"]) for r in by_doc[3]] == [("one", 1)]
+    # every word of every doc appears in at least one chunk
+    import itertools
+
+    for doc, txt in [(1, " ".join(f"w{i}" for i in range(10)))]:
+        covered = set(itertools.chain.from_iterable(
+            r["chunk_text"].split(" ") for r in by_doc[doc]))
+        assert covered == set(txt.split(" "))
+    # guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="stride_words must be <="):
+        chunk_documents(df, window_words=4, stride_words=5)
