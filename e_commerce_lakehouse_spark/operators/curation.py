@@ -457,35 +457,6 @@ def length_outlier_filter(
     )
 
 
-def length_outlier_filter(
-    df: DataFrame,
-    *,
-    length_col: str = "n_chars",
-    by: str = "source",
-    lo: float = 0.05,
-    hi: float = 0.95,
-) -> DataFrame:
-    """Heuristic quality gate: drop each domain's length-distribution
-    tails (C4/Gopher keep documents inside a length band; doing it per
-    domain keeps a long-form domain from eating a short-form one's
-    budget). Keeps rows whose per-domain ``percent_rank`` over the length
-    column lies in [lo, hi]; the rank is emitted as ``length_pct`` so
-    downstream stages can re-cut without recomputing the window.
-
-    Ties share a rank (percent_rank is rank-based), so the result is a
-    pure function of the values — no ordering nondeterminism. Scale: one
-    shuffle on the domain key. For corpora where a single domain exceeds
-    executor memory, swap the exact window for approx_percentile
-    bounds computed in a first aggregate pass (two scans, no big window)
-    — the exact window is the oracled variant.
-    """
-    w = Window.partitionBy(by).orderBy(F.col(length_col))
-    out = df.withColumn("length_pct", F.round(F.percent_rank().over(w), 6))
-    return out.where(
-        (F.col("length_pct") >= lo) & (F.col("length_pct") <= hi)
-    )
-
-
 def chunk_documents(
     df: DataFrame,
     window_words: int = 64,

@@ -565,7 +565,7 @@ ALL: dict[str, str] = {
         GROUP BY label, dim
     """,
     "q51_deterministic_sample": """
-        SELECT source, count(*) AS n_sampled, sum(n_chars) AS chars_sampled
+        SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS chars_sampled
         FROM documents
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
               < (0.25 * 4294967296)::BIGINT
@@ -682,7 +682,7 @@ final AS (
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'fr' THEN n_chars * 2 ELSE n_chars END AS n_chars
     FROM cow)
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS chars
+SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
 FROM final WHERE NOT (n_chars > 5000) GROUP BY source, lang
 """
 
@@ -717,7 +717,7 @@ feats AS (
     JOIN documents d ON d.doc_id = sc.doc_id
     WHERE ('0x' || substr(md5(sc.doc_id::VARCHAR), 1, 8))::BIGINT
           < (0.5 * 4294967296)::BIGINT)
-SELECT source, lang_guess, count(*) AS n_docs, sum(n_tokens) AS tokens,
+SELECT source, lang_guess, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens,
        round(avg(quality), 6) AS avg_quality
 FROM feats WHERE quality >= 0.7 GROUP BY source, lang_guess
 """
@@ -767,11 +767,11 @@ WITH base AS (
            CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
            ts
     FROM events)
-SELECT 'point' AS slice, role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+SELECT 'point' AS slice, role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM base WHERE conv_id = 'conv-000042' GROUP BY role
 UNION ALL
-SELECT 'window' AS slice, role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+SELECT 'window' AS slice, role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM base
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -795,11 +795,11 @@ WITH base AS (
            ts
     FROM events),
 point AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base WHERE conv_id = 'conv-000042' GROUP BY role),
 win AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -824,11 +824,11 @@ WITH base AS (
            ts
     FROM events),
 b1 AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base WHERE turn_idx % 2 = 0 GROUP BY role),
 full_t AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base GROUP BY role)
 SELECT 'main-pre' AS slice, * FROM b1
@@ -850,7 +850,7 @@ WITH base AS (
            ts
     FROM events),
 full_t AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base GROUP BY role)
 SELECT 'post-ingest' AS slice, * FROM full_t
@@ -869,7 +869,7 @@ WITH base AS (
            ts
     FROM events),
 full_t AS (
-    SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
            min(ts) AS min_ts, max(ts) AS max_ts
     FROM base GROUP BY role)
 SELECT 'base-pin' AS slice, * FROM full_t
@@ -891,7 +891,7 @@ changes AS (
     UNION ALL
     SELECT 'insert' AS change_type, lang, n_chars + 1000 AS n_chars
     FROM live2 WHERE lang = 'zh')
-SELECT change_type, lang, count(*) AS n, sum(n_chars) AS chars
+SELECT change_type, lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
 FROM changes GROUP BY change_type, lang
 """
 

@@ -17,6 +17,17 @@ import time
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Arrow output types an oracle is allowed to emit. Anything else (decimal128
+# from an uncast SUM(INT), float32, large lists, ...) hashes differently from
+# the Spark side under the driver's Arrow-fetch comparison and must be cast
+# in the oracle SQL (e.g. ``sum(x)::BIGINT``).
+import re as _re
+
+_ALLOWED_ARROW_TYPE = _re.compile(
+    r"^(int8|int16|int32|int64|double|string|large_string|bool|null"
+    r"|timestamp\[.*\]|date32\[day\])$"
+)
+
 
 def norm_cell(v):
     import datetime
@@ -87,14 +98,25 @@ def main():
             print(f"OK?  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Fetch via Arrow, NOT fetchall(): the driver hashes Arrow-fetched
+            # values, where DuckDB HUGEINT surfaces as decimal128 (→ Decimal)
+            # while tuple-fetch coerces to Python int and masks the mismatch.
+            tb = con.execute(oracles[name]).arrow()
+            d_cols = tb.schema.names
+            cols_py = [tb.column(i).to_pylist() for i in range(tb.num_columns)]
+            d_rows = list(zip(*cols_py)) if cols_py else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             failures += 1
             continue
         problems = []
+        bad_types = [
+            (f.name, str(f.type))
+            for f in tb.schema
+            if not _ALLOWED_ARROW_TYPE.match(str(f.type))
+        ]
+        if bad_types:
+            problems.append(f"oracle output type outside allowlist: {bad_types}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
