@@ -161,7 +161,13 @@ def _generic_projections(df, entries, key_cols, schema):
             lo_i = _ts_micros_any(lo)
             hi_i = _ts_micros_any(hi)
             out.append((v, lo_i, hi_i))
-        elif typ in ("int", "bigint", "date"):
+        elif typ == "date":
+            # DATE doesn't cast to BIGINT (DATATYPE_MISMATCH); project to
+            # days-since-epoch, matching _long_any's datetime.date handling
+            # for the manifest-stat bounds.
+            v = F.unix_date(col)
+            out.append((v, _long_any(lo), _long_any(hi)))
+        elif typ in ("int", "bigint"):
             v = col.cast("long")
             out.append((v, _long_any(lo), _long_any(hi)))
         elif typ in ("float", "double"):
@@ -194,6 +200,9 @@ def _long_any(v):
     except (TypeError, ValueError):
         import datetime as _dt
 
+        if isinstance(v, str):
+            # manifest stats serialize DATE bounds as ISO strings
+            v = _dt.date.fromisoformat(v)
         if isinstance(v, _dt.date):
             return (v - _dt.date(1970, 1, 1)).days
         raise

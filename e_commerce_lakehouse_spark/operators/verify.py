@@ -201,6 +201,7 @@ def verify_table(
         "stat_mismatches": len(stat_mismatch),
         "unresolvable_constraints": len(bad_constraints),
         "bloom_mismatches": len(bloom_bad),
+        "ndv_mismatches": len(ndv_bad),
         "orphan_files": len(orphans),  # informational: GC's job, not an error
         "issues": issues[:100],
     }

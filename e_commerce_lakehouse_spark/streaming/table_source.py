@@ -93,7 +93,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
         from ..table.fieldids import mapping_required
 
         self._mapped = mapping_required(t.schema_versions())
-        if self._mapped:
+        if t.schema_versions():
+            # align whenever ANY evolution exists — not only mapped
+            # (rename/widen): on add-only evolution, files written before
+            # the ADD lack the added column and must be null-filled to
+            # the declared schema like the batch read path does
             from ..table.scan import resolve_schema
 
             self._field_spec = [(f.name, f.dataType.simpleString())
@@ -248,7 +252,33 @@ class LakehouseStreamReader(DataSourceStreamReader):
                               if parent else set())
             removed_new = set(snap.removed_files) - parent_removed
             if removed_new:
-                rm = [e for e in t.entries(parent) if e.path in removed_new]
+                from ..table.cdc import ChangeFeedError
+
+                try:
+                    rm = [e for e in t.entries(parent)
+                          if e.path in removed_new]
+                except FileNotFoundError as e:
+                    # expired parent: mirror table/cdc.py's translation
+                    # instead of letting the raw error escape the stream
+                    raise ChangeFeedError(
+                        f"snapshot {parent} expired — no exact delete "
+                        f"basis for CDF snapshot {snap.snapshot_id}; "
+                        f"re-sync the consumer (restart the stream from "
+                        f"a fresh starting_snapshot) or use table.cdc."
+                        f"ChangeFeedConsumer.poll_changes"
+                    ) from e
+                # planning-time existence check: expire GC may have
+                # deleted the removed files inside the stream window —
+                # catch it here, not as an executor-side FileNotFoundError
+                gone = [e.path for e in rm
+                        if not os.path.exists(os.path.join(self._root, e.path))]
+                if gone:
+                    raise ChangeFeedError(
+                        f"{len(gone)} removed file(s) for CDF snapshot "
+                        f"{snap.snapshot_id} already GC'd (e.g. "
+                        f"{gone[0]!r}) — delete basis expired; re-sync "
+                        f"the consumer or use poll_changes"
+                    )
                 _emit(rm, "delete", snap.snapshot_id)
         return groups
 

@@ -204,3 +204,42 @@ def test_generic_cluster_keys_content_and_skipping(spark, tmp_path):
         cluster(spark, t, key_cols=["nope"])
     with pytest.raises(ValueError, match="1 or 2"):
         cluster(spark, t, key_cols=["lang", "n_chars", "doc_id"])
+
+
+def test_generic_cluster_date_key(spark, tmp_path):
+    """DATE cluster keys must work (r4 advice: col.cast('long') on DateType
+    raises DATATYPE_MISMATCH) — projected via unix_date, content preserved,
+    range-disjoint files after a 1-D date sort."""
+    import pyspark.sql.functions as F
+
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import write_files
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("ingest_date",
+                        F.date_add(F.lit("2024-01-01").cast("date"),
+                                   (F.abs(F.hash("doc_id")) % 365)
+                                   .cast("int"))))
+    root = str(tmp_path / "doc_date_tbl")
+    t = Table.create(root)
+    t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
+                          stat_columns=("doc_id", "ingest_date"))
+    t.commit_append(entries, {"op": "ingest"})
+    before = scan(spark, t).collect()
+
+    cluster(spark, t, curve="zorder", target_bytes=2 * 1024,
+            key_cols=["ingest_date"],
+            stat_columns=("doc_id", "ingest_date"))
+    after = scan(spark, t).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    rngs = sorted(e.stats["ingest_date"] for e in t.entries()
+                  if "ingest_date" in e.stats)
+    assert len(rngs) >= 2
+    assert all(a[1] <= b[0] for a, b in zip(rngs, rngs[1:]))
+
+    # 2-D mixed (date, string) key also analyzes and preserves content
+    cluster(spark, t, curve="zorder", target_bytes=2 * 1024,
+            key_cols=["ingest_date", "lang"],
+            stat_columns=("doc_id", "ingest_date", "lang"))
+    assert sorted(map(tuple, scan(spark, t).collect())) == sorted(map(tuple, before))

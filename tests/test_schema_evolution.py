@@ -310,6 +310,18 @@ def test_rename_refuses_constraint_and_spec_bindings(spark, tiny_table):
         rename_column(t, "tool", "tool_name")
 
 
+def test_rename_refuses_ndv_spec_binding(tiny_table):
+    """Renaming an NDV-sketched column would silently stop sketch
+    collection for new files (stats skip spec names absent from the
+    file) — refuse with a re-declare hint, like bloom."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import rename_column
+
+    t = tiny_table
+    t.set_ndv_columns(["tool"])
+    with pytest.raises(ValueError, match="NDV-sketch"):
+        rename_column(t, "tool", "tool_name")
+
+
 def test_time_travel_across_rename_and_widen_chain(spark, tiny_table):
     """Each pinned snapshot reads in the shape (names AND types) current
     at that snapshot, with values intact across the whole chain."""

@@ -633,3 +633,93 @@ def test_cdf_stream_across_rename(spark, tmp_path):
                 state[k] = state.get(k, 0) + 1
     replayed = sorted(k for k, n in state.items() for _ in range(n))
     assert replayed == sorted(map(tuple, scan(spark, tbl).collect()))
+
+
+def test_stream_source_null_fills_pre_add_vintages(spark, tmp_path):
+    """Add-only evolution (no rename): files written BEFORE add_columns
+    lack the added column; the stream source must null-fill them to the
+    declared schema exactly like the batch read path (r4 advice: the
+    alignment was conditioned on mapping_required and skipped this case)."""
+    from e_commerce_lakehouse_spark.operators.schema_evolution import add_columns
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import (
+        create_transcripts_table,
+        write_files,
+    )
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 400, seed=11)
+    tbl = create_transcripts_table(spark, root, df, rows_per_file=100)
+    add_columns(tbl, [("quality", "double")])
+    extra = transcripts_df(spark, 100, seed=12).withColumn(
+        "quality", F.lit(0.5)
+    )
+    entries = write_files(spark, tbl, extra, 1, "post-add-append")
+    tbl.commit_append(entries, {"op": "append"})
+
+    batches = []
+    q = (
+        spark.readStream.format("lakehouse_stream").load(root)
+        .writeStream.foreachBatch(lambda bdf, bid: batches.append(bdf.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination()
+    rows = [r for b in batches for r in b]
+    assert len(rows) == 500
+    # every row — including the 400 pre-ADD ones — carries the column
+    assert all("quality" in r.asDict() for r in rows)
+    assert sum(r["quality"] is None for r in rows) == 400
+    assert sum(r["quality"] == 0.5 for r in rows) == 100
+    # parity with the batch read path
+    batch = scan(spark, tbl).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+
+
+def test_cdf_stream_expired_delete_basis_raises_changefeed_error(spark, tmp_path):
+    """CDF planning over a delete whose basis was expired/GC'd must raise
+    ChangeFeedError with a re-sync hint — not a raw FileNotFoundError
+    from the stream (r4 advice: cdc.py got this translation, the
+    streaming source didn't)."""
+    import os
+    import shutil
+
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table.cdc import ChangeFeedError
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 300, seed=21)
+    tbl = create_transcripts_table(spark, root, df, rows_per_file=100)
+    delete_where(spark, tbl, F.col("role") == "tool")  # copy-on-write
+
+    # simulate expire GC racing the stream window: remove one of the
+    # files the delete snapshot removed (its rows' delete basis)
+    tbl = Table.load(root)
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    victim = sorted(head.removed_files)[0]
+    os.remove(os.path.join(root, victim))
+
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("mode", "cdf").load(root)
+        .writeStream.foreachBatch(lambda bdf, bid: None)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination()
+    msg = str(ei.value)
+    assert "ChangeFeedError" in msg or "re-sync" in msg
+    shutil.rmtree(ck, ignore_errors=True)
