@@ -1457,14 +1457,22 @@ WITH tr AS (
     SELECT CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
            ELSE 'tool' END AS role,
            CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
-           props AS text
+           props AS text,
+           CAST(event_id // 500 AS INT) AS turn_idx
     FROM events
 ),
-fin AS (
-    SELECT role, tool,
+cow AS (  -- copy-on-write leg: DELETE role='tool', UPDATE assistant
+    SELECT role, tool, turn_idx,
            CASE WHEN role = 'assistant' THEN 'SYS' ELSE text END AS text
     FROM tr
     WHERE NOT COALESCE(role = 'tool', FALSE)
+),
+fin AS (  -- merge-on-read leg: DELETE turn_idx>=8, UPDATE user turn 0
+    SELECT role, tool,
+           CASE WHEN role = 'user' AND turn_idx = 0 THEN 'HI'
+                ELSE text END AS text
+    FROM cow
+    WHERE NOT COALESCE(turn_idx >= 8, FALSE)
 )
 SELECT role,
        COUNT(*) AS n_turns,

@@ -594,7 +594,10 @@ def q91_cdf_stream_replay(spark, sf_dir):
     keep net > 0) — which must equal the table's final state, i.e. the
     plain WHERE/CASE mirror the oracle states. Proves retraction
     exactness end to end (delete+reinsert pairs cancel; compaction
-    contributes nothing)."""
+    contributes nothing). Round 5 adds a MERGE-ON-READ leg (delete-mor
+    + update-mor after the compact): their retractions are planned from
+    key tombstones against parent-visible rows (streaming/table_source
+    _plan_mor_deletes), and the same oracle mirror must still hash."""
     import os
     import shutil
     import uuid
@@ -622,6 +625,13 @@ def q91_cdf_stream_replay(spark, sf_dir):
         update_where(spark, t, "role = 'assistant'", {"text": "'SYS'"},
                      schema=df.schema)
         compact_op(spark, t, target_bytes=8 << 20)
+        # merge-on-read leg: key tombstones only (no file rewrite) —
+        # the stream must retract exactly the parent-visible pre-images
+        delete_where(spark, t, "turn_idx >= 8", schema=df.schema,
+                     mode="merge-on-read")
+        update_where(spark, t, "role = 'user' AND turn_idx = 0",
+                     {"text": "'HI'"}, schema=df.schema,
+                     mode="merge-on-read")
         qname = f"q91_feed_{tag}"
         q = (
             spark.readStream.format("lakehouse_stream")

@@ -54,9 +54,18 @@ _FILES_PER_PARTITION = 4
 class _FilesPartition(InputPartition):
     def __init__(self, root: str, paths: list[str],
                  renames: list | None = None, field_spec: list | None = None,
-                 change: str | None = None, sid: int | None = None):
+                 change: str | None = None, sid: int | None = None,
+                 anti_tombs: list[str] | None = None,
+                 semi_tombs: list[str] | None = None):
         self.root = root
         self.paths = paths
+        #: MoR CDF delete basis: key-tombstone parquet paths applied
+        #: Arrow-side in read() — anti (parent visibility: drop rows an
+        #: OLDER tombstone already killed) then semi (keep only rows the
+        #: NEW tombstone kills). Key files are delete-batch-sized; the
+        #: data file never shuffles.
+        self.anti_tombs = anti_tombs
+        self.semi_tombs = semi_tombs
         #: per-path {written name -> current name} (schema evolution);
         #: field_spec = current (name, type) targets for the arrow align.
         #: Both None on never-renamed tables — read() stays zero-copy.
@@ -68,11 +77,97 @@ class _FilesPartition(InputPartition):
         self.sid = sid
 
 
-#: CDF mode: ops with NO logical row change — contribute nothing
-_CDF_SKIP = {"replace", "rewrite-manifests", "expire", "evolve-schema"}
-#: CDF mode: ops whose delete side needs key joins / has no exact basis —
-#: refused with a pointer at ChangeFeedConsumer.poll_changes
-_CDF_REFUSE = {"delete-mor", "update-mor", "materialize-deletes", "rollback"}
+#: CDF mode: ops with NO logical row change — contribute nothing.
+#: materialize-deletes only APPLIES tombstones that were already logical
+#: at their delete-mor commit (physical rewrite, like compaction).
+_CDF_SKIP = {"replace", "rewrite-manifests", "expire", "evolve-schema",
+             "materialize-deletes"}
+#: CDF mode: refused — a rollback has no per-row delete basis in the
+#: snapshot log (same contract as ChangeFeedConsumer.poll_changes).
+_CDF_REFUSE = {"rollback"}
+#: CDF mode: merge-on-read commits — delete side planned from the NEW
+#: key tombstones against the parent's visible rows (see _cdf_partitions)
+_CDF_MOR = {"delete-mor", "update-mor"}
+
+
+def _read_key_table(root: str, paths: list[str], data_schema):
+    """Concat tombstone key files; cast each key column to the data
+    table's (post-align) type so a widened column still joins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = pa.concat_tables(
+        [pq.read_table(os.path.join(root, p)) for p in paths]
+    )
+    arrays, names = [], []
+    for name in keys.column_names:
+        col = keys.column(name)
+        if name in data_schema.names:
+            want = data_schema.field(name).type
+            if col.type != want:
+                col = col.cast(want)
+        arrays.append(col)
+        names.append(name)
+    return pa.table(arrays, names=names)
+
+
+def _apply_key_tombstones(tbl, root: str, anti, semi):
+    """Executor-side MoR pre-image filter: drop rows an older tombstone
+    already killed (anti = parent visibility), keep rows the new
+    tombstone kills (semi). Vectorized Arrow hash joins against
+    delete-batch-sized key tables — no Spark shuffle."""
+    if anti:
+        k = _read_key_table(root, anti, tbl.schema)
+        tbl = tbl.join(k, keys=k.column_names, join_type="left anti")
+    if semi:
+        k = _read_key_table(root, semi, tbl.schema)
+        tbl = tbl.join(k, keys=k.column_names, join_type="left semi")
+    return tbl
+
+
+def _tombstone_key_ranges(root: str, tomb_paths: list[str]) -> dict:
+    """Per key column (min, max) across the given tombstone key files.
+    Driver-side, but the files are delete-batch-sized by construction.
+    Columns whose values don't total-order cleanly are omitted (no
+    pruning on them)."""
+    import pyarrow.parquet as pq
+
+    ranges: dict[str, list] = {}
+    for p in tomb_paths:
+        tbl = pq.read_table(os.path.join(root, p))
+        for name in tbl.column_names:
+            vals = [v for v in tbl.column(name).to_pylist() if v is not None]
+            if not vals:
+                continue
+            try:
+                lo, hi = min(vals), max(vals)
+            except TypeError:
+                continue
+            cur = ranges.get(name)
+            if cur is None:
+                ranges[name] = [lo, hi]
+            else:
+                try:
+                    cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
+                except TypeError:
+                    ranges.pop(name, None)
+    return ranges
+
+
+def _stats_overlap(stats: dict, key_ranges: dict) -> bool:
+    """True unless some key column's manifest [min,max] provably misses
+    the tombstone key range. Missing/None stats or incomparable types
+    keep the file (conservative)."""
+    for name, (lo, hi) in key_ranges.items():
+        s = stats.get(name)
+        if not s or s[0] is None or s[1] is None:
+            continue
+        try:
+            if s[1] < lo or s[0] > hi:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
@@ -214,12 +309,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
         without row tracking does the same for updates); a consumer
         applies delete-before-insert per sid. Copy-on-write leaves
         removed files on disk until expire GC, so both sides are plain
-        file reads — zero joins, executor-safe. Merge-on-read ops and
-        rollback have no join-free exact delete basis and are REFUSED
-        (ChangeFeedConsumer.poll_changes covers them)."""
+        file reads — zero joins, executor-safe. Merge-on-read commits
+        (delete-mor / update-mor) stream their deletes as retractions
+        via _plan_mor_deletes (Arrow-side key filters, still
+        shuffle-free); only rollback is REFUSED (no per-row basis —
+        ChangeFeedConsumer.poll_changes has the same contract)."""
         groups: list[InputPartition] = []
 
-        def _emit(ents, change, sid):
+        def _emit(ents, change, sid, anti=None, semi=None):
             renames = self._rename_slices(t, ents)
             for i in range(0, len(ents), _FILES_PER_PARTITION):
                 g = ents[i : i + _FILES_PER_PARTITION]
@@ -227,7 +324,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
                       if renames else None)
                 groups.append(_FilesPartition(
                     self._root, [e.path for e in g], rg, self._field_spec,
-                    change=change, sid=sid))
+                    change=change, sid=sid,
+                    anti_tombs=anti, semi_tombs=semi))
 
         for snap in chain:
             op = snap.operation
@@ -235,13 +333,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 continue
             if op in _CDF_REFUSE:
                 raise ValueError(
-                    f"lakehouse_stream mode=cdf has no join-free exact "
-                    f"delete basis for snapshot {snap.snapshot_id} "
-                    f"({op}); consume via table.cdc.ChangeFeedConsumer."
-                    f"poll_changes, or materialize/avoid merge-on-read "
-                    f"ops on CDF-streamed tables"
+                    f"lakehouse_stream mode=cdf has no exact delete basis "
+                    f"for snapshot {snap.snapshot_id} ({op}); re-sync the "
+                    f"consumer or use table.cdc.ChangeFeedConsumer."
+                    f"poll_changes"
                 )
             parent = snap.parent_id
+            if op in _CDF_MOR:
+                # merge-on-read: post-images (update-mor) ship via the
+                # generic insert path below; the delete side is the
+                # parent's VISIBLE rows matching the NEW key tombstones,
+                # computed join-free: planning groups parent files by
+                # their prior-tombstone applicability class (seq
+                # semantics, scan.tombstone_classes) and read() applies
+                # the anti (visibility) + semi (new keys) filters
+                # Arrow-side per file — tombstone key files are
+                # delete-batch-sized, the table side never shuffles.
+                self._plan_mor_deletes(t, snap, _emit)
             parent_manifests = set(t.snapshot(parent).manifests) if parent else set()
             new_entries = [e for mf in snap.manifests
                            if mf not in parent_manifests
@@ -282,6 +390,57 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 _emit(rm, "delete", snap.snapshot_id)
         return groups
 
+    def _plan_mor_deletes(self, t, snap, _emit) -> None:
+        """Plan the delete side of a merge-on-read commit for CDF mode.
+
+        Pre-images = parent-visible rows matching the commit's NEW key
+        tombstones (exactly ``cdc.poll_changes(exact=True)``'s basis,
+        ``table/cdc.py`` delete-mor branch) — but planned as per-file
+        partitions with Arrow-side key filters instead of Spark joins,
+        so the streaming source stays metadata-only on the driver and
+        shuffle-free on the executors. Parent entries are pruned by
+        manifest min/max stats against the tombstone key ranges before
+        any partition is emitted (driver reads only the tiny key files).
+        """
+        from ..table.cdc import ChangeFeedError
+        from ..table.scan import tombstone_classes
+
+        parent = snap.parent_id
+        prev = ({d["path"] for d in t.snapshot(parent).tombstones}
+                if parent else set())
+        new_tombs = [d["path"] for d in snap.tombstones
+                     if d["path"] not in prev]
+        if not new_tombs:
+            return
+        try:
+            parent_entries = t.entries(parent)
+            parent_tomb_entries = (list(t.snapshot(parent).tombstones)
+                                   if parent else [])
+        except FileNotFoundError as e:
+            raise ChangeFeedError(
+                f"snapshot {parent} expired — no pre-image basis for the "
+                f"merge-on-read commit at {snap.snapshot_id}; re-sync the "
+                f"consumer or use table.cdc.ChangeFeedConsumer.poll_changes"
+            ) from e
+        missing = [p for p in new_tombs
+                   if not os.path.exists(os.path.join(self._root, p))]
+        if missing:
+            raise ChangeFeedError(
+                f"tombstone key file(s) for CDF snapshot "
+                f"{snap.snapshot_id} already GC'd (e.g. {missing[0]!r}); "
+                f"re-sync the consumer"
+            )
+        key_ranges = _tombstone_key_ranges(self._root, new_tombs)
+        parent_entries = [e for e in parent_entries
+                          if _stats_overlap(e.stats, key_ranges)]
+        # group by prior-tombstone applicability (seq-aware visibility):
+        # each class shares ONE anti set, so read() applies it uniformly
+        for anti, ents in sorted(
+            tombstone_classes(parent_entries, parent_tomb_entries).items()
+        ):
+            _emit(ents, "delete", snap.snapshot_id,
+                  anti=list(anti) or None, semi=new_tombs)
+
     # ---- executor-side read (Arrow batches, no row loop) ----
 
     def read(self, partition: _FilesPartition) -> Iterator:
@@ -302,6 +461,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 from .._arrow_align import align_table
 
                 tbl = align_table(tbl, field_spec)
+            anti = getattr(partition, "anti_tombs", None)
+            semi = getattr(partition, "semi_tombs", None)
+            if anti or semi:  # MoR CDF delete pre-images (see planning)
+                tbl = _apply_key_tombstones(tbl, partition.root, anti, semi)
+                if len(tbl) == 0:
+                    continue
             if change is not None:  # CDF mode: literal change columns
                 n = len(tbl)
                 tbl = tbl.append_column(
@@ -324,8 +489,8 @@ class LakehouseStreamDataSource(DataSource):
     ``starting_snapshot`` (deliver commits AFTER this id; default 0 =
     everything), ``mode`` (default additions-only; ``cdf`` adds
     ``_change_type``/``_commit_sid`` columns and delivers copy-on-write
-    DELETEs as retractions — see _cdf_partitions for semantics and the
-    merge-on-read refusal)."""
+    AND merge-on-read DELETEs as retractions — see _cdf_partitions for
+    semantics; only rollback is refused)."""
 
     @classmethod
     def name(cls) -> str:
