@@ -20,6 +20,7 @@ a first-class, resumable maintenance operator:
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 import threading
@@ -519,30 +520,73 @@ def compact(
         raise ValueError("partial_progress requires mode='arrow'")
 
     committed_gids: set[int] = set()
+    dropped_gids: set[int] = set()
     partial_sids: list[int] = []
 
     def _commit_pending(recs_by_gid: dict[int, dict], partial: bool) -> None:
-        pending = [gid for gid in sorted(recs_by_gid) if gid not in committed_gids]
-        if not pending:
+        """Commit the pending groups, REBASING on conflict (Iceberg's
+        commit-retry): a ``stale-inputs`` conflict means a concurrent
+        writer already rewrote some of this plan's input files — those
+        files' rows now live in the OTHER writer's outputs, so the
+        groups touching them are simply dropped (their uncommitted
+        output files deleted) and the disjoint remainder recommits
+        against the new head. ``lock`` conflicts retry the same commit
+        with bounded backoff. ``tombstones`` conflicts still raise —
+        outputs carry a preserved max-input seq here, so compact never
+        passes expected_tombstones and never sees that kind."""
+        import time as _time
+
+        from ..table.meta import CommitConflictError
+
+        lock_tries = 0
+        while True:
+            pending = [gid for gid in sorted(recs_by_gid)
+                       if gid not in committed_gids and gid not in dropped_gids]
+            if not pending:
+                metrics.setdefault("committed_snapshot",
+                                   table.current_snapshot_id())
+                return
+            rm, add = [], []
+            for gid in pending:
+                rec = recs_by_gid[gid]
+                rm.extend(rec["input_files"])
+                add.extend(DataFileEntry.from_dict(d) for d in rec["outputs"])
+            try:
+                snap = table.commit_rewrite(
+                    rm,
+                    add,
+                    operation="replace",
+                    summary={"op": "compact", "groups": len(pending),
+                             "removed_files": len(rm),
+                             **({"partial_progress": True,
+                                 "commit_k": len(partial_sids) + 1} if partial else {})},
+                )
+            except CommitConflictError as e:
+                if e.kind == "lock" and lock_tries < 8:
+                    lock_tries += 1
+                    _time.sleep(min(0.2 * (2 ** lock_tries), 3.0))
+                    continue
+                if e.kind != "stale-inputs" or not e.stale_paths:
+                    raise
+                stale = set(e.stale_paths)
+                conflicted = [gid for gid in pending
+                              if stale & set(recs_by_gid[gid]["input_files"])]
+                if not conflicted:  # guard against a livelock
+                    raise
+                for gid in conflicted:
+                    dropped_gids.add(gid)
+                    for d in recs_by_gid[gid]["outputs"]:
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(table.root, d["path"]))
+                metrics["rebase_dropped_groups"] = (
+                    metrics.get("rebase_dropped_groups", 0) + len(conflicted)
+                )
+                continue
+            committed_gids.update(pending)
+            if partial:
+                partial_sids.append(snap.snapshot_id)
+            metrics["committed_snapshot"] = snap.snapshot_id
             return
-        rm, add = [], []
-        for gid in pending:
-            rec = recs_by_gid[gid]
-            rm.extend(rec["input_files"])
-            add.extend(DataFileEntry.from_dict(d) for d in rec["outputs"])
-        snap = table.commit_rewrite(
-            rm,
-            add,
-            operation="replace",
-            summary={"op": "compact", "groups": len(pending),
-                     "removed_files": len(rm),
-                     **({"partial_progress": True,
-                         "commit_k": len(partial_sids) + 1} if partial else {})},
-        )
-        committed_gids.update(pending)
-        if partial:
-            partial_sids.append(snap.snapshot_id)
-        metrics["committed_snapshot"] = snap.snapshot_id
 
     t_plan_done = monotonic()
     if mode == "arrow":
@@ -602,6 +646,7 @@ def compact(
     added = [
         DataFileEntry.from_dict(d)
         for g in groups
+        if g.group_id not in dropped_gids  # rebase-dropped (see _commit_pending)
         for d in done[g.group_id]["outputs"]
     ]
     metrics.update(

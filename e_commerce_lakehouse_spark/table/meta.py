@@ -68,7 +68,28 @@ MANIFEST_CODEC = os.environ.get("SPARK_GRAFT_MANIFEST_CODEC", "parquet")
 
 
 class CommitConflictError(RuntimeError):
-    """Another writer holds this table's commit lock (single-writer rule)."""
+    """A commit lost a race with a concurrent writer.
+
+    ``kind`` classifies the conflict so operators can rebase instead of
+    failing (Iceberg's commit-retry shape):
+
+    - ``"lock"`` — the commit lock was held past ``lock_wait_s``;
+      retrying the SAME commit is safe.
+    - ``"stale-inputs"`` — some planned input files are no longer live
+      at head (``stale_paths`` lists them); drop the conflicting work
+      units and recommit the rest, or re-plan.
+    - ``"tombstones"`` — a merge-on-read tombstone landed between plan
+      and commit; re-plan from the head (outputs would be wrongly
+      exempt from the new tombstone).
+    - ``"parent-moved"`` — a staged snapshot's parent is no longer head;
+      re-stage.
+    """
+
+    def __init__(self, msg: str, kind: str = "lock",
+                 stale_paths: list[str] | None = None):
+        super().__init__(msg)
+        self.kind = kind
+        self.stale_paths = stale_paths or []
 
 
 @dataclass
@@ -366,7 +387,8 @@ class Table:
                 raise CommitConflictError(
                     f"{self.root}: another writer holds COMMIT.lock "
                     f"(age {age:.0f}s); this table is single-writer "
-                    f"(set lock_wait_s to serialize instead)"
+                    f"(set lock_wait_s to serialize instead)",
+                    kind="lock",
                 ) from None
         try:
             os.write(fd, token.encode())
@@ -471,7 +493,8 @@ class Table:
                 raise CommitConflictError(
                     f"staged snapshot {snapshot_id} was built on parent "
                     f"{snap.parent_id} but the table is now at {current}; "
-                    f"re-stage on the current head"
+                    f"re-stage on the current head",
+                    kind="parent-moved",
                 )
             drop = {"staged"}
             if self.branch is None:
@@ -533,7 +556,8 @@ class Table:
                         f"rewrite commit conflicts with a concurrent writer: "
                         f"{len(stale)} of its input file(s) are no longer live in "
                         f"head snapshot {parent} (e.g. {stale[:3]}); re-plan from "
-                        f"the current head and retry"
+                        f"the current head and retry",
+                        kind="stale-inputs", stale_paths=stale,
                     )
             manifests = list(self.snapshot(parent).manifests) if parent else []
             removed = list(self.snapshot(parent).removed_files) if parent else []
@@ -554,7 +578,8 @@ class Table:
                 raise CommitConflictError(
                     f"tombstone list changed since this rewrite planned "
                     f"({len(expected_tombstones)} expected vs {len(head_tombs)} at "
-                    f"head); re-plan from the current head"
+                    f"head); re-plan from the current head",
+                    kind="tombstones",
                 )
             tombs = [] if clear_tombstones else head_tombs
             removed = sorted(set(removed) | set(removed_paths))
@@ -644,7 +669,8 @@ class Table:
                 raise CommitConflictError(
                     f"tombstone list changed since this update planned "
                     f"({len(expected_tombstones)} expected vs "
-                    f"{len(psnap.tombstones)} at head); re-plan from the head"
+                    f"{len(psnap.tombstones)} at head); re-plan from the head",
+                    kind="tombstones",
                 )
             _stamp_seq(added, sid, self.schema_version_count())
             manifests = list(psnap.manifests)
