@@ -14,6 +14,8 @@ DuckDB agree on naive timestamps.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,6 +30,44 @@ from .operators.merge import dedup_keep_latest, merge_upsert_dataframes
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: session-scoped base-ingest fixture (r4 verdict #5): lifecycle queries
+#: that start from the SAME ingested table build it once per
+#: (session, sf_dir) and mutate a cheap directory clone per invocation —
+#: identical results, no repeated Spark ingest across an oracle sweep.
+_BASE_TABLES: dict[tuple, str] = {}
+
+
+def _docs_table_clone(spark, sf_dir: str, tag: str) -> str:
+    """A fresh clone of the 4-file documents ingest (the common prefix of
+    q54/q57): the base is written once per session, clones are plain
+    copytree (metadata + data files — the table format is just files, so
+    a byte-copy IS a valid table). Caller owns (and removes) the clone."""
+    import atexit
+    import shutil
+    import uuid
+
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    key = ("docs4", sf_dir, spark.sparkContext.applicationId)
+    src = _BASE_TABLES.get(key)
+    if src is None or not os.path.isdir(src):
+        docs = _t(spark, sf_dir, "documents")
+        src = os.path.join(
+            base, f"spark_graft_base_docs4_{uuid.uuid4().hex[:12]}"
+        )
+        t = Table.create(src)
+        entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
+                              stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": "initial-ingest"})
+        _BASE_TABLES[key] = src
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+    dst = os.path.join(base, f"spark_graft_{tag}_{uuid.uuid4().hex[:12]}")
+    shutil.copytree(src, dst)
+    return dst
 
 
 # ------------------------------------------------------------ aggregation
@@ -378,23 +418,16 @@ def q54_rowlevel_lifecycle(spark, sf_dir):
     expressible (documents minus deleted rows, with the SET expressions
     as a CASE), so DuckDB checks the copy-on-write machinery itself.
     Aggregated per (source, lang) to keep the compared frame small."""
-    import os
     import shutil
-    import uuid
 
     from .operators.rowlevel import delete_where, materialize_deletes, update_where
     from .table import scan
     from .table.meta import Table
-    from .table.writer import write_files
 
     docs = _t(spark, sf_dir, "documents")
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    root = os.path.join(base, f"spark_graft_q54_{uuid.uuid4().hex[:12]}")
+    root = _docs_table_clone(spark, sf_dir, "q54")
     try:
-        t = Table.create(root)
-        entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
-                              stat_columns=("doc_id",))
-        t.commit_append(entries, {"op": "initial-ingest"})
+        t = Table.load(root)
         delete_where(spark, t, "lang = 'de' OR n_chars < 150",
                      schema=docs.schema, stat_columns=("doc_id",))
         update_where(spark, t, "lang = 'zh'",
@@ -1459,12 +1492,29 @@ def q31_sql_over_views(spark, sf_dir):
     )
 
 
+_Q30_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _q30_transcripts(spark, sf_dir):
     """Transcripts-shaped frame DERIVED from the sf_dir events table with
     pure column expressions (no hash-seeded generator), so DuckDB can
     rebuild the exact same input: (event_id % 500, event_id div 500) is a
     bijection of the unique event_id, giving unique (conv_id, turn_idx)
-    MERGE keys; text is the props string verbatim (no float formatting)."""
+    MERGE keys; text is the props string verbatim (no float formatting).
+
+    Session-memoized + Spark-cached (MEMORY_AND_DISK, spill-safe): nine
+    lifecycle queries start from this same derivation, so an oracle
+    sweep reads events.parquet once instead of once per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _Q30_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _q30_transcripts_fresh(spark, sf_dir).cache()
+    _Q30_CACHE[key] = df
+    return df
+
+
+def _q30_transcripts_fresh(spark, sf_dir):
     return _t(spark, sf_dir, "events").select(
         F.concat(F.lit("conv-"), F.lpad((F.col("event_id") % 500).cast("string"), 6, "0")).alias("conv_id"),
         F.expr("CAST(event_id DIV 500 AS INT)").alias("turn_idx"),
@@ -1557,23 +1607,16 @@ def q57_cdc_changes(spark, sf_dir):
     delete pre-images (the upsert-only gap closed in round 4). The
     aggregate per (change_type, lang) is relational: each leg is a WHERE
     over the documents table (see oracles.py twin)."""
-    import os
     import shutil
-    import uuid
 
     from .operators.rowlevel import delete_where, update_where
     from .table.cdc import ChangeFeedConsumer
     from .table.meta import Table
-    from .table.writer import write_files
 
     docs = _t(spark, sf_dir, "documents")
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    root = os.path.join(base, f"spark_graft_q57_{uuid.uuid4().hex[:12]}")
+    root = _docs_table_clone(spark, sf_dir, "q57")
     try:
-        t = Table.create(root)
-        entries = write_files(spark, t, docs, 4, "ingest-00000001-0000",
-                              stat_columns=("doc_id",))
-        t.commit_append(entries, {"op": "initial-ingest"})
+        t = Table.load(root)
         c = ChangeFeedConsumer(t, os.path.join(root, "cursor.json"),
                                schema=docs.schema)
         c.poll_changes(spark)  # initial load
