@@ -381,7 +381,13 @@ def update_where(
     seq comparison), so scans see exactly the updated table. Write cost
     O(matched rows) — the 100 TB fast path for a small UPDATE (Iceberg
     v2 sequence-number semantics; reference analog whenMatchedUpdateAll,
-    /root/reference/src/glue_jobs/orders_etl.py:182-187)."""
+    /root/reference/src/glue_jobs/orders_etl.py:182-187).
+
+    Key-rewriting assignments are supported in BOTH modes: under
+    merge-on-read the tombstone is keyed on the PRE-image identity and
+    the post-images carry the new keys, so the rows move atomically.
+    Like SQL UPDATE, key uniqueness is not enforced — rewriting onto an
+    unmatched row's key leaves two rows with that key."""
     from ..table.scan import resolve_schema
 
     t0 = monotonic()
@@ -455,12 +461,15 @@ def _update_merge_on_read(
     missing = sorted(set(keys) - set(names))
     if missing:
         raise ValueError(f"update keys not in schema: {missing}")
-    if sorted(set(keys) & set(assignments)):
-        raise ValueError(
-            f"merge-on-read update cannot assign to its own key columns "
-            f"{sorted(set(keys) & set(assignments))} (the tombstone is keyed on "
-            f"the PRE-image); use copy-on-write mode"
-        )
+    # key-rewriting UPDATE (round 5, closes README's declared gap): when
+    # an assignment targets a key column, the tombstone is derived from
+    # the PRE-image keys of the matched rows (kills every older copy of
+    # the old identity) while the post-image file carries the NEW keys —
+    # exempt from the tombstone by its sequence number, so one atomic
+    # snapshot moves the rows. Like SQL UPDATE (and Iceberg's), key
+    # uniqueness is not enforced: rewriting a key onto an existing
+    # unmatched row's key yields two rows with that key.
+    key_rewrites = sorted(set(keys) & set(assignments))
     # stacked tombstones must share ONE key set (same rule as MoR delete:
     # scan anti-joins the union of a class's tombstone files on the union
     # of their columns — a narrower earlier key set would read NULLs and
@@ -509,11 +518,18 @@ def _update_merge_on_read(
     for e in all_out:
         if e.rows == 0:
             os.remove(os.path.join(table.root, e.path))
-    # the tombstone is the matched keys (pre-image == post-image keys:
-    # key assignment is refused above)
-    spark.read.schema(schema).parquet(
-        *[os.path.join(table.root, e.path) for e in added]
-    ).select(*keys).dropDuplicates().coalesce(1).write.mode("error").parquet(tomb_dir)
+    if key_rewrites:
+        # tombstone = PRE-image keys (from the logical matched set, which
+        # is deterministic: read_entries pins explicit file paths and cow
+        # leaves bytes on disk, so the lazy re-run reads the same data)
+        tomb_src = matched.select(*keys).dropDuplicates()
+    else:
+        # pre-image keys == post-image keys: derive from the WRITTEN
+        # post-image file so the tombstone exactly matches the commit
+        tomb_src = spark.read.schema(schema).parquet(
+            *[os.path.join(table.root, e.path) for e in added]
+        ).select(*keys).dropDuplicates()
+    tomb_src.coalesce(1).write.mode("error").parquet(tomb_dir)
     tomb_files = [
         os.path.relpath(os.path.join(tomb_dir, f), table.root)
         for f in sorted(os.listdir(tomb_dir))
@@ -522,7 +538,8 @@ def _update_merge_on_read(
     snap = table.commit_upsert_mor(
         added, tomb_files,
         summary={"keys": keys, "set_columns": sorted(assignments),
-                 "updated_rows": n_rows},
+                 "updated_rows": n_rows,
+                 **({"key_rewrites": key_rewrites} if key_rewrites else {})},
         # the scan above planned under `live`; a concurrent MoR delete
         # landing since must conflict, not be resurrected (review finding)
         expected_tombstones=live,

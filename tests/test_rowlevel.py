@@ -321,12 +321,56 @@ def test_mor_update_delete_predicate_sees_post_image(spark, tiny_df, tiny_table)
         tiny_df.where("role = 'tool'").count()
 
 
-def test_mor_update_refuses_key_assignment(spark, tiny_table):
-    import pytest
+def test_mor_update_rewrites_keys(spark, tiny_df, tiny_table):
+    """Key-rewriting MoR UPDATE (one atomic snapshot): the tombstone is
+    keyed on the PRE-image identity, the post-image file carries the NEW
+    keys (seq-exempt from its own tombstone) — the rows MOVE."""
+    t = tiny_table
+    n_tool = tiny_df.where("role = 'tool'").count()
+    n_all = tiny_df.count()
+    m = update_where(spark, t, "role = 'tool'",
+                     {"turn_idx": "turn_idx + 1000"}, mode="merge-on-read")
+    assert m["mode"] == "merge-on-read" and m["updated_rows"] == n_tool
+    after = scan(spark, t).cache()
+    assert after.count() == n_all  # moved, not duplicated or lost
+    assert after.where("role = 'tool' AND turn_idx < 1000").count() == 0
+    assert after.where("turn_idx >= 1000").count() == n_tool
+    # non-key columns of moved rows are intact
+    moved = after.where("turn_idx >= 1000").withColumn(
+        "turn_idx", F.col("turn_idx") - 1000)
+    assert_rows = sorted(map(tuple, moved.collect()))
+    assert assert_rows == sorted(map(tuple,
+                                     tiny_df.where("role = 'tool'").collect()))
+    # materialize folds the key-rewrite tombstone cleanly
+    from e_commerce_lakehouse_spark.operators.rowlevel import materialize_deletes
 
-    with pytest.raises(ValueError, match="key columns"):
-        update_where(spark, tiny_table, "role = 'tool'",
-                     {"turn_idx": "turn_idx + 1"}, mode="merge-on-read")
+    materialize_deletes(spark, t)
+    assert t.tombstones() == []
+    assert scan(spark, t).count() == n_all
+
+
+def test_mor_update_key_shift_overlapping_ranges(spark, tiny_df, tiny_table):
+    """Shifting keys INTO the matched range (turn_idx += 1 for
+    turn_idx < 3): pre-image keys 0-2 are tombstoned, post-images land on
+    1-3 — the unmatched original turn 3 now shares its key with a shifted
+    row (documented SQL-UPDATE semantics: no uniqueness enforcement),
+    and no row is lost."""
+    t = tiny_table
+    n_all = tiny_df.count()
+    n_matched = tiny_df.where("turn_idx < 3").count()
+    update_where(spark, t, "turn_idx < 3", {"turn_idx": "turn_idx + 1"},
+                 mode="merge-on-read")
+    after = scan(spark, t).cache()
+    assert after.count() == n_all
+    assert after.where("turn_idx = 0").count() == 0  # all moved off 0
+    per_conv_t3 = (after.where("turn_idx = 3").groupBy("conv_id").count()
+                   .agg(F.max("count")).first()[0])
+    assert per_conv_t3 == 2  # original turn 3 + shifted turn 2 coexist
+    # survivors below 3 are exactly the rows shifted onto 1 and 2,
+    # i.e. the originals at 0 and 1 (the originals at 0,1,2 all moved)
+    assert after.where("turn_idx < 3").count() == \
+        tiny_df.where("turn_idx < 2").count()
+    assert n_matched == tiny_df.where("turn_idx < 3").count()
 
 
 def test_compact_preserves_tombstone_applicability(spark, tiny_df, tiny_table):

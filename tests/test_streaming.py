@@ -755,6 +755,10 @@ def test_cdf_stream_over_merge_on_read_commits(spark, tmp_path):
     m3 = update_where(spark, tbl, "turn_idx = 0",
                       {"text": F.lit("EDITED")}, mode="merge-on-read")
     assert m3["mode"] == "merge-on-read"
+    # key-rewriting update-mor: pre-image keys retract, new keys insert
+    m4 = update_where(spark, tbl, "turn_idx = 1",
+                      {"turn_idx": "turn_idx + 500"}, mode="merge-on-read")
+    assert m4["mode"] == "merge-on-read" and m4["updated_rows"] > 0
 
     batches = []
     q = (
@@ -777,14 +781,22 @@ def test_cdf_stream_over_merge_on_read_commits(spark, tmp_path):
     del_keys = Counter((r["conv_id"], r["turn_idx"]) for r in deletes)
     assert del_keys and max(del_keys.values()) == 1
 
-    # update-mor balances: its delete pre-images and insert post-images
-    # cover the same keys
-    upd_sid = max(r["_commit_sid"] for r in rows)
+    # update-mor balances: the non-key update's delete pre-images and
+    # insert post-images cover the same keys; the KEY-REWRITING update's
+    # deletes carry the pre-image keys and its inserts the moved keys
+    sids = sorted({r["_commit_sid"] for r in rows})
+    upd_sid, move_sid = sids[-2], sids[-1]
     upd_del = {(r["conv_id"], r["turn_idx"]) for r in deletes
                if r["_commit_sid"] == upd_sid}
     upd_ins = {(r["conv_id"], r["turn_idx"]) for r in inserts
                if r["_commit_sid"] == upd_sid}
     assert upd_del == upd_ins and upd_del
+    mv_del = {(r["conv_id"], r["turn_idx"]) for r in deletes
+              if r["_commit_sid"] == move_sid}
+    mv_ins = {(r["conv_id"], r["turn_idx"]) for r in inserts
+              if r["_commit_sid"] == move_sid}
+    assert mv_del and all(t == 1 for _c, t in mv_del)
+    assert mv_ins == {(c, t + 500) for c, t in mv_del}
 
     # net replay (delete-before-insert per sid) reproduces the table
     state: dict[tuple, int] = {}
