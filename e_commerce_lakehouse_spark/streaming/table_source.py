@@ -177,6 +177,20 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._root = options["path"]
         start = int(options.get("starting_snapshot", 0))
         self._start = start
+        # rate limiting (Delta maxFilesPerTrigger/maxBytesPerTrigger
+        # analog): commit-granular — latestOffset() admits whole commits
+        # oldest-first until the cumulative added_files/added_bytes
+        # (snapshot SUMMARY fields, O(1) per commit, no manifest reads)
+        # would exceed the cap; always >=1 data commit per trigger so a
+        # single over-cap commit still ships. The Python data source API
+        # has no admission-control hook, so the cap lives in the offset
+        # we report; _floor tracks the last admitted offset and only
+        # advances (partitions()/commit() also raise it, so a restarted
+        # stream catches its floor up to the checkpoint within a few
+        # empty triggers — progress is guaranteed, never deadlocked).
+        self._max_files = int(options.get("max_files_per_trigger", 0)) or None
+        self._max_bytes = int(options.get("max_bytes_per_trigger", 0)) or None
+        self._floor = start
         # pin the STREAM-START schema version: the source already
         # declared schema() to Spark, so every micro-batch must align to
         # THAT shape even if an evolution lands mid-stream (review
@@ -211,14 +225,59 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return {"snapshot": self._start}
 
     def latestOffset(self) -> dict:
-        head = self._table().current_snapshot_id()
-        return {"snapshot": int(head or self._start)}
+        t = self._table()
+        head = int(t.current_snapshot_id() or self._start)
+        if self._max_files is None and self._max_bytes is None:
+            return {"snapshot": head}
+        if head <= self._floor:
+            return {"snapshot": self._floor}
+        from ..table.cdc import _NON_DATA_OPS
+
+        chain: list = []
+        sid: int | None = head
+        try:
+            while sid is not None and sid > self._floor:
+                chain.append(t.snapshot(sid))
+                sid = chain[-1].parent_id
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"lakehouse_stream rate limiting needs the snapshot "
+                f"chain back to offset {self._floor}, but snapshot "
+                f"{sid} is expired — restart the stream with "
+                f"starting_snapshot at a retained snapshot (retention "
+                f"must cover consumer lag)"
+            ) from e
+        chain.reverse()  # oldest first — admit in commit order
+        admitted = self._floor
+        files = bytes_ = 0
+        took_data = False
+        for snap in chain:
+            if snap.operation in _NON_DATA_OPS:
+                admitted = snap.snapshot_id  # zero stream rows — free
+                continue
+            f = int(snap.summary.get("added_files", 1))
+            b = int(snap.summary.get("added_bytes", 0))
+            over = ((self._max_files is not None
+                     and files + f > self._max_files)
+                    or (self._max_bytes is not None
+                        and bytes_ + b > self._max_bytes))
+            if took_data and over:
+                break
+            files += f
+            bytes_ += b
+            admitted = snap.snapshot_id
+            took_data = True
+            if over:  # single commit already over cap: ship it alone
+                break
+        self._floor = admitted
+        return {"snapshot": admitted}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from ..table.cdc import _NON_DATA_OPS
 
         t = self._table()
         lo, hi = int(start["snapshot"]), int(end["snapshot"])
+        self._floor = max(self._floor, hi)
         chain: list = []
         sid = hi
         while sid is not None and sid > lo:
@@ -477,8 +536,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 )
             yield from tbl.to_batches()
 
-    def commit(self, end: dict) -> None:  # checkpoint-managed; nothing to do
-        pass
+    def commit(self, end: dict) -> None:
+        # checkpoint-managed; only keep the rate-limit floor monotone
+        self._floor = max(self._floor, int(end["snapshot"]))
 
 
 class LakehouseStreamDataSource(DataSource):
@@ -487,7 +547,13 @@ class LakehouseStreamDataSource(DataSource):
 
     Options: ``path`` (table root, or pass to ``load()``),
     ``starting_snapshot`` (deliver commits AFTER this id; default 0 =
-    everything), ``mode`` (default additions-only; ``cdf`` adds
+    everything), ``max_files_per_trigger`` / ``max_bytes_per_trigger``
+    (rate limiting, Delta's maxFilesPerTrigger analog: each micro-batch
+    admits whole commits oldest-first until their summed summary
+    added_files/added_bytes would exceed the cap, always >=1 data
+    commit; under Trigger.AvailableNow the single run stops at the
+    first admitted window — use a processingTime trigger for paced
+    catch-up), ``mode`` (default additions-only; ``cdf`` adds
     ``_change_type``/``_commit_sid`` columns and delivers copy-on-write
     AND merge-on-read DELETEs as retractions — see _cdf_partitions for
     semantics; only rollback is refused)."""

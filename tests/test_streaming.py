@@ -850,3 +850,113 @@ def test_cdf_stream_skips_materialize_deletes(spark, tmp_path):
     assert _drain() > 0  # bootstrap + the MoR retractions
     materialize_deletes(spark, tbl)
     assert _drain() == 0  # physical rewrite feeds nothing downstream
+
+
+def test_stream_source_rate_limiting_commit_granular(spark, tmp_path):
+    """max_files_per_trigger / max_bytes_per_trigger (Delta's
+    maxFilesPerTrigger analog): latestOffset admits whole commits
+    oldest-first from summary stats only; a trigger never exceeds the
+    cap unless a SINGLE commit does (>=1 data commit always admitted);
+    physical rewrites are admitted for free."""
+    from e_commerce_lakehouse_spark.operators.compact import compact
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamReader,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table.writer import (
+        create_transcripts_table,
+        write_files,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = transcripts_df(spark, 600, seed=11)
+    # bootstrap = commit 1 (2 files), then 3 more appends of 2 files each
+    tbl = create_transcripts_table(spark, root, df.limit(150),
+                                   rows_per_file=75)
+    batches = df.subtract(df.limit(150)).randomSplit([1.0, 1.0, 1.0], seed=1)
+    for i, b in enumerate(batches):
+        entries = write_files(spark, tbl, b, 2, f"rl-append-{i}")
+        tbl.commit_append(entries, {"op": "append"})
+    sids = tbl.snapshot_ids()
+    assert len(sids) == 4
+
+    # --- commit-granular stepping: cap 2 files = exactly one commit/trigger
+    r = LakehouseStreamReader({"path": root, "max_files_per_trigger": "2"})
+    seen = [int(r.initialOffset()["snapshot"])]
+    for _ in range(4):
+        seen.append(int(r.latestOffset()["snapshot"]))
+    assert seen == [0] + sids, "one 2-file commit admitted per trigger"
+    # head reached: offset stays put
+    assert int(r.latestOffset()["snapshot"]) == sids[-1]
+    # partitions for one admitted window = only that commit's files
+    parts = r.partitions({"snapshot": sids[0]}, {"snapshot": sids[1]})
+    assert sum(len(p.paths) for p in parts) == 2
+
+    # --- >=1 guarantee: cap below a single commit still ships it whole
+    r1 = LakehouseStreamReader({"path": root, "max_files_per_trigger": "1"})
+    assert int(r1.latestOffset()["snapshot"]) == sids[0]
+
+    # --- byte cap: huge budget admits everything in one trigger
+    rb = LakehouseStreamReader(
+        {"path": root, "max_bytes_per_trigger": str(1 << 40)})
+    assert int(rb.latestOffset()["snapshot"]) == sids[-1]
+
+    # --- physical rewrites are free: compaction commit rides along with
+    # the next data commit instead of burning a trigger
+    compact(spark, tbl, target_bytes=1 << 26)
+    extra = transcripts_df(spark, 60, seed=99)
+    entries = write_files(spark, tbl, extra, 2, "rl-post-compact")
+    tbl.commit_append(entries, {"op": "append"})
+    head = tbl.current_snapshot_id()
+    r2 = LakehouseStreamReader({"path": root,
+                                "max_files_per_trigger": "2",
+                                "starting_snapshot": str(sids[-1])})
+    assert int(r2.latestOffset()["snapshot"]) == head
+
+    # --- restart safety: a floor behind the checkpoint catches up via
+    # partitions()/commit() and keeps advancing monotonically
+    r3 = LakehouseStreamReader({"path": root, "max_files_per_trigger": "2"})
+    r3.partitions({"snapshot": sids[1]}, {"snapshot": sids[2]})
+    assert int(r3.latestOffset()["snapshot"]) > sids[2]
+
+
+def test_stream_source_rate_limited_end_to_end(spark, tmp_path):
+    """A real rate-limited streaming query: every micro-batch stays
+    within the cap (commit granularity) and the union of batches is
+    exactly the table — pacing changes delivery, never content."""
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        LakehouseStreamDataSource,
+    )
+    from e_commerce_lakehouse_spark.synth import transcripts_df
+    from e_commerce_lakehouse_spark.table import scan
+    from e_commerce_lakehouse_spark.table.writer import (
+        create_transcripts_table,
+        write_files,
+    )
+
+    spark.dataSource.register(LakehouseStreamDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    df = transcripts_df(spark, 400, seed=21)
+    tbl = create_transcripts_table(spark, root, df.limit(100),
+                                   rows_per_file=100)
+    rest = df.subtract(df.limit(100)).randomSplit([1.0, 1.0, 1.0], seed=2)
+    for i, b in enumerate(rest):
+        entries = write_files(spark, tbl, b, 1, f"rle2e-{i}")
+        tbl.commit_append(entries, {"op": "append"})
+
+    got: list[int] = []
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("max_files_per_trigger", "1").load(root)
+        .writeStream.foreachBatch(lambda bdf, bid: got.append(bdf.count()))
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = scan(spark, tbl).count()
+    assert sum(got) == total == 400
+    # 4 one-file commits, cap 1 file/trigger -> at least 4 micro-batches
+    assert len([n for n in got if n > 0]) >= 4
