@@ -512,7 +512,7 @@ def test_table_streaming_source_cdf_mode(spark, tmp_path):
     """mode=cdf: copy-on-write deletes/updates stream as retractions —
     applying the feed (per _commit_sid: deletes then inserts) rebuilds
     the table's final state exactly; compaction contributes nothing;
-    merge-on-read commits in the window are refused."""
+    merge-on-read commits in the window stream exact retractions."""
     from e_commerce_lakehouse_spark.operators.compact import compact
     from e_commerce_lakehouse_spark.operators.rowlevel import (
         delete_where,
@@ -572,17 +572,24 @@ def test_table_streaming_source_cdf_mode(spark, tmp_path):
     expect = sorted(map(tuple, scan(spark, tbl).collect()))
     assert replayed == expect
 
-    # merge-on-read in the window: refused with a pointer at poll_changes
+    # merge-on-read in the window: streams exact retractions (round-5
+    # capability — deep coverage in test_cdf_stream_over_merge_on_read_
+    # commits); the resumed consumer sees one delete per tombstoned row
+    n_user = scan(spark, tbl).where(F.col("role") == "user").count()
     delete_where(spark, tbl, F.col("role") == "user", mode="merge-on-read")
+    more: list = []
     q2 = (
         spark.readStream.format("lakehouse_stream")
         .option("mode", "cdf").load(root)
-        .writeStream.format("noop")
+        .writeStream.foreachBatch(lambda bdf, bid: more.append(bdf.collect()))
         .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ck2")).start()
+        .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="cdf|merge-on-read|poll_changes"):
-        q2.awaitTermination()
+    q2.awaitTermination()
+    mor_rows = [r for b in more for r in b]
+    assert [r["_change_type"] for r in mor_rows].count("delete") == n_user
+    assert all(r["role"] == "user" for r in mor_rows
+               if r["_change_type"] == "delete")
 
 
 def test_cdf_stream_across_rename(spark, tmp_path):
