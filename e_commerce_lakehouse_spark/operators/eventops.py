@@ -1,0 +1,176 @@
+"""Event-sequence analytics: sessionization, funnels, retention cohorts.
+
+The reference pipeline lands click-stream-shaped fact rows (orders /
+events) and reports on them with plain grouped aggregates
+(`/root/reference/src/glue_jobs/orders_etl.py` summary queries); the
+three operators here are the next analytics layer every event warehouse
+adds on top — all expressed as single declarative DataFrame plans so
+Catalyst owns the physical strategy.
+
+Scale shapes (the 100 TB contract):
+
+- ``sessionize`` — ONE shuffle, hash-partitioned on ``user_id``; the
+  gap detection is a lag window and the session index a running sum
+  inside the same partitioning, so both window functions share the one
+  exchange. State per task is a sort buffer over one user's events —
+  no global window, no driver collect.
+- ``funnel`` — one grouped min-timestamp aggregate per stage, each
+  shuffled on ``user_id``; stage k+1 joins stage k's per-user frontier
+  (strictly-after semantics) on the same key, so AQE coalesces the
+  exchanges. Stage frontiers shrink monotonically; the final counts are
+  partial-aggregable.
+- ``retention_cohorts`` — two aggregates keyed on ``user_id`` then
+  (cohort_week, week_offset): the cohort dimension (one row per user)
+  joins the distinct user-week activity on the shared ``user_id``
+  partitioning — no broadcast hint, because a per-user dim is NOT small
+  at web scale (AQE may still choose broadcast when it measures small);
+  both aggregates are map-side combinable.
+
+Every output column is deterministic (ties broken on ``event_id``) and
+value-hash oracled against DuckDB twins (q95–q97, oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Split each user's event stream into sessions at inactivity gaps
+    strictly greater than ``gap_seconds``; return per-session rollups.
+
+    Output: (user_id, session_idx, session_start, session_end,
+    n_events, n_event_types, sum_value) — session_idx is 1-based in
+    time order per user.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # epoch diff via tz-cast: both rows shift identically, so the gap is
+    # timezone-independent even on TIMESTAMP_NTZ inputs
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(int(gap_seconds))), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = events.withColumn(
+        "session_idx", F.sum(new_session).over(run).cast("long")
+    )
+    return (
+        sessioned.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches stage k when they have
+    an event of type ``steps[k]`` STRICTLY AFTER their earliest arrival
+    at stage k-1 (earliest-arrival semantics, the standard warehouse
+    funnel definition — each stage uses the user's first qualifying
+    timestamp as the next stage's lower bound).
+
+    Output: one row per stage — (stage, step, n_users,
+    pct_of_first) — stage 1-based, pct relative to stage-1 reach.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # each stage's per-user frontier feeds the next stage AND a count —
+    # persist it so stage k never recomputes the k-1 chain (k passes
+    # over events total, not k^2)
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .persist()
+    )
+    counts = [frontier.count()]
+    pinned = [frontier]
+    try:
+        for step in steps[1:]:
+            frontier = (
+                events.where(F.col(type_col) == step)
+                .join(frontier, user_col)
+                .where(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+                .persist()
+            )
+            pinned.append(frontier)
+            counts.append(frontier.count())
+    finally:
+        for f in pinned:
+            f.unpersist()
+    spark = events.sparkSession
+    first = counts[0]
+    # raw IEEE division (no rounding): both engines divide the same two
+    # ints, so the doubles are bit-identical under the value-hash gate
+    rows = [
+        (i + 1, steps[i], int(counts[i]),
+         counts[i] / first if first else 0.0)
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "stage bigint, step string, n_users bigint, pct_of_first double"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week (date_trunc 'week',
+    Monday-start in both Spark and DuckDB) of each user's FIRST event;
+    a user is retained in offset k if they have any event in cohort
+    week + k weeks.
+
+    Output: (cohort_week, week_offset, n_users) — distinct users per
+    cell; week_offset 0 row is the cohort size.
+    """
+    # DATE-typed weeks (DuckDB's date_trunc('week') is a DATE; Spark's
+    # is a timestamp — cast so both engines emit the same type)
+    cohorts = (
+        events.groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).cast("date")
+             .alias("cohort_week"))
+    )
+    activity = events.select(
+        user_col,
+        F.date_trunc("week", F.col(ts_col)).cast("date")
+        .alias("activity_week"),
+    ).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

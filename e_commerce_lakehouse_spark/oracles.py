@@ -1543,3 +1543,82 @@ SELECT doc_id,
        LEAST(n - st, 64)::INT AS n_words
 FROM c
 """
+
+
+# q95: sessionization mirror — same lag/gap/running-sum construction;
+# date_diff('second') == Spark's floor-epoch subtraction (both count
+# whole-second boundary crossings).
+ALL["q95_sessionize"] = """
+WITH o AS (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+    FROM events
+), f AS (
+    SELECT *, CASE WHEN prev IS NULL
+                     OR date_diff('second', prev, ts) > 1800
+                   THEN 1 ELSE 0 END AS ns
+    FROM o
+), s AS (
+    SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_event_types,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+# q96: ordered funnel — stage k's frontier is min(ts) of step-k events
+# STRICTLY AFTER the user's stage-(k-1) frontier; pct is one raw IEEE
+# division of the same two ints in both engines (bit-identical).
+ALL["q96_funnel"] = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+), s4 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+), c AS (
+    SELECT 1 AS stage, 'signup' AS step, (SELECT count(*) FROM s1) AS n
+    UNION ALL
+    SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'click', (SELECT count(*) FROM s3)
+    UNION ALL
+    SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+)
+SELECT stage::BIGINT AS stage, step, n::BIGINT AS n_users,
+       n::DOUBLE / (SELECT count(*) FROM s1) AS pct_of_first
+FROM c
+"""
+
+
+# q97: weekly retention triangle — date_trunc('week') is Monday-start
+# in BOTH engines; offsets are exact multiples of 7 days so the /7 is
+# integral (DuckDB's rounding BIGINT cast == Spark's truncation).
+ALL["q97_retention_cohorts"] = """
+WITH c AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), a AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+    FROM events
+)
+SELECT c.cohort_week,
+       (date_diff('day', c.cohort_week, a.activity_week) / 7)::BIGINT
+           AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -2465,6 +2465,36 @@ def q86_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, weight_col="n_chars", n=100)
 
 
+def q95_sessionize(spark, sf_dir):
+    """Sessionization (operators/eventops.sessionize): each user's
+    event stream split at >30-min inactivity gaps, per-session rollups.
+    One user_id shuffle; lag + running-sum windows share the exchange."""
+    from .operators.eventops import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+def q96_funnel(spark, sf_dir):
+    """Ordered funnel (operators/eventops.funnel): signup -> view ->
+    click -> purchase with earliest-arrival strictly-after semantics;
+    per-stage reach + conversion vs stage 1."""
+    from .operators.eventops import funnel
+
+    events = _t(spark, sf_dir, "events")
+    return funnel(events, ["signup", "view", "click", "purchase"])
+
+
+def q97_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle (operators/eventops.retention_cohorts):
+    cohort = week of first event, distinct active users per
+    (cohort_week, week_offset)."""
+    from .operators.eventops import retention_cohorts
+
+    events = _t(spark, sf_dir, "events")
+    return retention_cohorts(events)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2566,4 +2596,7 @@ ALL = {
     "q92_generic_cluster": q92_generic_cluster,
     "q93_manifest_ndv_sketch": q93_manifest_ndv_sketch,
     "q94_chunk_documents": q94_chunk_documents,
+    "q95_sessionize": q95_sessionize,
+    "q96_funnel": q96_funnel,
+    "q97_retention_cohorts": q97_retention_cohorts,
 }
