@@ -428,6 +428,71 @@ def domain_mix_weights(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed term set — the standard
+    retrieval/quality scorer one notch above ``tfidf_doc_scores``
+    (length-normalized, tf-saturating).
+
+    score(D) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the Lucene-smoothed idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: doc length rides ALONG with the token stream (no
+    second pass or join back to the corpus), so the only corpus-sized
+    shuffle is the (doc, term) tf aggregate — map-side combinable. The
+    document-frequency table is at most ``len(query_terms)`` rows and
+    broadcasts. N/avgdl are one tiny driver aggregate (exact: integer
+    sum / count in both engines). Scores rounded to 6 dp so double
+    summation order can't flip the value hash (q67's convention).
+
+    Output: (doc_id, n_matched_terms, bm25) — docs matching >=1 term.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    n_docs, total_len = (
+        df.select(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split(F.trim(F.lower(F.col(text_col))),
+                                 r"\s+"))).alias("s"),
+        ).collect()[0]
+    )
+    avgdl = float(total_len) / float(n_docs)
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(
+        id_col, F.size(arr).alias("dl"), F.explode(arr).alias("tok")
+    ).where(F.col("tok").isin([t.lower() for t in query_terms]))
+    tf = toks.groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("idf") * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("tok").alias("n_matched_terms"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+    )
+
+
 def length_outlier_filter(
     df: DataFrame,
     *,

@@ -1622,3 +1622,34 @@ SELECT c.cohort_week,
 FROM a JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# q98: Okapi BM25 mirror — identical arithmetic shape and association
+# order as curation.bm25_scores (k1=1.2, b=0.75, Lucene-smoothed idf);
+# avgdl is the same exact int-sum/count division in both engines.
+ALL["q98_bm25_scores"] = """
+WITH dl AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+    FROM documents),
+stats AS (
+    SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+toks AS (
+    SELECT d.doc_id, l.dl,
+           unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS tok
+    FROM documents d JOIN dl l USING (doc_id)),
+tf AS (
+    SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'merge', 'window') GROUP BY doc_id, dl, tok),
+dfreq AS (
+    SELECT tok,
+           ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+    FROM tf GROUP BY tok)
+SELECT doc_id, count(DISTINCT tok)::BIGINT AS n_matched_terms,
+       round(sum(idf * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * dl
+                                / (SELECT avgdl FROM stats)))), 6) AS bm25
+FROM tf JOIN dfreq USING (tok)
+GROUP BY doc_id
+"""

@@ -2495,6 +2495,17 @@ def q97_retention_cohorts(spark, sf_dir):
     return retention_cohorts(events)
 
 
+def q98_bm25_scores(spark, sf_dir):
+    """Okapi BM25 retrieval scores (curation.bm25_scores): fixed term
+    set over documents; doc length rides with the token stream so the
+    only corpus shuffle is the (doc, term) tf aggregate; the df table
+    broadcasts."""
+    from .operators.curation import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "merge", "window"])
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2599,4 +2610,5 @@ ALL = {
     "q95_sessionize": q95_sessionize,
     "q96_funnel": q96_funnel,
     "q97_retention_cohorts": q97_retention_cohorts,
+    "q98_bm25_scores": q98_bm25_scores,
 }

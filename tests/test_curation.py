@@ -234,3 +234,36 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pt.raises(ValueError, match="stride_words must be <="):
         chunk_documents(df, window_words=4, stride_words=5)
+
+
+def test_bm25_scores_tiny_corpus(spark):
+    """BM25 on a two-doc corpus against scalar-Python expectations
+    (k1=1.2, b=0.75, Lucene-smoothed idf); docs matching no term are
+    absent; n_matched_terms counts DISTINCT matched terms."""
+    import math
+
+    from e_commerce_lakehouse_spark.operators.curation import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["a", "b"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+
+    n, avgdl = 3, (3 + 2 + 2) / 3
+    idf = {t: math.log(1 + (n - df + 0.5) / (df + 0.5))
+           for t, df in {"a": 1, "b": 2}.items()}
+
+    def term(tf, dl, t):
+        return idf[t] * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert got[1]["n_matched_terms"] == 2
+    assert got[1]["bm25"] == round(term(2, 3, "a") + term(1, 3, "b"), 6)
+    assert got[2]["n_matched_terms"] == 1
+    assert got[2]["bm25"] == round(term(1, 2, "b"), 6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="query term"):
+        bm25_scores(docs, [])
