@@ -178,3 +178,69 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(c).alias("lang_guess"),
         fingerprint_md5(c).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------- boilerplate n-grams
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) over whitespace tokens —
+    sequence+transform+slice Column expressions (JVM, codegen; no UDF).
+    A document with fewer than ``n`` tokens yields an empty array (the
+    guard matters: ``sequence(0, size-n)`` would otherwise run backwards
+    and emit phantom negative offsets)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 20,
+    min_docs: int = 1,
+) -> DataFrame:
+    """C4-style corpus heavy hitters: the ``k`` most frequent word
+    n-grams with occurrence and document counts — the table a curation
+    pipeline uses to find boilerplate (cookie banners, nav bars, license
+    headers) before stripping it.
+
+    Returns (gram, n_occurrences, n_docs, rank), rank 1 = most frequent,
+    ties broken by gram text so the result is deterministic.
+
+    100 TB design: explode is map-side (no shuffle); the distinct-doc
+    count is a TWO-LEVEL aggregate — groupBy(gram, doc) with map-side
+    combine collapses each document's internal repetitions before the
+    gram-level rollup, so the second shuffle carries at most one row per
+    (gram, doc) instead of one per occurrence, and no count(DISTINCT)
+    expand plan ever materializes. Top-k is orderBy+limit (TakeOrdered —
+    per-partition heaps + driver merge of k·P rows, never a global sort
+    shuffle); the rank window runs AFTER the limit, over k rows.
+    ``min_docs`` is the df-cut escape hatch: at corpus scale the gram
+    dictionary is huge and the singleton tail is noise — cutting it in
+    the aggregate (HAVING) keeps the top-k input small."""
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", "doc").agg(
+        F.count("*").alias("occ_in_doc")
+    )
+    agg = per_doc.groupBy("gram").agg(
+        F.sum("occ_in_doc").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    if min_docs > 1:
+        agg = agg.where(F.col("n_docs") >= min_docs)
+    top = agg.orderBy(F.desc("n_occurrences"), "gram").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), "gram")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "gram", "n_occurrences", "n_docs", "rank"
+    )

@@ -1653,3 +1653,52 @@ SELECT doc_id, count(DISTINCT tok)::BIGINT AS n_matched_terms,
 FROM tf JOIN dfreq USING (tok)
 GROUP BY doc_id
 """
+
+
+# q99: C4-style trigram heavy hitters — identical tokenization as q19
+# (regex \s+ on trimmed text); the 1-based inclusive slice w[i:i+2] is
+# Spark's slice(toks, i, 3); ties broken by gram text on both sides so
+# the top-20 cut and the rank are deterministic.
+ALL["q99_ngram_heavy_hitters"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 3)),
+agg AS (
+    SELECT gram, count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM grams GROUP BY gram),
+topk AS (
+    SELECT * FROM agg ORDER BY n_occurrences DESC, gram LIMIT 20)
+SELECT gram, n_occurrences, n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, gram)::BIGINT AS rank
+FROM topk
+"""
+
+
+# q100: idempotent COPY INTO relationally — the 'initial' slice (two of
+# three thirds, loaded once despite the glob being copied TWICE) and the
+# 'final' slice (all rows after only the new file loads) both equal the
+# plain aggregates over their derivations; a double-load doubles
+# 'initial' and breaks the hash.
+ALL["q100_copy_into"] = """
+WITH base AS (
+    SELECT CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           ts
+    FROM events),
+s1 AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base WHERE turn_idx % 3 < 2 GROUP BY role),
+s2 AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM base GROUP BY role)
+SELECT 'initial' AS slice, * FROM s1
+UNION ALL SELECT 'final' AS slice, * FROM s2
+"""

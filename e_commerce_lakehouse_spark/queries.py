@@ -2506,6 +2506,66 @@ def q98_bm25_scores(spark, sf_dir):
     return bm25_scores(docs, ["spark", "merge", "window"])
 
 
+def q99_ngram_heavy_hitters(spark, sf_dir):
+    """C4-style boilerplate heavy hitters (text.top_ngrams): top-20 word
+    trigrams corpus-wide with occurrence + document counts. Explode is
+    map-side; distinct-doc is a two-level aggregate (never an expand
+    plan); top-k is TakeOrdered, not a global sort."""
+    from .operators.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=3, k=20)
+
+
+def q100_copy_into(spark, sf_dir):
+    """Idempotent COPY INTO (operators/copy_into): two landing files
+    load once; a full RE-RUN over the same glob is ledger-skipped (a
+    double-append would double the 'initial' slice's counts and break
+    the value hash); a third file lands and only IT loads. Both slices
+    must equal the plain aggregates over their derivations."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.copy_into import copy_into
+    from .table import scan
+    from .table.meta import Table
+
+    df = _q30_transcripts(spark, sf_dir)
+    b1 = df.where(F.col("turn_idx") % 3 == 0)
+    b2 = df.where(F.col("turn_idx") % 3 == 1)
+    b3 = df.where(F.col("turn_idx") % 3 == 2)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = os.path.join(base, f"spark_graft_q100_{uuid.uuid4().hex[:12]}")
+    landing = os.path.join(work, "landing")
+    root = os.path.join(work, "tbl")
+    glob_pat = landing + "/*/*.parquet"
+    try:
+        b1.coalesce(1).write.parquet(os.path.join(landing, "f1"))
+        b2.coalesce(1).write.parquet(os.path.join(landing, "f2"))
+        t = Table.create(root)
+        copy_into(spark, t, glob_pat)
+        copy_into(spark, t, glob_pat)  # scheduler re-run: must no-op
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "min_ts", "max_ts")
+
+        rows = agg("initial", scan(spark, t)).collect()
+        b3.coalesce(1).write.parquet(os.path.join(landing, "f3"))
+        copy_into(spark, t, glob_pat)  # diffs the ledger: loads only f3
+        rows += agg("final", scan(spark, t)).collect()
+        schema = agg("x", df).schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2611,4 +2671,6 @@ ALL = {
     "q96_funnel": q96_funnel,
     "q97_retention_cohorts": q97_retention_cohorts,
     "q98_bm25_scores": q98_bm25_scores,
+    "q99_ngram_heavy_hitters": q99_ngram_heavy_hitters,
+    "q100_copy_into": q100_copy_into,
 }

@@ -154,8 +154,14 @@ def append_dataframe(
     df: DataFrame,
     rows_per_file: int = 100_000,
     publish: bool = True,
+    extra_summary: dict | None = None,
 ) -> "Snapshot":
     """Append ``df`` to an existing table as one O(delta) commit.
+
+    ``extra_summary`` merges caller-supplied keys into the snapshot
+    summary ATOMICALLY with the commit (e.g. copy_into's loaded-file
+    ledger) — there is no window where the rows are visible but the
+    marker is not.
 
     The public single-batch append next to streaming/ingest.py's
     foreachBatch path: write new immutable files under a unique subdir,
@@ -197,9 +203,10 @@ def append_dataframe(
             e.sv = sv_plan
     finally:
         df.unpersist()
-    return table.commit_append(
-        entries, summary={"appended-rows": n_rows}, publish=publish
-    )
+    summary = {"appended-rows": n_rows}
+    if extra_summary:
+        summary.update(extra_summary)
+    return table.commit_append(entries, summary=summary, publish=publish)
 
 
 class NonAcidFallbackWarning(RuntimeWarning):

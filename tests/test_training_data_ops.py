@@ -319,3 +319,35 @@ def test_semdedup_marks_within_cluster_neardups(spark):
     plan = sim.semdedup(emb, dim=4, n_cells=3, tau=0.95)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_ngrams_counts_and_rank(spark):
+    rows = [
+        ("a", "click here to accept cookies now"),
+        ("b", "please click here to accept cookies"),
+        ("c", "click here to accept cookies click here to accept cookies"),
+        ("d", "too short"),
+        ("e", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["gram"]: r for r in tx.top_ngrams(docs, n=3, k=5).collect()}
+    # "click here to": a=1, b=1, c=2 -> 4 occurrences in 3 docs
+    top = got["click here to"]
+    assert (top["n_occurrences"], top["n_docs"], top["rank"]) == (4, 3, 1)
+    assert got["here to accept"]["n_occurrences"] == 4
+    # a <3-token doc and an empty doc contribute nothing
+    all_grams = tx.top_ngrams(docs, n=3, k=100).collect()
+    assert all(" " in r["gram"] for r in all_grams)
+    # ranks are 1..k dense and deterministic
+    ranks = [r["rank"] for r in tx.top_ngrams(docs, n=3, k=5).collect()]
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_top_ngrams_plan_shape(spark):
+    """Distinct-doc count is a two-level aggregate: no Expand (the
+    count(DISTINCT) plan) and no global Sort before the limit."""
+    rows = [("a", "w x y z"), ("b", "w x y")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    plan = tx.top_ngrams(docs, n=3, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
