@@ -1,4 +1,5 @@
 from .analyze import analyze, read_stats
+from .apply_changes import apply_changes, replicate
 from .cluster import cluster
 from .compact import compact
 from .expire import expire_snapshots
@@ -6,7 +7,7 @@ from .manifest_rewrite import rewrite_manifests
 from .matview import create_matview, read_matview, refresh_matview
 from .merge import merge_into, merge_upsert_dataframes
 from .rollback import rollback_to
-from .rowlevel import delete_where, materialize_deletes, update_where
+from .rowlevel import delete_by_keys, delete_where, materialize_deletes, update_where
 from .verify import verify_table
 from .constraints import add_constraint, drop_constraint, enforce_constraints
 from .schema_evolution import add_columns, drop_columns
@@ -27,6 +28,9 @@ __all__ = [
     "merge_upsert_dataframes",
     "rollback_to",
     "delete_where",
+    "delete_by_keys",
+    "apply_changes",
+    "replicate",
     "update_where",
     "materialize_deletes",
     "verify_table",

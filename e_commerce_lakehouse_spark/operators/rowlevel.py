@@ -225,7 +225,7 @@ def delete_where(
     return out
 
 
-def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
+def _validate_mor_keys(table, schema, keys) -> list[str]:
     names = [f.name for f in schema.fields]
     keys = list(keys) if keys else [k for k in DEFAULT_DELETE_KEYS if k in names]
     if not keys:
@@ -254,6 +254,42 @@ def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
                 f"delete uses {sorted(keys)}; run materialize_deletes first, or "
                 f"use the same key set"
             )
+    return keys
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    table: Table,
+    keys_df,
+    keys=None,
+    schema=None,
+) -> dict:
+    """Merge-on-read DELETE of an explicit key set: ``keys_df`` is a
+    DataFrame whose rows are the keys to kill (the CDC-apply and
+    reverse-ETL shape — the keys arrive as data, not as a predicate).
+    Write cost O(keys): one distinct-projection of the batch becomes a
+    tombstone parquet; no target file is read or rewritten. The key
+    frame is written DISTRIBUTED — nothing collects to the driver, so a
+    100 M-key purge is the same plan as a 100-key one."""
+    from ..table.scan import resolve_schema
+
+    t0 = monotonic()
+    if table.current_snapshot_id() is None:
+        raise ValueError("cannot delete from an empty table")
+    schema = resolve_schema(table, schema=schema)
+    keys = _validate_mor_keys(table, schema, keys)
+    missing = sorted(set(keys) - set(keys_df.columns))
+    if missing:
+        raise ValueError(f"keys_df is missing key columns: {missing}")
+    types = {f.name: f.dataType for f in schema.fields}
+    matched = keys_df.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in keys]
+    ).dropDuplicates()
+    return _commit_key_tombstones(spark, table, matched, keys, t0)
+
+
+def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
+    keys = _validate_mor_keys(table, schema, keys)
     # evaluate pred on the LOGICAL view (seq-aware scan): a raw file read
     # would match already-deleted rows — harmless under global key
     # tombstones, but with update-mor post-images live a pre-image match
@@ -265,6 +301,12 @@ def _delete_merge_on_read(spark, table, pred, schema, keys, t0) -> dict:
         scan(spark, table, schema=schema).where(pred)
         .select(*keys).dropDuplicates()
     )
+    return _commit_key_tombstones(spark, table, matched, keys, t0)
+
+
+def _commit_key_tombstones(spark, table, matched, keys, t0) -> dict:
+    """Write a distinct-key DataFrame as a MoR tombstone parquet and
+    commit it. Shared by predicate deletes and delete_by_keys."""
     # uuid suffix: same collision-free rule as the rewrite dirs (two MoR
     # deletes planned from one snapshot must not share/clobber a dir)
     subdir = f"tombstone-{table.current_snapshot_id():08d}-{uuid.uuid4().hex[:12]}"

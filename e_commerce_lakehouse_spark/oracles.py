@@ -1702,3 +1702,33 @@ s2 AS (
 SELECT 'initial' AS slice, * FROM s1
 UNION ALL SELECT 'final' AS slice, * FROM s2
 """
+
+
+# q101: CDC replication relationally — the replica's 'initial' slice is
+# the even-turn half; 'final' is the full derivation minus tool rows,
+# with assistant turn_idx%7==0 texts rewritten to 'EDITED'. Both sides
+# count n_edited from the data, so the mirror is exact by construction.
+ALL["q101_cdc_replication"] = """
+WITH base AS (
+    SELECT CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           props AS text
+    FROM events),
+b1 AS (SELECT * FROM base WHERE turn_idx % 2 = 0),
+fin AS (
+    SELECT role, turn_idx,
+           CASE WHEN role = 'assistant' AND turn_idx % 7 = 0
+                THEN 'EDITED' ELSE text END AS text
+    FROM base WHERE role <> 'tool'),
+i AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
+           sum(CASE WHEN text = 'EDITED' THEN 1 ELSE 0 END)::BIGINT AS n_edited
+    FROM b1 GROUP BY role),
+f AS (
+    SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
+           sum(CASE WHEN text = 'EDITED' THEN 1 ELSE 0 END)::BIGINT AS n_edited
+    FROM fin GROUP BY role)
+SELECT 'initial' AS slice, * FROM i
+UNION ALL SELECT 'final' AS slice, * FROM f
+"""

@@ -2566,6 +2566,62 @@ def q100_copy_into(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q101_cdc_replication(spark, sf_dir):
+    """End-to-end CDC replication (apply_changes.replicate): a replica
+    table is converged from the source's typed change feed across an
+    append, a copy-on-write UPDATE (exact-mode delete pre-image + insert
+    post-image under one sid — the post-image must win), and a
+    merge-on-read DELETE (replicated as key tombstones). Both slices
+    aggregate the REPLICA, so any divergence — double-apply, lost
+    delete, pre-image resurrection — breaks the value hash."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.apply_changes import replicate
+    from .operators.rowlevel import delete_where, update_where
+    from .table import scan
+    from .table.cdc import ChangeFeedConsumer
+    from .table.meta import Table
+    from .table.writer import append_dataframe, create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    b1 = df.where(F.col("turn_idx") % 2 == 0)
+    b2 = df.where(F.col("turn_idx") % 2 == 1)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = os.path.join(base, f"spark_graft_q101_{uuid.uuid4().hex[:12]}")
+    rpf = max(400, df.count() // 8)
+    keys = ["conv_id", "turn_idx"]
+    try:
+        src = create_transcripts_table(
+            spark, os.path.join(work, "src"), b1, rows_per_file=rpf)
+        tgt = Table.create(os.path.join(work, "replica"))
+        c = ChangeFeedConsumer(src, os.path.join(work, "cursor.json"))
+        replicate(spark, c, tgt, keys, exact=True)
+
+        def agg(sl, d):
+            return d.groupBy("role").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.sum(F.when(F.col("text") == "EDITED", 1)
+                      .otherwise(0)).alias("n_edited"),
+            ).select(F.lit(sl).alias("slice"), "role", "n_rows",
+                     "sum_turn", "n_edited")
+
+        rows = agg("initial", scan(spark, tgt)).collect()
+        append_dataframe(spark, src, b2, rows_per_file=rpf)
+        update_where(spark, src,
+                     "role = 'assistant' AND turn_idx % 7 = 0",
+                     {"text": "'EDITED'"})
+        delete_where(spark, src, "role = 'tool'", mode="merge-on-read")
+        replicate(spark, c, tgt, keys, exact=True)
+        rows += agg("final", scan(spark, tgt)).collect()
+        schema = agg("x", df).schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2673,4 +2729,5 @@ ALL = {
     "q98_bm25_scores": q98_bm25_scores,
     "q99_ngram_heavy_hitters": q99_ngram_heavy_hitters,
     "q100_copy_into": q100_copy_into,
+    "q101_cdc_replication": q101_cdc_replication,
 }
