@@ -45,6 +45,7 @@ __all__ = [
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
+    "shard_shuffle",
 ]
 
 
@@ -579,3 +580,45 @@ def chunk_documents(
         )
     )
     return out
+
+
+def shard_shuffle(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: assign every
+    document a ``shard`` in [0, n_shards) and a ``pos`` (1-based) inside
+    its shard, both pure functions of md5(seed || ':' || id).
+
+    The pre-training primitive ``df.orderBy(rand())`` can't give you —
+    Spark's ``rand``/``sample`` seeds are partition-layout dependent, so
+    the "shuffled" order changes when the input splits differently.
+    Here the permutation is replayable on any cluster size, any engine
+    that can md5, and any re-run: shard = first 32 bits of the hash mod
+    n_shards, order within a shard = the full hash (ties impossible
+    beyond the id tiebreak). Changing ``seed`` draws an independent
+    permutation (epoch reshuffles).
+
+    Scale shape (100 TB): exactly ONE hash shuffle on the shard key,
+    then a per-shard sort — set ``n_shards`` so one shard ≈ one output
+    file (thousands to millions of shards at corpus scale) and every
+    window partition is a single bounded task; there is no global sort
+    and no driver-side state. Reference analog: none (the reference has
+    no sampling/shuffle surface); this is SURVEY §2 "LLM-data-pipeline
+    operators" territory, DuckDB-oracled as q102.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", F.col(id_col))
+    return (
+        df.select(F.col(id_col), h.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

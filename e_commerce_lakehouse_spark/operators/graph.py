@@ -22,7 +22,7 @@ training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,47 @@ def dedup_clusters(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Keep-one-per-cluster: the dedup endgame after
+    ``dedup_clusters``. For every near-dup component, elect the single
+    document a keep-best policy retains — highest ``quality_col``,
+    ties broken by smallest id — and emit
+    (cluster_id, rep_doc_id, cluster_size, rep_<quality_col>).
+
+    Composes the pair graph (MinHash-LSH / SimHash / Jaccard) with the
+    corpus quality signal: "drop every duplicate but the best copy" is
+    this result anti-joined back onto the member list. Scale shape: the
+    quality join is an equi-join on the doc id (cluster membership is a
+    vanishing fraction of a deduplicated corpus, so the cluster side
+    broadcasts in practice), and the election is one window over
+    cluster_id — O(members), never O(corpus). DuckDB-oracled as q103.
+    """
+    clusters = dedup_clusters(pairs, src=src, dst=dst)
+    joined = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col)),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col(quality_col).alias(f"rep_{quality_col}"),
+        )
     )

@@ -1732,3 +1732,31 @@ f AS (
 SELECT 'initial' AS slice, * FROM i
 UNION ALL SELECT 'final' AS slice, * FROM f
 """
+
+
+# q102: deterministic shard shuffle — shard/pos are pure functions of
+# md5('ep1:' || doc_id), so DuckDB reproduces the exact permutation.
+ALL["q102_shard_shuffle"] = """
+WITH h AS (
+    SELECT doc_id, md5('ep1:' || doc_id::VARCHAR) AS hk FROM documents)
+SELECT doc_id,
+       (('0x' || substr(hk, 1, 8))::BIGINT % 16)::INTEGER AS shard,
+       row_number() OVER (
+           PARTITION BY ('0x' || substr(hk, 1, 8))::BIGINT % 16
+           ORDER BY hk, doc_id) AS pos
+FROM h
+"""
+
+# q103: keep-best-per-cluster — the q52 component CTE joined to the
+# corpus, electing max(n_chars) (ties: min doc_id) per cluster.
+ALL["q103_cluster_representatives"] = f"""
+WITH clusters AS ({ALL["q52_dedup_clusters"]})
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+       n_chars AS rep_n_chars
+FROM (
+    SELECT c.cluster_id, c.doc_id, c.cluster_size, d.n_chars,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM clusters c JOIN documents d USING (doc_id))
+WHERE rn = 1
+"""

@@ -2517,6 +2517,31 @@ def q99_ngram_heavy_hitters(spark, sf_dir):
     return top_ngrams(docs, n=3, k=20)
 
 
+def q102_shard_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (curation.shard_shuffle): every
+    document gets a replayable (shard, pos) — md5-derived, so the
+    permutation is identical across cluster sizes and engines, unlike
+    orderBy(rand()). One hash shuffle + per-shard window; at corpus
+    scale n_shards ≈ output-file count so each partition is one task."""
+    from .operators.curation import shard_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_shuffle(docs, n_shards=16, seed="ep1")
+
+
+def q103_cluster_representatives(spark, sf_dir):
+    """Keep-best-per-cluster (graph.cluster_representatives): MinHash-LSH
+    pairs → connected components → elect the longest member (ties:
+    smallest id) per near-dup cluster. The 'drop every duplicate but the
+    best copy' endgame; quality join is an equi-join, election is one
+    window over cluster_id — O(members), never O(corpus)."""
+    from .operators.graph import cluster_representatives
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d)
+    return cluster_representatives(d, pairs)
+
+
 def q100_copy_into(spark, sf_dir):
     """Idempotent COPY INTO (operators/copy_into): two landing files
     load once; a full RE-RUN over the same glob is ledger-skipped (a
@@ -2730,4 +2755,6 @@ ALL = {
     "q99_ngram_heavy_hitters": q99_ngram_heavy_hitters,
     "q100_copy_into": q100_copy_into,
     "q101_cdc_replication": q101_cdc_replication,
+    "q102_shard_shuffle": q102_shard_shuffle,
+    "q103_cluster_representatives": q103_cluster_representatives,
 }

@@ -267,3 +267,48 @@ def test_bm25_scores_tiny_corpus(spark):
 
     with pytest.raises(ValueError, match="query term"):
         bm25_scores(docs, [])
+
+
+def test_shard_shuffle_deterministic_and_layout_independent(spark):
+    import hashlib
+
+    from e_commerce_lakehouse_spark.operators.curation import shard_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 201)], "doc_id: long")
+    out = shard_shuffle(docs, n_shards=8, seed="ep1").collect()
+    assert len(out) == 200
+
+    # replay the permutation in pure python: shard + order are functions
+    # of md5('ep1:' || id) and nothing else
+    def ref(i):
+        h = hashlib.md5(f"ep1:{i}".encode()).hexdigest()
+        return int(h[:8], 16) % 8, h
+
+    by_shard = {}
+    for i in range(1, 201):
+        s, h = ref(i)
+        by_shard.setdefault(s, []).append((h, i))
+    expect = {}
+    for s, rows in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(rows), start=1):
+            expect[i] = (s, pos)
+    assert {r["doc_id"]: (r["shard"], r["pos"]) for r in out} == expect
+
+    # partition-layout independence: a differently-split input yields
+    # the identical permutation (the df.sample() failure mode)
+    again = shard_shuffle(docs.repartition(13), n_shards=8, seed="ep1").collect()
+    assert {r["doc_id"]: (r["shard"], r["pos"]) for r in again} == expect
+
+    # a different seed draws a different permutation
+    ep2 = shard_shuffle(docs, n_shards=8, seed="ep2").collect()
+    assert {r["doc_id"]: (r["shard"], r["pos"]) for r in ep2} != expect
+
+
+def test_shard_shuffle_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from e_commerce_lakehouse_spark.operators.curation import shard_shuffle
+
+    docs = spark.createDataFrame([(1,)], "doc_id: long")
+    with _pytest.raises(ValueError):
+        shard_shuffle(docs, n_shards=0)

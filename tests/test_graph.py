@@ -80,3 +80,21 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(_pairs(spark, edges)).collect()
         }
         assert got == set(expected.items()), f"trial {trial} diverged"
+
+
+def test_cluster_representatives_elects_best_with_id_tiebreak(spark):
+    from e_commerce_lakehouse_spark.operators.graph import cluster_representatives
+
+    # components {1,2,3} and {10,11}; 2 is longest in the first; the
+    # second ties on n_chars so the smaller id (10) must win
+    edges = [(1, 2), (2, 3), (10, 11)]
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (99, 999)],
+        "doc_id: long, n_chars: long",
+    )
+    got = {
+        (r["cluster_id"], r["rep_doc_id"], r["cluster_size"], r["rep_n_chars"])
+        for r in cluster_representatives(docs, _pairs(spark, edges)).collect()
+    }
+    # doc 99 is in no pair: singletons are not emitted (dedup_clusters contract)
+    assert got == {(1, 2, 3, 90), (10, 10, 2, 40)}
