@@ -283,6 +283,7 @@ def cluster(
     ts_range: tuple | None = None,
     incremental: bool = False,
     key_cols: list[str] | None = None,
+    retry_on_conflict: int = 1,
 ) -> dict:
     """Cluster the table (or, with ``conv_id_range``/``ts_range``, ONLY
     the files whose stat ranges overlap the predicate — a hot-slice
@@ -486,29 +487,83 @@ def cluster(
     for e in added:  # outputs carry the PLAN-time write-schema version
         e.sv = sv_plan
     removed = [e.path for e in entries]
-    snap = table.commit_rewrite(
-        removed,
-        added,
-        operation="replace",
-        summary={"op": f"cluster-{curve}", "output_files": len(added),
-                 "shards": shards, "scoped": scoped,
-                 "incremental": incremental,
-                 **({"key_cols": list(key_cols)} if key_cols else {})},
-        # full-table source was the tombstone-filtered scan: deletes are
-        # now physically applied. Scoped source was raw files: keep them.
-        # expected_tombstones: a delete-mor landing between our scan and
-        # this commit must CONFLICT, not be silently cleared unapplied.
-        clear_tombstones=not scoped,
-        # scoped runs with preserved max-input seq (scoped_seq set) stay
-        # subject to ANY newer tombstone — no guard needed; a scoped run
-        # that planned with NO tombstones stamps fresh seqs, so a
-        # concurrent MoR delete must conflict (review finding). Full runs
-        # clear and always verify the exact list they applied.
-        expected_tombstones=(
-            (None if scoped_seq is not None else [])
-            if scoped else table.tombstones(base_snapshot)
-        ),
-    )
+
+    def _commit():
+        """Commit with Iceberg-style retry. ``lock`` contention retries
+        the SAME commit (nothing about the plan changed). ``stale-inputs``
+        / ``tombstones`` mean a concurrent writer invalidated the plan —
+        and unlike compact's independent groups, cluster's output is ONE
+        globally-sorted rewrite with no disjoint remainder to salvage, so
+        the rebase is whole-plan: delete this attempt's uncommitted
+        outputs (plus its stage-1 temp) and re-run from the new head,
+        bounded by ``retry_on_conflict``."""
+        import time as _time
+
+        from ..table.meta import CommitConflictError
+
+        lock_tries = 0
+        while True:
+            try:
+                return table.commit_rewrite(
+                    removed,
+                    added,
+                    operation="replace",
+                    summary={
+                        "op": f"cluster-{curve}", "output_files": len(added),
+                        "shards": shards, "scoped": scoped,
+                        "incremental": incremental,
+                        **({"key_cols": list(key_cols)} if key_cols else {}),
+                    },
+                    # full-table source was the tombstone-filtered scan:
+                    # deletes are now physically applied. Scoped source was
+                    # raw files: keep them. expected_tombstones: a delete-mor
+                    # landing between our scan and this commit must CONFLICT,
+                    # not be silently cleared unapplied.
+                    clear_tombstones=not scoped,
+                    # scoped runs with preserved max-input seq (scoped_seq
+                    # set) stay subject to ANY newer tombstone — no guard
+                    # needed; a scoped run that planned with NO tombstones
+                    # stamps fresh seqs, so a concurrent MoR delete must
+                    # conflict. Full runs clear and always verify the exact
+                    # list they applied.
+                    expected_tombstones=(
+                        (None if scoped_seq is not None else [])
+                        if scoped else table.tombstones(base_snapshot)
+                    ),
+                )
+            except CommitConflictError as e:
+                if e.kind == "lock" and lock_tries < 8:
+                    lock_tries += 1
+                    _time.sleep(min(0.2 * (2 ** lock_tries), 3.0))
+                    continue
+                if e.kind not in ("stale-inputs", "tombstones") \
+                        or retry_on_conflict < 1:
+                    raise
+                return None  # signal whole-plan rebase
+
+    snap = _commit()
+    if snap is None:
+        import contextlib as _ctx
+
+        for ent in added:
+            with _ctx.suppress(OSError):
+                os.remove(os.path.join(table.root, ent.path))
+        for d in os.listdir(table.data_dir):
+            p = os.path.join(table.data_dir, d)
+            if d == f"_tmp-cluster-{base_snapshot:08d}-{curve}{_scope_tag}":
+                shutil.rmtree(p, ignore_errors=True)
+            elif (run_token and run_token in d and os.path.isdir(p)
+                    and not os.listdir(p)):
+                with _ctx.suppress(OSError):
+                    os.rmdir(p)
+        return cluster(
+            spark, table, curve=curve, target_bytes=target_bytes,
+            shards=shards, checkpoint_path=checkpoint_path, schema=schema,
+            stat_columns=stat_columns, fail_after_shards=fail_after_shards,
+            conv_id_range=conv_id_range, ts_range=ts_range,
+            incremental=incremental, key_cols=key_cols,
+            retry_on_conflict=retry_on_conflict - 1,
+        )
     return {
         "base_snapshot": base_snapshot,
         "committed_snapshot": snap.snapshot_id,

@@ -273,3 +273,76 @@ def test_compact_vs_append_race_without_caller_retry(spark, tmp_path):
     assert_same_rows(scan(spark, table), initial.unionByName(appended))
     report = verify_table(table, spark=spark)
     assert report["ok"], report["issues"][:5]
+
+
+def test_cluster_rebases_whole_plan_past_concurrent_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Cluster's conflict rebase (r5): unlike compact's independent
+    groups, cluster's output is ONE globally-sorted rewrite — a cow
+    DELETE landing between plan and commit invalidates the whole plan.
+    cluster() must delete its uncommitted outputs and re-run from the
+    new head instead of raising; final state = delete's, clustered."""
+    from e_commerce_lakehouse_spark.operators.cluster import cluster
+
+    root = str(tmp_path / "tbl")
+    initial = transcripts_df(spark, 4_000, seed=47).cache()
+    initial.count()
+    create_transcripts_table(spark, root, initial, rows_per_file=200,
+                             n_append_commits=2)
+    t1 = Table.load(root)
+    victim_conv = scan(spark, t1).select("conv_id").orderBy("conv_id").first()[0]
+    pred = f"conv_id = '{victim_conv}'"
+
+    orig = Table.commit_rewrite
+    raced = {"fired": False}
+
+    def hooked(self, removed_paths, added, **kw):
+        op = (kw.get("summary") or {}).get("op", "")
+        if self is t1 and op.startswith("cluster") and not raced["fired"]:
+            raced["fired"] = True
+            delete_where(spark, Table.load(root), pred)
+        return orig(self, removed_paths, added, **kw)
+
+    monkeypatch.setattr(Table, "commit_rewrite", hooked)
+    m = cluster(spark, t1, curve="zorder", target_bytes=1 << 20)
+    assert raced["fired"]
+    assert m["committed_snapshot"] > m["base_snapshot"]
+
+    table = Table.load(root)
+    final = scan(spark, table)
+    assert_same_rows(final, initial.where(f"NOT ({pred})"))
+    report = verify_table(table, spark=spark)
+    assert report["ok"], report["issues"][:5]
+    referenced = {e.path for s in table.snapshot_ids()
+                  for e in table.entries(s)}
+    leaked = [
+        os.path.relpath(os.path.join(dirpath, fn), table.root)
+        for dirpath, _dirs, files in os.walk(table.data_dir)
+        for fn in files
+        if fn.endswith(".parquet")
+        and os.path.relpath(os.path.join(dirpath, fn), table.root)
+        not in referenced
+    ]
+    assert not leaked, f"rebase leaked uncommitted outputs: {leaked[:5]}"
+    # exhausted retry budget still surfaces the conflict
+    raced["fired"] = False
+    t2 = Table.load(root)
+    import pytest as _pytest
+
+    from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+
+    def hooked2(self, removed_paths, added, **kw):
+        op = (kw.get("summary") or {}).get("op", "")
+        if self is t2 and op.startswith("cluster") and not raced["fired"]:
+            raced["fired"] = True
+            delete_where(
+                spark, Table.load(root),
+                "turn_idx >= 0",  # rewrites everything, every re-plan loses
+            )
+        return orig(self, removed_paths, added, **kw)
+
+    monkeypatch.setattr(Table, "commit_rewrite", hooked2)
+    with _pytest.raises(CommitConflictError):
+        cluster(spark, t2, curve="zorder", target_bytes=1 << 20,
+                retry_on_conflict=0)
