@@ -3,6 +3,7 @@ from .apply_changes import apply_changes, replicate
 from .cluster import cluster
 from .compact import compact
 from .expire import expire_snapshots
+from .maintain import maintain, plan_maintenance, table_health
 from .manifest_rewrite import rewrite_manifests
 from .matview import create_matview, read_matview, refresh_matview
 from .merge import merge_into, merge_upsert_dataframes
@@ -20,6 +21,9 @@ __all__ = [
     "compact",
     "cluster",
     "rewrite_manifests",
+    "maintain",
+    "plan_maintenance",
+    "table_health",
     "expire_snapshots",
     "create_matview",
     "refresh_matview",

@@ -1760,3 +1760,30 @@ FROM (
     FROM clusters c JOIN documents d USING (doc_id))
 WHERE rn = 1
 """
+
+
+# q104: auto-maintenance — every planner-chosen step (full cluster,
+# materialize_deletes, incremental cluster, manifest rewrite, expire)
+# is content-preserving over already-committed state, so the final
+# table equals the base derivation minus the two expression-defined
+# MoR deletes. The first delete ran while the table held only the
+# turn_idx % 5 <> 0 batch, so its predicate is scoped to that batch;
+# the second ran after the full append.
+ALL["q104_auto_maintain"] = """
+WITH base AS (
+    SELECT 'conv-' || lpad(CAST(event_id % 500 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(event_id // 500 AS INTEGER) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           props AS text,
+           CASE WHEN event_id % 3 = 2 THEN event_type ELSE NULL END AS tool,
+           ts
+    FROM events)
+SELECT role, count(*) AS n_rows, sum(turn_idx)::BIGINT AS sum_turn,
+       sum(length(text))::BIGINT AS n_chars,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM base
+WHERE NOT (turn_idx % 5 <> 0 AND role = 'tool' AND turn_idx % 7 = 0)
+  AND NOT (role = 'user' AND turn_idx % 11 = 3)
+GROUP BY role
+"""

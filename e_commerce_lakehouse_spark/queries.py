@@ -2647,6 +2647,68 @@ def q101_cdc_replication(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q104_auto_maintain(spark, sf_dir):
+    """Metadata-driven auto-maintenance (operators/maintain): TWO
+    maintain() calls replace the hand-scheduled operator chain. Round 1
+    (fresh small-file table + a MoR delete): the planner reads pure
+    manifest metadata and picks full-Z-order-cluster (which subsumes
+    compact AND clears the tombstone — purge is provably redundant and
+    must NOT be planned), manifest rewrite, expire. Round 2 (append + a
+    second MoR delete): the planner sees a clustered table and picks
+    materialize_deletes -> INCREMENTAL cluster -> expire. The planned
+    step lists are asserted in-query (a mis-plan raises rather than
+    silently passing the content check); the final scan is value-hash
+    oracled, so the content-preservation of every auto-chosen rewrite is
+    checked relationally (base minus the two expression-defined deletes).
+    Planner decision coverage on controlled layouts: tests/test_maintain.py."""
+    import shutil
+    import uuid
+
+    from .operators.maintain import maintain
+    from .operators.rowlevel import delete_where
+    from .table import scan
+    from .table.writer import append_dataframe, create_transcripts_table
+
+    df = _q30_transcripts(spark, sf_dir)
+    b1 = df.where(F.col("turn_idx") % 5 != 0)
+    b2 = df.where(F.col("turn_idx") % 5 == 0)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q104_{uuid.uuid4().hex[:12]}")
+    policy = dict(target_bytes=1 << 19, min_small_files=2, curve="zorder",
+                  cluster_min_new_files=1, tombstone_max_files=1,
+                  manifest_max_count=2, keep_last_snapshots=2)
+    try:
+        t = create_transcripts_table(spark, root, b1, rows_per_file=250,
+                                     n_append_commits=3)
+        delete_where(spark, t, "role = 'tool' AND turn_idx % 7 = 0",
+                     mode="merge-on-read")
+        r1 = maintain(spark, t, **policy)
+        if r1["plan"] != ["cluster_full", "rewrite_manifests",
+                          "expire_snapshots"]:
+            raise AssertionError(f"unexpected round-1 plan: {r1['plan']}")
+        append_dataframe(spark, t, b2, rows_per_file=250)
+        delete_where(spark, t, "role = 'user' AND turn_idx % 11 = 3",
+                     mode="merge-on-read")
+        r2 = maintain(spark, t, **policy)
+        if r2["plan"][:2] != ["materialize_deletes", "cluster_incremental"]:
+            raise AssertionError(f"unexpected round-2 plan: {r2['plan']}")
+        if r2["health_after"]["tombstone_files"] != 0:
+            raise AssertionError("tombstone debt survived maintenance")
+        result = (
+            scan(spark, t)
+            .groupBy("role")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("turn_idx").alias("sum_turn"),
+                 F.sum(F.length("text")).alias("n_chars"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts"))
+        )
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2757,4 +2819,5 @@ ALL = {
     "q101_cdc_replication": q101_cdc_replication,
     "q102_shard_shuffle": q102_shard_shuffle,
     "q103_cluster_representatives": q103_cluster_representatives,
+    "q104_auto_maintain": q104_auto_maintain,
 }
