@@ -622,3 +622,62 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    val_frac: float = 0.125,
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Train/val split that near-duplicates cannot straddle: the split
+    decision hashes the near-dup CLUSTER id, not the document id, so
+    every member of a component lands on the same side of the boundary.
+    Per-doc hash splits leak — a benchmark answer duplicated into a
+    near-identical page lands in train while its twin lands in val, and
+    the eval is contaminated by construction. Returns ``docs`` plus
+    ``split_unit`` (the cluster id, or the doc's own id for singletons)
+    and ``split`` ('train' | 'val').
+
+    Determinism: unit = coalesce(cluster_id, id); val iff the first 32
+    bits of md5(seed || ':' || unit) fall below floor(val_frac * 2^32)
+    — bit-identical across engines, cluster sizes, and re-runs (same
+    gate as q51), and stable under corpus growth: a NEW document never
+    flips an EXISTING singleton's side (its unit is unchanged), only
+    genuine new near-dup edges can re-unit a doc.
+
+    Scale shape (100 TB): the cluster table holds only docs that appear
+    in a near-dup pair — a small fraction of the corpus — so the join
+    back is broadcastable; the gate itself is a pure column expression
+    at the scan. Label propagation (operators/graph.py) is O(diameter)
+    equi-join rounds. Reference analog: none; SURVEY §2 training-data
+    territory, DuckDB-oracled as q105 (recursive-CTE clusters + the
+    same md5 gate).
+    """
+    if not 0.0 < val_frac < 1.0:
+        raise ValueError("val_frac must be in (0, 1)")
+    from .graph import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    joined = docs.join(F.broadcast(clusters), on=id_col, how="left")
+    unit = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), unit.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    threshold = int(val_frac * (1 << 32))
+    return (
+        joined.withColumn("split_unit", unit)
+        .withColumn(
+            "split",
+            F.when(bucket < F.lit(threshold), F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("cluster_id")
+    )

@@ -1787,3 +1787,36 @@ WHERE NOT (turn_idx % 5 <> 0 AND role = 'tool' AND turn_idx % 7 = 0)
   AND NOT (role = 'user' AND turn_idx % 11 = 3)
 GROUP BY role
 """
+
+
+# q105: leakage-safe split — same recursive-CTE components as q52, then
+# unit = coalesce(cluster_id, doc_id) and the q51-style md5 gate on the
+# UNIT (seed '0:', threshold = floor(0.125 * 2^32) = 536870912, exact
+# in binary so no float-rounding divergence between engines).
+ALL["q105_leakage_safe_split"] = f"""
+WITH RECURSIVE pairs AS ({ALL["q22_minhash_lsh"]}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+cc AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT e.dst AS node, cc.label FROM cc
+    JOIN edges e ON cc.node = e.src WHERE cc.label < e.dst
+),
+final AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+labeled AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           coalesce(f.cluster_id, d.doc_id) AS split_unit
+    FROM documents d LEFT JOIN final f USING (doc_id)),
+gated AS (
+    SELECT *,
+           CASE WHEN ('0x' || substr(md5('0:' || split_unit::VARCHAR), 1, 8))::BIGINT
+                     < 536870912
+                THEN 'val' ELSE 'train' END AS split
+    FROM labeled)
+SELECT split, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       count(DISTINCT split_unit) AS n_units
+FROM gated
+GROUP BY split, source
+"""

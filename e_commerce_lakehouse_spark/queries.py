@@ -2709,6 +2709,29 @@ def q104_auto_maintain(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q105_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split (curation.leakage_safe_split): the
+    split decision hashes the near-dup CLUSTER id (MinHash-LSH pairs →
+    connected components), so near-duplicates can never straddle the
+    train/val boundary — the eval-contamination failure mode of per-doc
+    hash splits. Verified relationally: per (split, source) doc counts,
+    char mass, and distinct split units; the no-straddle invariant is
+    pinned in tests/test_training_data_ops.py."""
+    from .operators.curation import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d)
+    return (
+        leakage_safe_split(d, pairs, val_frac=0.125, seed="0")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("split_unit").alias("n_units"),
+        )
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2820,4 +2843,5 @@ ALL = {
     "q102_shard_shuffle": q102_shard_shuffle,
     "q103_cluster_representatives": q103_cluster_representatives,
     "q104_auto_maintain": q104_auto_maintain,
+    "q105_leakage_safe_split": q105_leakage_safe_split,
 }

@@ -351,3 +351,50 @@ def test_top_ngrams_plan_shape(spark):
     plan = tx.top_ngrams(docs, n=3, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from e_commerce_lakehouse_spark.operators.curation import leakage_safe_split
+
+    # 40 docs with planted near-dup families: ids 3k/3k+1 share a text
+    # (exact dup), 3k+2 is unique — components {3k, 3k+1} must land on
+    # the same side; singletons split by their own id.
+    rows = []
+    for i in range(40):
+        fam = i // 3
+        txt = (f"family {fam} shared body of text repeated words here"
+               if i % 3 < 2 else f"unique document number {i} with its own words")
+        rows.append((i, txt, 20 + i))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.9)
+    out = leakage_safe_split(docs, pairs, val_frac=0.5, seed="0")
+    got = {r["doc_id"]: (r["split_unit"], r["split"]) for r in out.collect()}
+    assert len(got) == 40                       # every doc assigned exactly once
+    # no cluster straddles the boundary
+    by_unit = {}
+    for _, (unit, split) in got.items():
+        by_unit.setdefault(unit, set()).add(split)
+    assert all(len(s) == 1 for s in by_unit.values())
+    # planted pairs share a unit; unique docs are their own unit
+    for k in range(0, 39, 3):
+        assert got[k][0] == got[k + 1][0] == k
+        assert got[k + 2][0] == k + 2
+    assert {s for _, s in got.values()} == {"train", "val"}
+    # determinism across re-runs / seed draws a different permutation
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(docs, pairs, val_frac=0.5,
+                                         seed="0").collect()}
+    assert again == {k: v[1] for k, v in got.items()}
+    other = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(docs, pairs, val_frac=0.5,
+                                         seed="epoch2").collect()}
+    assert other != again
+
+
+def test_leakage_safe_split_rejects_bad_frac(spark):
+    from e_commerce_lakehouse_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, n_chars long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, docs.selectExpr("doc_id a", "doc_id b"),
+                           val_frac=1.5)
