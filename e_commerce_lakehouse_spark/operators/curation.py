@@ -42,6 +42,7 @@ __all__ = [
     "distributed_cumsum",
     "pack_sequences",
     "stratified_sample",
+    "temperature_resample",
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
@@ -680,4 +681,59 @@ def leakage_safe_split(
             ),
         )
         .drop("cluster_id")
+    )
+
+def temperature_resample(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled multilingual resampling (the XLM-R / mBERT
+    exponential-smoothing scheme, Conneau et al. 2020 eq. 1): stratum l
+    gets share q_l proportional to n_l^alpha, so low-resource strata are
+    UPweighted relative to their natural frequency (alpha=1 preserves it,
+    alpha=0 is uniform). Each stratum's quota is budget*q_l capped at
+    n_l (sampling is without replacement — upsampling beyond a stratum's
+    population is the repeat-epochs knob, not this operator's), filled by
+    the smallest-md5(id) documents in the stratum.
+
+    Determinism across engines: alpha=0.5 routes through sqrt(), which
+    IEEE 754 specifies exactly-rounded on every platform (unlike pow/ln);
+    shares are rounded to 9 dp before the quota multiply and the product
+    to 6 dp before floor, so a cross-engine last-ulp wobble in the share
+    SUM cannot flip a quota boundary (same guard as ``weighted_sample``).
+    Other alphas work but ride java/libm pow() and lose the bit-exact
+    cross-engine guarantee — the DuckDB oracle twin (q107) pins 0.5.
+
+    Scale shape: one count aggregate (|strata| rows, driver-safe), the
+    quota table broadcast back, one per-stratum top-quota window — the
+    same bounded shuffle as ``stratified_sample``. Nothing global."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    ncol = F.col("n_docs").cast("double")
+    scaled = F.sqrt(ncol) if alpha == 0.5 else F.pow(ncol, F.lit(float(alpha)))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs")).withColumn("scaled", scaled)
+    z = counts.agg(F.sum("scaled").alias("z"))
+    quotas = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn("share", F.round(F.col("scaled") / F.col("z"), 9))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("n_docs"),
+                F.floor(F.round(F.lit(budget) * F.col("share"), 6)).cast("long"),
+            ).cast("int"),
+        )
+        .select(strata_col, "quota")
+    )
+    gate = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(gate, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(quotas), strata_col)
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, strata_col, "sample_rank", "quota")
     )

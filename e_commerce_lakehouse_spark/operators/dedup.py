@@ -615,3 +615,66 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b")
     )
+
+# ------------------------------------------------------- corpus overlap
+
+
+def prefix_fingerprint(text: Column, k: int = 8) -> Column:
+    """Dolma-style first-k-token fingerprint: md5 of the first ``k``
+    NORMALIZED words (``normalize_text`` canonical form). Catches the
+    boilerplate-prefix duplicate family (mirrored pages, templated
+    headers) that exact full-text hashing misses, at the cost of one map
+    stage — no tokenizer, no shuffle."""
+    words = F.split(normalize_text(text), " ")
+    return F.md5(F.array_join(F.slice(words, 1, k), " "))
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    prefix_k: int = 8,
+) -> DataFrame:
+    """Cross-source duplication overlap matrix: for every source pair
+    (a <= b), how many fingerprints they share and how many duplicate
+    document pairs that implies. The triage step a multi-dump corpus
+    (CommonCrawl snapshots, site mirrors) runs BEFORE committing to a
+    full dedup order — dumps with heavy mutual overlap get deduped
+    against each other first.
+
+    Fingerprint is the first-``prefix_k``-normalized-words hash
+    (``prefix_fingerprint``); swap in md5(text) for exact-only overlap.
+
+    Scale shape — aggregate-first, never row-quadratic: the corpus
+    collapses to one row per (fingerprint, source) WITH ITS COUNT before
+    any join, so the self-equi-join input is bounded by distinct
+    fingerprints x sources, and pair counts are arithmetic on the counts
+    (cnt_a*cnt_b across sources, C(cnt,2) within) — a fingerprint
+    duplicated a million times costs one row, not 10^12 join outputs.
+    Output is at most |sources|^2 rows: always driver-safe.
+    """
+    per = (
+        df.groupBy(
+            prefix_fingerprint(F.col(text_col), prefix_k).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = per.select("fp", F.col("src").alias("source_a"), F.col("cnt").alias("cnt_a"))
+    b = per.select("fp", F.col("src").alias("source_b"), F.col("cnt").alias("cnt_b"))
+    pair_cnt = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("cnt_a") * (F.col("cnt_a") - 1) / 2).cast("long"),
+    ).otherwise((F.col("cnt_a") * F.col("cnt_b")).cast("long"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .withColumn("pair_cnt", pair_cnt)
+        .where(F.col("pair_cnt") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.countDistinct("fp").alias("n_shared_fps"),
+            F.sum("pair_cnt").alias("n_dup_pairs"),
+        )
+    )

@@ -1820,3 +1820,50 @@ SELECT split, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars,
 FROM gated
 GROUP BY split, source
 """
+
+# q106: cross-source overlap matrix over first-8-normalized-word
+# fingerprints (q70's canonical form). Aggregate-first: pair counts are
+# arithmetic on (fp, source) counts — C(cnt,2) within a source,
+# cnt_a*cnt_b across — never a row-level self-join.
+ALL["q106_cross_source_overlap"] = r"""
+WITH norm AS (
+    SELECT source,
+        md5(array_to_string(
+            (string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))[1:8],
+            ' ')) AS fp
+    FROM documents),
+per AS (SELECT fp, source AS src, count(*) AS cnt FROM norm GROUP BY 1, 2),
+j AS (
+    SELECT a.fp, a.src AS source_a, b.src AS source_b,
+        CASE WHEN a.src = b.src THEN a.cnt * (a.cnt - 1) // 2
+             ELSE a.cnt * b.cnt END AS pair_cnt
+    FROM per a JOIN per b ON a.fp = b.fp AND a.src <= b.src)
+SELECT source_a, source_b,
+    count(DISTINCT fp)::BIGINT AS n_shared_fps,
+    sum(pair_cnt)::BIGINT AS n_dup_pairs
+FROM j WHERE pair_cnt > 0
+GROUP BY source_a, source_b
+"""
+
+# q107: XLM-R temperature resampling, alpha=0.5 via IEEE-exact sqrt;
+# shares rounded to 9 dp before the quota multiply and the product to
+# 6 dp before floor (the q86 cross-engine ulp guard), quota capped at
+# the stratum population, filled by md5(id) rank.
+ALL["q107_temperature_resample"] = """
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+z AS (SELECT sum(sqrt(n_docs)) AS z FROM counts),
+q AS (
+    SELECT lang,
+        least(n_docs,
+              floor(round(200 * round(sqrt(n_docs) / (SELECT z FROM z), 9),
+                          6))::BIGINT)::INTEGER AS quota
+    FROM counts),
+r AS (
+    SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+    FROM documents)
+SELECT r.doc_id, r.lang, r.rnk::INTEGER AS sample_rank, q.quota
+FROM r JOIN q USING (lang) WHERE rnk <= quota
+"""

@@ -2732,6 +2732,31 @@ def q105_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q106_cross_source_overlap(spark, sf_dir):
+    """Cross-source duplication overlap matrix (dedup.cross_source_overlap):
+    per source pair, shared first-8-word fingerprints and the duplicate
+    document pairs they imply — the dedup-order triage a multi-dump
+    corpus runs first. Aggregate-first: the corpus collapses to one row
+    per (fingerprint, source) with a count BEFORE the self-join, so a
+    million-fold duplicate costs one row, not 10^12 join outputs."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.cross_source_overlap(d, prefix_k=8)
+
+
+def q107_temperature_resample(spark, sf_dir):
+    """Temperature-scaled multilingual resampling
+    (curation.temperature_resample, the XLM-R alpha-smoothing scheme):
+    per-lang quota proportional to sqrt(n_docs) — low-resource langs
+    upweighted — filled by smallest-md5(id) rank, capped at the stratum
+    population. alpha=0.5 rides IEEE-exact sqrt so the DuckDB twin
+    reproduces quotas bit-for-bit; shares 9-dp-rounded before the quota
+    multiply (same cross-engine ulp guard as q86)."""
+    from .operators.curation import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_resample(d, strata_col="lang", budget=200, alpha=0.5)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2844,4 +2869,6 @@ ALL = {
     "q103_cluster_representatives": q103_cluster_representatives,
     "q104_auto_maintain": q104_auto_maintain,
     "q105_leakage_safe_split": q105_leakage_safe_split,
+    "q106_cross_source_overlap": q106_cross_source_overlap,
+    "q107_temperature_resample": q107_temperature_resample,
 }

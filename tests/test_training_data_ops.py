@@ -398,3 +398,77 @@ def test_leakage_safe_split_rejects_bad_frac(spark):
     with pytest.raises(ValueError):
         leakage_safe_split(docs, docs.selectExpr("doc_id a", "doc_id b"),
                            val_frac=1.5)
+
+
+def test_cross_source_overlap_counts_planted_prefix_dups(spark):
+    # three docs share the same first-8-word prefix: two in srcA, one in
+    # srcB; a fourth doc is unique. Expect (A,A)=C(2,2 choose)=1 pair,
+    # (A,B)=2 pairs, no row for the unique doc's fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " tail one", "srcA"),
+        (1, shared + " tail two", "srcA"),
+        (2, shared + " tail three", "srcB"),
+        (3, "totally different words in every position here now", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_shared_fps"], r["n_dup_pairs"])
+        for r in dd.cross_source_overlap(df).collect()
+    }
+    assert out[("srcA", "srcA")] == (1, 1)
+    assert out[("srcA", "srcB")] == (1, 2)
+    assert ("srcB", "srcB") not in out  # single doc per fp on each side
+
+
+def test_cross_source_overlap_plan_is_aggregate_first(spark):
+    # the self-join input must be the (fp, source) aggregate, never the
+    # raw corpus: no CartesianProduct/BroadcastNestedLoop anywhere.
+    rows = [(i, f"w{i} x y z a b c d e", f"s{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = dd.cross_source_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_temperature_resample_upweights_rare_strata(spark):
+    from e_commerce_lakehouse_spark.operators.curation import temperature_resample
+
+    # 90 'en' docs vs 10 'fr' docs, budget 50. Natural share of fr is
+    # 10%; sqrt smoothing gives sqrt(10)/(sqrt(90)+sqrt(10)) = 25%, so
+    # fr's quota must strictly exceed its natural-frequency allocation.
+    rows = [(i, "en" if i < 90 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, strata_col="lang", budget=50, alpha=0.5)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang["fr"] > 5                      # upweighted past 10% of 50
+    assert by_lang["fr"] + by_lang["en"] <= 50    # never exceeds budget
+    # every sampled row respects its stratum quota and rank determinism
+    bad = out.where(F.col("sample_rank") > F.col("quota")).count()
+    assert bad == 0
+
+
+def test_temperature_resample_quota_capped_at_population(spark):
+    from e_commerce_lakehouse_spark.operators.curation import temperature_resample
+
+    # tiny stratum (2 docs) with a huge budget: quota caps at population
+    # (without-replacement sampling cannot upsample past n_docs).
+    rows = [(i, "big") for i in range(50)] + [(100, "tiny"), (101, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, strata_col="lang", budget=1000, alpha=0.5)
+    tiny = out.where(F.col("lang") == "tiny").collect()
+    assert len(tiny) == 2 and all(r["quota"] == 2 for r in tiny)
+    with pytest.raises(ValueError):
+        temperature_resample(df, strata_col="lang", budget=0)
+
+
+def test_temperature_resample_is_partitioning_invariant(spark):
+    from e_commerce_lakehouse_spark.operators.curation import temperature_resample
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "doc_id long, lang string")
+    df8 = df1.repartition(8)
+    a = sorted(map(tuple, temperature_resample(df1, strata_col="lang", budget=30).collect()))
+    b = sorted(map(tuple, temperature_resample(df8, strata_col="lang", budget=30).collect()))
+    assert a == b
