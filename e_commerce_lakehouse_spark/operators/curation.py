@@ -34,7 +34,7 @@ import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import _finish_release, word_shingles
 
 __all__ = [
     "decontaminate",
@@ -43,6 +43,7 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "temperature_resample",
+    "perplexity_buckets",
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
@@ -737,3 +738,103 @@ def temperature_resample(
         .where(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, strata_col, "sample_rank", "quota")
     )
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by language-model cross-entropy and split the corpus into
+    exact head/middle/tail tertiles — the head is the cleanest third,
+    the tail the likeliest-garbage third. CCNet scores with an external
+    KenLM 5-gram; this operator self-trains an add-one-smoothed BIGRAM
+    LM from the corpus (no external model artifacts), which preserves
+    the pipeline shape and keeps the DuckDB twin exact (q108).
+
+    Per-doc score: mean over bigrams of -ln((c12+1)/(c1+V)) in nats,
+    where c12/c1 are corpus bigram/context counts and V the unigram
+    vocabulary size; rounded to 6 dp so the avg's cross-engine sum-order
+    ulp wobble cannot leak into the value hash (q67's guard). Documents
+    with fewer than two tokens have no bigrams and are excluded.
+
+    Scale shape: the bigram stream is one explode (persisted across its
+    three uses); the LM tables are distinct-bigram/-unigram bounded —
+    far below corpus size, equi-joined back onto the stream (stopword
+    bigrams are the skew risk: AQE skew-join territory, and a df-cut on
+    c12 heavy hitters is the escape hatch); the per-doc aggregate
+    shuffles on id. The tertile assignment is an EXACT global ntile
+    WITHOUT a single-partition window: global rank via
+    ``distributed_cumsum`` of ones over a fixed-width (ce, id) sort key
+    (range shuffle + partition-local Arrow cumsum + numPartitions-row
+    offset table), then pure ntile arithmetic from (rank, n)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), words.alias("w"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
+    )
+    seq = F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigs = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    seq,
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("w1"),
+                        F.element_at(F.col("w"), (i + F.lit(1)).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+        .persist()
+    )
+    c12 = bigs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigs.groupBy("w1").agg(F.count("*").alias("c1"))
+    neg_logp = -F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))
+    )
+    scores = (
+        bigs.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(neg_logp), 6).alias("cross_entropy"),
+        )
+        .persist()
+    )
+    n = scores.count()  # materializes scores off the persisted bigram stream
+    bigs.unpersist()
+    # fixed-width sort key: zero-padded micro-nats then zero-padded id —
+    # string order == (cross_entropy, id) order for non-negative values
+    keyed = scores.withColumn(
+        "_rk",
+        F.concat(
+            F.lpad(F.round(F.col("cross_entropy") * 1e6).cast("long").cast("string"), 12, "0"),
+            F.lit("-"),
+            F.lpad(F.col(id_col).cast("string"), 19, "0"),
+        ),
+    ).withColumn("_one", F.lit(1))
+    ranked = distributed_cumsum(keyed, order_col="_rk", value_col="_one", out_col="_rank")
+    k = 3
+    small_sz, big = divmod(n, k)
+    big_sz = small_sz + 1
+    boundary = big * big_sz
+    r = F.col("_rank")
+    if small_sz == 0:  # n < k: everything lands in the leading tiles
+        tile = r
+    else:
+        tile = F.when(
+            r <= boundary, F.floor((r - 1) / F.lit(big_sz)) + 1
+        ).otherwise(F.lit(big) + F.floor((r - boundary - 1) / F.lit(small_sz)) + 1)
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    out = ranked.select(id_col, "n_bigrams", "cross_entropy", bucket.alias("bucket"))
+    return _finish_release(out, scores)

@@ -1867,3 +1867,30 @@ r AS (
 SELECT r.doc_id, r.lang, r.rnk::INTEGER AS sample_rank, q.quota
 FROM r JOIN q USING (lang) WHERE rnk <= quota
 """
+
+# q108: CCNet-shaped perplexity bucketing — add-one bigram LM trained on
+# the corpus itself; per-doc mean -ln p in nats, 6-dp rounded (the q67
+# ulp guard); exact tertiles via ntile(3) ordered by (score, doc_id).
+ALL["q108_perplexity_buckets"] = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents),
+v AS (SELECT count(DISTINCT tok) AS vsz
+      FROM (SELECT unnest(w) AS tok FROM toks)),
+pos AS (SELECT doc_id, unnest(w) AS w1, generate_subscripts(w, 1) AS i,
+               len(w) AS n, w
+        FROM toks),
+big AS (SELECT doc_id, w1, w[i + 1] AS w2 FROM pos WHERE i < n),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+sc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(-ln((c12 + 1.0) / (c1 + (SELECT vsz FROM v)))), 6)
+            AS cross_entropy
+    FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id),
+b AS (SELECT *, ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS nt FROM sc)
+SELECT doc_id, n_bigrams, cross_entropy,
+    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b
+"""

@@ -2757,6 +2757,19 @@ def q107_temperature_resample(spark, sf_dir):
     return temperature_resample(d, strata_col="lang", budget=200, alpha=0.5)
 
 
+def q108_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity head/middle/tail bucketing
+    (curation.perplexity_buckets): self-trained add-one bigram LM,
+    per-doc cross-entropy in nats (6-dp rounded), exact global tertiles
+    computed WITHOUT a single-partition window — global rank rides
+    distributed_cumsum (range shuffle + Arrow partition-local cumsum +
+    numPartitions-row offsets), then pure ntile arithmetic."""
+    from .operators.curation import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2871,4 +2884,5 @@ ALL = {
     "q105_leakage_safe_split": q105_leakage_safe_split,
     "q106_cross_source_overlap": q106_cross_source_overlap,
     "q107_temperature_resample": q107_temperature_resample,
+    "q108_perplexity_buckets": q108_perplexity_buckets,
 }

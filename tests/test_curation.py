@@ -312,3 +312,36 @@ def test_shard_shuffle_rejects_bad_n(spark):
     docs = spark.createDataFrame([(1,)], "doc_id: long")
     with _pytest.raises(ValueError):
         shard_shuffle(docs, n_shards=0)
+
+
+def test_perplexity_buckets_orders_repetitive_text_into_head(spark):
+    from e_commerce_lakehouse_spark.operators.curation import perplexity_buckets
+
+    # doc 0 is maximally predictable (one repeated bigram); docs 1-5 are
+    # all-distinct word salad. The repetitive doc must score the LOWEST
+    # cross-entropy and land in 'head'; a one-word doc emits no bigrams.
+    rows = [(0, "a b " * 20 + "a b")] + [
+        (i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(1, 6)
+    ] + [(9, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 9 not in by_id                       # <2 tokens: no bigrams
+    assert len(out) == 6
+    assert min(by_id.values(), key=lambda r: r["cross_entropy"])["doc_id"] == 0
+    assert by_id[0]["bucket"] == "head"
+    # exact tertiles: 6 docs -> 2/2/2
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {"head": 2, "middle": 2, "tail": 2}
+
+
+def test_perplexity_buckets_partitioning_invariant(spark):
+    from e_commerce_lakehouse_spark.operators.curation import perplexity_buckets
+
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(15))) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, perplexity_buckets(df1).collect()))
+    b = sorted(map(tuple, perplexity_buckets(df1.repartition(8)).collect()))
+    assert a == b and len(a) == 30
