@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _finish_release, word_shingles
+from . import text as tx
 
 __all__ = [
     "decontaminate",
@@ -44,6 +45,7 @@ __all__ = [
     "stratified_sample",
     "temperature_resample",
     "perplexity_buckets",
+    "quality_funnel",
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
@@ -838,3 +840,76 @@ def perplexity_buckets(
     )
     out = ranked.select(id_col, "n_bigrams", "cross_entropy", bucket.alias("bucket"))
     return _finish_release(out, scores)
+
+def quality_funnel(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_chars: int = 100,
+    max_chars: int = 2000,
+    allowed_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    top_word_max: float = 0.20,
+    dup_2gram_max: float = 0.60,
+) -> DataFrame:
+    """Composed quality gate with per-document rule attribution — the
+    final filter a production corpus ships (Dolma / RefinedWeb publish
+    exactly this rule stack with its attrition table). Rules evaluate in
+    a FIXED order and every document records the FIRST rule it failed:
+
+      1. ``length``     — char count outside [min_chars, max_chars]
+      2. ``lang``       — declared language not in the allowlist
+      3. ``repetition`` — Gopher gate (top_word_frac / dup_2gram_frac)
+      4. ``pii``        — any un-redacted PII span (email/phone/IPv4)
+
+    Returns (id, n_chars, first_failed_rule, keep); the attrition funnel
+    is ``GROUP BY first_failed_rule`` on top. First-failure attribution
+    (not a bitmask) is what makes the funnel additive: rule counts sum
+    to the drop total, so pipeline owners can rank rules by cost.
+
+    Scale shape: rules 1, 2, 4 and dup_2gram are pure Column
+    expressions (one codegen'd map stage over the scan); top_word_frac
+    is the only shuffle — the same (id, token) aggregate
+    ``repetition_stats`` pays. Nothing joins the corpus to itself."""
+    c = F.col(text_col)
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    pii_total = (
+        tx.pii_count(c, "email") + tx.pii_count(c, "phone") + tx.pii_count(c, "ipv4")
+    )
+    base = df.select(
+        id_col,
+        F.col(lang_col),
+        F.length(c).cast("long").alias("n_chars"),
+        _gram_frac_dup(words, 2).alias("_d2"),
+        pii_total.alias("_pii"),
+    )
+    top = (
+        df.select(id_col, F.explode(words).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("_twf"))
+    )
+    first_failed = (
+        F.when(
+            (F.col("n_chars") < min_chars) | (F.col("n_chars") > max_chars), "length"
+        )
+        .when(~F.col(lang_col).isin(*allowed_langs), "lang")
+        .when(
+            (F.col("_twf") > top_word_max) | (F.col("_d2") > dup_2gram_max),
+            "repetition",
+        )
+        .when(F.col("_pii") > 0, "pii")
+        .otherwise("none")
+    )
+    return (
+        base.join(top, id_col)
+        .withColumn("first_failed_rule", first_failed)
+        .select(
+            id_col,
+            "n_chars",
+            "first_failed_rule",
+            (F.col("first_failed_rule") == "none").alias("keep"),
+        )
+    )

@@ -1894,3 +1894,44 @@ SELECT doc_id, n_bigrams, cross_entropy,
     CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM b
 """
+
+# q109: composed quality gate, first-failed-rule attribution. Rule
+# fragments reuse q65 (Gopher) and q69 (PII regex, Java ∩ RE2 subset);
+# fixed order length -> lang -> repetition -> pii makes the funnel
+# additive.
+ALL["q109_quality_funnel"] = r"""
+WITH w AS (
+    SELECT doc_id, lang, text, length(text)::BIGINT AS n_chars,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents),
+d2 AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= 2 THEN round(1.0 - len(list_distinct(
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            )) * 1.0 / (len(w) - 1), 6) ELSE 0.0 END AS dup2
+    FROM w),
+tw AS (
+    SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS twf FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+            SELECT doc_id, unnest(w) AS tok FROM w)
+        GROUP BY doc_id, tok)
+    GROUP BY doc_id),
+pii AS (
+    SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      + len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+      + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        AS n_pii
+    FROM w),
+rules AS (
+    SELECT w.doc_id, w.n_chars,
+        CASE WHEN w.n_chars < 100 OR w.n_chars > 2000 THEN 'length'
+             WHEN w.lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+             WHEN tw.twf > 0.20 OR d2.dup2 > 0.60 THEN 'repetition'
+             WHEN pii.n_pii > 0 THEN 'pii'
+             ELSE 'none' END AS first_failed_rule
+    FROM w JOIN d2 USING (doc_id) JOIN tw USING (doc_id) JOIN pii USING (doc_id))
+SELECT doc_id, n_chars, first_failed_rule,
+    (first_failed_rule = 'none') AS keep
+FROM rules
+"""

@@ -2770,6 +2770,18 @@ def q108_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(d)
 
 
+def q109_quality_funnel(spark, sf_dir):
+    """Composed quality gate with first-failed-rule attribution
+    (curation.quality_funnel): length band → lang allowlist → Gopher
+    repetition → PII, evaluated in fixed order so the attrition funnel
+    (GROUP BY first_failed_rule) is additive. One codegen'd map stage
+    plus the single (id, token) aggregate; the corpus never self-joins."""
+    from .operators.curation import quality_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_funnel(d)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2885,4 +2897,5 @@ ALL = {
     "q106_cross_source_overlap": q106_cross_source_overlap,
     "q107_temperature_resample": q107_temperature_resample,
     "q108_perplexity_buckets": q108_perplexity_buckets,
+    "q109_quality_funnel": q109_quality_funnel,
 }

@@ -345,3 +345,26 @@ def test_perplexity_buckets_partitioning_invariant(spark):
     a = sorted(map(tuple, perplexity_buckets(df1).collect()))
     b = sorted(map(tuple, perplexity_buckets(df1.repartition(8)).collect()))
     assert a == b and len(a) == 30
+
+
+def test_quality_funnel_first_failure_attribution(spark):
+    from e_commerce_lakehouse_spark.operators.curation import quality_funnel
+
+    long_clean = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (0, long_clean, "en"),                              # keeps
+        (1, "short", "en"),                                 # length
+        (2, long_clean, "zh"),                              # lang
+        (3, "spam " * 60, "en"),                            # repetition
+        (4, long_clean + " mail bob@example.com end", "en"),  # pii
+        (5, "x", "zh"),                                     # length BEFORE lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: (r["first_failed_rule"], r["keep"])
+           for r in quality_funnel(df, min_chars=50, max_chars=500).collect()}
+    assert out[0] == ("none", True)
+    assert out[1] == ("length", False)
+    assert out[2] == ("lang", False)
+    assert out[3] == ("repetition", False)
+    assert out[4] == ("pii", False)
+    assert out[5] == ("length", False)   # fixed order: length outranks lang
