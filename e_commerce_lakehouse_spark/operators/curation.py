@@ -121,6 +121,20 @@ def _gram_frac_dup(words: Column, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _top_word_frac(df: DataFrame, words: Column, id_col: str) -> DataFrame:
+    """(id, _twf): most-frequent-token share per document, 6-dp rounded —
+    the Gopher top-word signal, shared by ``repetition_stats`` and
+    ``quality_funnel`` so the q65/q109 oracle pair cannot drift. The one
+    shuffled piece of the family: (id, token) count then (id) max."""
+    return (
+        df.select(id_col, F.explode(words).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("_twf"))
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     *,
@@ -146,13 +160,8 @@ def repetition_stats(
         _gram_frac_dup(words, 2).alias("dup_2gram_frac"),
         _gram_frac_dup(words, 3).alias("dup_3gram_frac"),
     )
-    top = (
-        df.select(id_col, F.explode(words).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg((F.max("c") / F.sum("c")).alias("_twf"))
-        .select(id_col, F.round(F.col("_twf"), 6).alias("top_word_frac"))
+    top = _top_word_frac(df, words, id_col).select(
+        id_col, F.col("_twf").alias("top_word_frac")
     )
     return base.join(top, id_col).select(
         id_col,
@@ -813,14 +822,34 @@ def perplexity_buckets(
     )
     n = scores.count()  # materializes scores off the persisted bigram stream
     bigs.unpersist()
-    # fixed-width sort key: zero-padded micro-nats then zero-padded id —
-    # string order == (cross_entropy, id) order for non-negative values
+    # fixed-width sort key: zero-padded micro-nats then the id encoded
+    # order-preserving for the FULL int64 range (value + 2^63 as a
+    # 20-digit decimal — lpad on a raw string would TRUNCATE long ids
+    # and misorder negative ones, breaking distributed_cumsum's
+    # uniqueness precondition). Integral id types only, enforced.
+    id_dt = df.schema[id_col].dataType.simpleString()
+    if id_dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"perplexity_buckets needs an integral {id_col!r} "
+            f"(got {id_dt}): the tertile rank's fixed-width sort key "
+            "encodes the id numerically"
+        )
+    id_enc = F.lpad(
+        (
+            F.col(id_col).cast("decimal(20,0)")
+            + F.lit("9223372036854775808").cast("decimal(20,0)")
+        )
+        .cast("decimal(20,0)")
+        .cast("string"),
+        20,
+        "0",
+    )
     keyed = scores.withColumn(
         "_rk",
         F.concat(
             F.lpad(F.round(F.col("cross_entropy") * 1e6).cast("long").cast("string"), 12, "0"),
             F.lit("-"),
-            F.lpad(F.col(id_col).cast("string"), 19, "0"),
+            id_enc,
         ),
     ).withColumn("_one", F.lit(1))
     ranked = distributed_cumsum(keyed, order_col="_rk", value_col="_one", out_col="_rank")
@@ -884,18 +913,21 @@ def quality_funnel(
         _gram_frac_dup(words, 2).alias("_d2"),
         pii_total.alias("_pii"),
     )
-    top = (
-        df.select(id_col, F.explode(words).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("_twf"))
-    )
+    top = _top_word_frac(df, words, id_col)
+    # NULL-total rules: a null text is a length failure (not a silently
+    # dropped row — explode(NULL) would erase it from the inner-joined
+    # aggregate, so the join below is LEFT); a null lang fails the
+    # allowlist (bare NOT IN returns NULL and would slip through).
     first_failed = (
         F.when(
-            (F.col("n_chars") < min_chars) | (F.col("n_chars") > max_chars), "length"
+            F.col("n_chars").isNull()
+            | (F.col("n_chars") < min_chars)
+            | (F.col("n_chars") > max_chars),
+            "length",
         )
-        .when(~F.col(lang_col).isin(*allowed_langs), "lang")
+        .when(
+            F.col(lang_col).isNull() | ~F.col(lang_col).isin(*allowed_langs), "lang"
+        )
         .when(
             (F.col("_twf") > top_word_max) | (F.col("_d2") > dup_2gram_max),
             "repetition",
@@ -904,7 +936,7 @@ def quality_funnel(
         .otherwise("none")
     )
     return (
-        base.join(top, id_col)
+        base.join(top, id_col, "left")
         .withColumn("first_failed_rule", first_failed)
         .select(
             id_col,

@@ -663,10 +663,12 @@ def cross_source_overlap(
     )
     a = per.select("fp", F.col("src").alias("source_a"), F.col("cnt").alias("cnt_a"))
     b = per.select("fp", F.col("src").alias("source_b"), F.col("cnt").alias("cnt_b"))
+    # shiftright, not /2: long division through double loses exactness
+    # past 2^53, and boilerplate fingerprints at corpus scale get there
     pair_cnt = F.when(
         F.col("source_a") == F.col("source_b"),
-        (F.col("cnt_a") * (F.col("cnt_a") - 1) / 2).cast("long"),
-    ).otherwise((F.col("cnt_a") * F.col("cnt_b")).cast("long"))
+        F.shiftright(F.col("cnt_a") * (F.col("cnt_a") - 1), 1),
+    ).otherwise(F.col("cnt_a") * F.col("cnt_b"))
     return (
         a.join(b, "fp")
         .where(F.col("source_a") <= F.col("source_b"))

@@ -1924,13 +1924,18 @@ pii AS (
         AS n_pii
     FROM w),
 rules AS (
+    -- LEFT joins + IS NULL arms: a null text is a 'length' failure and
+    -- a null lang a 'lang' failure, never a silently dropped row
     SELECT w.doc_id, w.n_chars,
-        CASE WHEN w.n_chars < 100 OR w.n_chars > 2000 THEN 'length'
-             WHEN w.lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+        CASE WHEN w.n_chars IS NULL OR w.n_chars < 100 OR w.n_chars > 2000
+                 THEN 'length'
+             WHEN w.lang IS NULL OR w.lang NOT IN ('en', 'es', 'de', 'fr')
+                 THEN 'lang'
              WHEN tw.twf > 0.20 OR d2.dup2 > 0.60 THEN 'repetition'
              WHEN pii.n_pii > 0 THEN 'pii'
              ELSE 'none' END AS first_failed_rule
-    FROM w JOIN d2 USING (doc_id) JOIN tw USING (doc_id) JOIN pii USING (doc_id))
+    FROM w LEFT JOIN d2 USING (doc_id) LEFT JOIN tw USING (doc_id)
+           LEFT JOIN pii USING (doc_id))
 SELECT doc_id, n_chars, first_failed_rule,
     (first_failed_rule = 'none') AS keep
 FROM rules

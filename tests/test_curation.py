@@ -368,3 +368,35 @@ def test_quality_funnel_first_failure_attribution(spark):
     assert out[3] == ("repetition", False)
     assert out[4] == ("pii", False)
     assert out[5] == ("length", False)   # fixed order: length outranks lang
+
+
+def test_quality_funnel_null_rows_are_attributed_not_dropped(spark):
+    from e_commerce_lakehouse_spark.operators.curation import quality_funnel
+
+    long_clean = " ".join(f"word{i}" for i in range(40))
+    rows = [(0, long_clean, "en"), (1, None, "en"), (2, long_clean, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["first_failed_rule"]
+           for r in quality_funnel(df, min_chars=50, max_chars=500).collect()}
+    assert len(out) == 3                 # additive funnel: no silent drops
+    assert out[1] == "length"            # null text fails the length band
+    assert out[2] == "lang"              # null lang fails the allowlist
+
+
+def test_perplexity_buckets_rejects_non_integral_ids_handles_negative(spark):
+    from e_commerce_lakehouse_spark.operators.curation import perplexity_buckets
+
+    sdf = spark.createDataFrame(
+        [("a", "x y z w v u t s")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError):
+        perplexity_buckets(sdf)
+    # negative ids order numerically in the rank key (offset encoding)
+    rows = [(i - 3, " ".join(f"t{(i * 5 + j) % 7}" for j in range(12))) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df).collect()
+    assert len(out) == 9
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {"head": 3, "middle": 3, "tail": 3}
