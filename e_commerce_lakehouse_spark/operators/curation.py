@@ -46,6 +46,7 @@ __all__ = [
     "temperature_resample",
     "perplexity_buckets",
     "quality_funnel",
+    "exact_quantiles",
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
@@ -945,3 +946,67 @@ def quality_funnel(
             (F.col("first_failed_rule") == "none").alias("keep"),
         )
     )
+
+def exact_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str = "doc_id",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT nearest-rank quantiles of an integral column, distributed.
+
+    Spark's exact ``percentile`` aggregate buffers every value of the
+    group in one reducer — a non-starter corpus-wide at 100 TB — and
+    ``approx_percentile`` trades the exactness a data contract may pin.
+    This takes the third path: global rank via ``distributed_cumsum``
+    (one range shuffle + partition-local Arrow cumsum, no
+    single-partition sort), then each quantile q picks the row at
+    nearest-rank ``max(1, ceil(q*n))``. Ordering ties break by
+    ``id_col`` so the picked VALUE is deterministic even under heavy
+    value duplication. Result is len(qs) rows: (quantile, rank, value)
+    — collected driver-side, bounded by len(qs).
+
+    Integral value/id columns only (the rank key is the same
+    order-preserving offset-decimal encoding ``perplexity_buckets``
+    uses; float keys would need an IEEE total-order encoding this
+    deliberately does not attempt)."""
+    for col in (value_col, id_col):
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(f"exact_quantiles needs integral {col!r} (got {dt})")
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+
+    def _enc(col: str) -> Column:
+        return F.lpad(
+            (
+                F.col(col).cast("decimal(20,0)")
+                + F.lit("9223372036854775808").cast("decimal(20,0)")
+            )
+            .cast("decimal(20,0)")
+            .cast("string"),
+            20,
+            "0",
+        )
+
+    keyed = df.select(
+        F.col(value_col).cast("long").alias("value"),
+        F.concat(_enc(value_col), F.lit("-"), _enc(id_col)).alias("_rk"),
+    ).withColumn("_one", F.lit(1))
+    ranked = distributed_cumsum(keyed, order_col="_rk", value_col="_one", out_col="_rank")
+    n = df.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "quantile double, rank long, value long")
+    import math
+
+    targets = {q: max(1, math.ceil(q * n)) for q in qs}
+    hit = {
+        r["_rank"]: r["value"]
+        for r in ranked.where(
+            F.col("_rank").isin(*set(targets.values()))
+        ).collect()
+    }
+    rows = [(float(q), int(rk), int(hit[rk])) for q, rk in sorted(targets.items())]
+    return spark.createDataFrame(rows, "quantile double, rank long, value long")

@@ -1940,3 +1940,16 @@ SELECT doc_id, n_chars, first_failed_rule,
     (first_failed_rule = 'none') AS keep
 FROM rules
 """
+
+# q110: exact nearest-rank quantiles of n_chars, ties by doc_id — the
+# target rank is max(1, ceil(q*n)).
+ALL["q110_exact_quantiles"] = """
+WITH r AS (
+    SELECT n_chars,
+        row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+        count(*) OVER () AS n
+    FROM documents),
+t AS (SELECT q::DOUBLE AS q FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT t.q AS quantile, r.rnk::BIGINT AS rank, r.n_chars::BIGINT AS value
+FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
+"""

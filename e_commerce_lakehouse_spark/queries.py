@@ -2782,6 +2782,19 @@ def q109_quality_funnel(spark, sf_dir):
     return quality_funnel(d)
 
 
+def q110_exact_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (curation.exact_quantiles): p50/p90/p99
+    of document length by nearest rank — global rank via
+    distributed_cumsum (range shuffle + Arrow partition-local cumsum),
+    NOT Spark's exact percentile aggregate (which buffers the whole
+    column in one reducer) and NOT approx_percentile (inexact). Ties
+    break by doc_id so the picked value is deterministic."""
+    from .operators.curation import exact_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_quantiles(d, value_col="n_chars", qs=(0.5, 0.9, 0.99))
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2898,4 +2911,5 @@ ALL = {
     "q107_temperature_resample": q107_temperature_resample,
     "q108_perplexity_buckets": q108_perplexity_buckets,
     "q109_quality_funnel": q109_quality_funnel,
+    "q110_exact_quantiles": q110_exact_quantiles,
 }

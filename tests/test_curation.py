@@ -400,3 +400,27 @@ def test_perplexity_buckets_rejects_non_integral_ids_handles_negative(spark):
     for r in out:
         sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
     assert sizes == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_exact_quantiles_nearest_rank_and_guards(spark):
+    from e_commerce_lakehouse_spark.operators.curation import exact_quantiles
+
+    # values 1..10: p50 -> rank 5 value 5; p90 -> rank 9; p100 -> rank 10
+    rows = [(i, i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    out = {r["quantile"]: (r["rank"], r["value"])
+           for r in exact_quantiles(df, value_col="v", qs=(0.5, 0.9, 1.0)).collect()}
+    assert out[0.5] == (5, 5)
+    assert out[0.9] == (9, 9)
+    assert out[1.0] == (10, 10)
+    # partitioning invariance incl. duplicate values (tie by id)
+    dup = spark.createDataFrame([(i, 7) for i in range(20)], "doc_id long, v long")
+    a = sorted(map(tuple, exact_quantiles(dup, value_col="v").collect()))
+    b = sorted(map(tuple, exact_quantiles(dup.repartition(8), value_col="v").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        exact_quantiles(df, value_col="v", qs=(0.0,))
+    sdf = spark.createDataFrame([("a", 1)], "doc_id string, v long")
+    with pytest.raises(TypeError):
+        exact_quantiles(sdf, value_col="v")
+    assert exact_quantiles(df.where("v > 99"), value_col="v").count() == 0
