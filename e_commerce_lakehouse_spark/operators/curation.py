@@ -47,6 +47,7 @@ __all__ = [
     "perplexity_buckets",
     "quality_funnel",
     "exact_quantiles",
+    "grouped_exact_quantiles",
     "tfidf_doc_scores",
     "domain_mix_weights",
     "length_outlier_filter",
@@ -1010,3 +1011,46 @@ def exact_quantiles(
     }
     rows = [(float(q), int(rk), int(hit[rk])) for q, rk in sorted(targets.items())]
     return spark.createDataFrame(rows, "quantile double, rank long, value long")
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact nearest-rank quantiles PER GROUP — the per-domain length/
+    quality contract companion to the corpus-wide ``exact_quantiles``.
+
+    Here the window IS partitioned (by ``group_col``), so the plan is
+    one shuffle on the group key and scale-safe as long as no single
+    group approaches corpus size (a whole-corpus group is what
+    ``exact_quantiles``'s distributed rank is for — that skew note is
+    the boundary between the two). Targets are max(1, ceil(q*n_g)) per
+    group; ties break by ``id_col``. Output: one row per (group, q)."""
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    dt = df.schema[value_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(f"grouped_exact_quantiles needs integral {value_col!r} (got {dt})")
+    spark = df.sparkSession
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in sorted(qs)], "quantile double")
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("quantile") * F.col("_n")))
+    return (
+        ranked.join(qdf, F.col("rank") == target)
+        .select(
+            group_col,
+            "quantile",
+            F.col("rank").cast("long").alias("rank"),
+            F.col(value_col).cast("long").alias("value"),
+        )
+    )

@@ -1953,3 +1953,17 @@ t AS (SELECT q::DOUBLE AS q FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
 SELECT t.q AS quantile, r.rnk::BIGINT AS rank, r.n_chars::BIGINT AS value
 FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 """
+
+# q111: per-source exact nearest-rank quantiles; target rank is
+# max(1, ceil(q*n_group)), ties by doc_id.
+ALL["q111_grouped_exact_quantiles"] = """
+WITH r AS (
+    SELECT source, n_chars, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+        count(*) OVER (PARTITION BY source) AS n
+    FROM documents),
+t AS (SELECT q::DOUBLE AS q FROM (VALUES (0.5), (0.9)) AS t(q))
+SELECT r.source, t.q AS quantile, r.rnk::BIGINT AS rank,
+    r.n_chars::BIGINT AS value
+FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
+"""

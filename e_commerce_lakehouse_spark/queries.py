@@ -2795,6 +2795,20 @@ def q110_exact_quantiles(spark, sf_dir):
     return exact_quantiles(d, value_col="n_chars", qs=(0.5, 0.9, 0.99))
 
 
+def q111_grouped_exact_quantiles(spark, sf_dir):
+    """Per-source exact nearest-rank length quantiles
+    (curation.grouped_exact_quantiles): one shuffle on the group key,
+    window partitioned by source (scale-safe per group — the
+    whole-corpus case is q110's distributed rank), quantile dim
+    broadcast. The per-domain data-contract companion to q71."""
+    from .operators.curation import grouped_exact_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_exact_quantiles(
+        d, group_col="source", value_col="n_chars", qs=(0.5, 0.9)
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2912,4 +2926,5 @@ ALL = {
     "q108_perplexity_buckets": q108_perplexity_buckets,
     "q109_quality_funnel": q109_quality_funnel,
     "q110_exact_quantiles": q110_exact_quantiles,
+    "q111_grouped_exact_quantiles": q111_grouped_exact_quantiles,
 }

@@ -424,3 +424,22 @@ def test_exact_quantiles_nearest_rank_and_guards(spark):
     with pytest.raises(TypeError):
         exact_quantiles(sdf, value_col="v")
     assert exact_quantiles(df.where("v > 99"), value_col="v").count() == 0
+
+
+def test_grouped_exact_quantiles_per_group_targets(spark):
+    from e_commerce_lakehouse_spark.operators.curation import grouped_exact_quantiles
+
+    # group a: 1..4 (p50 -> rank 2 value 2); group b: 10..19 (p50 -> rank 5 value 14)
+    rows = [(i, "a", i) for i in range(1, 5)] + [(100 + i, "b", 10 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, v long")
+    out = {(r["src"], r["quantile"]): (r["rank"], r["value"])
+           for r in grouped_exact_quantiles(df, group_col="src", value_col="v",
+                                            qs=(0.5, 1.0)).collect()}
+    assert out[("a", 0.5)] == (2, 2)
+    assert out[("a", 1.0)] == (4, 4)
+    assert out[("b", 0.5)] == (5, 14)
+    assert out[("b", 1.0)] == (10, 19)
+    with pytest.raises(TypeError):
+        grouped_exact_quantiles(
+            spark.createDataFrame([(1, "a", 1.5)], "doc_id long, src string, v double"),
+            group_col="src", value_col="v")
