@@ -1054,3 +1054,52 @@ def grouped_exact_quantiles(
             F.col(value_col).cast("long").alias("value"),
         )
     )
+
+
+def mixture_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Per-group KL divergence of a categorical distribution vs the
+    whole-corpus distribution — the mixture-drift monitor a multi-source
+    training pipeline runs per ingest (is src17 suddenly all-zh?).
+
+    KL(P_g || P_corpus) = Σ_c p_g(c) * ln(p_g(c) / p(c)). No smoothing
+    needed: the corpus includes every group, so p(c) > 0 wherever
+    p_g(c) > 0. NULL categories count as their own bucket (coalesced)
+    rather than silently dropping rows.
+
+    Scale: two count aggregates on (group, cat) and (cat) — both
+    map-side combinable; the per-category corpus table is
+    vocabulary-sized, so the join broadcasts. Probabilities are exact
+    integer ratios; the ln/multiply tail is a handful of terms per
+    group, so 6-dp rounding is far beyond any accumulation ulp.
+    """
+    cat = F.coalesce(F.col(cat_col), F.lit("__null__")).alias("cat")
+    base = df.select(F.col(group_col).alias("grp"), cat)
+    # ONE scan: the (group, cat) count table is persisted because its
+    # three downstream re-aggregations use DIFFERENT groupings (grp /
+    # cat / global), so Spark's exchange reuse can't share them — without
+    # the persist each would rescan the corpus.
+    by_gc = (
+        base.groupBy("grp", "cat").agg(F.count("*").alias("c_gc")).persist()
+    )
+    by_g = by_gc.groupBy("grp").agg(F.sum("c_gc").cast("long").alias("n_g"))
+    by_c = by_gc.groupBy("cat").agg(F.sum("c_gc").cast("long").alias("c_c"))
+    total = by_c.agg(F.sum("c_c").cast("long").alias("n_total"))
+    p_g = F.col("c_gc") / F.col("n_g")
+    p = F.col("c_c") / F.col("n_total")
+    term = p_g * F.log(p_g / p)
+    return (
+        by_gc.join(by_g, "grp")
+        .join(F.broadcast(by_c), "cat")
+        .crossJoin(F.broadcast(total))
+        .groupBy("grp")
+        .agg(
+            F.max("n_g").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_cats"),
+            F.round(F.sum(term), 6).alias("kl_nats"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "n_cats", "kl_nats")
+    )

@@ -1967,3 +1967,154 @@ SELECT r.source, t.q AS quantile, r.rnk::BIGINT AS rank,
     r.n_chars::BIGINT AS value
 FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 """
+
+# q112: UNPIVOT/melt of wide part attributes — UNION ALL is the portable
+# form of the same generator.
+ALL["q112_unpivot"] = """
+SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+# q113: SCD2 build — collapse consecutive duplicate states per user
+# (null-safe change detection), then half-open validity intervals via
+# lead(); ties break on event_id in every window.
+ALL["q113_scd2_build"] = """
+WITH c AS (
+    SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events),
+ch AS (
+    SELECT user_id, ts, event_id, event_type FROM c
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version,
+    event_type AS state,
+    ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+    event_id::BIGINT AS change_event_id,
+    (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM ch
+"""
+
+# q114: point-in-time join — dim from non-purchase events, probes are
+# purchases; valid_from <= ts < valid_to (open version matches to
+# infinity); LEFT so pre-first-state purchases keep NULL state.
+ALL["q114_point_in_time_join"] = """
+WITH c AS (
+    SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type <> 'purchase'),
+dim AS (
+    SELECT user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version,
+        event_type AS state,
+        ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM c
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, dim.state, dim.version
+FROM p LEFT JOIN dim
+  ON dim.user_id = p.user_id AND dim.valid_from <= p.ts
+ AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+"""
+
+# q115: exact linear stats — moments summed exactly (DuckDB SUM(BIGINT)
+# -> HUGEINT), THEN cast to double; closed forms keep the identical
+# expression shape as operators/stats.exact_linear_stats so both engines
+# run the same IEEE op sequence. y is price in cents.
+ALL["q115_stats_profile"] = """
+WITH m AS (
+    SELECT l_returnflag,
+        count(*)::DOUBLE AS n,
+        sum(l_quantity::BIGINT)::DOUBLE AS sx,
+        sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE AS sy,
+        sum(l_quantity::BIGINT * l_quantity::BIGINT)::DOUBLE AS sxx,
+        sum(round(l_extendedprice * 100)::BIGINT
+            * round(l_extendedprice * 100)::BIGINT)::DOUBLE AS syy,
+        sum(l_quantity::BIGINT
+            * round(l_extendedprice * 100)::BIGINT)::DOUBLE AS sxy
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n::BIGINT AS n,
+    round(sx / n, 6) AS mean_x,
+    round(sy / n, 6) AS mean_y,
+    round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_xy,
+    round(((sxy - sx * sy / n) / (n - 1.0))
+        / sqrt(((sxx - sx * sx / n) / (n - 1.0))
+             * ((syy - sy * sy / n) / (n - 1.0))), 6) AS corr_xy,
+    round(((sxy - sx * sy / n) / (n - 1.0))
+        / ((sxx - sx * sx / n) / (n - 1.0)), 6) AS slope_yx
+FROM m
+"""
+
+# q116: equi-width histogram + cumulative distribution over the
+# aggregated buckets.
+ALL["q116_histogram"] = """
+WITH h AS (
+    SELECT floor(o_totalprice / 50000.0)::BIGINT AS bucket,
+        count(*)::BIGINT AS n
+    FROM orders GROUP BY 1)
+SELECT bucket, (bucket * 50000)::DOUBLE AS bucket_lo, n,
+    sum(n) OVER (ORDER BY bucket)::BIGINT AS cum_n,
+    round(sum(n) OVER (ORDER BY bucket) * 1.0 / sum(n) OVER (), 6) AS cum_frac
+FROM h
+"""
+
+# q117: blocked Levenshtein pairs over DISTINCT part names (block = last
+# name token); a.name < b.name orders each unordered pair once.
+ALL["q117_fuzzy_name_pairs"] = """
+WITH v AS (
+    SELECT string_split(p_name, ' ')[-1] AS block, p_name AS name,
+        count(*)::BIGINT AS n, min(p_partkey)::BIGINT AS sample_key
+    FROM part GROUP BY 1, 2)
+SELECT a.block, a.name AS name_a, a.n AS n_a, a.sample_key AS key_a,
+    b.name AS name_b, b.n AS n_b, b.sample_key AS key_b,
+    levenshtein(a.name, b.name)::BIGINT AS dist
+FROM v a JOIN v b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+# q118: per-source KL divergence vs the corpus language mix; NULL lang
+# is its own bucket; probabilities are exact integer ratios.
+ALL["q118_mixture_drift"] = """
+WITH b AS (
+    SELECT source AS grp, coalesce(lang, '__null__') AS cat FROM documents),
+gc AS (SELECT grp, cat, count(*)::BIGINT AS c_gc FROM b GROUP BY 1, 2),
+g AS (SELECT grp, sum(c_gc)::BIGINT AS n_g FROM gc GROUP BY 1),
+c AS (SELECT cat, sum(c_gc)::BIGINT AS c_c FROM gc GROUP BY 1),
+t AS (SELECT sum(c_c)::BIGINT AS n_total FROM c)
+SELECT gc.grp AS source, max(g.n_g)::BIGINT AS n_docs,
+    count(*)::BIGINT AS n_cats,
+    round(sum((c_gc * 1.0 / n_g)
+        * ln((c_gc * 1.0 / n_g) / (c_c * 1.0 / n_total))), 6) AS kl_nats
+FROM gc JOIN g USING (grp) JOIN c USING (cat) CROSS JOIN t
+GROUP BY gc.grp
+"""
+
+# q119: incremental SCD2 apply == full rebuild over the same effective
+# log (pre-cutoff events for everyone, post-cutoff only for the
+# user_id % 7 == 0 batch) — same build SQL as q113 on the filtered log.
+ALL["q119_scd2_incremental_apply"] = """
+WITH ev AS (
+    SELECT * FROM events
+    WHERE ts <= TIMESTAMP '2024-01-29 00:00:00' OR user_id % 7 = 0),
+c AS (
+    SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM ev),
+ch AS (
+    SELECT user_id, ts, event_id, event_type FROM c
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version,
+    event_type AS state,
+    ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+    event_id::BIGINT AS change_event_id,
+    (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM ch
+"""

@@ -2809,6 +2809,143 @@ def q111_grouped_exact_quantiles(spark, sf_dir):
     )
 
 
+def q112_unpivot(spark, sf_dir):
+    """UNPIVOT / melt (the missing inverse of q33's pivot): wide part
+    attributes to long (attr, val) rows via `stack` — a zero-shuffle
+    generator expression, n_attrs output rows per input row."""
+    p = _t(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'p_size', cast(p_size as double), "
+        "'p_retailprice', p_retailprice) as (attr, val)",
+    )
+
+
+def q113_scd2_build(spark, sf_dir):
+    """SCD type-2 dimension build (operators/scd.scd2_build): the events
+    log becomes a versioned user-state dimension — consecutive duplicate
+    states collapse, each version carries a half-open [valid_from,
+    valid_to) interval. One shuffle on the key; ties break on event_id."""
+    from .operators.scd import scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_build(e, "user_id", "ts", "event_id", "event_type")
+
+
+def q114_point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal validity) join (operators/scd
+    .scd2_point_in_time): each purchase is enriched with the user-state
+    version valid AT its timestamp — equi-join on user_id with an
+    interval residual, the validity-interval complement of q28's as-of
+    join. Purchases before a user's first state row keep NULL state."""
+    from .operators.scd import scd2_build, scd2_point_in_time
+
+    e = _t(spark, sf_dir, "events")
+    dim = scd2_build(
+        e.where(F.col("event_type") != "purchase"),
+        "user_id", "ts", "event_id", "event_type",
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2_point_in_time(dim, probes, "user_id", "ts")
+
+
+def q115_stats_profile(spark, sf_dir):
+    """Cross-engine-exact corr/covar/regression profiling
+    (operators/stats.exact_linear_stats): per-returnflag linear stats of
+    (quantity, price-in-cents) from DECIMAL(38,0)-exact integer moments
+    — order-independent, so the value hash can't flicker the way naive
+    double corr()/covar_samp() aggregates do. One map-side-combinable
+    aggregate; closed forms share their exact expression shape with the
+    DuckDB twin."""
+    from .operators.stats import exact_linear_stats
+
+    l = _t(spark, sf_dir, "lineitem")
+    return exact_linear_stats(
+        l,
+        "l_returnflag",
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+
+
+def q116_histogram(spark, sf_dir):
+    """Equi-width histogram with cumulative distribution: arithmetic
+    binning (floor(x/width) — pushdown-friendly, no CASE ladder), then
+    cumulative count/fraction via windows over the AGGREGATED histogram
+    (a dozen rows — the global window runs post-reduction, never on the
+    fact table)."""
+    o = _t(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    return h.select(
+        "bucket",
+        (F.col("bucket") * 50000).cast("double").alias("bucket_lo"),
+        "n",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.round(F.sum("n").over(w_cum) / F.sum("n").over(w_all), 6).alias(
+            "cum_frac"
+        ),
+    )
+
+
+def q117_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked Levenshtein fuzzy matching (operators/fuzzy
+    .blocked_levenshtein_pairs): entity-resolution dedup over part
+    names — distinct values aggregated FIRST (so the fact-table row
+    count never enters the pairing), blocked on the last name token,
+    verified with the codegen'd JVM levenshtein. Never all-pairs."""
+    from .operators.fuzzy import blocked_levenshtein_pairs
+
+    p = _t(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(
+        p,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=2,
+    )
+
+
+def q118_mixture_drift(spark, sf_dir):
+    """Per-source KL divergence vs the corpus language mix
+    (curation.mixture_drift): the drift monitor a multi-source ingest
+    runs per batch. One corpus scan into a (source, lang) count table;
+    every probability is an exact integer ratio."""
+    from .operators.curation import mixture_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_drift(d, group_col="source", cat_col="lang")
+
+
+def q119_scd2_incremental_apply(spark, sf_dir):
+    """Incremental SCD2 apply (operators/scd.scd2_apply): fold a
+    CDC-append batch (post-cutoff events for user_id % 7 == 0) into the
+    pre-cutoff dimension — only affected keys are re-derived from their
+    change points; untouched keys pass through an anti-join unshuffled.
+    The oracle is the FULL REBUILD over the same effective log, so the
+    hash proves incremental == batch."""
+    from .operators.scd import scd2_apply, scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-29 00:00:00").cast("timestamp")
+    dim = scd2_build(
+        e.where(F.col("ts") <= cutoff), "user_id", "ts", "event_id", "event_type"
+    )
+    changes = e.where((F.col("ts") > cutoff) & (F.col("user_id") % 7 == 0))
+    return scd2_apply(dim, changes, "user_id", "ts", "event_id", "event_type")
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -2927,4 +3064,12 @@ ALL = {
     "q109_quality_funnel": q109_quality_funnel,
     "q110_exact_quantiles": q110_exact_quantiles,
     "q111_grouped_exact_quantiles": q111_grouped_exact_quantiles,
+    "q112_unpivot": q112_unpivot,
+    "q113_scd2_build": q113_scd2_build,
+    "q114_point_in_time_join": q114_point_in_time_join,
+    "q115_stats_profile": q115_stats_profile,
+    "q116_histogram": q116_histogram,
+    "q117_fuzzy_name_pairs": q117_fuzzy_name_pairs,
+    "q118_mixture_drift": q118_mixture_drift,
+    "q119_scd2_incremental_apply": q119_scd2_incremental_apply,
 }
