@@ -63,6 +63,7 @@ FUZZ_QUERIES = [
     "q109_quality_funnel",
     "q110_exact_quantiles",
     "q111_grouped_exact_quantiles",
+    "q118_mixture_drift",
 ]
 
 VOCAB = [
