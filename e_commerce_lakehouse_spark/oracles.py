@@ -239,7 +239,7 @@ ALL: dict[str, str] = {
         SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_orderpriority
-                                   ORDER BY o_totalprice DESC, o_orderkey ASC)::INTEGER AS rnk
+                                   ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST)::INTEGER AS rnk
             FROM orders) WHERE rnk <= 3
     """,
     "q14_json_extract": """
@@ -531,15 +531,19 @@ ALL: dict[str, str] = {
         WITH r AS (
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rhi,
+                    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rhi,
                 row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rlo
+                    ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST) AS rlo
             FROM orders)
-        SELECT hi.o_orderpriority,
-               hi.o_orderkey AS max_orderkey, round(hi.o_totalprice, 2) AS max_price,
-               lo.o_orderkey AS min_orderkey, round(lo.o_totalprice, 2) AS min_price
-        FROM (SELECT * FROM r WHERE rhi = 1) hi
-        JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (o_orderpriority)
+        -- conditional aggregation, NOT a self-join USING the group key:
+        -- a join would drop the NULL-priority group (NULL <> NULL),
+        -- while Spark's groupBy keeps it (fuzz-relational finding)
+        SELECT o_orderpriority,
+               max(CASE WHEN rhi = 1 THEN o_orderkey END) AS max_orderkey,
+               round(max(CASE WHEN rhi = 1 THEN o_totalprice END), 2) AS max_price,
+               max(CASE WHEN rlo = 1 THEN o_orderkey END) AS min_orderkey,
+               round(max(CASE WHEN rlo = 1 THEN o_totalprice END), 2) AS min_price
+        FROM r GROUP BY o_orderpriority
     """,
     "q48_date_spine_gapfill": """
         WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
@@ -554,7 +558,7 @@ ALL: dict[str, str] = {
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
         FROM orders
-        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS FIRST)
     """,
     "q50_embedding_centroids": """
         SELECT label, (dim - 1)::INTEGER AS dim,
@@ -577,7 +581,8 @@ ALL: dict[str, str] = {
         FROM (
             SELECT o_orderpriority, o_totalprice,
                    ntile(4) OVER (PARTITION BY o_orderpriority
-                                  ORDER BY o_totalprice, o_orderkey) AS q
+                                  ORDER BY o_totalprice NULLS FIRST,
+                                           o_orderkey NULLS FIRST) AS q
             FROM orders)
         GROUP BY o_orderpriority, q
     """,
@@ -2056,7 +2061,7 @@ ALL["q116_histogram"] = """
 WITH h AS (
     SELECT floor(o_totalprice / 50000.0)::BIGINT AS bucket,
         count(*)::BIGINT AS n
-    FROM orders GROUP BY 1)
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
 SELECT bucket, (bucket * 50000)::DOUBLE AS bucket_lo, n,
     sum(n) OVER (ORDER BY bucket)::BIGINT AS cum_n,
     round(sum(n) OVER (ORDER BY bucket) * 1.0 / sum(n) OVER (), 6) AS cum_frac

@@ -2878,7 +2878,8 @@ def q116_histogram(spark, sf_dir):
     fact table)."""
     o = _t(spark, sf_dir, "orders")
     h = (
-        o.select(
+        o.where(F.col("o_totalprice").isNotNull())  # histogram of observed values
+        .select(
             F.floor(F.col("o_totalprice") / F.lit(50000.0))
             .cast("long")
             .alias("bucket")
