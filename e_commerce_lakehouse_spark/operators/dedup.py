@@ -521,13 +521,16 @@ def simhash_pairs(
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Exact cosine of two array<float>/array<double> columns — sequential
-    fold in double precision (bit-stable, matches DuckDB's list kernels)."""
+    fold in double precision (bit-stable, matches DuckDB's list kernels).
+    Zero-norm contract: a zero (or NULL) norm yields NULL similarity, not
+    NaN/Inf — matching DuckDB, whose double division by zero is NULL."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    den = na * nb
+    return F.when(den != 0, dot / den)
 
 
 def vec_norm(vec: Column) -> Column:
@@ -581,7 +584,7 @@ def embedding_neardup_lsh(
     result = (
         cands.join(va, "a")
         .join(vb, "b")
-        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .withColumn("cos", F.round(F.when((F.col("na") * F.col("nb")) != 0, dot / (F.col("na") * F.col("nb"))), 4))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -611,7 +614,7 @@ def embedding_neardup_pairs(
     )
     return (
         left.join(right, F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .withColumn("cos", F.round(F.when((F.col("na") * F.col("nb")) != 0, dot / (F.col("na") * F.col("nb"))), 4))
         .where(F.col("cos") >= threshold)
         .select("a", "b")
     )

@@ -37,6 +37,16 @@ def _dot(a: str, b: str):
     )
 
 
+def _safe_cos(dot_col, n1: str, n2: str):
+    """4-dp cosine with the zero-norm contract: a zero (or NULL) norm
+    yields NULL similarity — excluded from thresholds and ranked last by
+    both engines' DESC NULLS LAST — instead of Spark NaN/Inf vs DuckDB
+    NULL divergence (DuckDB double division by zero returns NULL).
+    Oracles mirror this with nullif(norm_a * norm_b, 0)."""
+    den = F.col(n1) * F.col(n2)
+    return F.round(F.when(den != 0, dot_col / den), 4)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,7 +62,7 @@ def brute_force_topk(
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+        .withColumn("cos", _safe_cos(_dot("nv", "qv"), "nn", "qn"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -218,7 +228,7 @@ def ivf_ann_topk(
         scored = (
             assigned.join(F.broadcast(probes), "cell")
             .where(F.col("neighbor_id") != F.col(query_id_col))
-            .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+            .withColumn("cos", _safe_cos(_dot("nv", "qv"), "nn", "qn"))
         )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
         result = (
@@ -269,7 +279,7 @@ def lsh_ann_topk(
     scored = (
         cands.join(v, "neighbor_id")
         .join(F.broadcast(q), query_id_col)
-        .withColumn("cos", F.round(_dot("nv", "qv") / (F.col("nn") * F.col("qn")), 4))
+        .withColumn("cos", _safe_cos(_dot("nv", "qv"), "nn", "qn"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     result = (
@@ -354,7 +364,7 @@ def semdedup(
             a.join(b, "cell")
             .where(F.col("bid") < F.col("aid"))
             .where(
-                F.round(_dot("av", "bv") / (F.col("an") * F.col("bn")), 4)
+                _safe_cos(_dot("av", "bv"), "an", "bn")
                 >= F.lit(tau)
             )
             .select(F.col("aid").alias("neighbor_id"))

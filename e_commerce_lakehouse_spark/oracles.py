@@ -87,8 +87,8 @@ _BANDS = ",\nbanded AS (SELECT doc_id, " + ", ".join(
 
 _COS = """
 round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
- / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4)
+ / nullif(sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x))), 0), 4)
 """
 
 
@@ -619,8 +619,8 @@ def _ivf_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
     # 5 dp to match the Spark side's coarsened comparison rounding
     cos5 = """
 round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
- / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 5)
+ / nullif(sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x))), 0), 5)
 """
     return f"""
 WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1375,8 +1375,8 @@ GROUP BY source, lang
 def _semdedup_sql(n_cells: int = 8, tau: float = 0.3) -> str:
     cos5 = """
 round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
- / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-  * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 5)
+ / nullif(sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x))), 0), 5)
 """
     cos4 = cos5.replace(", 5)", ", 4)")
     return f"""
