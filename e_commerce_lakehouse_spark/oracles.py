@@ -2123,3 +2123,20 @@ SELECT user_id,
     (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
 FROM ch
 """
+
+# q120: sliding-window batch expansion — every event belongs to exactly
+# two 10-minute windows aligned on 5-minute slides: s1 = floor(ts to 5
+# min) and s1 - 5 min (ts < s1 + 5 min < both windows' ends).
+ALL["q120_streaming_sliding_window"] = """
+WITH e AS (
+    SELECT event_type, value,
+        (epoch_us(ts) // 300000000) * 300000000 AS s1us
+    FROM events),
+w AS (
+    SELECT make_timestamp(s1us) AS window_start, event_type, value FROM e
+    UNION ALL
+    SELECT make_timestamp(s1us - 300000000), event_type, value FROM e)
+SELECT window_start, event_type, count(*) AS n,
+    round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""

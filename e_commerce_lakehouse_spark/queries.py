@@ -2947,6 +2947,63 @@ def q119_scd2_incremental_apply(spark, sf_dir):
     return scd2_apply(dim, changes, "user_id", "ts", "event_id", "event_type")
 
 
+def q120_streaming_sliding_window(spark, sf_dir):
+    """Sliding (overlapping) windows complete the streaming window
+    family next to q55's tumbling and q73's session windows: 10-minute
+    windows sliding every 5, so each event lands in exactly two windows.
+    Same harness as q55 — readStream + watermark + Trigger.AvailableNow,
+    memory sink, complete mode; on a bounded replay the result must
+    equal the batch expansion, which is what the DuckDB oracle states
+    (each event UNION ALL'd into both its windows). Windows key on the
+    NTZ timestamp so alignment never depends on session timezone; state
+    is per-(window, event_type) and watermark-pruned when run unbounded."""
+    import os
+    import shutil
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q120_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q120_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+        stream = stream.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts_evt", "1 hour")
+            .groupBy(
+                F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w").getField("start").alias("window_start"),
+                "event_type", "n", "sum_value",
+            )
+        )
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3073,4 +3130,5 @@ ALL = {
     "q117_fuzzy_name_pairs": q117_fuzzy_name_pairs,
     "q118_mixture_drift": q118_mixture_drift,
     "q119_scd2_incremental_apply": q119_scd2_incremental_apply,
+    "q120_streaming_sliding_window": q120_streaming_sliding_window,
 }
