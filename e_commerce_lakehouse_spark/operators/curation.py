@@ -1091,7 +1091,7 @@ def mixture_drift(
     p_g = F.col("c_gc") / F.col("n_g")
     p = F.col("c_c") / F.col("n_total")
     term = p_g * F.log(p_g / p)
-    return (
+    result = (
         by_gc.join(by_g, "grp")
         .join(F.broadcast(by_c), "cat")
         .crossJoin(F.broadcast(total))
@@ -1103,3 +1103,6 @@ def mixture_drift(
         )
         .select(F.col("grp").alias(group_col), "n_docs", "n_cats", "kl_nats")
     )
+    # result is per-group tiny; checkpoint eagerly and release the cache
+    # so a long sweep doesn't accumulate persisted count tables
+    return _finish_release(result, by_gc)
