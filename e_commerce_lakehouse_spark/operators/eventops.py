@@ -174,3 +174,80 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    lookback: int = 10,
+    min_periods: int = 5,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per key: each value is scored
+    against the mean/stddev of its own trailing window (the PRECEDING
+    ``lookback`` rows, excluding itself — no lookahead, no
+    self-contamination), flagged when |z| exceeds the threshold. Rows
+    with fewer than ``min_periods`` non-null trailing values, or a zero
+    trailing stddev, are not scored (NULL z never flags).
+
+    Scale: one shuffle on the key; both frame aggregates share the one
+    sort. Frames are <= ``lookback`` rows, so per-row cost is bounded
+    and the 4-dp rounding sits far above any <=10-term float
+    accumulation ulp."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n_prev = F.count(value_col).over(w)
+    z = F.round((F.col(value_col) - mean) / sd, 4)
+    scored = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        value_col,
+        F.when((n_prev >= min_periods) & (sd > 0), z).alias("z"),
+    )
+    return scored.where(F.abs(F.col("z")) > z_threshold)
+
+
+def cumulative_distinct_users(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily actives, daily NEW users, and the cumulative distinct-user
+    curve — without any cumulative COUNT(DISTINCT) (quadratic state):
+    each user contributes a "new" mark only on their FIRST day (one
+    min-aggregate per user), so the running total of news IS the
+    cumulative distinct count. NULL keys are excluded throughout
+    (matching COUNT(DISTINCT)'s convention). The running sum windows
+    over the aggregated per-day table (days, not events), which is tiny
+    at any corpus scale."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    keyed = df.where(F.col(key_col).isNotNull())
+    active = (
+        keyed.select(day, F.col(key_col).alias("k"))
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("k")).alias("n_active"))
+    )
+    firsts = (
+        keyed.select(F.col(key_col).alias("k"), day)
+        .groupBy("k")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    per_day = active.join(firsts, "day", "left").select(
+        "day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "n_active", "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )

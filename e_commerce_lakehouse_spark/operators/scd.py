@@ -143,3 +143,69 @@ def scd2_apply(
         replay.unionByName(new_events), key_col, ts_col, tiebreak_col, attr_col
     )
     return keep.unionByName(rebuilt)
+
+
+def state_timeline(dim: DataFrame, key_col: str, horizon_ts=None) -> DataFrame:
+    """Per-state occupancy report over an SCD2 dimension: version and
+    key counts, total occupied time, and PEAK CONCURRENCY (how many keys
+    were in the state at once) via a distributed sweep line.
+
+    Open versions are clamped to ``horizon_ts`` (default: the
+    dimension's max valid_from — the last observed instant). Sweep
+    line: each version emits +1 at valid_from and -1 at its end; the
+    running sum ordered by (ts, delta, change_event_id) — departures
+    before arrivals at the same instant, matching half-open
+    [from, to) intervals — peaks at the state's max concurrency.
+    Prefix sums within a (ts, delta) run are monotone, so the maximum
+    is well-defined regardless of tiebreak, but the tiebreak keeps
+    every intermediate value engine-identical anyway.
+
+    Scale: the window partitions by state (one shuffle); durations are
+    exact microsecond integers, so every output is bit-stable."""
+    h = F.lit(horizon_ts).cast("timestamp") if horizon_ts is not None else None
+    if h is None:
+        # one tiny agg; broadcast the scalar into the plan
+        hdf = dim.agg(F.max("valid_from").alias("_h"))
+        dim = dim.crossJoin(F.broadcast(hdf))
+        h = F.col("_h")
+    end = F.coalesce(F.col("valid_to"), h)
+    v = dim.select(
+        "state",
+        F.col(key_col).alias("_key"),
+        F.col("valid_from").cast("timestamp").alias("vf"),
+        end.cast("timestamp").alias("ve"),
+        "change_event_id",
+    )
+    occupancy = v.groupBy("state").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.count_distinct(F.col("_key")).cast("long").alias("n_keys"),
+        F.sum(
+            F.unix_micros(F.col("ve")) - F.unix_micros(F.col("vf"))
+        ).cast("long").alias("occupied_us"),
+    )
+    deltas = v.select(
+        "state", F.col("vf").alias("ts"), F.lit(1).alias("delta"), "change_event_id"
+    ).unionByName(
+        v.select(
+            "state", F.col("ve").alias("ts"), F.lit(-1).alias("delta"),
+            "change_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("state")
+        .orderBy("ts", "delta", "change_event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = (
+        deltas.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("state")
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+        .withColumnRenamed("state", "_pstate")
+    )
+    # null-safe join: a NULL state is a real group (q47's fuzz finding —
+    # an equi-join on the group key would silently drop it)
+    return (
+        occupancy.join(
+            peaks, F.col("state").eqNullSafe(F.col("_pstate")), "inner"
+        ).drop("_pstate")
+    )

@@ -2140,3 +2140,77 @@ SELECT window_start, event_type, count(*) AS n,
     round(sum(value), 2) AS sum_value
 FROM w GROUP BY 1, 2
 """
+
+# q121: SCD2 state timeline — occupancy from exact microsecond interval
+# lengths (open versions clamped to max valid_from), peak concurrency by
+# sweep line with departures-before-arrivals at equal instants; the
+# final join is null-safe (NULL state is a real group).
+ALL["q121_state_timeline"] = """
+WITH c AS (
+    SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events),
+ch AS (
+    SELECT user_id, ts, event_id, event_type FROM c
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+dim AS (
+    SELECT user_id, event_type AS state, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        event_id AS ceid
+    FROM ch),
+v AS (
+    SELECT state, user_id, valid_from AS vf,
+        coalesce(valid_to, (SELECT max(valid_from) FROM dim)) AS ve, ceid
+    FROM dim),
+occ AS (
+    SELECT state, count(*)::BIGINT AS n_versions,
+        count(DISTINCT user_id)::BIGINT AS n_keys,
+        sum(epoch_us(ve) - epoch_us(vf))::BIGINT AS occupied_us
+    FROM v GROUP BY state),
+d AS (
+    SELECT state, vf AS ts, 1 AS delta, ceid FROM v
+    UNION ALL
+    SELECT state, ve AS ts, -1 AS delta, ceid FROM v),
+pk AS (
+    SELECT state, max(conc)::BIGINT AS peak_concurrent FROM (
+        SELECT state, sum(delta) OVER (
+            PARTITION BY state ORDER BY ts, delta, ceid
+            ROWS UNBOUNDED PRECEDING) AS conc
+        FROM d)
+    GROUP BY state)
+SELECT occ.state, occ.n_versions, occ.n_keys, occ.occupied_us,
+    pk.peak_concurrent
+FROM occ JOIN pk ON occ.state IS NOT DISTINCT FROM pk.state
+"""
+
+# q122: rolling z-score anomalies over the trailing-10 exclusive frame;
+# z is rounded 4 dp BEFORE the threshold compare on both engines.
+ALL["q122_rolling_zscore"] = """
+WITH s AS (
+    SELECT user_id, ts, event_id, value,
+        avg(value) OVER w AS m,
+        stddev_samp(value) OVER w AS sd,
+        count(value) OVER w AS np
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT user_id, ts, event_id, value, round((value - m) / sd, 4) AS z
+FROM s
+WHERE np >= 5 AND sd > 0 AND abs(round((value - m) / sd, 4)) > 2.0
+"""
+
+# q123: daily active / new / cumulative distinct users — first-day marks
+# plus a running sum over the per-day aggregate; NULL users excluded
+# like COUNT(DISTINCT).
+ALL["q123_cumulative_distinct"] = """
+WITH e AS (SELECT user_id, ts::DATE AS day FROM events
+           WHERE user_id IS NOT NULL),
+a AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_active
+      FROM e GROUP BY 1),
+f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+n AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+SELECT a.day, a.n_active, coalesce(n.n_new, 0)::BIGINT AS n_new,
+    sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day)::BIGINT AS cum_users
+FROM a LEFT JOIN n USING (day)
+"""

@@ -3004,6 +3004,45 @@ def q120_streaming_sliding_window(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q121_state_timeline(spark, sf_dir):
+    """Temporal interval analytics over the SCD2 dimension
+    (operators/scd.state_timeline): per-state occupancy (exact
+    microsecond totals) and PEAK CONCURRENCY via a distributed sweep
+    line — +1/-1 boundary events, running sum partitioned by state,
+    departures before arrivals at equal instants (half-open
+    intervals). One shuffle on the state key; everything downstream of
+    the dim build is exact integer arithmetic."""
+    from .operators.scd import scd2_build, state_timeline
+
+    e = _t(spark, sf_dir, "events")
+    dim = scd2_build(e, "user_id", "ts", "event_id", "event_type")
+    return state_timeline(dim, "user_id")
+
+
+def q122_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection
+    (eventops.rolling_zscore_anomalies): each value scored against its
+    own trailing-10 frame (exclusive — no lookahead), flagged at
+    |z| > 2 with >= 5 trailing samples and nonzero spread. One shuffle
+    on the key; both frame aggregates share the sort."""
+    from .operators.eventops import rolling_zscore_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(e)
+
+
+def q123_cumulative_distinct(spark, sf_dir):
+    """Daily active / new / cumulative distinct users
+    (eventops.cumulative_distinct_users): the cumulative distinct curve
+    WITHOUT a running COUNT(DISTINCT) — each user marks only their
+    first day, so the running sum of news is the distinct total; the
+    window runs over the per-day aggregate, never the event log."""
+    from .operators.eventops import cumulative_distinct_users
+
+    e = _t(spark, sf_dir, "events")
+    return cumulative_distinct_users(e)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3131,4 +3170,7 @@ ALL = {
     "q118_mixture_drift": q118_mixture_drift,
     "q119_scd2_incremental_apply": q119_scd2_incremental_apply,
     "q120_streaming_sliding_window": q120_streaming_sliding_window,
+    "q121_state_timeline": q121_state_timeline,
+    "q122_rolling_zscore": q122_rolling_zscore,
+    "q123_cumulative_distinct": q123_cumulative_distinct,
 }

@@ -58,6 +58,9 @@ FUZZ_QUERIES = [
     "q113_scd2_build",
     "q114_point_in_time_join",
     "q119_scd2_incremental_apply",
+    "q121_state_timeline",
+    "q122_rolling_zscore",
+    "q123_cumulative_distinct",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
