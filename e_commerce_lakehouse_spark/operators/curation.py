@@ -1067,8 +1067,10 @@ def mixture_drift(
 
     KL(P_g || P_corpus) = Σ_c p_g(c) * ln(p_g(c) / p(c)). No smoothing
     needed: the corpus includes every group, so p(c) > 0 wherever
-    p_g(c) > 0. NULL categories count as their own bucket (coalesced)
-    rather than silently dropping rows.
+    p_g(c) > 0. NULL categories AND NULL groups count as their own
+    '__null__' bucket (coalesced) rather than silently dropping rows —
+    a NULL group would otherwise vanish through the count-table
+    equi-joins while still inflating the corpus denominator.
 
     Scale: two count aggregates on (group, cat) and (cat) — both
     map-side combinable; the per-category corpus table is
@@ -1077,7 +1079,8 @@ def mixture_drift(
     group, so 6-dp rounding is far beyond any accumulation ulp.
     """
     cat = F.coalesce(F.col(cat_col), F.lit("__null__")).alias("cat")
-    base = df.select(F.col(group_col).alias("grp"), cat)
+    grp = F.coalesce(F.col(group_col), F.lit("__null__")).alias("grp")
+    base = df.select(grp, cat)
     # ONE scan: the (group, cat) count table is persisted because its
     # three downstream re-aggregations use DIFFERENT groupings (grp /
     # cat / global), so Spark's exchange reuse can't share them — without

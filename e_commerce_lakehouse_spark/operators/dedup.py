@@ -519,6 +519,16 @@ def simhash_pairs(
 # ------------------------------------------------- embedding-cosine near-dup
 
 
+def round_cos(dot: Column, na: Column, nb: Column, dp: int = 4) -> Column:
+    """dp-rounded cosine from a precomputed dot product and two L2 norms,
+    under the single zero-norm contract: a zero (or NULL) norm yields
+    NULL similarity (DuckDB's double division by zero is NULL; oracles
+    mirror with nullif(norm_a * norm_b, 0)). The ONE definition shared
+    by the dedup and similarity families — keep contract tweaks here."""
+    den = na * nb
+    return F.round(F.when(den != 0, dot / den), dp)
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Exact cosine of two array<float>/array<double> columns — sequential
     fold in double precision (bit-stable, matches DuckDB's list kernels).
@@ -584,7 +594,7 @@ def embedding_neardup_lsh(
     result = (
         cands.join(va, "a")
         .join(vb, "b")
-        .withColumn("cos", F.round(F.when((F.col("na") * F.col("nb")) != 0, dot / (F.col("na") * F.col("nb"))), 4))
+        .withColumn("cos", round_cos(dot, F.col("na"), F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -614,7 +624,7 @@ def embedding_neardup_pairs(
     )
     return (
         left.join(right, F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(F.when((F.col("na") * F.col("nb")) != 0, dot / (F.col("na") * F.col("nb"))), 4))
+        .withColumn("cos", round_cos(dot, F.col("na"), F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("a", "b")
     )

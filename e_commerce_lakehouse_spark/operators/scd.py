@@ -16,9 +16,9 @@ type-2 shape (Kimball; Delta/Iceberg MERGE recipes). Three operators:
 - :func:`scd2_apply` — incrementally fold a new batch of changes into an
   existing dimension, touching ONLY the affected keys. Equals a full
   rebuild whenever the batch is append-ordered per key (every new event
-  at or after that key's current ``valid_from``) — the normal CDC-append
-  regime. Late data older than a key's open version needs a rebuild of
-  that key (documented contract, same caveat as Delta's CDC MERGE
+  at or after that key's last RAW event timestamp) — the normal
+  CDC-append regime. Late data older than that needs a raw-log rebuild
+  of the key (documented contract, same caveat as Delta's CDC MERGE
   recipes).
 
 100 TB design: every step is one shuffle on the dimension key (window
@@ -121,13 +121,24 @@ def scd2_apply(
     event at ``valid_from`` with its original ``change_event_id``
     tiebreak) unioned with the new events; unaffected keys pass through
     untouched (anti-join — never re-windowed, never reshuffled beyond
-    the semi/anti probe). With an append-ordered batch this is exactly
-    ``scd2_build`` over the concatenated log, because collapse is
-    idempotent over its own change points.
+    the semi/anti probe). Joins are NULL-SAFE: a NULL key is a real
+    dimension key (``scd2_build`` windows group NULLs), so a NULL-key
+    batch must retire and replay its existing history like any other.
+
+    Equals ``scd2_build`` over the concatenated raw log PROVIDED the
+    batch is append-ordered per key against the RAW history: every new
+    event at or after that key's LAST RAW EVENT timestamp (not merely
+    its current ``valid_from`` — an event landing between the open
+    version's start and a later collapsed-away duplicate would lose the
+    duplicate's re-change on replay). The usual CDC-append regime (all
+    new timestamps after all old ones) satisfies this; true late data
+    needs a raw-log rebuild of that key.
     """
     affected = changes.select(F.col(key_col)).distinct()
-    keep = dim.join(affected, key_col, "left_anti")
-    replay = dim.join(affected, key_col, "left_semi").select(
+    probe = affected.select(F.col(key_col).alias("_ak"))
+    match = F.col(key_col).eqNullSafe(F.col("_ak"))
+    keep = dim.join(probe, match, "left_anti")
+    replay = dim.join(probe, match, "left_semi").select(
         F.col(key_col),
         F.col("valid_from").alias(ts_col),
         F.col("change_event_id").alias(tiebreak_col),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _finish_release, cosine_sim, vec_norm  # noqa: F401 (cosine_sim is public API here too)
+from .dedup import _finish_release, cosine_sim, round_cos, vec_norm  # noqa: F401 (cosine_sim is public API here too)
 
 
 def _norms(df: DataFrame, id_out: str, vec_out: str, norm_out: str, id_col: str, vec_col: str):
@@ -38,13 +38,9 @@ def _dot(a: str, b: str):
 
 
 def _safe_cos(dot_col, n1: str, n2: str):
-    """4-dp cosine with the zero-norm contract: a zero (or NULL) norm
-    yields NULL similarity — excluded from thresholds and ranked last by
-    both engines' DESC NULLS LAST — instead of Spark NaN/Inf vs DuckDB
-    NULL divergence (DuckDB double division by zero returns NULL).
-    Oracles mirror this with nullif(norm_a * norm_b, 0)."""
-    den = F.col(n1) * F.col(n2)
-    return F.round(F.when(den != 0, dot_col / den), 4)
+    """4-dp zero-norm-guarded cosine — delegates to the single shared
+    contract definition, dedup.round_cos."""
+    return round_cos(dot_col, F.col(n1), F.col(n2))
 
 
 def brute_force_topk(

@@ -37,12 +37,16 @@ def exact_linear_stats(
 
     ``x_int`` / ``y_int`` are integer-valued Columns (pre-scale currency
     to cents etc. at the call site; results are in those scaled units).
+    Only PAIRWISE-COMPLETE rows count (standard SQL corr/covar
+    semantics): a row with a NULL on either side is excluded from n and
+    every moment, so the moments can never disagree with the count.
     Outputs are rounded to 6 dp AFTER the fixed-shape closed forms —
     the rounding is cosmetic, the determinism comes from the exact
     moments.
     """
     x = x_int.cast(_DEC)
     y = y_int.cast(_DEC)
+    df = df.where(x_int.isNotNull() & y_int.isNotNull())
     m = df.groupBy(group_col).agg(
         F.count("*").cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),

@@ -2042,7 +2042,11 @@ WITH m AS (
             * round(l_extendedprice * 100)::BIGINT)::DOUBLE AS syy,
         sum(l_quantity::BIGINT
             * round(l_extendedprice * 100)::BIGINT)::DOUBLE AS sxy
-    FROM lineitem GROUP BY l_returnflag)
+    FROM lineitem
+    -- pairwise-complete only, mirroring exact_linear_stats: NULLs on
+    -- either side leave n and the moments together
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag)
 SELECT l_returnflag, n::BIGINT AS n,
     round(sx / n, 6) AS mean_x,
     round(sy / n, 6) AS mean_y,
@@ -2086,7 +2090,8 @@ WHERE levenshtein(a.name, b.name) <= 2
 # is its own bucket; probabilities are exact integer ratios.
 ALL["q118_mixture_drift"] = """
 WITH b AS (
-    SELECT source AS grp, coalesce(lang, '__null__') AS cat FROM documents),
+    SELECT coalesce(source, '__null__') AS grp,
+           coalesce(lang, '__null__') AS cat FROM documents),
 gc AS (SELECT grp, cat, count(*)::BIGINT AS c_gc FROM b GROUP BY 1, 2),
 g AS (SELECT grp, sum(c_gc)::BIGINT AS n_g FROM gc GROUP BY 1),
 c AS (SELECT cat, sum(c_gc)::BIGINT AS c_c FROM gc GROUP BY 1),

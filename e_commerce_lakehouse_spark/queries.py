@@ -820,14 +820,20 @@ def q55_streaming_windowed_agg(spark, sf_dir):
         # watermarks require TIMESTAMP (tz); the data is NTZ — cast through
         # session time (UTC) and cast the window start back to NTZ
         stream = stream.withColumn("ts_evt", F.col("ts").cast("timestamp"))
-        # watermark on the tz-cast column; the window key is date_trunc of
-        # the NTZ original, so hour alignment never depends on session tz
+        # the window must key on the WATERMARKED column — only then can
+        # Spark evict (window, event_type) state when run unbounded in
+        # append mode; session tz is pinned UTC (session.py) so the
+        # start cast back to NTZ equals date_trunc('hour', ts)
         agg = (
             stream.withWatermark("ts_evt", "1 hour")
-            .groupBy(
-                F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
-            )
+            .groupBy(F.window(F.col("ts_evt"), "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w").getField("start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "event_type", "n", "sum_value",
+            )
         )
         with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
             sq = (
@@ -2971,15 +2977,20 @@ def q120_streaming_sliding_window(spark, sf_dir):
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
         stream = stream.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        # window on the WATERMARKED column (state is evictable when run
+        # unbounded in append mode); session tz is pinned UTC, so the
+        # start cast back to NTZ has the same 5-minute alignment
         agg = (
             stream.withWatermark("ts_evt", "1 hour")
             .groupBy(
-                F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
+                F.window(F.col("ts_evt"), "10 minutes", "5 minutes").alias("w"),
                 "event_type",
             )
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
             .select(
-                F.col("w").getField("start").alias("window_start"),
+                F.col("w").getField("start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
                 "event_type", "n", "sum_value",
             )
         )

@@ -145,3 +145,43 @@ def test_mixture_drift_known_kl_and_null_bucket(spark):
     assert out["s1"].kl_nats == round(0.5 * math.log(2), 6)
     assert out["s2"].kl_nats == round(0.5 * math.log(2), 6)
     assert out["s1"].n_docs == 4 and out["s1"].n_cats == 2
+
+
+def test_scd2_apply_null_key_is_a_real_key(spark):
+    # review finding: non-null-safe semi/anti joins neither retired nor
+    # replayed the NULL-key history -> duplicate version-1 open rows
+    old = [(None, _ts(1), 1, "a"), (2, _ts(1), 2, "x")]
+    new = [(None, _ts(2), 3, "b")]
+    dim = scd2_build(_events(spark, old), "user_id", "ts", "event_id", "event_type")
+    inc = scd2_apply(
+        dim, _events(spark, new), "user_id", "ts", "event_id", "event_type"
+    )
+    full = scd2_build(
+        _events(spark, old + new), "user_id", "ts", "event_id", "event_type"
+    )
+    assert_same_rows(inc, full)
+    nulls = sorted(
+        inc.where(F.col("user_id").isNull()).collect(), key=lambda r: r.version
+    )
+    assert [(r.version, r.state, r.is_current) for r in nulls] == [
+        (1, "a", False), (2, "b", True),
+    ]
+
+
+def test_mixture_drift_null_group_is_a_real_group(spark):
+    rows = [("s1", "en")] * 2 + [(None, "en"), (None, "de")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in mixture_drift(df, "source", "lang").collect()}
+    assert set(out) == {"s1", "__null__"}
+    assert out["__null__"].n_docs == 2 and out["__null__"].n_cats == 2
+    # corpus totals include the null group's docs: p(en)=3/4, p(de)=1/4
+    assert out["s1"].kl_nats == round(math.log(4 / 3), 6)
+
+
+def test_exact_linear_stats_pairwise_complete(spark):
+    rows = [("g", 1, 5), ("g", 2, 8), ("g", 3, 11), ("g", None, 999), ("g", 7, None)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = exact_linear_stats(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    # NULL-x and NULL-y rows are excluded from n AND every moment
+    assert r.n == 3
+    assert r.mean_x == 2.0 and r.mean_y == 8.0 and r.slope_yx == 3.0
