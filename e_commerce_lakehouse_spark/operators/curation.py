@@ -244,6 +244,16 @@ def distributed_cumsum(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     local = ranged.mapInArrow(_local_cumsum, out_schema_ddl)
+    # CRITICAL: materialize ONCE. The totals/offsets broadcast runs as a
+    # separate job from the row-side join, and two independent
+    # evaluations of this subtree can sample DIFFERENT range boundaries
+    # (RangePartitioner seeds off the evaluation's RDD id) — the two
+    # sides then carry different _pmin key sets and the join silently
+    # drops whole partitions (caught by the sf0.1 sweep: q108 returned
+    # a varying ~6-12% of its rows). A lazy localCheckpoint computes the
+    # stage in the first job and serves the second from the cached
+    # blocks, so both sides see one partitioning.
+    local = local.localCheckpoint(eager=False)
     totals = local.groupBy("_pmin").agg(F.max(out_col).alias("_tot"))
     w = Window.orderBy("_pmin").rowsBetween(Window.unboundedPreceding, -1)
     # the window below IS single-partition — over numPartitions rows, not data

@@ -185,3 +185,27 @@ def test_exact_linear_stats_pairwise_complete(spark):
     # NULL-x and NULL-y rows are excluded from n AND every moment
     assert r.n == 3
     assert r.mean_x == 2.0 and r.mean_y == 8.0 and r.slope_yx == 3.0
+
+
+def test_distributed_cumsum_preserves_rows_on_clustered_keys(spark):
+    # sf0.1 sweep finding: the totals job and the row-side join evaluated
+    # the range exchange independently; differing sampled boundaries made
+    # the _pmin join drop whole partitions (q108 returned ~6-12% of its
+    # rows, varying run to run). Tight key clusters + many partitions is
+    # the sensitive regime; repeat to catch nondeterminism.
+    from e_commerce_lakehouse_spark.operators.curation import distributed_cumsum
+
+    n = 20000
+    df = spark.range(n).selectExpr(
+        # thousands of near-identical prefixes, unique suffix
+        "concat(lpad(cast(id % 7 as string), 4, '0'), '-', "
+        "lpad(cast(id as string), 10, '0')) AS k",
+        "1 AS one",
+    )
+    for _ in range(3):
+        out = distributed_cumsum(
+            df, order_col="k", value_col="one", out_col="rk", num_partitions=16
+        )
+        ranks = [r.rk for r in out.select("rk").collect()]
+        assert len(ranks) == n
+        assert sorted(ranks) == list(range(1, n + 1))
