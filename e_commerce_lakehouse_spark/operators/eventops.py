@@ -190,8 +190,11 @@ def rolling_zscore_anomalies(
     against the mean/stddev of its own trailing window (the PRECEDING
     ``lookback`` rows, excluding itself — no lookahead, no
     self-contamination), flagged when |z| exceeds the threshold. Rows
-    with fewer than ``min_periods`` non-null trailing values, or a zero
-    trailing stddev, are not scored (NULL z never flags).
+    with fewer than ``min_periods`` non-null trailing values (floored
+    at 2 — a 1-row frame has NaN sample stddev, and Spark orders NaN
+    above every number, so an unfloored guard would flag NaN
+    z-scores), or a zero/NaN trailing stddev, are not scored (NULL z
+    never flags).
 
     Scale: one shuffle on the key; both frame aggregates share the one
     sort. Frames are <= ``lookback`` rows, so per-row cost is bounded
@@ -206,12 +209,18 @@ def rolling_zscore_anomalies(
     sd = F.stddev_samp(value_col).over(w)
     n_prev = F.count(value_col).over(w)
     z = F.round((F.col(value_col) - mean) / sd, 4)
+    ok = (
+        (n_prev >= max(int(min_periods), 2))
+        & sd.isNotNull()
+        & ~F.isnan(sd)
+        & (sd > 0)
+    )
     scored = df.select(
         key_col,
         ts_col,
         tiebreak_col,
         value_col,
-        F.when((n_prev >= min_periods) & (sd > 0), z).alias("z"),
+        F.when(ok, z).alias("z"),
     )
     return scored.where(F.abs(F.col("z")) > z_threshold)
 
@@ -226,11 +235,14 @@ def cumulative_distinct_users(
     each user contributes a "new" mark only on their FIRST day (one
     min-aggregate per user), so the running total of news IS the
     cumulative distinct count. NULL keys are excluded throughout
-    (matching COUNT(DISTINCT)'s convention). The running sum windows
-    over the aggregated per-day table (days, not events), which is tiny
-    at any corpus scale."""
+    (matching COUNT(DISTINCT)'s convention) and so are NULL timestamps
+    (a NULL day has no place on the curve — and engines disagree on
+    NULL ordering in the running-sum window, Spark NULLS FIRST vs
+    DuckDB NULLS LAST). The running sum windows over the aggregated
+    per-day table (days, not events), which is tiny at any corpus
+    scale."""
     day = F.to_date(F.col(ts_col)).alias("day")
-    keyed = df.where(F.col(key_col).isNotNull())
+    keyed = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     active = (
         keyed.select(day, F.col(key_col).alias("k"))
         .groupBy("day")

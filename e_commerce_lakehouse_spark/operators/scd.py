@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_build", "scd2_point_in_time", "scd2_apply"]
+__all__ = ["scd2_build", "scd2_point_in_time", "scd2_apply", "state_timeline"]
 
 
 def _collapse(
@@ -161,8 +161,12 @@ def state_timeline(dim: DataFrame, key_col: str, horizon_ts=None) -> DataFrame:
     key counts, total occupied time, and PEAK CONCURRENCY (how many keys
     were in the state at once) via a distributed sweep line.
 
-    Open versions are clamped to ``horizon_ts`` (default: the
-    dimension's max valid_from — the last observed instant). Sweep
+    Intervals are clamped to the horizon (default: the dimension's max
+    valid_from — the last observed instant): ends are cut at
+    ``horizon_ts`` and versions opening after it are excluded, so an
+    explicit early horizon reports occupancy AS OF that instant rather
+    than emitting negative durations. NULL keys are real keys and count
+    in ``n_keys``. Sweep
     line: each version emits +1 at valid_from and -1 at its end; the
     running sum ordered by (ts, delta, change_event_id) — departures
     before arrivals at the same instant, matching half-open
@@ -179,17 +183,26 @@ def state_timeline(dim: DataFrame, key_col: str, horizon_ts=None) -> DataFrame:
         hdf = dim.agg(F.max("valid_from").alias("_h"))
         dim = dim.crossJoin(F.broadcast(hdf))
         h = F.col("_h")
-    end = F.coalesce(F.col("valid_to"), h)
-    v = dim.select(
-        "state",
-        F.col(key_col).alias("_key"),
-        F.col("valid_from").cast("timestamp").alias("vf"),
-        end.cast("timestamp").alias("ve"),
-        "change_event_id",
+    end = F.least(F.coalesce(F.col("valid_to"), h), h)
+    v = (
+        dim.where(F.col("valid_from") <= h)  # opened within the horizon
+        .select(
+            "state",
+            F.col(key_col).alias("_key"),
+            F.col("valid_from").cast("timestamp").alias("vf"),
+            end.cast("timestamp").alias("ve"),
+            "change_event_id",
+        )
+        .persist()  # consumed by occupancy + both delta legs; released below
+    )
+    # distinct keys INCLUDING a NULL key (count_distinct drops NULLs)
+    n_keys = (
+        F.count_distinct(F.col("_key"))
+        + F.max(F.when(F.col("_key").isNull(), 1).otherwise(0))
     )
     occupancy = v.groupBy("state").agg(
         F.count("*").cast("long").alias("n_versions"),
-        F.count_distinct(F.col("_key")).cast("long").alias("n_keys"),
+        n_keys.cast("long").alias("n_keys"),
         F.sum(
             F.unix_micros(F.col("ve")) - F.unix_micros(F.col("vf"))
         ).cast("long").alias("occupied_us"),
@@ -215,8 +228,11 @@ def state_timeline(dim: DataFrame, key_col: str, horizon_ts=None) -> DataFrame:
     )
     # null-safe join: a NULL state is a real group (q47's fuzz finding —
     # an equi-join on the group key would silently drop it)
-    return (
+    result = (
         occupancy.join(
             peaks, F.col("state").eqNullSafe(F.col("_pstate")), "inner"
         ).drop("_pstate")
     )
+    from .dedup import _finish_release
+
+    return _finish_release(result, v)  # per-state tiny; release the cache

@@ -2165,12 +2165,19 @@ dim AS (
         event_id AS ceid
     FROM ch),
 v AS (
+    -- clamp to the horizon (mirrors state_timeline): ends cut at h,
+    -- versions opening after h excluded; default h = max(valid_from)
     SELECT state, user_id, valid_from AS vf,
-        coalesce(valid_to, (SELECT max(valid_from) FROM dim)) AS ve, ceid
-    FROM dim),
+        least(coalesce(valid_to, (SELECT max(valid_from) FROM dim)),
+              (SELECT max(valid_from) FROM dim)) AS ve, ceid
+    FROM dim
+    WHERE valid_from <= (SELECT max(valid_from) FROM dim)),
 occ AS (
+    -- n_keys counts a NULL key as a real key (count DISTINCT drops it)
     SELECT state, count(*)::BIGINT AS n_versions,
-        count(DISTINCT user_id)::BIGINT AS n_keys,
+        (count(DISTINCT user_id)
+         + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END))::BIGINT
+            AS n_keys,
         sum(epoch_us(ve) - epoch_us(vf))::BIGINT AS occupied_us
     FROM v GROUP BY state),
 d AS (
@@ -2210,7 +2217,7 @@ WHERE np >= 5 AND sd > 0 AND abs(round((value - m) / sd, 4)) > 2.0
 # like COUNT(DISTINCT).
 ALL["q123_cumulative_distinct"] = """
 WITH e AS (SELECT user_id, ts::DATE AS day FROM events
-           WHERE user_id IS NOT NULL),
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 a AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_active
       FROM e GROUP BY 1),
 f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),

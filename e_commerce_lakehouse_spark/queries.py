@@ -2961,8 +2961,10 @@ def q120_streaming_sliding_window(spark, sf_dir):
     memory sink, complete mode; on a bounded replay the result must
     equal the batch expansion, which is what the DuckDB oracle states
     (each event UNION ALL'd into both its windows). Windows key on the
-    NTZ timestamp so alignment never depends on session timezone; state
-    is per-(window, event_type) and watermark-pruned when run unbounded."""
+    WATERMARKED tz column (required for state eviction when run
+    unbounded in append mode) with starts cast back to NTZ under the
+    session's pinned-UTC timezone (session.py), so the 5-minute
+    alignment matches the NTZ oracle arithmetic."""
     import os
     import shutil
     import uuid

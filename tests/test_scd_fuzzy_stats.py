@@ -209,3 +209,40 @@ def test_distributed_cumsum_preserves_rows_on_clustered_keys(spark):
         ranks = [r.rk for r in out.select("rk").collect()]
         assert len(ranks) == n
         assert sorted(ranks) == list(range(1, n + 1))
+
+
+def test_state_timeline_null_key_counts_and_horizon_clamp(spark):
+    from e_commerce_lakehouse_spark.operators.scd import state_timeline
+
+    rows = [
+        (None, _ts(1), 1, "view"),   # NULL key IS a key
+        (1, _ts(1), 2, "view"),
+        (1, _ts(3), 3, "click"),
+    ]
+    dim = scd2_build(_events(spark, rows), "user_id", "ts", "event_id", "event_type")
+    out = {r.state: r for r in state_timeline(dim, "user_id").collect()}
+    assert out["view"].n_keys == 2  # count_distinct alone would say 1
+    assert out["view"].peak_concurrent == 2
+    # explicit horizon BEFORE the click version: it is excluded, and the
+    # open 'view' versions clamp to the horizon (no negative durations)
+    early = {r.state: r for r in
+             state_timeline(dim, "user_id", horizon_ts=_ts(2)).collect()}
+    assert "click" not in early
+    assert early["view"].occupied_us == 2 * 24 * 3600 * 1_000_000
+    assert early["view"].n_versions == 2
+
+
+def test_rolling_zscore_min_periods_one_never_flags_nan(spark):
+    from e_commerce_lakehouse_spark.operators.eventops import (
+        rolling_zscore_anomalies,
+    )
+
+    # 2 events: the second has exactly ONE trailing value -> sample
+    # stddev is NaN; Spark orders NaN above every number, so an
+    # unfloored guard would emit a NaN z as an "anomaly"
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, 10.0), (1, _ts(2), 2, 99.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = rolling_zscore_anomalies(df, min_periods=1).collect()
+    assert out == []
