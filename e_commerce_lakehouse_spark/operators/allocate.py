@@ -1,0 +1,95 @@
+"""Exact proportional allocation (largest-remainder proration).
+
+Finance/settlement warehouses constantly need to split an order-level
+amount across its lines so the integer-cent parts sum back EXACTLY to
+the header amount — naive ``round(total * share)`` drifts by ±1 cent
+per line and reconciliation breaks. The reference pipeline carries both
+the header total (`orders.total_amount`,
+`/root/reference/src/glue_jobs/orders_etl.py`) and line amounts
+(`order_items_etl.py`) but never reconciles them; this operator is that
+missing reconciliation step, built so every arithmetic step is exact
+integer math and therefore bit-identical across engines:
+
+- amounts enter as ``round(x * 100)`` → BIGINT cents (one double
+  rounding, deterministic);
+- the base share is integer floor division ``(total_c * price_c) div
+  S`` (products bounded: 1e8-cent totals × 1e8-cent lines = 1e16 <
+  int64 max);
+- the leftover ``total_c - Σ base`` is < n_lines by construction
+  (sum of floors vs exact sum), and is handed out one cent at a time to
+  the largest integer remainders, ties broken on the line number —
+  fully deterministic, no doubles anywhere after the initial cent cast.
+
+Scale shape: everything is windowed over ``PARTITION BY order`` — ONE
+hash shuffle on the order key; the two windows (sum + rank) share the
+exchange and sort. No driver state, no collect, no join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prorate_largest_remainder(
+    lines: DataFrame,
+    *,
+    key_col: str = "l_orderkey",
+    weight_col: str = "l_extendedprice",
+    total_col: str = "total_c",
+    tiebreak_col: str = "l_linenumber",
+) -> DataFrame:
+    """Allocate ``total_col`` (BIGINT cents, constant per key) across
+    each key's lines proportional to ``weight_col`` so the allocations
+    sum exactly to the total.
+
+    ``lines`` must already carry the per-key total in ``total_col``
+    (e.g. joined from the orders header). Output: one row per line —
+    (key, tiebreak, weight_c BIGINT, alloc_c BIGINT). Keys whose weight
+    sum is 0 are excluded (nothing to prorate against), and negative
+    weights are rejected rows (integer div/mod semantics for negatives
+    differ across engines; a negative settlement weight is upstream
+    corruption here).
+    """
+    w_c = F.round(F.col(weight_col) * 100).cast("long")
+    df = lines.select(
+        F.col(key_col).alias("key"),
+        F.col(tiebreak_col).alias("line"),
+        w_c.alias("weight_c"),
+        F.col(total_col).cast("long").alias("total_c"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+        & w_c.isNotNull()
+        & (w_c >= 0)
+    )
+
+    by_key = Window.partitionBy("key")
+    df = df.withColumn("_s", F.sum("weight_c").over(by_key)).where(
+        F.col("_s") > 0
+    )
+
+    prod = F.col("total_c") * F.col("weight_c")
+    df = df.withColumn("_base", F.expr("(total_c * weight_c) div _s")).withColumn(
+        "_rem", prod % F.col("_s")
+    )
+
+    # leftover cents per key = total - Σ floor  (0 <= leftover < n)
+    df = df.withColumn("_leftover", F.col("total_c") - F.sum("_base").over(by_key))
+
+    rank_w = Window.partitionBy("key").orderBy(
+        F.col("_rem").desc(), F.col("line").asc()
+    )
+    df = df.withColumn("_rk", F.row_number().over(rank_w))
+
+    return df.select(
+        F.col("key").alias(key_col),
+        F.col("line").alias(tiebreak_col),
+        F.col("weight_c"),
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("alloc_c"),
+    )

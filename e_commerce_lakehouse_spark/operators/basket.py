@@ -1,0 +1,124 @@
+"""Market-basket co-occurrence: frequent item-pair mining over order
+lines.
+
+The reference warehouse lands order_items fact rows
+(`/root/reference/src/glue_jobs/order_items_etl.py`) and reports only
+per-item aggregates; pair-level co-purchase ("customers who bought X
+also bought Y") is the canonical next query every retail warehouse
+adds. The naive plan is a quadratic self-join of the fact table with
+itself — a scale-killer on a 100 TB lineitem. This operator keeps the
+quadratic stage bounded the same way the dedup family does:
+
+1. **Distinct first** — collapse to one (basket, item) row per pair so
+   duplicate lines never multiply the join.
+2. **Support-prune before the self-join** — items appearing in fewer
+   than ``min_item_support`` baskets cannot participate in a pair with
+   support ≥ ``min_pair_support`` when ``min_item_support >=
+   min_pair_support``; they are dropped *before* the join, so the
+   self-join fan-out is bounded by the frequent-item basket sizes only
+   (the A-priori downward-closure argument).
+3. **Equi-join on the basket key** — the pair generation is a plain
+   shuffle hash join on ``basket_col`` with an ``item_a < item_b``
+   predicate; never a cartesian. Both sides share one exchange.
+4. **Lift from exact integer counts** — the pair/item/basket counts
+   are int64; lift is a single double division of exact integers
+   (deterministic IEEE), rounded to 6 dp so both engines hash alike.
+
+At 100 TB the remaining risk is a pathological mega-basket (one order
+with 10^5 items → 10^10 pairs); ``max_basket_items`` drops baskets
+above the cap and reports them honestly via the ``oversize_baskets``
+accessor pattern used elsewhere — here it simply filters, because a
+basket that large is data corruption in a retail schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def copurchase_pairs(
+    lines: DataFrame,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Frequent co-purchased item pairs with exact support counts and
+    lift.
+
+    Output: (item_a, item_b, n_baskets BIGINT, support_a BIGINT,
+    support_b BIGINT, lift DOUBLE) with ``item_a < item_b``, one row
+    per surviving pair. ``lift = n_baskets * total_baskets /
+    (support_a * support_b)`` rounded to 6 dp.
+    """
+    if min_item_support < min_pair_support:
+        # the prune below is only sound when item support dominates
+        min_item_support = min_pair_support
+
+    pairs_src = lines.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+    basket_item = pairs_src.distinct()
+
+    # Bound the quadratic stage: drop corrupt mega-baskets first, then
+    # infrequent items (downward closure). Both are plain aggregates on
+    # the keys the join will shuffle on anyway.
+    sized = basket_item.groupBy("basket").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    ).where(F.col("_bsz") <= max_basket_items)
+    bounded = basket_item.join(sized.select("basket"), "basket")
+
+    item_support = bounded.groupBy("item").agg(
+        F.count(F.lit(1)).alias("support")
+    ).where(F.col("support") >= min_item_support)
+    frequent = bounded.join(item_support.select("item"), "item")
+
+    # 1-row total, broadcast-crossed into the pair table (lazy, no
+    # driver action — same shape as curation.py's domain-mix total)
+    total = bounded.agg(
+        F.countDistinct("basket").cast("double").alias("_total_baskets")
+    )
+
+    a = frequent.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = frequent.select(F.col("basket"), F.col("item").alias("item_b"))
+    pair_counts = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_pair_support)
+    )
+
+    sup = item_support.select(
+        F.col("item"), F.col("support").cast("long").alias("support")
+    )
+    out = (
+        pair_counts.join(
+            sup.select(F.col("item").alias("item_a"),
+                       F.col("support").alias("support_a")),
+            "item_a",
+        )
+        .join(
+            sup.select(F.col("item").alias("item_b"),
+                       F.col("support").alias("support_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+            "support_a",
+            "support_b",
+            F.round(
+                (F.col("n_baskets").cast("double") * F.col("_total_baskets"))
+                / (F.col("support_a").cast("double")
+                   * F.col("support_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -263,3 +263,148 @@ def cumulative_distinct_users(
         "day", "n_active", "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_users"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+) -> DataFrame:
+    """Longest run of CONSECUTIVE calendar days with activity, per key
+    (gaps-and-islands). The island id is the classic ``day -
+    row_number`` trick: within a key, consecutive days share a constant
+    difference, so a single window + one group-by finds every streak —
+    no self-join, no iteration.
+
+    Scale shape: distinct-first collapses the fact table to one row per
+    (key, day) — bounded by keys x horizon-days regardless of event
+    volume — then ONE shuffle on the key serves both the row_number
+    window and the two stacked aggregates (AQE keeps them co-
+    partitioned). Output: (key, active_days, n_streaks, longest_streak,
+    longest_start) with the tie on equal-length streaks broken to the
+    EARLIEST start.
+    """
+    days = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    islands = days.withColumn(
+        "_grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("key", "_grp").agg(
+        F.count(F.lit(1)).alias("_len"), F.min("day").alias("_start")
+    )
+    return streaks.groupBy("key").agg(
+        F.sum("_len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("_len").cast("long").alias("longest_streak"),
+        # max of (length, -start_days) = longest streak, earliest start
+        F.max_by(
+            "_start",
+            F.struct(F.col("_len"), (-F.unix_date(F.col("_start"))).alias("_neg")),
+        ).alias("longest_start"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of a step series: each observation holds
+    until the key's NEXT observation (last one contributes nothing —
+    no horizon assumption). The weighted sum runs in EXACT integer
+    space — value fixed to micro-units (``round(v*1e6)`` BIGINT), hold
+    durations in microseconds (``unix_micros``, the q121 precision
+    contract), products in DECIMAL(38,0) (a long x long here can
+    exceed int64) — so engines can't disagree on double summation
+    order; the single final division is one IEEE op on exact operands.
+
+    One shuffle on the key: the lead() window and the group-by share
+    the partitioning. Output: (key, n_obs, held_us BIGINT, twa DOUBLE
+    rounded 6 dp).
+    """
+    w = Window.partitionBy("key").orderBy("ts_us", "tb")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("v_u"),
+    )
+    held = base.withColumn(
+        "dur_us", F.lead("ts_us").over(w) - F.col("ts_us")
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        held.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("dur_us").cast("long").alias("held_us"),
+            F.sum(
+                F.col("v_u").cast("decimal(38,0)")
+                * F.col("dur_us").cast("decimal(38,0)")
+            ).alias("_vw"),
+        )
+        .where(F.col("held_us") > 0)
+        .select(
+            "key",
+            "n_obs",
+            "held_us",
+            F.round(
+                F.col("_vw").cast("double")
+                / (F.col("held_us").cast("double") * 1e6),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    key's event sequence (ts order, tiebreak on the id — the repo-wide
+    determinism contract). ONE shuffle on the key for the lag window;
+    the (prev, next) count is map-side combinable and the probability
+    normalization windows over the aggregated transition matrix
+    (|states|^2 rows — tiny at any fact-table scale, state cardinality
+    is a dimension). Probabilities are exact-integer divisions rounded
+    6 dp. NULL states participate as real states (a NULL event_type is
+    a distinct symbol); NULL keys/timestamps are excluded.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seq = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("_prev", F.lag(state_col).over(w)).withColumn(
+        "_has_prev", F.lag(F.lit(1)).over(w)
+    )
+    trans = (
+        seq.where(F.col("_has_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("prev_state")
+    return trans.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            6,
+        ).alias("prob"),
+    )

@@ -244,3 +244,46 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "gram", "n_occurrences", "n_docs", "rank"
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the classic
+    gibberish/boilerplate signal for LLM corpus curation: near-zero
+    entropy flags repeated-token spam, unusually high entropy flags
+    random noise. Uses the repo-wide whitespace tokenizer on
+    lowercased text (same contract as q40/q98's oracles).
+
+    Computed as ``ln(n) - (Σ c·ln c)/n`` over exact integer counts, so
+    the only float ops are |vocab| logs and one division — rounded 6 dp
+    to absorb cross-engine libm ulps (same guard as TF-IDF/BM25).
+    Shape: explode → two stacked group-bys on (doc, token) then doc —
+    both map-side combinable, one shuffle each, no windows over the
+    token stream. Output: (doc_id, n_tokens, n_distinct, entropy),
+    token-less documents excluded (entropy undefined on n=0).
+    """
+    tok = df.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -2226,3 +2226,156 @@ SELECT a.day, a.n_active, coalesce(n.n_new, 0)::BIGINT AS n_new,
     sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day)::BIGINT AS cum_users
 FROM a LEFT JOIN n USING (day)
 """
+
+# q124: frequent co-purchased part pairs — distinct-first, item-support
+# prune (>=2), pair support >=2, lift from exact integer counts; the
+# basket-size cap (1000) never binds on this data but mirrors the
+# operator's corruption guard.
+ALL["q124_copurchase_pairs"] = """
+WITH bi AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ok AS (
+    SELECT basket FROM bi GROUP BY basket HAVING count(*) <= 1000),
+b AS (SELECT bi.* FROM bi JOIN ok USING (basket)),
+sup AS (
+    SELECT item, count(*)::BIGINT AS support
+    FROM b GROUP BY item HAVING count(*) >= 2),
+f AS (SELECT b.* FROM b JOIN sup USING (item)),
+tot AS (SELECT count(DISTINCT basket)::DOUBLE AS t FROM b),
+pc AS (
+    SELECT a.item AS item_a, c.item AS item_b, count(*)::BIGINT AS n_baskets
+    FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+    GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pc.item_a, pc.item_b, pc.n_baskets,
+    sa.support AS support_a, sb.support AS support_b,
+    round((pc.n_baskets::DOUBLE * tot.t)
+          / (sa.support::DOUBLE * sb.support::DOUBLE), 6) AS lift
+FROM pc
+JOIN sup sa ON sa.item = pc.item_a
+JOIN sup sb ON sb.item = pc.item_b
+CROSS JOIN tot
+"""
+
+# q125: gaps-and-islands longest consecutive-order-day streak per
+# customer; tie on equal lengths -> earliest start.
+ALL["q125_order_day_streaks"] = """
+WITH d AS (
+    SELECT DISTINCT o_custkey AS key, o_orderdate::DATE AS day
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+i AS (
+    SELECT key, day,
+        day - CAST(row_number() OVER (PARTITION BY key ORDER BY day)
+                   AS INTEGER) AS grp
+    FROM d),
+s AS (
+    SELECT key, grp, count(*)::BIGINT AS len, min(day) AS start
+    FROM i GROUP BY 1, 2),
+r AS (
+    SELECT key, start,
+        row_number() OVER (PARTITION BY key
+                           ORDER BY len DESC, start ASC) AS rk
+    FROM s),
+agg AS (
+    SELECT key, sum(len)::BIGINT AS active_days,
+        count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+    FROM s GROUP BY 1)
+SELECT agg.key, agg.active_days, agg.n_streaks, agg.longest_streak,
+    r.start AS longest_start
+FROM agg JOIN r ON agg.key = r.key AND r.rk = 1
+"""
+
+# q126: time-weighted average value per user — step semantics, exact
+# integer micro-units x microseconds, HUGEINT products (int64 would
+# overflow), one IEEE division at the end.
+ALL["q126_time_weighted_avg"] = """
+WITH base AS (
+    SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS tb,
+        round(value * 1e6)::BIGINT AS v_u
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+held AS (
+    SELECT key, v_u,
+        lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, tb) - ts_us
+            AS dur_us
+    FROM base),
+g AS (
+    SELECT key, count(*)::BIGINT AS n_obs, sum(dur_us)::BIGINT AS held_us,
+        sum(v_u::HUGEINT * dur_us::HUGEINT) AS vw
+    FROM held WHERE dur_us IS NOT NULL GROUP BY key)
+SELECT key, n_obs, held_us,
+    round(vw::DOUBLE / (held_us::DOUBLE * 1e6), 6) AS twa
+FROM g WHERE held_us > 0
+"""
+
+# q127: largest-remainder proration of the order total across lines —
+# pure BIGINT cents arithmetic, floor-div base, leftover cents to the
+# largest remainders, linenumber tiebreak. Allocations sum back exactly.
+ALL["q127_prorate_order_total"] = """
+WITH l AS (
+    SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice * 100)::BIGINT AS weight_c,
+        round(o_totalprice * 100)::BIGINT AS total_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+      AND round(l_extendedprice * 100) >= 0),
+s AS (
+    SELECT *, sum(weight_c) OVER (PARTITION BY l_orderkey)::BIGINT AS ws
+    FROM l),
+b AS (
+    SELECT *, (total_c * weight_c) // ws AS base,
+        (total_c * weight_c) % ws AS rem
+    FROM s WHERE ws > 0),
+d AS (
+    SELECT *,
+        total_c - sum(base) OVER (PARTITION BY l_orderkey)::BIGINT
+            AS leftover,
+        row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY rem DESC, l_linenumber ASC) AS rk
+    FROM b)
+SELECT l_orderkey, l_linenumber, weight_c,
+    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_c
+FROM d
+"""
+
+# q128: per-document unigram Shannon entropy (nats) over the repo-wide
+# whitespace tokenizer; ln(n) - sum(c ln c)/n on exact counts, 6 dp.
+ALL["q128_token_entropy"] = """
+WITH tok AS (
+    SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents),
+c AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM tok WHERE tok <> '' GROUP BY 1, 2),
+g AS (
+    SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        count(*)::BIGINT AS n_distinct,
+        sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+    FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+    round(ln(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6) AS entropy
+FROM g
+"""
+
+# q129: first-order Markov transition matrix over user event sequences
+# (ts, event_id order); NULL event_type is a real state (rn>1 guard, not
+# prev IS NOT NULL); probabilities exact-integer divisions, 6 dp.
+ALL["q129_event_transitions"] = """
+WITH seq AS (
+    SELECT event_type,
+        lag(event_type) OVER w AS prev_state,
+        row_number() OVER w AS rn
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+    SELECT prev_state, event_type AS next_state,
+        count(*)::BIGINT AS n_transitions
+    FROM seq WHERE rn > 1 GROUP BY 1, 2)
+SELECT prev_state, next_state, n_transitions,
+    round(n_transitions::DOUBLE
+          / sum(n_transitions) OVER (PARTITION BY prev_state)::DOUBLE,
+          6) AS prob
+FROM t
+"""

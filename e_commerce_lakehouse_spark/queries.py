@@ -3056,6 +3056,84 @@ def q123_cumulative_distinct(spark, sf_dir):
     return cumulative_distinct_users(e)
 
 
+def q124_copurchase_pairs(spark, sf_dir):
+    """Frequent co-purchased part pairs over lineitem
+    (operators/basket.copurchase_pairs): distinct-first, A-priori
+    support pruning BEFORE the self-join, pair generation as a plain
+    equi-join on the order key (never cartesian), lift from exact
+    integer counts. The quadratic stage is bounded by frequent-item
+    basket sizes only."""
+    from .operators.basket import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_pairs(
+        li, min_item_support=2, min_pair_support=2
+    )
+
+
+def q125_order_day_streaks(spark, sf_dir):
+    """Longest consecutive-order-day streak per customer
+    (eventops.activity_streaks): gaps-and-islands via day -
+    row_number, one shuffle on the customer key, distinct-first so the
+    island table is bounded by keys x days."""
+    from .operators.eventops import activity_streaks
+
+    o = _t(spark, sf_dir, "orders")
+    return activity_streaks(o, key_col="o_custkey", ts_col="o_orderdate")
+
+
+def q126_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average event value per user
+    (eventops.time_weighted_avg): step-function semantics (each value
+    holds until the next observation), weighted sum in EXACT integer
+    micro-units x seconds summed as DECIMAL(38,0) so engines cannot
+    disagree on double summation order; one shuffle on the key."""
+    from .operators.eventops import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    return time_weighted_avg(e)
+
+
+def q127_prorate_order_total(spark, sf_dir):
+    """Largest-remainder proration of each order's header total across
+    its lines (operators/allocate.prorate_largest_remainder): all
+    arithmetic in BIGINT cents — floor-div base shares, leftover cents
+    to the largest remainders, linenumber tiebreak — so per-order
+    allocations sum back EXACTLY to the header total. One shuffle on
+    the order key; the windows share the exchange."""
+    from .operators.allocate import prorate_largest_remainder
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+    )
+    return prorate_largest_remainder(li.join(o, "l_orderkey"))
+
+
+def q128_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (operators/text.
+    token_entropy) — the curation gibberish/boilerplate signal; exact
+    integer counts, |vocab| logs, rounded 6 dp. Two map-side-combinable
+    aggregates, no token-stream windows."""
+    from .operators.text import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d)
+
+
+def q129_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences
+    (eventops.event_transitions): lag window on the repo-wide (ts,
+    event_id) determinism contract, probability normalization over the
+    aggregated |states|^2 matrix — exact integer division rounded
+    6 dp."""
+    from .operators.eventops import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3186,4 +3264,10 @@ ALL = {
     "q121_state_timeline": q121_state_timeline,
     "q122_rolling_zscore": q122_rolling_zscore,
     "q123_cumulative_distinct": q123_cumulative_distinct,
+    "q124_copurchase_pairs": q124_copurchase_pairs,
+    "q125_order_day_streaks": q125_order_day_streaks,
+    "q126_time_weighted_avg": q126_time_weighted_avg,
+    "q127_prorate_order_total": q127_prorate_order_total,
+    "q128_token_entropy": q128_token_entropy,
+    "q129_event_transitions": q129_event_transitions,
 }
