@@ -46,10 +46,12 @@ def prorate_largest_remainder(
     ``lines`` must already carry the per-key total in ``total_col``
     (e.g. joined from the orders header). Output: one row per line —
     (key, tiebreak, weight_c BIGINT, alloc_c BIGINT). Keys whose weight
-    sum is 0 are excluded (nothing to prorate against), and negative
-    weights are rejected rows (integer div/mod semantics for negatives
-    differ across engines; a negative settlement weight is upstream
-    corruption here).
+    sum is 0 are excluded (nothing to prorate against); negative
+    weights and NULL/negative totals are rejected rows (integer div/mod
+    semantics for negatives differ across engines, and a negative
+    settlement amount is a refund header — out of scope). The remainder
+    rank tiebreaks on (line, weight) so duplicate line numbers stay
+    deterministic.
     """
     w_c = F.round(F.col(weight_col) * 100).cast("long")
     df = lines.select(
@@ -62,6 +64,7 @@ def prorate_largest_remainder(
         & F.col(tiebreak_col).isNotNull()
         & w_c.isNotNull()
         & (w_c >= 0)
+        & (F.col(total_col).cast("long") >= 0)
     )
 
     by_key = Window.partitionBy("key")
@@ -78,7 +81,7 @@ def prorate_largest_remainder(
     df = df.withColumn("_leftover", F.col("total_c") - F.sum("_base").over(by_key))
 
     rank_w = Window.partitionBy("key").orderBy(
-        F.col("_rem").desc(), F.col("line").asc()
+        F.col("_rem").desc(), F.col("line").asc(), F.col("weight_c").desc()
     )
     df = df.withColumn("_rk", F.row_number().over(rank_w))
 

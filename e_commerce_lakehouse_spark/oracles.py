@@ -2319,7 +2319,8 @@ WITH l AS (
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
       AND l_extendedprice IS NOT NULL
-      AND round(l_extendedprice * 100) >= 0),
+      AND round(l_extendedprice * 100) >= 0
+      AND round(o_totalprice * 100)::BIGINT >= 0),
 s AS (
     SELECT *, sum(weight_c) OVER (PARTITION BY l_orderkey)::BIGINT AS ws
     FROM l),
@@ -2332,7 +2333,8 @@ d AS (
         total_c - sum(base) OVER (PARTITION BY l_orderkey)::BIGINT
             AS leftover,
         row_number() OVER (PARTITION BY l_orderkey
-                           ORDER BY rem DESC, l_linenumber ASC) AS rk
+                           ORDER BY rem DESC, l_linenumber ASC,
+                                    weight_c DESC) AS rk
     FROM b)
 SELECT l_orderkey, l_linenumber, weight_c,
     (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_c

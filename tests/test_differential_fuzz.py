@@ -64,6 +64,7 @@ FUZZ_QUERIES = [
     "q110_exact_quantiles",
     "q111_grouped_exact_quantiles",
     "q118_mixture_drift",
+    "q128_token_entropy",
 ]
 
 VOCAB = [

@@ -61,6 +61,8 @@ FUZZ_QUERIES = [
     "q121_state_timeline",
     "q122_rolling_zscore",
     "q123_cumulative_distinct",
+    "q126_time_weighted_avg",
+    "q129_event_transitions",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

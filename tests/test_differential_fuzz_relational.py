@@ -67,6 +67,9 @@ FUZZ_QUERIES = [
     "q115_stats_profile",
     "q116_histogram",
     "q117_fuzzy_name_pairs",
+    "q124_copurchase_pairs",
+    "q125_order_day_streaks",
+    "q127_prorate_order_total",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
