@@ -693,3 +693,130 @@ def cross_source_overlap(
             F.sum("pair_cnt").alias("n_dup_pairs"),
         )
     )
+
+# ------------------------------------- exact set-similarity join (PPJoin)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard join via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all
+    pairs (a < b) with Jaccard(tokens_a, tokens_b) >= threshold, where
+    tokens are the document's DISTINCT whitespace words.
+
+    Complements the probabilistic near-dup family: MinHash (q22) trades
+    exactness for candidate economy; this operator keeps Jaccard EXACT
+    and gets its candidate economy from the prefix-filter theorem — if
+    |A ∩ B| >= α then, under any fixed global token order, the first
+    |A|-α+1 tokens of A and the first |B|-α+1 of B must intersect
+    (pigeonhole). With J >= t implying |A∩B| >= ceil(t·|A|) (since
+    union >= |A|), each document only indexes its first
+    sz - ceil(t·sz) + 1 tokens under the RAREST-FIRST global order
+    (ascending document frequency, token string tiebreak), and the
+    candidate join runs on those prefix tokens only.
+
+    Scale shape: every stage is an equi-join or a map-side-combinable
+    aggregate — df-count groupBy(token), one token-keyed join to attach
+    df, one per-doc window for prefix positions (shuffle on id), the
+    prefix self-equi-join on token (rarest-first ordering keeps stop
+    words OUT of prefixes, so the join never explodes on them), and an
+    O(candidate · |tokens|) verify via two equi-joins. Never quadratic
+    in the corpus; no cartesian anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.parallelism import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    # (id, token) rows feed df-counts, prefixes, and the verify — persist
+    toks = toks.persist()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df_"))
+    w_pos = Window.partitionBy(id_col).orderBy(F.col("df_").asc(), F.col("tok").asc())
+    w_all = Window.partitionBy(id_col)
+    pos = toks.join(dfreq, "tok").select(
+        id_col,
+        "tok",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count("*").over(w_all).alias("sz"),
+    )
+    prefix = pos.where(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    )
+    cands = (
+        prefix.select(F.col(id_col).alias("a"), "tok")
+        .join(prefix.select(F.col(id_col).alias("b"), "tok"), "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cands.join(toks.select(F.col(id_col).alias("a"), "tok"), "a")
+        .join(toks.select(F.col(id_col).alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    result = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return _finish_release(result, toks)
+
+
+# -------------------------------------------------------- shingle novelty
+
+
+def shingle_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a document's
+    distinct word n-gram shingles whose FIRST corpus appearance (minimum
+    document id) is this document. The dedup-aware curation signal —
+    near-zero novelty means the document is assembled from already-seen
+    text (mirrors, templates, quote farms) even when no single pairwise
+    Jaccard crosses a dedup threshold; selection by novelty keeps the
+    marginal-information documents.
+
+    Scale shape: shingles travel as 60-bit md5-prefix ints (8-byte
+    shuffle keys, like q22); one map-side-combinable groupBy(shingle)
+    for first-ids, one shingle-keyed join back, one groupBy(doc). Never
+    quadratic; no windows over the token stream.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sh"),
+    )
+    sh = sh.persist()
+    first = sh.groupBy("sh").agg(F.min(id_col).alias("first_id"))
+    result = (
+        sh.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col(id_col)).cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
+        .select(id_col, "n_shingles", "n_novel", "novelty")
+    )
+    return _finish_release(result, sh)

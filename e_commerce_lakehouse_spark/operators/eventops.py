@@ -408,3 +408,67 @@ def event_transitions(
             6,
         ).alias("prob"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-key inter-arrival statistics with the Goh-Barabási
+    burstiness coefficient B = (σ − μ)/(σ + μ): B → −1 is a periodic
+    (clock-like) source, B ≈ 0 Poisson, B → +1 bursty. The standard
+    traffic-shape diagnostic for event streams — bot/scraper detection,
+    feed-health monitoring, sessionization-parameter tuning.
+
+    Gaps are exact integer microseconds (lag over the repo-wide
+    (ts, tiebreak) determinism contract); moments are summed as
+    DECIMAL(38,0) so no engine can disagree on double summation order,
+    then μ/σ/B come from FIXED-SHAPE closed forms on the exact operands
+    (the q115 ``exact_linear_stats`` recipe), rounded 6 dp after.
+    Zero-spread keys (σ + μ = 0: all gaps zero) report B = 0 explicitly
+    rather than NaN. Keys with fewer than ``min_gaps`` gaps are dropped
+    (sample variance needs n ≥ 2).
+
+    One shuffle on the key: the lag window and the group-by share the
+    partitioning; both aggregates are map-side combinable.
+    """
+    w = Window.partitionBy("key").orderBy("ts_us", "tb")
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    gaps = base.select(
+        "key", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    g = F.col("gap_us").cast("decimal(38,0)")
+    m = (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(g).cast("double").alias("s1"),
+            F.sum(g * g).cast("double").alias("s2"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .where(F.col("n") >= min_gaps)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    # fixed expression shapes — keep in exact sync with the oracle SQL
+    mu = s1 / n
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    burst = F.when(sd + mu == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.round((sd - mu) / (sd + mu), 6)
+    )
+    return m.select(
+        F.col("key"),
+        n.cast("long").alias("n_gaps"),
+        F.round(mu / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.round(sd / F.lit(1000000.0), 6).alias("sd_gap_s"),
+        F.col("max_gap_us").cast("long").alias("max_gap_us"),
+        burst.alias("burstiness"),
+    )

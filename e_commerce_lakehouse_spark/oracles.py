@@ -2381,3 +2381,74 @@ SELECT prev_state, next_state, n_transitions,
           6) AS prob
 FROM t
 """
+
+# q130: exact set-similarity join. The oracle is the BRUTE-FORCE
+# token-sharing join (pairs with no shared token have Jaccard 0 < t, so
+# it is complete); the Spark side answers through rarest-first prefix
+# filtering, so the hash proves the filter is lossless.
+ALL["q130_set_similarity_join"] = """
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(
+        regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+    FROM documents),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT a, b, round(i / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE round(i / (sa.s + sb.s - i), 6) >= 0.75
+"""
+
+# q131: per-document shingle novelty — first corpus appearance = min
+# doc_id per 60-bit int shingle key (same key trick as q21/q22).
+ALL["q131_shingle_novelty"] = f"""
+WITH {_SHINGLES},
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh
+    FROM shingles),
+first_seen AS (SELECT sh, min(doc_id) AS first_id FROM h GROUP BY sh)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+    sum((first_id = doc_id)::INT)::BIGINT AS n_novel,
+    round(sum((first_id = doc_id)::INT) / count(*), 6) AS novelty
+FROM h JOIN first_seen USING (sh) GROUP BY doc_id
+"""
+
+# q132: inter-arrival burstiness — exact integer-microsecond gaps,
+# HUGEINT moments (mirror of Spark's DECIMAL(38,0), the q115/q126
+# recipe), fixed-shape closed forms expanded inline exactly as the
+# Spark expression tree builds them.
+ALL["q132_interarrival_burstiness"] = """
+WITH g AS (
+    SELECT user_id AS key,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (
+    SELECT key, count(*)::DOUBLE AS n,
+        sum(gap::HUGEINT)::DOUBLE AS s1,
+        sum(gap::HUGEINT * gap::HUGEINT)::DOUBLE AS s2,
+        max(gap)::BIGINT AS max_gap_us
+    FROM g WHERE gap IS NOT NULL GROUP BY key
+    HAVING count(*) >= 2)
+SELECT key, n::BIGINT AS n_gaps,
+    round((s1 / n) / 1000000.0, 6) AS mean_gap_s,
+    round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)) / 1000000.0, 6) AS sd_gap_s,
+    max_gap_us,
+    CASE WHEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) + s1 / n = 0 THEN 0.0
+         ELSE round((sqrt((s2 - s1 * s1 / n) / (n - 1.0)) - s1 / n)
+                  / (sqrt((s2 - s1 * s1 / n) / (n - 1.0)) + s1 / n), 6)
+    END AS burstiness
+FROM m
+"""
+
+# q133: streaming at-least-once dedup — the stream delivers every event
+# twice; dropDuplicatesWithinWatermark must collapse them, so the
+# deduped aggregate equals the single-delivery batch aggregate (q55's
+# grouping, proven hash-stable).
+ALL["q133_streaming_dedup"] = """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

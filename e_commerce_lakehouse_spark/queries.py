@@ -3134,6 +3134,99 @@ def q129_event_transitions(spark, sf_dir):
     return event_transitions(e)
 
 
+def q130_set_similarity_join(spark, sf_dir):
+    """EXACT token-set Jaccard join via prefix filtering
+    (dedup.set_similarity_join, AllPairs/PPJoin family): pairs with
+    Jaccard >= 0.75 over distinct-word sets. Complements q22's
+    probabilistic MinHash with an exact answer whose candidate economy
+    comes from rarest-first prefixes, not sketches; the oracle is the
+    brute-force token-sharing join, so the hash proves the prefix
+    filter is lossless."""
+    from .operators.dedup import set_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return set_similarity_join(d, threshold=0.75)
+
+
+def q131_shingle_novelty(spark, sf_dir):
+    """Per-document shingle novelty (dedup.shingle_novelty): fraction
+    of each doc's distinct 3-gram shingles first seen (min doc_id) in
+    that doc — the dedup-aware marginal-information signal for
+    curation ordering. 60-bit int shingle keys, two shuffles, never
+    quadratic."""
+    from .operators.dedup import shingle_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return shingle_novelty(d, n=3)
+
+
+def q132_interarrival_burstiness(spark, sf_dir):
+    """Per-user inter-arrival stats + Goh-Barabási burstiness
+    (eventops.interarrival_stats): exact integer-microsecond gaps,
+    DECIMAL(38,0) moments, fixed-shape closed forms — the q115 recipe
+    applied to the traffic-shape diagnostic."""
+    from .operators.eventops import interarrival_stats
+
+    e = _t(spark, sf_dir, "events")
+    return interarrival_stats(e)
+
+
+def q133_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once-style dedup: the events file is delivered
+    TWICE (two copies in the stream source dir — at-least-once
+    delivery), and dropDuplicatesWithinWatermark on the event id keeps
+    one copy while the watermark bounds the dedup state (evictable —
+    runs unbounded). The q55/q120 harness (readStream + AvailableNow +
+    memory sink, append mode); the deduped rows are then batch
+    aggregated, and the oracle is the single-delivery batch aggregate —
+    a double-count on any row flips the hash."""
+    import os
+    import shutil
+    import uuid
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q133_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q133_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        # at-least-once delivery: the same batch arrives twice
+        shutil.copy(src, os.path.join(d, "in", "events_a.parquet"))
+        shutil.copy(src, os.path.join(d, "in", "events_b.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "in"))
+        stream = stream.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        deduped = stream.withWatermark("ts_evt", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                deduped.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
+        result = (
+            spark.table(qname)
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        )
+        rows = result.collect()  # materialize before sink view is dropped
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3270,4 +3363,8 @@ ALL = {
     "q127_prorate_order_total": q127_prorate_order_total,
     "q128_token_entropy": q128_token_entropy,
     "q129_event_transitions": q129_event_transitions,
+    "q130_set_similarity_join": q130_set_similarity_join,
+    "q131_shingle_novelty": q131_shingle_novelty,
+    "q132_interarrival_burstiness": q132_interarrival_burstiness,
+    "q133_streaming_dedup": q133_streaming_dedup,
 }

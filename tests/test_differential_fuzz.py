@@ -65,6 +65,8 @@ FUZZ_QUERIES = [
     "q111_grouped_exact_quantiles",
     "q118_mixture_drift",
     "q128_token_entropy",
+    "q130_set_similarity_join",
+    "q131_shingle_novelty",
 ]
 
 VOCAB = [

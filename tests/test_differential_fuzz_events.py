@@ -63,6 +63,7 @@ FUZZ_QUERIES = [
     "q123_cumulative_distinct",
     "q126_time_weighted_avg",
     "q129_event_transitions",
+    "q132_interarrival_burstiness",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

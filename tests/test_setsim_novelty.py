@@ -1,0 +1,91 @@
+"""Unit tests for the exact set-similarity join (prefix filtering) and
+shingle novelty — semantics the differential fuzz gate can't state
+directly: prefix-filter losslessness vs an in-test brute force, the
+no-cartesian plan shape, and novelty's first-seen accounting.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators.dedup import (
+    set_similarity_join,
+    shingle_novelty,
+)
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "alpha beta gamma delta zeta"),          # J(1,2)=4/6
+    (3, "alpha beta gamma delta epsilon"),       # exact dup of 1: J=1
+    (4, "omega psi chi phi upsilon tau"),        # disjoint from 1-3
+    (5, "omega psi chi phi upsilon"),            # J(4,5)=5/6
+    (6, "alpha alpha alpha beta beta gamma"),    # multiset -> set {a,b,g}
+    (7, "solo"),
+    (8, "solo"),                                 # J(7,8)=1 on single-token sets
+    (9, ""),                                     # empty -> {''} token
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _brute_pairs(threshold):
+    sets = {i: set(t.strip().lower().split()) or {""} for i, t in DOCS}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = round(inter / len(sets[a] | sets[b]), 6)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.66, 0.8, 1.0])
+def test_prefix_filter_matches_brute_force(spark, threshold):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in set_similarity_join(_docs_df(spark), threshold=threshold).collect()
+    }
+    assert got == _brute_pairs(threshold)
+
+
+def test_setsim_plan_has_no_cartesian(spark):
+    plan = set_similarity_join(_docs_df(spark), threshold=0.8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novelty_first_seen_accounting(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four", "en", "s", 18),
+            (20, "one two three four", "en", "s", 18),  # exact dup, later id
+            (30, "five six seven eight", "en", "s", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in shingle_novelty(df, n=3).collect()}
+    # doc 10: both 3-gram shingles first seen here
+    assert rows[10]["n_shingles"] == 2 and rows[10]["novelty"] == 1.0
+    # doc 20: identical shingles, all first seen in doc 10
+    assert rows[20]["n_novel"] == 0 and rows[20]["novelty"] == 0.0
+    assert rows[30]["novelty"] == 1.0
+
+
+def test_novelty_short_doc_single_shingle(spark):
+    df = spark.createDataFrame(
+        [(1, "only two", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = shingle_novelty(df, n=3).collect()
+    assert len(r) == 1 and r[0]["n_shingles"] == 1 and r[0]["novelty"] == 1.0

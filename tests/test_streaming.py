@@ -967,3 +967,46 @@ def test_stream_source_rate_limited_end_to_end(spark, tmp_path):
     assert sum(got) == total == 400
     # 4 one-file commits, cap 1 file/trigger -> at least 4 micro-batches
     assert len([n for n in got if n > 0]) >= 4
+
+
+def test_stream_dedup_state_spans_microbatches(spark, tmp_path):
+    """q133's at-least-once shape: the SAME batch arrives as two separate
+    files and maxFilesPerTrigger=1 forces them into separate microbatches,
+    so the duplicate copy is only droppable via dedup STATE carried across
+    batches — a within-batch distinct would pass the single-file test but
+    fail this one."""
+    from e_commerce_lakehouse_spark.streaming.ingest import stream_dedup
+
+    src_dir = tmp_path / "dup2-src"
+    src_dir.mkdir()
+    base = transcripts_df(spark, 120, seed=23).cache()
+    base.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    import glob
+    import shutil
+
+    part = glob.glob(str(tmp_path / "one" / "part-*.parquet"))[0]
+    shutil.copy(part, src_dir / "copy_a.parquet")
+    shutil.copy(part, src_dir / "copy_b.parquet")
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    out: list = []
+    seen_batches: list = []
+    q = (
+        stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dup2-ckpt"))
+        .foreachBatch(
+            lambda bdf, bid: (seen_batches.append(bid), out.extend(bdf.collect()))
+        )
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 2, "expected the two copies in separate microbatches"
+    assert len(out) == 120
+    assert len({(r["conv_id"], r["turn_idx"]) for r in out}) == 120
+    base.unpersist()
