@@ -472,3 +472,124 @@ def interarrival_stats(
         F.col("max_gap_us").cast("long").alias("max_gap_us"),
         burst.alias("burstiness"),
     )
+
+
+def recency_decay_scores(
+    df: DataFrame,
+    anchor: str = "2024-03-01",
+    half_life_days: int = 7,
+    max_age_days: int = 28,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-decayed engagement score per key — the rec-sys/curation
+    freshness signal: score = Σ value · 0.5^(age_days // half_life),
+    over events no older than ``max_age_days`` relative to ``anchor``.
+
+    EXACT across engines by construction: the decay exponent is an
+    INTEGER (floor-divided age bucket), so every weight is a power of
+    two; value is fixed to integer micro-units; each term is then
+    value_u · 2^(E−e) — a pure integer — summed as DECIMAL(38,0)
+    (HUGEINT in the oracle), with ONE double division by the constant
+    2^E·1e6 at the end. No float summation order anywhere, no libm.
+
+    One shuffle on the key; the aggregate is map-side combinable.
+    """
+    e_max = max_age_days // half_life_days
+    anchor_d = F.to_date(F.lit(anchor))
+    age = F.datediff(anchor_d, F.col(ts_col).cast("date"))
+    ex = F.floor(age / F.lit(half_life_days)).cast("int")
+    # 2^(E-e) via a literal lookup table (shiftleft needs a static count);
+    # every weight is an exact integer power of two
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(e_max + 1)])
+    term = (
+        F.round(F.col(value_col) * 1e6).cast("long").cast("decimal(38,0)")
+        * F.element_at(pow2, F.lit(e_max + 1) - ex).cast("decimal(38,0)")
+    )
+    scale = float((1 << e_max) * 1_000_000)
+    return (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & age.between(0, max_age_days)
+        )
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(term).alias("_s"),
+            F.max(F.col(ts_col).cast("date")).alias("last_day"),
+        )
+        .select(
+            "key",
+            "n_events",
+            "last_day",
+            F.round(F.col("_s").cast("double") / F.lit(scale), 6).alias(
+                "decay_score"
+            ),
+        )
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Clickstream path mining: the first ``max_steps`` event types of
+    every session (q95's inactivity-gap session rule), joined with
+    '>' into a path string, counted across sessions and distinct
+    users — the "what do journeys look like" rollup product analytics
+    runs daily. NULL event types become the literal 'NULL' step (a real
+    state, q129's convention).
+
+    Scale shape: one shuffle on the user key (session assignment,
+    per-session row numbers, and the per-session fold all share it);
+    the path table is then a plain map-side-combinable count. The
+    per-session fold is array_sort over ≤ max_steps structs — bounded,
+    no token-stream window.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(int(gap_seconds))), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_sid", F.sum(new_session).over(run).cast("long"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(user_col, "_sid").orderBy(
+                    ts_col, tiebreak_col
+                )
+            ),
+        )
+        .where(F.col("_rn") <= max_steps)
+        .select(
+            user_col,
+            "_sid",
+            "_rn",
+            F.coalesce(F.col("event_type"), F.lit("NULL")).alias("_et"),
+        )
+    )
+    paths = s.groupBy(user_col, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "_et"))),
+                lambda x: x["_et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(user_col).alias("n_users"),
+    )

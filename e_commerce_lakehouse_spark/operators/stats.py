@@ -73,3 +73,128 @@ def exact_linear_stats(
         F.round(corr, 6).alias("corr_xy"),
         F.round(slope, 6).alias("slope_yx"),
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Deequ-style column profile: one row per column with exact
+    null count, exact distinct count, completeness, and type-bucketed
+    min/max (numeric → double, string → varchar, timestamp/date →
+    timestamp) — the data-quality summary a lakehouse ingest gate
+    records next to ANALYZE's per-table stats.
+
+    Scale shape: ONE aggregate over the input computes every counter
+    (the multi-COUNT(DISTINCT) expands via Spark's Expand operator —
+    one scan, map-side partial aggregation per distinct key); the
+    per-column reshape explodes the single 1-row aggregate, so the
+    pivot costs nothing. No collect, no per-column re-scan.
+    """
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"nn_{f.name}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{f.name}"))
+        if isinstance(f.dataType, NumericType):
+            aggs.append(F.min(c).cast("double").alias(f"mn_{f.name}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{f.name}"))
+        elif isinstance(f.dataType, StringType):
+            aggs.append(F.min(c).alias(f"mn_{f.name}"))
+            aggs.append(F.max(c).alias(f"mx_{f.name}"))
+        elif isinstance(f.dataType, (TimestampType, TimestampNTZType, DateType)):
+            aggs.append(F.min(c).cast("timestamp").alias(f"mn_{f.name}"))
+            aggs.append(F.max(c).cast("timestamp").alias(f"mx_{f.name}"))
+    one = df.agg(*aggs)
+
+    def _typed(f, which):
+        from pyspark.sql.types import (
+            DateType as _D,
+            NumericType as _N,
+            StringType as _S,
+            TimestampNTZType as _TN,
+            TimestampType as _T,
+        )
+
+        num = F.lit(None).cast("double")
+        s = F.lit(None).cast("string")
+        ts = F.lit(None).cast("timestamp")
+        col = F.col(f"{which}_{f.name}")
+        if isinstance(f.dataType, _N):
+            num = col
+        elif isinstance(f.dataType, _S):
+            s = col
+        elif isinstance(f.dataType, (_T, _TN, _D)):
+            ts = col
+        return (
+            num.alias(f"{which}_num"),
+            s.alias(f"{which}_str"),
+            ts.alias(f"{which}_ts"),
+        )
+
+    structs = [
+        F.struct(
+            F.lit(f.name).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"nn_{f.name}").alias("n_nulls"),
+            F.col(f"nd_{f.name}").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.col(f"nn_{f.name}") / F.col("_n"), 6
+            ).alias("completeness"),
+            *_typed(f, "mn"),
+            *_typed(f, "mx"),
+        )
+        for f in fields
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def referential_integrity_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across table pairs: for each
+    ``(name, child_df, fk_col, parent_df, pk_col)`` report the child
+    row count, NULL-FK count (not orphans — SQL FK semantics), orphan
+    count (non-NULL FK with no parent), and the orphan rate. The
+    referential-integrity leg of the data-quality family next to CHECK
+    constraints (`operators/constraints.py`) and `profile_columns`.
+
+    Scale shape: per relation, one anti-join on the key (the parent
+    side collapses to DISTINCT keys first — broadcastable for dims) and
+    one pass of counters; relations are unioned as 1-row aggregates.
+    """
+    parts = []
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        counters = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+        )
+        orphans = (
+            child.where(F.col(fk).isNotNull())
+            .join(keys, fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        parts.append(
+            counters.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.round(F.col("n_orphans") / F.col("n_child"), 6).alias(
+                    "orphan_rate"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

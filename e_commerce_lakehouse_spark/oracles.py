@@ -2452,3 +2452,114 @@ ALL["q133_streaming_dedup"] = """
            count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+# q134: Deequ-style column profile of orders — exact nulls/NDV,
+# completeness = 1.0 - nulls/rows (same IEEE shape), type-bucketed
+# min/max in typed columns.
+
+
+def _q134_col(name: str, kind: str) -> str:
+    mn, mx = f"min({name})", f"max({name})"
+    num = ("NULL::DOUBLE", "NULL::DOUBLE")
+    s = ("NULL::VARCHAR", "NULL::VARCHAR")
+    ts = ("NULL::TIMESTAMP", "NULL::TIMESTAMP")
+    if kind == "num":
+        num = (mn + "::DOUBLE", mx + "::DOUBLE")
+    elif kind == "str":
+        s = (mn, mx)
+    elif kind == "ts":
+        ts = (mn, mx)
+    return f"""
+    SELECT '{name}' AS col_name, count(*) AS n_rows,
+        sum(({name} IS NULL)::INT)::BIGINT AS n_nulls,
+        count(DISTINCT {name})::BIGINT AS n_distinct,
+        round(1.0 - sum(({name} IS NULL)::INT) / count(*), 6) AS completeness,
+        {num[0]} AS mn_num, {s[0]} AS mn_str, {ts[0]} AS mn_ts,
+        {num[1]} AS mx_num, {s[1]} AS mx_str, {ts[1]} AS mx_ts
+    FROM orders"""
+
+
+ALL["q134_column_profile"] = " UNION ALL ".join(
+    _q134_col(n, k)
+    for n, k in [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+)
+
+# q135: recency-decayed engagement — integer half-life buckets, power-of-
+# two weights on micro-units, HUGEINT sum (mirror of Spark DECIMAL(38,0)),
+# one constant division (2^4 * 1e6).
+ALL["q135_recency_decay"] = """
+WITH b AS (
+    SELECT user_id AS key, ts::DATE AS d,
+        round(value * 1e6)::BIGINT AS v_u,
+        date_diff('day', ts::DATE, DATE '2024-02-01') AS age
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL),
+f AS (SELECT *, (age // 7)::INT AS e FROM b WHERE age BETWEEN 0 AND 28)
+SELECT key, count(*)::BIGINT AS n_events, max(d) AS last_day,
+    round(sum(v_u::HUGEINT * ((1::BIGINT << (4 - e))::HUGEINT))::DOUBLE
+          / 16000000.0, 6) AS decay_score
+FROM f GROUP BY key
+"""
+
+# q136: FK orphan audit — LEFT JOIN against DISTINCT parent keys; NULL
+# FKs are counted, not orphaned (SQL FK semantics).
+
+
+def _q136_rel(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relation, count(*) AS n_child,
+        sum(({fk} IS NULL)::INT)::BIGINT AS n_null_fk,
+        sum(({fk} IS NOT NULL AND p.{pk} IS NULL)::INT)::BIGINT AS n_orphans,
+        round(sum(({fk} IS NOT NULL AND p.{pk} IS NULL)::INT) / count(*), 6)
+            AS orphan_rate
+    FROM {child} LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+        ON {fk} = p.{pk}"""
+
+
+ALL["q136_referential_integrity"] = " UNION ALL ".join(
+    _q136_rel(*r)
+    for r in [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+)
+
+# q137: session path mining — q95's session rule (floor-second gap,
+# strictly > 1800), first-5 steps string_agg'd in (ts, event_id) order,
+# NULL steps as the literal 'NULL'.
+ALL["q137_session_paths"] = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+        coalesce(event_type, 'NULL') AS et,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (
+    SELECT *, CASE WHEN prev IS NULL
+                     OR date_diff('second', prev, ts) > 1800
+                   THEN 1 ELSE 0 END AS ns
+    FROM o),
+s AS (
+    SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f),
+r AS (
+    SELECT user_id, sid, et,
+        row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+    FROM s),
+p AS (
+    SELECT user_id, sid, string_agg(et, '>' ORDER BY rn) AS path
+    FROM r WHERE rn <= 5 GROUP BY 1, 2)
+SELECT path, count(*)::BIGINT AS n_sessions,
+    count(DISTINCT user_id)::BIGINT AS n_users
+FROM p GROUP BY path
+"""

@@ -3227,6 +3227,62 @@ def q133_streaming_dedup(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q134_column_profile(spark, sf_dir):
+    """Deequ-style column profile of orders (stats.profile_columns):
+    exact nulls/NDV/completeness + type-bucketed min/max, ONE aggregate
+    pass (multi-distinct via Expand), 1-row explode reshape — the
+    ingest-gate data-quality summary."""
+    from .operators.stats import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(o)
+
+
+def q135_recency_decay(spark, sf_dir):
+    """Recency-decayed engagement scores
+    (eventops.recency_decay_scores): half-life bucket weights are exact
+    powers of two on integer micro-units summed as DECIMAL(38,0) — zero
+    float summation order, one final constant division."""
+    from .operators.eventops import recency_decay_scores
+
+    e = _t(spark, sf_dir, "events")
+    return recency_decay_scores(
+        e, anchor="2024-02-01", half_life_days=7, max_age_days=28
+    )
+
+
+def q136_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema
+    (stats.referential_integrity_audit): anti-joins against
+    DISTINCT-collapsed parent keys, NULL FKs counted separately per SQL
+    FK semantics."""
+    from .operators.stats import referential_integrity_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return referential_integrity_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", p, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ]
+    )
+
+
+def q137_session_paths(spark, sf_dir):
+    """Clickstream path mining (eventops.session_paths): first-5 event
+    types per q95-rule session joined into a path string, counted
+    across sessions and distinct users; NULL steps are real steps."""
+    from .operators.eventops import session_paths
+
+    e = _t(spark, sf_dir, "events")
+    return session_paths(e, gap_seconds=1800, max_steps=5)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3367,4 +3423,8 @@ ALL = {
     "q131_shingle_novelty": q131_shingle_novelty,
     "q132_interarrival_burstiness": q132_interarrival_burstiness,
     "q133_streaming_dedup": q133_streaming_dedup,
+    "q134_column_profile": q134_column_profile,
+    "q135_recency_decay": q135_recency_decay,
+    "q136_referential_integrity": q136_referential_integrity,
+    "q137_session_paths": q137_session_paths,
 }

@@ -64,6 +64,8 @@ FUZZ_QUERIES = [
     "q126_time_weighted_avg",
     "q129_event_transitions",
     "q132_interarrival_burstiness",
+    "q135_recency_decay",
+    "q137_session_paths",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

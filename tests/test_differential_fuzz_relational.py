@@ -70,6 +70,8 @@ FUZZ_QUERIES = [
     "q124_copurchase_pairs",
     "q125_order_day_streaks",
     "q127_prorate_order_total",
+    "q134_column_profile",
+    "q136_referential_integrity",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
