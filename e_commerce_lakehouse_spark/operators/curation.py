@@ -1119,3 +1119,60 @@ def mixture_drift(
     # result is per-group tiny; checkpoint eagerly and release the cache
     # so a long sweep doesn't accumulate persisted count tables
     return _finish_release(result, by_gc)
+
+
+def negative_sampling(
+    positives: DataFrame,
+    items: DataFrame,
+    k: int = 3,
+    n_buckets: int = 8,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Deterministic hash-bucketed negative sampling for contrastive /
+    ranking training data: for each user with positives, emit ``k``
+    pseudo-random NEGATIVE items (never interacted) drawn from the
+    user's hash bucket of the item catalog, ranked by the md5 of the
+    (user, item) pair — a fixed, engine-portable permutation, so the
+    sample is reproducible run-over-run and Spark/DuckDB-identical
+    (the q51 md5-gate contract; no rand(), no seed plumbing).
+
+    Scale shape: the candidate space is users × (|catalog| / n_buckets)
+    via an EQUI-join on the bucket id — never users × catalog; raise
+    ``n_buckets`` as the catalog grows to hold the per-user candidate
+    count constant. The anti-join on positives and the per-user top-k
+    window both share the user-key shuffle. Bucketing trades candidate
+    breadth for cost (a user only sees 1/n_buckets of the catalog) —
+    the standard in-batch/bucketed negative-mining compromise.
+    """
+    from pyspark.sql import Window
+
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    users = positives.select(user_col).distinct().select(
+        user_col, (_h(F.col(user_col).cast("string")) % n_buckets).alias("b")
+    )
+    catalog = items.select(item_col).distinct().select(
+        item_col, (_h(F.col(item_col).cast("string")) % n_buckets).alias("b")
+    )
+    cands = users.join(catalog, "b").select(user_col, item_col)
+    negs = cands.join(positives.select(user_col, item_col).distinct(),
+                      [user_col, item_col], "left_anti")
+    pair_rank = _h(
+        F.concat_ws(
+            "#", F.col(user_col).cast("string"), F.col(item_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        pair_rank.asc(), F.col(item_col).asc()
+    )
+    return (
+        negs.select(user_col, item_col, F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= k)
+        .select(
+            user_col,
+            F.col(item_col).alias("neg_item"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -593,3 +593,82 @@ def session_paths(
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct(user_col).alias("n_users"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Change-point detection per group via the cumulative-deviation
+    (Page/CUSUM-type) statistic on the daily count series: with daily
+    counts x_1..x_N and mean x̄, D_t = Σ_{i<=t}(x_i − x̄) peaks at the
+    day the level shifts — the drift monitor an ingest pipeline runs
+    per source/type to catch "this feed changed volume on day k".
+
+    EXACT by clearing denominators: D_t·N = N·cumsum_t − t·total is a
+    pure integer, so the argmax (tie → earliest day) is engine-stable;
+    the reported statistic max|D_t|/N is one final division. Only days
+    PRESENT in the data form the series (gap days are not zero-filled;
+    compose with the q48 date spine if needed).
+
+    Scale shape: daily aggregation is map-side combinable; the per-group
+    series windows (cumsum, day index, argmax rank) all share one
+    shuffle on the group key, and the series length is bounded by
+    days×groups — tiny relative to the input.
+    """
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w_ord = Window.partitionBy("grp").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("grp")
+    series = daily.select(
+        "grp",
+        "day",
+        F.sum("x").over(w_cum).alias("cum"),
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("x").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    ).select(
+        "grp",
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("cum") - F.col("t") * F.col("total")).alias(
+            "d_scaled"
+        ),
+    )
+    ranked = series.select(
+        "grp",
+        "day",
+        "n_days",
+        "total",
+        "d_scaled",
+        F.row_number()
+        .over(
+            Window.partitionBy("grp").orderBy(
+                F.abs(F.col("d_scaled")).desc(), F.col("day").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("n_days") >= 2))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("n_events"),
+            F.col("day").alias("change_day"),
+            F.round(
+                F.abs(F.col("d_scaled")).cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("cusum_stat"),
+        )
+    )

@@ -383,3 +383,64 @@ def semdedup(
             except Exception:
                 pass
         raise
+
+
+def embedding_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group embedding diversity WITHOUT the pairwise join: the mean
+    pairwise dot product over a group follows from the sum-of-vectors
+    identity  Σ_{i≠j} vᵢ·vⱼ = |Σv|² − Σ|v|²,  so one O(n·d) aggregate
+    replaces the O(n²·d) all-pairs stage — the curation metric ("is this
+    cluster/source redundant or diverse?") stays linear at corpus scale.
+
+    EXACT across engines: components are fixed to integer micro-units
+    (round(x·1e6) — float32→double conversion is exact), per-(group,dim)
+    sums and squares accumulate as DECIMAL(38,0) (HUGEINT in the
+    oracle), and the two final divisions are fixed-shape IEEE ops on
+    exact operands. No float summation order anywhere.
+
+    Output: (group, n_vecs, avg_sq_norm, mean_pairwise_dot) in original
+    (unscaled) units, 6 dp. Groups with one vector report NULL
+    mean_pairwise_dot (no pairs), not a 0/0.
+    """
+    e = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "grp",
+        "vid",
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    per_dim = e.groupBy("grp", "dim").agg(
+        F.sum(vd).alias("s"), F.sum(vd * vd).alias("q")
+    )
+    per_grp = per_dim.groupBy("grp").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"), F.sum("q").alias("q")
+    )
+    n = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    nn = F.col("n_vecs")
+    return per_grp.join(n, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_vecs",
+        F.round(
+            F.col("q").cast("double") / nn.cast("double") / 1e12, 6
+        ).alias("avg_sq_norm"),
+        F.when(
+            nn > 1,
+            F.round(
+                (F.col("ss") - F.col("q")).cast("double")
+                / (nn * (nn - 1)).cast("double")
+                / 1e12,
+                6,
+            ),
+        ).alias("mean_pairwise_dot"),
+    )

@@ -198,3 +198,74 @@ def referential_integrity_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Per-group winsorized (clamped) robust mean: values below the
+    lo-quantile are replaced by it, above the hi-quantile by it, then
+    averaged — the outlier-robust location estimate reporting pipelines
+    use when a handful of fat-finger rows would swamp a plain mean.
+
+    EXACT everywhere: quantiles are nearest-rank (k = ceil(q·n) over a
+    (value, tiebreak) total order — the q110 definition), values run as
+    integer cents, the clamped sum accumulates as DECIMAL(38,0), and the
+    single final division is one IEEE op. No percentile_approx, no float
+    summation order.
+
+    One shuffle on the group key; both windows and the final aggregate
+    share the partitioning.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w_ord = Window.partitionBy("grp").orderBy("v_c", "tb")
+    w_all = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "v_c",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    k_lo = F.ceil(F.lit(lo) * F.col("n"))
+    k_hi = F.ceil(F.lit(hi) * F.col("n"))
+    marked = ranked.select(
+        "grp",
+        "v_c",
+        "n",
+        F.max(F.when(F.col("rn") == k_lo, F.col("v_c"))).over(w_all).alias("v_lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("v_c"))).over(w_all).alias("v_hi"),
+    )
+    clamped = F.greatest(F.least(F.col("v_c"), F.col("v_hi")), F.col("v_lo"))
+    return (
+        marked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v_lo").alias("_lo"),
+            F.min("v_hi").alias("_hi"),
+            F.sum(clamped.cast("decimal(38,0)")).alias("_s"),
+            F.sum(F.col("v_c").cast("decimal(38,0)")).alias("_sr"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(F.col("_lo") / 100.0, 6).alias("p_lo"),
+            F.round(F.col("_hi") / 100.0, 6).alias("p_hi"),
+            F.round(
+                F.col("_s").cast("double") / F.col("n") / 100.0, 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.col("_sr").cast("double") / F.col("n") / 100.0, 6
+            ).alias("raw_mean"),
+        )
+    )

@@ -2563,3 +2563,122 @@ SELECT path, count(*)::BIGINT AS n_sessions,
     count(DISTINCT user_id)::BIGINT AS n_users
 FROM p GROUP BY path
 """
+
+# q138: winsorized mean — exact nearest-rank clamps (k = ceil(q·n), the
+# same double ceil shape as Spark), integer cents, HUGEINT sum.
+ALL["q138_winsorized_mean"] = """
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+        round(o_totalprice * 100)::BIGINT AS v_c, o_orderkey AS tb
+    FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+    SELECT grp, v_c,
+        row_number() OVER (PARTITION BY grp ORDER BY v_c, tb) AS rn,
+        count(*) OVER (PARTITION BY grp) AS n
+    FROM base),
+m AS (
+    SELECT grp, v_c,
+        max(CASE WHEN rn = ceil(0.1 * n) THEN v_c END)
+            OVER (PARTITION BY grp) AS v_lo,
+        max(CASE WHEN rn = ceil(0.9 * n) THEN v_c END)
+            OVER (PARTITION BY grp) AS v_hi
+    FROM r),
+g AS (
+    SELECT grp, count(*)::BIGINT AS n, min(v_lo) AS lo, min(v_hi) AS hi,
+        sum(greatest(least(v_c, v_hi), v_lo)::HUGEINT) AS s,
+        sum(v_c::HUGEINT) AS sr
+    FROM m GROUP BY grp)
+SELECT grp AS o_orderpriority, n,
+    round(lo / 100.0, 6) AS p_lo, round(hi / 100.0, 6) AS p_hi,
+    round(s::DOUBLE / n / 100.0, 6) AS winsorized_mean,
+    round(sr::DOUBLE / n / 100.0, 6) AS raw_mean
+FROM g
+"""
+
+# q139: cumulative-deviation change point — D_t·N = N·cum − t·total is a
+# pure integer, so the argmax day cannot split engines; ties → earliest
+# day.
+ALL["q139_cusum_changepoint"] = """
+WITH daily AS (
+    SELECT event_type AS grp, ts::DATE AS day, count(*)::BIGINT AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+s AS (
+    SELECT grp, day,
+        sum(x) OVER (PARTITION BY grp ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        row_number() OVER (PARTITION BY grp ORDER BY day) AS t,
+        sum(x) OVER (PARTITION BY grp) AS total,
+        count(*) OVER (PARTITION BY grp) AS n_days
+    FROM daily),
+d AS (
+    SELECT grp, day, n_days, total,
+        n_days * cum - t * total AS d_scaled,
+        row_number() OVER (PARTITION BY grp
+            ORDER BY abs(n_days * cum - t * total) DESC, day ASC) AS rk
+    FROM s)
+SELECT grp AS event_type, n_days::BIGINT AS n_days,
+    total::BIGINT AS n_events, day AS change_day,
+    round(abs(d_scaled)::DOUBLE / n_days::DOUBLE, 6) AS cusum_stat
+FROM d WHERE rk = 1 AND n_days >= 2
+"""
+
+# q140: deterministic negative sampling — q51's md5-gate hash for user,
+# item, and pair keys; bucket equi-join; NOT EXISTS anti-join.
+ALL["q140_negative_sampling"] = """
+WITH ex AS (
+    SELECT user_id, event_type,
+        regexp_extract(props, '"k": (\\d+)', 1)::INTEGER AS item_id
+    FROM events WHERE props IS NOT NULL),
+pos AS (
+    SELECT DISTINCT user_id, item_id FROM ex
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      AND item_id IS NOT NULL),
+cat AS (SELECT DISTINCT item_id FROM ex WHERE item_id IS NOT NULL),
+ub AS (
+    SELECT user_id,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 8 AS b
+    FROM (SELECT DISTINCT user_id FROM pos)),
+ib AS (
+    SELECT item_id,
+        ('0x' || substr(md5(item_id::VARCHAR), 1, 8))::BIGINT % 8 AS b
+    FROM cat),
+cand AS (SELECT ub.user_id, ib.item_id FROM ub JOIN ib USING (b)),
+neg AS (
+    SELECT c.user_id, c.item_id FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.user_id = c.user_id
+                        AND p.item_id = c.item_id)),
+r AS (
+    SELECT user_id, item_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY
+            ('0x' || substr(md5(user_id::VARCHAR || '#'
+                || item_id::VARCHAR), 1, 8))::BIGINT ASC,
+            item_id ASC) AS rnk
+    FROM neg)
+SELECT user_id, item_id AS neg_item, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+# q141: embedding diversity via the sum-of-vectors identity — exact
+# integer micro-unit moments (HUGEINT, mirror of Spark DECIMAL(38,0)),
+# two fixed-shape divisions; single-vector groups emit NULL (no pairs).
+ALL["q141_embedding_diversity"] = """
+WITH e AS (
+    SELECT label AS grp,
+        generate_subscripts(embedding, 1) AS dim,
+        round(unnest(embedding)::DOUBLE * 1e6)::BIGINT AS v
+    FROM embeddings),
+pd AS (
+    SELECT grp, dim, sum(v::HUGEINT) AS s,
+        sum(v::HUGEINT * v::HUGEINT) AS q
+    FROM e GROUP BY 1, 2),
+pg AS (SELECT grp, sum(s * s) AS ss, sum(q) AS q FROM pd GROUP BY grp),
+n AS (SELECT label AS grp, count(*)::BIGINT AS n_vecs
+      FROM embeddings GROUP BY 1)
+SELECT grp AS label, n_vecs,
+    round(q::DOUBLE / n_vecs::DOUBLE / 1e12, 6) AS avg_sq_norm,
+    CASE WHEN n_vecs > 1 THEN
+        round((ss - q)::DOUBLE / (n_vecs * (n_vecs - 1))::DOUBLE / 1e12, 6)
+    END AS mean_pairwise_dot
+FROM pg JOIN n USING (grp)
+"""

@@ -3283,6 +3283,68 @@ def q137_session_paths(spark, sf_dir):
     return session_paths(e, gap_seconds=1800, max_steps=5)
 
 
+def q138_winsorized_mean(spark, sf_dir):
+    """Winsorized robust mean of order totals per priority
+    (stats.winsorized_mean): exact nearest-rank p10/p90 clamps on
+    integer cents, DECIMAL(38,0) sum, one final division."""
+    from .operators.stats import winsorized_mean
+
+    o = _t(spark, sf_dir, "orders")
+    return winsorized_mean(
+        o, group_col="o_orderpriority", value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+    )
+
+
+def q139_cusum_changepoint(spark, sf_dir):
+    """Change-point detection per event type
+    (eventops.cusum_changepoint): cumulative-deviation statistic on the
+    daily count series with denominators cleared (D_t·N integer), so
+    the argmax day is engine-stable; one division for the reported
+    statistic."""
+    from .operators.eventops import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(e)
+
+
+def q140_negative_sampling(spark, sf_dir):
+    """Deterministic hash-bucketed negative sampling
+    (curation.negative_sampling): per purchasing user, 3 never-bought
+    items from the user's md5 bucket of the catalog, ranked by the
+    md5 of the (user, item) pair — reproducible, engine-portable, and
+    never users × catalog (bucket equi-join)."""
+    from .operators.curation import negative_sampling
+
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+    base = (
+        e.where(F.col("props").isNotNull())
+        .withColumn("item_id", k)
+        .where(F.col("item_id").isNotNull())
+    )
+    pos = (
+        base.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    items = base.select("item_id").distinct()
+    return negative_sampling(pos, items, k=3, n_buckets=8)
+
+
+def q141_embedding_diversity(spark, sf_dir):
+    """Per-label embedding diversity WITHOUT the pairwise join
+    (similarity.embedding_diversity): mean pairwise dot via the
+    sum-of-vectors identity |Σv|² − Σ|v|² on exact integer micro-units
+    — O(n·d), never O(n²·d)."""
+    from .operators.similarity import embedding_diversity
+
+    em = _t(spark, sf_dir, "embeddings")
+    return embedding_diversity(em)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3427,4 +3489,8 @@ ALL = {
     "q135_recency_decay": q135_recency_decay,
     "q136_referential_integrity": q136_referential_integrity,
     "q137_session_paths": q137_session_paths,
+    "q138_winsorized_mean": q138_winsorized_mean,
+    "q139_cusum_changepoint": q139_cusum_changepoint,
+    "q140_negative_sampling": q140_negative_sampling,
+    "q141_embedding_diversity": q141_embedding_diversity,
 }

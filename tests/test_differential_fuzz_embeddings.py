@@ -36,6 +36,7 @@ FUZZ_QUERIES = [
     "q25_ann_topk",
     "q26_lsh_ann_topk",
     "q50_embedding_centroids",
+    "q141_embedding_diversity",
 ]
 
 DIM = 64

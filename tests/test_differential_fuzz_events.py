@@ -66,6 +66,8 @@ FUZZ_QUERIES = [
     "q132_interarrival_burstiness",
     "q135_recency_decay",
     "q137_session_paths",
+    "q139_cusum_changepoint",
+    "q140_negative_sampling",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

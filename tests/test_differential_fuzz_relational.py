@@ -72,6 +72,7 @@ FUZZ_QUERIES = [
     "q127_prorate_order_total",
     "q134_column_profile",
     "q136_referential_integrity",
+    "q138_winsorized_mean",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
