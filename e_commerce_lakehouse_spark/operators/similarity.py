@@ -424,8 +424,10 @@ def embedding_diversity(
     per_grp = per_dim.groupBy("grp").agg(
         F.sum(F.col("s") * F.col("s")).alias("ss"), F.sum("q").alias("q")
     )
+    # count only rows WITH a vector — NULL embeddings contribute no
+    # moments, so counting them would deflate both averages
     n = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs")
+        F.count(vec_col).cast("long").alias("n_vecs")
     )
     nn = F.col("n_vecs")
     return per_grp.join(n, "grp").select(

@@ -224,6 +224,10 @@ def winsorized_mean(
     """
     from pyspark.sql import Window
 
+    if not (0.0 < lo <= hi <= 1.0):
+        # lo=0 would look up rank ceil(0)=0, which no row has — the clamp
+        # would silently go NULL; refuse loudly instead
+        raise ValueError(f"need 0 < lo <= hi <= 1, got lo={lo} hi={hi}")
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.round(F.col(value_col) * 100).cast("long").alias("v_c"),

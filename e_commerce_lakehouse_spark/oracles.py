@@ -2673,7 +2673,7 @@ pd AS (
         sum(v::HUGEINT * v::HUGEINT) AS q
     FROM e GROUP BY 1, 2),
 pg AS (SELECT grp, sum(s * s) AS ss, sum(q) AS q FROM pd GROUP BY grp),
-n AS (SELECT label AS grp, count(*)::BIGINT AS n_vecs
+n AS (SELECT label AS grp, count(embedding)::BIGINT AS n_vecs
       FROM embeddings GROUP BY 1)
 SELECT grp AS label, n_vecs,
     round(q::DOUBLE / n_vecs::DOUBLE / 1e12, 6) AS avg_sq_norm,
