@@ -24,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_linear_stats"]
+__all__ = [
+    "exact_linear_stats",
+    "profile_columns",
+    "referential_integrity_audit",
+    "winsorized_mean",
+    "quantile_transform",
+    "robust_outliers",
+    "gini_concentration",
+    "welch_t_stats",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -272,4 +281,234 @@ def winsorized_mean(
                 F.col("_sr").cast("double") / F.col("n") / 100.0, 6
             ).alias("raw_mean"),
         )
+    )
+
+
+def quantile_transform(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: each value maps to its
+    empirical quantile q = (rank − 1)/(n − 1) within its group under the
+    (value, tiebreak) total order — the scale-free feature transform
+    that makes scores comparable across groups with different
+    distributions (cross-source quality calibration). Singleton groups
+    map to 0.5 by convention (both engines, stated not NaN'd).
+
+    Exact: the rank is an integer under a total order (ties broken by
+    ``tiebreak_col``), so the single division per row is the only float
+    op. One shuffle on the group key; the two windows share it.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("grp").orderBy("v_c", "tb")
+    w_all = Window.partitionBy("grp")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    ranked = base.select(
+        "grp",
+        "tb",
+        "v_c",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        F.col("tb").alias(tiebreak_col),
+        F.round(F.col("v_c") / 100.0, 6).alias(value_col),
+        F.when(F.col("n") > 1,
+               F.round((F.col("rn") - 1) / (F.col("n") - 1), 6))
+        .otherwise(F.lit(0.5))
+        .alias("qnorm"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier summary per group: median and MAD by
+    EXACT nearest-rank (rank ceil(n/2) under the (value, tiebreak)
+    order — the lower median), outliers = rows with |v − median| >
+    k·MAD. All comparisons run in integer cents (k integer), so the
+    flag is exact; only the reported medians divide. The
+    mean/stddev-free outlier gate that fat tails can't corrupt
+    (z-scores mask outliers exactly when outliers inflate the stddev).
+
+    Output: (group, n, median, mad, n_outliers). MAD = 0 groups (over
+    half the values identical) report n_outliers over the strict
+    |v − med| > 0 rule — stated, not NaN'd. Two window passes, both on
+    the same group-key shuffle.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w_ord = Window.partitionBy("grp").orderBy("v_c", "tb")
+    w_all = Window.partitionBy("grp")
+    med_rank = F.ceil(F.col("n") / 2)
+    with_med = base.select(
+        "grp",
+        "v_c",
+        "tb",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "grp",
+        "v_c",
+        "tb",
+        "n",
+        F.max(F.when(F.col("rn") == med_rank, F.col("v_c")))
+        .over(w_all)
+        .alias("med"),
+    )
+    dev = with_med.select(
+        "grp", "v_c", "n", "med", F.abs(F.col("v_c") - F.col("med")).alias("d"),
+        "tb",
+    )
+    w_dev = Window.partitionBy("grp").orderBy("d", "tb")
+    with_mad = dev.select(
+        "grp",
+        "v_c",
+        "med",
+        "d",
+        F.row_number().over(w_dev).alias("dr"),
+        F.col("n"),
+    ).select(
+        "grp",
+        "v_c",
+        "med",
+        "d",
+        F.max(F.when(F.col("dr") == med_rank, F.col("d")))
+        .over(w_all)
+        .alias("mad"),
+    )
+    return (
+        with_mad.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("_med"),
+            F.min("mad").alias("_mad"),
+            F.sum((F.col("d") > F.lit(k) * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(F.col("_med") / 100.0, 6).alias("median"),
+            F.round(F.col("_mad") / 100.0, 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient over non-negative values by the exact
+    rank formula  G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)  — revenue /
+    token-budget concentration ("do 1% of customers carry 80% of
+    spend?"). Every term is integer (cents × integer ranks summed as
+    DECIMAL(38,0)); the single division happens once per group.
+    Zero-sum groups report NULL (concentration undefined).
+
+    One shuffle on the group key: the rank window and the aggregate
+    share it; the rank-weighted sum is map-side combinable after the
+    window.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w_ord = Window.partitionBy("grp").orderBy("v_c", "tb")
+    ranked = base.select(
+        "grp", "v_c", F.row_number().over(w_ord).alias("i")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("v_c"))).alias("sx"),
+        F.sum(dec(F.col("i")) * dec(F.col("v_c"))).alias("six"),
+    )
+    num = F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.when(
+            F.col("sx") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    )
+
+
+def welch_t_stats(
+    df: DataFrame,
+    group_col: str,
+    variant_col,
+    value_int,
+) -> DataFrame:
+    """Two-sample Welch t statistic per group — the A/B experimentation
+    readout. ``variant_col`` is a boolean Column (True = treatment);
+    ``value_int`` an integer-valued Column (pre-scale at the call
+    site). Moments per arm accumulate as DECIMAL(38,0) (conditional
+    sums in ONE aggregate — no second scan, no join of arms), then
+    t = (m̄_a − m̄_b) / sqrt(s²_a/n_a + s²_b/n_b) from fixed-shape
+    closed forms on the exact operands (q115's recipe). Groups where
+    either arm has n < 2 report NULL t.
+    """
+    v = value_int.cast("decimal(38,0)")
+    a = variant_col
+    df = df.where(value_int.isNotNull() & variant_col.isNotNull())
+    m = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(a.cast("long")).cast("double").alias("na"),
+        F.sum((~a).cast("long")).cast("double").alias("nb"),
+        F.sum(F.when(a, v).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(~a, v).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(a, v * v).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~a, v * v).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, qa, qb = F.col("sa"), F.col("sb"), F.col("qa"), F.col("qb")
+    # fixed expression shapes — keep in exact sync with the oracle SQL
+    va = (qa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    t = (sa / na - sb / nb) / F.sqrt(va / na + vb / nb)
+    return m.select(
+        F.col("grp").alias(group_col),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        # empty arms report NULL means (ANSI divide-by-zero guard — an
+        # all-one-arm group is a real shape, e.g. NULL-typed events)
+        F.when(na > 0, F.round(sa / na, 6)).alias("mean_a"),
+        F.when(nb > 0, F.round(sb / nb, 6)).alias("mean_b"),
+        F.when((na >= 2) & (nb >= 2), F.round(t, 6)).alias("welch_t"),
     )

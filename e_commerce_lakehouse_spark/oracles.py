@@ -2682,3 +2682,108 @@ SELECT grp AS label, n_vecs,
     END AS mean_pairwise_dot
 FROM pg JOIN n USING (grp)
 """
+
+# q142: quantile normalization — exact integer ranks, one division per
+# row, singleton groups pinned to 0.5.
+ALL["q142_quantile_transform"] = """
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+        round(o_totalprice * 100)::BIGINT AS v_c, o_orderkey AS tb
+    FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+    SELECT grp, tb, v_c,
+        row_number() OVER (PARTITION BY grp ORDER BY v_c, tb) AS rn,
+        count(*) OVER (PARTITION BY grp) AS n
+    FROM base)
+SELECT grp AS o_orderpriority, tb AS o_orderkey,
+    round(v_c / 100.0, 6) AS o_totalprice,
+    CASE WHEN n > 1 THEN round((rn - 1) / (n - 1), 6) ELSE 0.5 END AS qnorm
+FROM r
+"""
+
+# q143: median/MAD outliers — nearest-rank ceil(n/2) (lower median, the
+# same float-div ceil shape as Spark), integer-cent comparisons.
+ALL["q143_robust_outliers"] = """
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+        round(o_totalprice * 100)::BIGINT AS v_c, o_orderkey AS tb
+    FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+    SELECT grp, v_c, tb,
+        row_number() OVER (PARTITION BY grp ORDER BY v_c, tb) AS rn,
+        count(*) OVER (PARTITION BY grp) AS n
+    FROM base),
+m AS (
+    SELECT grp, v_c, tb, n,
+        max(CASE WHEN rn = ceil(n / 2) THEN v_c END)
+            OVER (PARTITION BY grp) AS med
+    FROM r),
+d AS (SELECT grp, v_c, tb, n, med, abs(v_c - med) AS dd FROM m),
+dr AS (
+    SELECT grp, med, dd, n,
+        row_number() OVER (PARTITION BY grp ORDER BY dd, tb) AS drn
+    FROM d),
+mm AS (
+    SELECT grp, med, dd,
+        max(CASE WHEN drn = ceil(n / 2) THEN dd END)
+            OVER (PARTITION BY grp) AS mad
+    FROM dr)
+SELECT grp AS o_orderpriority, count(*)::BIGINT AS n,
+    round(min(med) / 100.0, 6) AS median,
+    round(min(mad) / 100.0, 6) AS mad,
+    sum((dd > 3 * mad)::INT)::BIGINT AS n_outliers
+FROM mm GROUP BY grp
+"""
+
+# q144: Gini by the exact rank formula — integer cents x integer ranks
+# as HUGEINT; ties in v_c leave Σ i·x invariant, so the rank order is
+# engine-stable by construction.
+ALL["q144_gini_concentration"] = """
+WITH base AS (
+    SELECT l_returnflag AS grp,
+        round(l_extendedprice * 100)::BIGINT AS v_c,
+        l_orderkey * 10 + l_linenumber AS tb
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0),
+r AS (
+    SELECT grp, v_c,
+        row_number() OVER (PARTITION BY grp ORDER BY v_c, tb) AS i
+    FROM base),
+g AS (
+    SELECT grp, count(*)::BIGINT AS n, sum(v_c::HUGEINT) AS sx,
+        sum(i::HUGEINT * v_c::HUGEINT) AS six
+    FROM r GROUP BY grp)
+SELECT grp AS l_returnflag, n,
+    CASE WHEN sx > 0 THEN
+        round((2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE, 6)
+    END AS gini
+FROM g
+"""
+
+# q145: Welch t — per-arm HUGEINT moments from ONE conditional
+# aggregate, q115's fixed closed-form shapes; means in micro-units.
+ALL["q145_ab_welch_t"] = """
+WITH b AS (
+    SELECT event_type AS grp, (user_id % 2 = 0) AS a,
+        round(value * 1e6)::BIGINT AS v
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+    SELECT grp,
+        sum(a::INT)::DOUBLE AS na, sum((NOT a)::INT)::DOUBLE AS nb,
+        sum(CASE WHEN a THEN v::HUGEINT ELSE 0::HUGEINT END)::DOUBLE AS sa,
+        sum(CASE WHEN NOT a THEN v::HUGEINT ELSE 0::HUGEINT END)::DOUBLE AS sb,
+        sum(CASE WHEN a THEN v::HUGEINT * v::HUGEINT
+                 ELSE 0::HUGEINT END)::DOUBLE AS qa,
+        sum(CASE WHEN NOT a THEN v::HUGEINT * v::HUGEINT
+                 ELSE 0::HUGEINT END)::DOUBLE AS qb
+    FROM b GROUP BY grp)
+SELECT grp AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+    CASE WHEN na > 0 THEN round(sa / na, 6) END AS mean_a,
+    CASE WHEN nb > 0 THEN round(sb / nb, 6) END AS mean_b,
+    CASE WHEN na >= 2 AND nb >= 2 THEN
+        round((sa / na - sb / nb)
+            / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+                 + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6)
+    END AS welch_t
+FROM m
+"""

@@ -3345,6 +3345,64 @@ def q141_embedding_diversity(spark, sf_dir):
     return embedding_diversity(em)
 
 
+def q142_quantile_transform(spark, sf_dir):
+    """Per-group quantile normalization (stats.quantile_transform):
+    exact integer ranks under a total order, one division per row —
+    the cross-source score-calibration transform."""
+    from .operators.stats import quantile_transform
+
+    o = _t(spark, sf_dir, "orders")
+    return quantile_transform(
+        o, group_col="o_orderpriority", value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+    )
+
+
+def q143_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier summary (stats.robust_outliers):
+    exact nearest-rank median and MAD in integer cents, outlier flags
+    as pure integer comparisons |v − med| > k·MAD."""
+    from .operators.stats import robust_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    return robust_outliers(
+        o, group_col="o_orderpriority", value_col="o_totalprice",
+        tiebreak_col="o_orderkey", k=3,
+    )
+
+
+def q144_gini_concentration(spark, sf_dir):
+    """Per-flag Gini coefficient of line revenue
+    (stats.gini_concentration): the exact rank formula with integer
+    cents × integer ranks summed as DECIMAL(38,0); one division per
+    group."""
+    from .operators.stats import gini_concentration
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_tb", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return gini_concentration(
+        li, group_col="l_returnflag", value_col="l_extendedprice",
+        tiebreak_col="_tb",
+    )
+
+
+def q145_ab_welch_t(spark, sf_dir):
+    """Two-sample Welch t per event type (stats.welch_t_stats): variant
+    = even user id, values in exact integer micro-units, per-arm
+    moments as DECIMAL(38,0) conditional sums in ONE aggregate, t from
+    fixed-shape closed forms (means reported in micro-units)."""
+    from .operators.stats import welch_t_stats
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return welch_t_stats(
+        e,
+        group_col="event_type",
+        variant_col=F.col("user_id") % 2 == 0,
+        value_int=F.round(F.col("value") * 1e6).cast("long"),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3493,4 +3551,8 @@ ALL = {
     "q139_cusum_changepoint": q139_cusum_changepoint,
     "q140_negative_sampling": q140_negative_sampling,
     "q141_embedding_diversity": q141_embedding_diversity,
+    "q142_quantile_transform": q142_quantile_transform,
+    "q143_robust_outliers": q143_robust_outliers,
+    "q144_gini_concentration": q144_gini_concentration,
+    "q145_ab_welch_t": q145_ab_welch_t,
 }

@@ -68,6 +68,7 @@ FUZZ_QUERIES = [
     "q137_session_paths",
     "q139_cusum_changepoint",
     "q140_negative_sampling",
+    "q145_ab_welch_t",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -73,6 +73,9 @@ FUZZ_QUERIES = [
     "q134_column_profile",
     "q136_referential_integrity",
     "q138_winsorized_mean",
+    "q142_quantile_transform",
+    "q143_robust_outliers",
+    "q144_gini_concentration",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
