@@ -672,3 +672,54 @@ def cusum_changepoint(
             ).alias("cusum_stat"),
         )
     )
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT rolling n-day distinct users per day (the WAU/MAU family)
+    WITHOUT sketches: each distinct (user, activity day) contributes to
+    the ``window_days`` report days it falls inside, so the rolling
+    distinct is a plain count-distinct per report day — the standard
+    exact formulation (a windowed COUNT(DISTINCT) over raw events is
+    unsupported/quadratic; HLL would be approximate).
+
+    Scale: the expansion is bounded at window_days × |distinct
+    user-days| — map-side, no self-join; the count-distinct shuffles on
+    (day, user). Report days cover the full observed [min, max] spine
+    (gap days report 0, not absent).
+
+    Output: (day, active_today, rolling_users) for every spine day.
+    """
+    ud = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), F.col(ts_col).cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    expanded = ud.select(
+        "u",
+        F.explode(
+            F.sequence("day", F.date_add("day", window_days - 1),
+                       F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    rolled = expanded.groupBy("day").agg(
+        F.countDistinct("u").alias("rolling_users")
+    )
+    today = ud.groupBy("day").agg(F.countDistinct("u").alias("active_today"))
+    return (
+        spine.join(today, "day", "left")
+        .join(rolled, "day", "left")
+        .select(
+            "day",
+            F.coalesce("active_today", F.lit(0)).cast("long").alias("active_today"),
+            F.coalesce("rolling_users", F.lit(0)).cast("long").alias("rolling_users"),
+        )
+    )

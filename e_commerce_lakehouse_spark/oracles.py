@@ -2787,3 +2787,25 @@ SELECT grp AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
     END AS welch_t
 FROM m
 """
+
+# q146: exact 7-day rolling distinct users — user-day expansion into the
+# window's report days, count-distinct per day, full gap-filled spine.
+ALL["q146_rolling_distinct_users"] = """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+    FROM b),
+exp AS (
+    SELECT u, unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+        AS day
+    FROM ud),
+roll AS (SELECT day, count(DISTINCT u) AS rolling_users FROM exp GROUP BY 1),
+today AS (SELECT day, count(DISTINCT u) AS active_today FROM ud GROUP BY 1)
+SELECT spine.day AS day,
+    coalesce(active_today, 0)::BIGINT AS active_today,
+    coalesce(rolling_users, 0)::BIGINT AS rolling_users
+FROM spine LEFT JOIN today USING (day) LEFT JOIN roll USING (day)
+"""

@@ -3403,6 +3403,17 @@ def q145_ab_welch_t(spark, sf_dir):
     )
 
 
+def q146_rolling_distinct_users(spark, sf_dir):
+    """Exact 7-day rolling distinct users (WAU) per spine day
+    (eventops.rolling_distinct_users): each distinct user-day expands
+    into its 7 report days, so the rolling distinct is a plain
+    count-distinct — exact, no HLL, bounded 7× expansion."""
+    from .operators.eventops import rolling_distinct_users
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_distinct_users(e, window_days=7)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3555,4 +3566,5 @@ ALL = {
     "q143_robust_outliers": q143_robust_outliers,
     "q144_gini_concentration": q144_gini_concentration,
     "q145_ab_welch_t": q145_ab_welch_t,
+    "q146_rolling_distinct_users": q146_rolling_distinct_users,
 }

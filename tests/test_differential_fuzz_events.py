@@ -69,6 +69,7 @@ FUZZ_QUERIES = [
     "q139_cusum_changepoint",
     "q140_negative_sampling",
     "q145_ab_welch_t",
+    "q146_rolling_distinct_users",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
