@@ -723,3 +723,143 @@ def rolling_distinct_users(
             F.coalesce("rolling_users", F.lit(0)).cast("long").alias("rolling_users"),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value triangle: cohort = calendar month of each
+    key's FIRST activity; for every (cohort, month_offset) report the
+    active keys, the period revenue, and the CUMULATIVE revenue per
+    cohort member (the LTV curve finance teams read off retention
+    triangles).
+
+    Exact: month offsets are pure integer arithmetic
+    ((Δyear)·12 + Δmonth — no fractional months_between), revenue runs
+    in integer cents, and the cumulative sum is a running DECIMAL(38,0)
+    window over the (cohort, offset) AGGREGATE (bounded rows, exact at
+    any scale); the per-member division is one IEEE op per output row.
+
+    Scale: one shuffle on the key (first-activity aggregate), one on
+    (cohort, offset); the cumulative window runs over cohorts×offsets
+    rows only.
+    """
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.date_trunc("month", F.col(ts_col)).cast("date").alias("am"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+    )
+    firsts = base.groupBy("key").agg(F.min("am").alias("cohort_month"))
+    sized = firsts.groupBy("cohort_month").agg(
+        F.countDistinct("key").alias("cohort_size")
+    )
+    offset = (
+        (F.year("am") - F.year("cohort_month")) * 12
+        + (F.month("am") - F.month("cohort_month"))
+    ).cast("long")
+    cells = (
+        base.join(firsts, "key")
+        .select("cohort_month", offset.alias("month_offset"), "key", "v_c")
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("key").alias("n_active"),
+            F.sum(F.col("v_c").cast("decimal(38,0)")).alias("rev_c"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.withColumn("cum_c", F.sum("rev_c").over(w))
+        .join(sized, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("rev_c").cast("double") / 100.0, 6).alias("revenue"),
+            F.round(
+                F.col("cum_c").cast("double")
+                / F.col("cohort_size").cast("double")
+                / 100.0,
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+def conversion_lag(
+    df: DataFrame,
+    from_step: str = "signup",
+    to_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for users whose FIRST ``to_step``
+    event falls strictly after their FIRST ``from_step`` event, the lag
+    between the two — with the mean from exact integer-microsecond sums
+    (DECIMAL(38,0)) and the median by exact nearest-rank over the
+    (lag, user) order. One row out: (n_from, n_converted, mean_lag_s,
+    median_lag_s, conversion_rate).
+
+    Scale: two per-user min aggregates joined on the user key, then one
+    global aggregate over the converts (the median window runs over the
+    converts only — at web scale swap in grouped nearest-rank per
+    cohort, q111's shape, to avoid the single-partition window).
+    """
+    base = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    f = (
+        base.where(F.col(type_col) == from_step)
+        .groupBy(user_col)
+        .agg(F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("t0"))
+    )
+    t = (
+        base.where(F.col(type_col) == to_step)
+        .groupBy(user_col)
+        .agg(F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("t1"))
+    )
+    lags = (
+        f.join(t, user_col)
+        .where(F.col("t1") > F.col("t0"))
+        .select(F.col(user_col).alias("u"), (F.col("t1") - F.col("t0")).alias("lag_us"))
+    )
+    w_ord = Window.orderBy("lag_us", "u")
+    ranked = lags.select(
+        "lag_us",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("lag_us"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum(F.col("lag_us").cast("decimal(38,0)")).alias("_s"),
+        med.alias("_med"),
+    )
+    n_from = f.agg(F.count(F.lit(1)).cast("long").alias("n_from"))
+    nc = F.col("n_converted")
+    return agg.crossJoin(n_from).select(
+        "n_from",
+        "n_converted",
+        F.when(
+            nc > 0,
+            F.round(
+                F.col("_s").cast("double") / nc.cast("double") / 1000000.0, 6
+            ),
+        ).alias("mean_lag_s"),
+        F.when(nc > 0, F.round(F.col("_med") / 1000000.0, 6)).alias(
+            "median_lag_s"
+        ),
+        F.when(
+            F.col("n_from") > 0,
+            F.round(nc.cast("double") / F.col("n_from").cast("double"), 6),
+        ).alias("conversion_rate"),
+    )

@@ -2809,3 +2809,70 @@ SELECT spine.day AS day,
     coalesce(rolling_users, 0)::BIGINT AS rolling_users
 FROM spine LEFT JOIN today USING (day) LEFT JOIN roll USING (day)
 """
+
+# q147: cohort LTV triangle — integer month offsets ((Δyear)*12 +
+# Δmonth), integer-cent revenue, running HUGEINT cumulative over the
+# aggregated cells, one division per output row.
+ALL["q147_cohort_ltv"] = """
+WITH base AS (
+    SELECT o_custkey AS key, date_trunc('month', o_orderdate)::DATE AS am,
+        round(o_totalprice * 100)::BIGINT AS v_c
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_totalprice IS NOT NULL),
+firsts AS (SELECT key, min(am) AS cohort_month FROM base GROUP BY key),
+sized AS (SELECT cohort_month, count(DISTINCT key) AS cohort_size
+          FROM firsts GROUP BY 1),
+cells AS (
+    SELECT cohort_month,
+        ((year(am) - year(cohort_month)) * 12
+         + (month(am) - month(cohort_month)))::BIGINT AS month_offset,
+        count(DISTINCT key)::BIGINT AS n_active,
+        sum(v_c::HUGEINT) AS rev_c
+    FROM base JOIN firsts USING (key)
+    GROUP BY 1, 2),
+cum AS (
+    SELECT *, sum(rev_c) OVER (PARTITION BY cohort_month
+        ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS cum_c
+    FROM cells)
+SELECT cohort_month, month_offset, n_active,
+    round(rev_c::DOUBLE / 100.0, 6) AS revenue,
+    round(cum_c::DOUBLE / cohort_size::DOUBLE / 100.0, 6)
+        AS cum_ltv_per_user
+FROM cum JOIN sized USING (cohort_month)
+"""
+
+# q148: conversion lag — first-to-first strict ordering, HUGEINT lag
+# sums, nearest-rank median (the same float-div ceil shape as Spark).
+ALL["q148_conversion_lag"] = """
+WITH f AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type = 'signup' GROUP BY 1),
+t AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type = 'purchase' GROUP BY 1),
+lags AS (
+    SELECT f.user_id AS u, t1 - t0 AS lag_us
+    FROM f JOIN t USING (user_id) WHERE t1 > t0),
+r AS (
+    SELECT lag_us, row_number() OVER (ORDER BY lag_us, u) AS rn,
+        count(*) OVER () AS n
+    FROM lags),
+a AS (
+    SELECT count(*)::BIGINT AS n_converted, sum(lag_us::HUGEINT) AS s,
+        max(CASE WHEN rn = ceil(n / 2) THEN lag_us END) AS med
+    FROM r),
+nf AS (SELECT count(*)::BIGINT AS n_from FROM f)
+SELECT n_from, n_converted,
+    CASE WHEN n_converted > 0 THEN
+        round(s::DOUBLE / n_converted::DOUBLE / 1000000.0, 6)
+    END AS mean_lag_s,
+    CASE WHEN n_converted > 0 THEN round(med / 1000000.0, 6)
+    END AS median_lag_s,
+    CASE WHEN n_from > 0 THEN
+        round(n_converted::DOUBLE / n_from::DOUBLE, 6)
+    END AS conversion_rate
+FROM a CROSS JOIN nf
+"""

@@ -3414,6 +3414,29 @@ def q146_rolling_distinct_users(spark, sf_dir):
     return rolling_distinct_users(e, window_days=7)
 
 
+def q147_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle over orders (eventops.cohort_ltv): integer
+    month offsets, integer-cent revenue, running DECIMAL(38,0)
+    cumulative over the aggregated cells."""
+    from .operators.eventops import cohort_ltv
+
+    o = _t(spark, sf_dir, "orders")
+    return cohort_ltv(
+        o, key_col="o_custkey", ts_col="o_orderdate", value_col="o_totalprice"
+    )
+
+
+def q148_conversion_lag(spark, sf_dir):
+    """Signup→purchase conversion-lag distribution
+    (eventops.conversion_lag): first-to-first lag in exact integer
+    microseconds, mean from DECIMAL(38,0) sums, median by exact
+    nearest-rank."""
+    from .operators.eventops import conversion_lag
+
+    e = _t(spark, sf_dir, "events")
+    return conversion_lag(e, from_step="signup", to_step="purchase")
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3567,4 +3590,6 @@ ALL = {
     "q144_gini_concentration": q144_gini_concentration,
     "q145_ab_welch_t": q145_ab_welch_t,
     "q146_rolling_distinct_users": q146_rolling_distinct_users,
+    "q147_cohort_ltv": q147_cohort_ltv,
+    "q148_conversion_lag": q148_conversion_lag,
 }

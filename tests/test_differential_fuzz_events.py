@@ -70,6 +70,7 @@ FUZZ_QUERIES = [
     "q140_negative_sampling",
     "q145_ab_welch_t",
     "q146_rolling_distinct_users",
+    "q148_conversion_lag",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -76,6 +76,7 @@ FUZZ_QUERIES = [
     "q142_quantile_transform",
     "q143_robust_outliers",
     "q144_gini_concentration",
+    "q147_cohort_ltv",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
