@@ -162,3 +162,71 @@ def cluster_representatives(
             F.col(quality_col).alias(f"rep_{quality_col}"),
         )
     )
+
+
+def triangle_stats(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact global triangle count and transitivity of an undirected
+    simple graph — the clustering diagnostic for co-purchase /
+    co-occurrence graphs ("is this graph community-structured or
+    hairball?").
+
+    Canonicalizes input rows to a<b and dedups, so multi-edges and
+    orientation never double-count. Triangles enumerate in the single
+    canonical orientation a<b<c: E(a,b) ⋈_b E(b,c) builds each wedge
+    once, then one equi-join against E(a,c) closes it — every stage an
+    equi-join, never a cartesian. Wedge total Σ d(d−1) stays exact in
+    DECIMAL(38,0); transitivity = 3·T / (Σd(d−1)/2) = 6T/Σd(d−1) is ONE
+    division. For power-law graphs at corpus scale, cap or split hub
+    vertices (degree-ordered orientation) before the wedge join — the
+    canonical a<b<c form already halves wedge fan-out vs naive.
+
+    Output: one row (n_nodes, n_edges, n_triangles, transitivity);
+    transitivity NULL when the graph has no wedges.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    ed = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        ed.select(F.col("a").alias("v"))
+        .unionAll(ed.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")).alias(
+            "w2"
+        ),
+    )
+    wedges = ed.alias("e1").join(
+        ed.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+    tri = wedges.join(ed, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    n_edges = ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    result = counts.crossJoin(n_edges).crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.when(
+            F.col("w2") > 0,
+            F.round(
+                (F.lit(6) * F.col("n_triangles")).cast("double")
+                / F.col("w2").cast("double"),
+                6,
+            ),
+        ).alias("transitivity"),
+    )
+    # materialize the 1-row result eagerly, then release the edge cache
+    # (the dedup._finish_release pattern)
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()

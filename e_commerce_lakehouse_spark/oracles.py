@@ -2876,3 +2876,30 @@ SELECT n_from, n_converted,
     END AS conversion_rate
 FROM a CROSS JOIN nf
 """
+
+# q149: exact triangles + transitivity over the q124 pair graph —
+# canonical a<b<c wedge join, HUGEINT wedge totals, 6T/Σd(d−1).
+ALL["q149_triangle_count"] = (
+    "WITH pairs AS (" + ALL["q124_copurchase_pairs"] + """),
+e AS (SELECT DISTINCT least(item_a, item_b) AS a,
+             greatest(item_a, item_b) AS b
+      FROM pairs WHERE item_a IS NOT NULL AND item_b IS NOT NULL
+        AND item_a <> item_b),
+deg AS (
+    SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+    GROUP BY v),
+c AS (SELECT count(*)::BIGINT AS n_nodes,
+             sum((d * (d - 1))::HUGEINT) AS w2 FROM deg),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+tri AS (
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT n_nodes, n_edges, n_triangles,
+    CASE WHEN w2 > 0 THEN
+        round((6 * n_triangles)::DOUBLE / w2::DOUBLE, 6)
+    END AS transitivity
+FROM c CROSS JOIN ne CROSS JOIN tri
+"""
+)

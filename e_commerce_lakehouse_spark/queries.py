@@ -3437,6 +3437,21 @@ def q148_conversion_lag(spark, sf_dir):
     return conversion_lag(e, from_step="signup", to_step="purchase")
 
 
+def q149_triangle_count(spark, sf_dir):
+    """Exact triangle count + transitivity of the co-purchase graph
+    (graph.triangle_stats over q124's frequent pairs): canonical a<b<c
+    wedge enumeration via two equi-joins, exact DECIMAL wedge totals,
+    one division for transitivity."""
+    from .operators.basket import copurchase_pairs
+    from .operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(
+        li, min_item_support=2, min_pair_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return triangle_stats(edges)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3592,4 +3607,5 @@ ALL = {
     "q146_rolling_distinct_users": q146_rolling_distinct_users,
     "q147_cohort_ltv": q147_cohort_ltv,
     "q148_conversion_lag": q148_conversion_lag,
+    "q149_triangle_count": q149_triangle_count,
 }

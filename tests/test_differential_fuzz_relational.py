@@ -77,6 +77,7 @@ FUZZ_QUERIES = [
     "q143_robust_outliers",
     "q144_gini_concentration",
     "q147_cohort_ltv",
+    "q149_triangle_count",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()

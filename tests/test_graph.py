@@ -98,3 +98,22 @@ def test_cluster_representatives_elects_best_with_id_tiebreak(spark):
     }
     # doc 99 is in no pair: singletons are not emitted (dedup_clusters contract)
     assert got == {(1, 2, 3, 90), (10, 10, 2, 40)}
+from e_commerce_lakehouse_spark.operators.graph import triangle_stats
+
+
+def test_triangle_stats_k4_and_path(spark):
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "a long, b long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["transitivity"] == 1.0
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    r = triangle_stats(path).collect()[0]
+    assert r["n_triangles"] == 0 and r["transitivity"] == 0.0
+    # duplicate + reversed edges collapse; self-loops ignored
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3)], "a long, b long"
+    )
+    r = triangle_stats(messy).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
