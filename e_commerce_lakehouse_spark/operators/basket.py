@@ -122,3 +122,77 @@ def copurchase_pairs(
         )
     )
     return out
+
+
+def pareto_abc(
+    lines: DataFrame,
+    *,
+    group_col: str = "l_returnflag",
+    item_col: str = "l_partkey",
+    value_col: str = "l_extendedprice",
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """Pareto / ABC classification per group: items ranked by revenue
+    descending; class A = items while the running cumulative (including
+    the current item) stays within ``a_pct``% of the group total, B
+    within ``b_pct``%, else C — the "do 20% of parts carry 80% of
+    spend" inventory readout.
+
+    Exact: revenue accumulates as integer cents; the class boundaries
+    are pure integer comparisons (cum·100 ≤ total·pct — no float share
+    anywhere until the reported rounding). Rank ties (equal revenue)
+    break on the item id, so the running sum is engine-stable.
+
+    Scale: one shuffle on (group, item) for per-item revenue, then
+    windows partitioned by group over the AGGREGATED item table
+    (bounded by catalog size, not line count).
+
+    Output: (group, abc_class, n_items, revenue, share) — share of the
+    group total, 6 dp.
+    """
+    from pyspark.sql import Window
+
+    per_item = (
+        lines.where(
+            F.col(item_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"), F.col(item_col).alias("item"))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("rev_c")
+        )
+    )
+    w_ord = Window.partitionBy("grp").orderBy(
+        F.col("rev_c").desc(), F.col("item").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("grp")
+    dec = F.col("rev_c").cast("decimal(38,0)")
+    cum = per_item.select(
+        "grp",
+        "rev_c",
+        F.sum(dec).over(w_ord).alias("cum_c"),
+        F.sum(dec).over(w_all).alias("tot_c"),
+    )
+    cls = F.when(
+        F.col("cum_c") * 100 <= F.col("tot_c") * F.lit(a_pct), "A"
+    ).when(
+        F.col("cum_c") * 100 <= F.col("tot_c") * F.lit(b_pct), "B"
+    ).otherwise("C")
+    return (
+        cum.select("grp", "rev_c", "tot_c", cls.alias("abc_class"))
+        .groupBy("grp", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("_rev"),
+            F.min("tot_c").alias("_tot"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "abc_class",
+            "n_items",
+            F.round(F.col("_rev").cast("double") / 100.0, 6).alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+    )

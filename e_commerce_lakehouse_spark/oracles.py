@@ -2903,3 +2903,31 @@ SELECT n_nodes, n_edges, n_triangles,
 FROM c CROSS JOIN ne CROSS JOIN tri
 """
 )
+
+# q150: Pareto/ABC — integer-cent cumulative shares, pure integer class
+# boundaries, (rev desc, item asc) rank order.
+ALL["q150_pareto_abc"] = """
+WITH per_item AS (
+    SELECT l_returnflag AS grp, l_partkey AS item,
+        sum(round(l_extendedprice * 100)::BIGINT) AS rev_c
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1, 2),
+cum AS (
+    SELECT grp, rev_c,
+        sum(rev_c::HUGEINT) OVER (PARTITION BY grp
+            ORDER BY rev_c DESC, item ASC
+            ROWS UNBOUNDED PRECEDING) AS cum_c,
+        sum(rev_c::HUGEINT) OVER (PARTITION BY grp) AS tot_c
+    FROM per_item),
+cls AS (
+    SELECT grp, rev_c, tot_c,
+        CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+             WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+             ELSE 'C' END AS abc_class
+    FROM cum)
+SELECT grp AS l_returnflag, abc_class, count(*)::BIGINT AS n_items,
+    round(sum(rev_c::HUGEINT)::DOUBLE / 100.0, 6) AS revenue,
+    round(sum(rev_c::HUGEINT)::DOUBLE / min(tot_c)::DOUBLE, 6) AS share
+FROM cls GROUP BY 1, 2
+"""

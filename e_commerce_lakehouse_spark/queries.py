@@ -3452,6 +3452,17 @@ def q149_triangle_count(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def q150_pareto_abc(spark, sf_dir):
+    """Pareto/ABC revenue classification per return flag
+    (basket.pareto_abc): integer-cent cumulative shares, pure integer
+    class boundaries (cum·100 ≤ total·pct), windows over the
+    aggregated item table only."""
+    from .operators.basket import pareto_abc
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pareto_abc(li)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3608,4 +3619,5 @@ ALL = {
     "q147_cohort_ltv": q147_cohort_ltv,
     "q148_conversion_lag": q148_conversion_lag,
     "q149_triangle_count": q149_triangle_count,
+    "q150_pareto_abc": q150_pareto_abc,
 }

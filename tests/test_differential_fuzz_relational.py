@@ -78,6 +78,7 @@ FUZZ_QUERIES = [
     "q144_gini_concentration",
     "q147_cohort_ltv",
     "q149_triangle_count",
+    "q150_pareto_abc",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
