@@ -1176,3 +1176,88 @@ def negative_sampling(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    test_bp: int = 2000,
+) -> DataFrame:
+    """Stratified train/test split whose test-set size is EXACT: the
+    global quota T = N·test_bp // 10000 (basis points — integer
+    fraction, no float), per-stratum base quotas by floor division,
+    and the leftover distributed by largest remainder (remainder desc,
+    stratum asc — q127's allocation rule applied to sampling). Within
+    each stratum the chosen rows are the smallest md5(id) ranks — the
+    q51/q66 deterministic-gate contract, reproducible run-over-run.
+
+    Invariant (pinned by the oracle): Σ n_test = N·test_bp // 10000
+    EXACTLY — the proportional-float split every naive implementation
+    ships can be off by ±(#strata) rows, which matters when the test
+    set feeds a paired benchmark.
+
+    Scale: the quota table is strata-bounded (its window is a single
+    partition over |strata| rows — fine for any real strata column);
+    row selection is one md5-rank window per stratum on the same
+    shuffle as the count. Output: (stratum, n_total, n_test, n_train).
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(id_col).isNotNull()).select(
+        F.col(strata_col).alias("st"), F.col(id_col).alias("rid")
+    )
+    counts = base.groupBy("st").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("long").alias("n_total_all"),
+        F.sum(F.expr(f"(n_s * {test_bp}) div 10000")).cast("long").alias(
+            "base_sum"
+        ),
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "st",
+            "n_s",
+            F.expr(f"(n_s * {test_bp}) div 10000").cast("long").alias("base"),
+            ((F.col("n_s") * test_bp) % 10000).alias("rem"),
+            (
+                F.expr(f"(n_total_all * {test_bp}) div 10000").cast("long")
+                - F.col("base_sum")
+            ).alias("leftover"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("st").asc_nulls_last())
+            ),
+        )
+        .select(
+            "st",
+            "n_s",
+            (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long")).alias(
+                "quota"
+            ),
+        )
+    )
+    w = Window.partitionBy("st").orderBy(
+        F.md5(F.col("rid").cast("string")).asc(), F.col("rid").asc()
+    )
+    # null-safe quota join: a NULL stratum is a real group (matches the
+    # oracle's IS NOT DISTINCT FROM)
+    q2 = quotas.select(F.col("st").alias("q_st"), "quota")
+    picked = (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(q2, F.col("st").eqNullSafe(F.col("q_st")))
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum((F.col("rn") <= F.col("quota")).cast("long")).alias("n_test"),
+        )
+    )
+    return picked.select(
+        F.col("st").alias(strata_col),
+        "n_total",
+        "n_test",
+        (F.col("n_total") - F.col("n_test")).alias("n_train"),
+    )

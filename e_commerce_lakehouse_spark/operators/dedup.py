@@ -820,3 +820,62 @@ def shingle_novelty(
         .select(id_col, "n_shingles", "n_novel", "novelty")
     )
     return _finish_release(result, sh)
+
+
+# ------------------------------------------------------ sketch calibration
+
+
+def sketch_calibration(
+    df: DataFrame,
+    threshold: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash/LSH quality readout against EXACT Jaccard on the same
+    corpus: precision (candidate pairs that are truly ≥ threshold),
+    recall (true pairs the sketch surfaced), and the mean absolute
+    estimator error over the hits — the calibration run that decides
+    num_hashes/bands BEFORE committing a petabyte dedup pass (run it on
+    a sample at production scale; the exact side is the expensive leg).
+
+    Exact comparison arithmetic: both jaccards are 6-dp multiples, so
+    |est − exact|·1e6 rounds to an exact integer and the MAE numerator
+    sums as DECIMAL(38,0) — no float summation order; the three ratios
+    are one division each.
+    """
+    exact = ngram_jaccard_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    cands = minhash_lsh_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    hits = cands.join(exact, ["a", "b"])
+    diff = F.abs(F.round((F.col("jaccard_est") - F.col("jaccard")) * 1e6)).cast(
+        "long"
+    )
+    m = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(diff.cast("decimal(38,0)")).alias("_sd"),
+    )
+    nt = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hits, n_true, n_cand = F.col("n_hits"), F.col("n_true"), F.col("n_candidates")
+    return nc.crossJoin(nt).crossJoin(m).select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.when(
+            n_cand > 0,
+            F.round(n_hits.cast("double") / n_cand.cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            n_true > 0,
+            F.round(n_hits.cast("double") / n_true.cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            n_hits > 0,
+            F.round(
+                F.col("_sd").cast("double") / 1e6 / n_hits.cast("double"), 6
+            ),
+        ).alias("mae"),
+    )

@@ -2931,3 +2931,76 @@ SELECT grp AS l_returnflag, abc_class, count(*)::BIGINT AS n_items,
     round(sum(rev_c::HUGEINT)::DOUBLE / min(tot_c)::DOUBLE, 6) AS share
 FROM cls GROUP BY 1, 2
 """
+
+# q151: exact-total stratified split — integer basis-point quotas,
+# largest-remainder leftover (remainder desc, stratum asc), md5-rank
+# selection within stratum. Invariant: sum(n_test) = N*2000 // 10000.
+ALL["q151_exact_stratified_split"] = """
+WITH base AS (
+    SELECT source AS st, doc_id AS rid FROM documents
+    WHERE doc_id IS NOT NULL),
+counts AS (SELECT st, count(*)::BIGINT AS n_s FROM base GROUP BY st),
+tot AS (
+    SELECT sum(n_s)::BIGINT AS n_total_all,
+        sum((n_s * 2000) // 10000)::BIGINT AS base_sum
+    FROM counts),
+quotas AS (
+    SELECT st, n_s,
+        ((n_s * 2000) // 10000)::BIGINT
+        + CASE WHEN row_number() OVER (
+                ORDER BY (n_s * 2000) % 10000 DESC, st ASC NULLS LAST)
+            <= ((n_total_all * 2000) // 10000) - base_sum
+          THEN 1 ELSE 0 END AS quota
+    FROM counts CROSS JOIN tot),
+ranked AS (
+    SELECT st, rid,
+        row_number() OVER (PARTITION BY st
+            ORDER BY md5(rid::VARCHAR) ASC, rid ASC) AS rn
+    FROM base)
+SELECT r.st AS source, count(*)::BIGINT AS n_total,
+    sum((r.rn <= q.quota)::INT)::BIGINT AS n_test,
+    (count(*) - sum((r.rn <= q.quota)::INT))::BIGINT AS n_train
+FROM ranked r JOIN quotas q ON r.st IS NOT DISTINCT FROM q.st
+GROUP BY r.st
+"""
+
+# q152: MinHash calibration — the q22 candidate set joined against the
+# NO-CUT exact shingle-Jaccard pair set at the same threshold;
+# integer-scaled |est − exact| for the MAE.
+ALL["q152_sketch_calibration"] = (
+    "WITH " + _SHINGLES + """,
+sh AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS s
+    FROM shingles),
+sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY 1),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY 1, 2),
+texact AS (
+    SELECT a, b, round(i / (za.z + zb.z - i), 6) AS jaccard
+    FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+    WHERE round(i / (za.z + zb.z - i), 6) >= 0.25),
+cands AS (SELECT a, b, jaccard_est FROM ("""
+    + ALL["q22_minhash_lsh"]
+    + """) q22x),
+hits AS (
+    SELECT c.a, c.b, jaccard_est, jaccard
+    FROM cands c JOIN texact USING (a, b)),
+m AS (
+    SELECT count(*)::BIGINT AS n_hits,
+        sum(abs(round((jaccard_est - jaccard) * 1e6))::BIGINT::HUGEINT)
+            AS sd
+    FROM hits),
+nt AS (SELECT count(*)::BIGINT AS n_true FROM texact),
+nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cands)
+SELECT n_candidates, n_true, n_hits,
+    CASE WHEN n_candidates > 0 THEN
+        round(n_hits::DOUBLE / n_candidates::DOUBLE, 6) END AS precision,
+    CASE WHEN n_true > 0 THEN
+        round(n_hits::DOUBLE / n_true::DOUBLE, 6) END AS recall,
+    CASE WHEN n_hits > 0 THEN
+        round(sd::DOUBLE / 1e6 / n_hits::DOUBLE, 6) END AS mae
+FROM nc CROSS JOIN nt CROSS JOIN m
+"""
+)

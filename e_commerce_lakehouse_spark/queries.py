@@ -3463,6 +3463,28 @@ def q150_pareto_abc(spark, sf_dir):
     return pareto_abc(li)
 
 
+def q151_exact_stratified_split(spark, sf_dir):
+    """Exact-total stratified split (curation.exact_stratified_split):
+    integer basis-point quotas, largest-remainder leftover allocation,
+    md5-rank row selection — Σ n_test = N·bp // 10000 exactly."""
+    from .operators.curation import exact_stratified_split
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_stratified_split(d, strata_col="source", id_col="doc_id",
+                                  test_bp=2000)
+
+
+def q152_sketch_calibration(spark, sf_dir):
+    """MinHash sketch calibration vs exact Jaccard
+    (dedup.sketch_calibration): precision/recall of the q22 candidates
+    against the no-cut exact pair set at the same threshold, MAE of the
+    estimator over hits from integer-scaled diffs."""
+    from .operators.dedup import sketch_calibration
+
+    d = _t(spark, sf_dir, "documents")
+    return sketch_calibration(d, threshold=0.25)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3620,4 +3642,6 @@ ALL = {
     "q148_conversion_lag": q148_conversion_lag,
     "q149_triangle_count": q149_triangle_count,
     "q150_pareto_abc": q150_pareto_abc,
+    "q151_exact_stratified_split": q151_exact_stratified_split,
+    "q152_sketch_calibration": q152_sketch_calibration,
 }

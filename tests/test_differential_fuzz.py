@@ -67,6 +67,8 @@ FUZZ_QUERIES = [
     "q128_token_entropy",
     "q130_set_similarity_join",
     "q131_shingle_novelty",
+    "q151_exact_stratified_split",
+    "q152_sketch_calibration",
 ]
 
 VOCAB = [

@@ -154,3 +154,30 @@ def test_recency_decay_halves_per_bucket(spark):
                              max_age_days=28).collect()[0]
     assert r["n_events"] == 2
     assert r["decay_score"] == pytest.approx(10.0 + 5.0, abs=1e-6)
+
+
+def test_exact_stratified_split_total_is_exact(spark):
+    from e_commerce_lakehouse_spark.operators.curation import (
+        exact_stratified_split,
+    )
+
+    # stratum sizes chosen so naive per-stratum rounding misses the total:
+    # 20% of [7, 13, 9, 11] = [1.4, 2.6, 1.8, 2.2] -> floors [1,2,1,2]=6,
+    # exact total = 40*2000//10000 = 8 -> largest remainder adds 2
+    rows = []
+    did = 0
+    for s, n in [("a", 7), ("b", 13), ("c", 9), ("d", 11)]:
+        for _ in range(n):
+            rows.append((did, "t", "en", s, 1))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = exact_stratified_split(df, strata_col="source", id_col="doc_id",
+                                 test_bp=2000).collect()
+    assert sum(r["n_test"] for r in out) == 8
+    assert all(r["n_test"] + r["n_train"] == r["n_total"] for r in out)
+    # remainders: b=.6, d=.2? -> rem*10000: a=4000, b=6000, c=8000, d=2000
+    # leftover 2 goes to c (8000) and b (6000)
+    got = {r["source"]: r["n_test"] for r in out}
+    assert got == {"a": 1, "b": 3, "c": 2, "d": 2}
