@@ -863,3 +863,53 @@ def conversion_lag(
             F.round(nc.cast("double") / F.col("n_from").cast("double"), 6),
         ).alias("conversion_rate"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch revenue attribution: every conversion event credits
+    the user's most recent PRECEDING non-conversion event type (the
+    touch channel); conversions with no prior touch credit
+    '(direct)'. NULL event types are the literal 'NULL' channel (the
+    q129 convention). The marketing-analytics readout every events
+    warehouse ships.
+
+    Deterministic: the touch lookup is last-ignore-nulls over the
+    (ts, tiebreak) total order with an UNBOUNDED..1 PRECEDING frame —
+    a pure function of the sort, tie-stable in any engine. Revenue
+    sums as integer cents; one division at the end.
+
+    One shuffle on the user key: the frame walk and nothing else; the
+    channel rollup is map-side combinable.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        ts_col, tiebreak_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = F.col(type_col).isNull() | (F.col(type_col) != conversion_type)
+    touch = F.last(
+        F.when(is_touch, F.coalesce(F.col(type_col), F.lit("NULL"))), True
+    ).over(w)
+    conv = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_ch", touch)
+        .where(F.col(type_col) == conversion_type)
+    )
+    return (
+        conv.groupBy(F.coalesce(F.col("_ch"), F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("_rev"),
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            F.round(F.col("_rev") / 100.0, 6).alias("revenue"),
+        )
+    )

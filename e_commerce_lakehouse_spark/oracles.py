@@ -3004,3 +3004,22 @@ SELECT n_candidates, n_true, n_hits,
 FROM nc CROSS JOIN nt CROSS JOIN m
 """
 )
+
+# q153: last-touch attribution — last_value IGNORE NULLS over the same
+# frame; '(direct)' for conversions with no prior touch.
+ALL["q153_last_touch_attribution"] = """
+WITH m AS (
+    SELECT event_type, value,
+        last_value(CASE WHEN event_type IS NULL
+                          OR event_type <> 'purchase'
+                        THEN coalesce(event_type, 'NULL') END
+                   IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT coalesce(ch, '(direct)') AS channel,
+    count(*)::BIGINT AS n_conversions,
+    round(sum(round(value * 100)::BIGINT) / 100.0, 6) AS revenue
+FROM m WHERE event_type = 'purchase'
+GROUP BY 1
+"""

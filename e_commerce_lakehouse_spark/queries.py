@@ -3485,6 +3485,17 @@ def q152_sketch_calibration(spark, sf_dir):
     return sketch_calibration(d, threshold=0.25)
 
 
+def q153_last_touch_attribution(spark, sf_dir):
+    """Last-touch revenue attribution per channel
+    (eventops.last_touch_attribution): last-ignore-nulls over the
+    (ts, event_id) order with an UNBOUNDED..1 PRECEDING frame;
+    '(direct)' for first-event conversions; integer-cent revenue."""
+    from .operators.eventops import last_touch_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return last_touch_attribution(e)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3644,4 +3655,5 @@ ALL = {
     "q150_pareto_abc": q150_pareto_abc,
     "q151_exact_stratified_split": q151_exact_stratified_split,
     "q152_sketch_calibration": q152_sketch_calibration,
+    "q153_last_touch_attribution": q153_last_touch_attribution,
 }

@@ -71,6 +71,7 @@ FUZZ_QUERIES = [
     "q145_ab_welch_t",
     "q146_rolling_distinct_users",
     "q148_conversion_lag",
+    "q153_last_touch_attribution",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
