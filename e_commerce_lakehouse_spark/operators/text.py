@@ -287,3 +287,77 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_pair_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over token pairs co-occurring at the
+    DOCUMENT level: PMI = ln(N·c_ab / (c_a·c_b)) — the collocation /
+    topic-coherence statistic (high-PMI pairs are phrases and topical
+    anchors; near-zero pairs are independent).
+
+    Exact counts end-to-end: c_a/c_b are document frequencies, c_ab the
+    pair's co-document count via a doc-keyed self equi-join (bounded by
+    per-doc distinct-token counts — never corpus-quadratic), and the
+    support floor ``min_pair_docs`` prunes BEFORE the df joins. The one
+    float op is the final ln on a single exact ratio (the q128 ln
+    contract: DECIMAL products cast to double, one division, one ln),
+    rounded 6 dp.
+    """
+    from ..plans.parallelism import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    toks = toks.persist()
+    n_docs = toks.select(F.countDistinct("doc").alias("n_docs"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        toks.select("doc", F.col("tok").alias("tok_a"))
+        .join(toks.select("doc", F.col("tok").alias("tok_b")), "doc")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_docs)
+    )
+    dec = "decimal(38,0)"
+    result = (
+        pairs.join(
+            dfreq.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a")),
+            "tok_a",
+        )
+        .join(
+            dfreq.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast(dec) * F.col("n_docs").cast(dec)).cast(
+                        "double"
+                    )
+                    / (F.col("c_a").cast(dec) * F.col("c_b").cast(dec)).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()

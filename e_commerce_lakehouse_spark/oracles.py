@@ -3023,3 +3023,26 @@ SELECT coalesce(ch, '(direct)') AS channel,
 FROM m WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+# q154: document-level PMI pairs — exact df counts, HUGEINT products
+# (mirror of Spark DECIMAL(38,0)), one division, one ln.
+ALL["q154_pmi_pairs"] = """
+WITH toks AS (
+    SELECT DISTINCT doc_id AS doc,
+        unnest(list_distinct(
+            regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+    FROM documents),
+nd AS (SELECT count(DISTINCT doc)::BIGINT AS n_docs FROM toks),
+dfreq AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+    FROM toks a JOIN toks b ON a.doc = b.doc AND a.tok < b.tok
+    GROUP BY 1, 2 HAVING count(*) >= 50)
+SELECT tok_a, tok_b, n_ab, da.c AS c_a, db.c AS c_b,
+    round(ln((n_ab::HUGEINT * n_docs::HUGEINT)::DOUBLE
+           / (da.c::HUGEINT * db.c::HUGEINT)::DOUBLE), 6) AS pmi
+FROM pairs
+JOIN dfreq da ON da.tok = tok_a
+JOIN dfreq db ON db.tok = tok_b
+CROSS JOIN nd
+"""

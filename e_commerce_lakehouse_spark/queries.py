@@ -3496,6 +3496,16 @@ def q153_last_touch_attribution(spark, sf_dir):
     return last_touch_attribution(e)
 
 
+def q154_pmi_pairs(spark, sf_dir):
+    """Token-pair PMI at the document level (text.pmi_pairs): exact
+    doc-frequency counts, doc-keyed pair equi-join with support floor,
+    one ln on one exact ratio."""
+    from .operators.text import pmi_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_pairs(d, min_pair_docs=50)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3656,4 +3666,5 @@ ALL = {
     "q151_exact_stratified_split": q151_exact_stratified_split,
     "q152_sketch_calibration": q152_sketch_calibration,
     "q153_last_touch_attribution": q153_last_touch_attribution,
+    "q154_pmi_pairs": q154_pmi_pairs,
 }

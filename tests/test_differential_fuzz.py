@@ -69,6 +69,7 @@ FUZZ_QUERIES = [
     "q131_shingle_novelty",
     "q151_exact_stratified_split",
     "q152_sketch_calibration",
+    "q154_pmi_pairs",
 ]
 
 VOCAB = [
