@@ -89,3 +89,34 @@ def test_novelty_short_doc_single_shingle(spark):
     )
     r = shingle_novelty(df, n=3).collect()
     assert len(r) == 1 and r[0]["n_shingles"] == 1 and r[0]["novelty"] == 1.0
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_join_ops_have_no_cartesian(spark):
+    """Plan-shape pins: the pair/wedge/bucket joins in the round-5 ops
+    stay equi-joins. (1-row broadcast crossJoins of scalar aggregates
+    are benign and allowed — only CartesianProduct is banned; the
+    negative-sampling bucket join additionally bans nested-loop.)"""
+    from pyspark.sql import functions as F
+
+    from e_commerce_lakehouse_spark.operators.curation import negative_sampling
+    from e_commerce_lakehouse_spark.operators.graph import triangle_stats
+    from e_commerce_lakehouse_spark.operators.text import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "en", "s", 7) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert "CartesianProduct" not in _plan(pmi_pairs(docs, min_pair_docs=1))
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    assert "CartesianProduct" not in _plan(triangle_stats(edges))
+
+    pos = spark.createDataFrame([(1, 1), (2, 2)], "user_id long, item_id long")
+    items = spark.createDataFrame([(i,) for i in range(10)], "item_id long")
+    p = _plan(negative_sampling(pos, items, k=2, n_buckets=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
