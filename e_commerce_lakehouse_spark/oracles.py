@@ -2398,7 +2398,7 @@ inter AS (
     GROUP BY 1, 2)
 SELECT a, b, round(i / (sa.s + sb.s - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-WHERE round(i / (sa.s + sb.s - i), 6) >= 0.75
+WHERE round(i / (sa.s + sb.s - i), 6) >= 0.9
 """
 
 # q131: per-document shingle novelty — first corpus appearance = min
