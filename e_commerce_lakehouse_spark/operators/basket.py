@@ -196,3 +196,81 @@ def pareto_abc(
             ).alias("share"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    anchor: str | None = None,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-base map. Per key: days since last activity,
+    activity count, and total spend in integer cents; each dimension
+    quartiled with exact ntile over a (metric, key) total order (the
+    q43 ntile-parity contract), scores 1–4 with 4 best; segments
+    reported as the (r, f, m) cell with size and average spend.
+
+    ``anchor`` (date string) pins recency; default = the corpus max
+    date (computed once, broadcast). One shuffle on the key for the
+    profile; the ntile windows run over the per-key AGGREGATE (one row
+    per key), not the raw orders. At billion-customer scale swap the
+    global ntiles for exact quartile BOUNDARIES (q110's
+    ``exact_quantiles``) joined back — same scores, no single-partition
+    window.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("date").alias("d"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+    )
+    prof = base.groupBy("key").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("v_c").cast("decimal(38,0)")).alias("mon_c"),
+    )
+    if anchor is None:
+        anch = base.agg(F.max("d").alias("anchor_d"))
+        prof = prof.crossJoin(F.broadcast(anch))
+    else:
+        prof = prof.withColumn("anchor_d", F.to_date(F.lit(anchor)))
+    prof = prof.withColumn(
+        "recency_days", F.datediff(F.col("anchor_d"), F.col("last_d"))
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("key").asc())
+    w_f = Window.orderBy(F.col("freq").asc(), F.col("key").asc())
+    w_m = Window.orderBy(F.col("mon_c").asc(), F.col("key").asc())
+    scored = prof.select(
+        "key",
+        "mon_c",
+        (F.lit(5) - F.ntile(4).over(w_r)).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_c").alias("_m"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_customers",
+            F.round(
+                F.col("_m").cast("double")
+                / F.col("n_customers").cast("double")
+                / 100.0,
+                6,
+            ).alias("avg_monetary"),
+        )
+    )

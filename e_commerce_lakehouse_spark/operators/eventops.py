@@ -913,3 +913,77 @@ def last_touch_attribution(
             F.round(F.col("_rev") / 100.0, 6).alias("revenue"),
         )
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution with EXACT money:
+    each conversion's cents split equally across the DISTINCT channels
+    that preceded it, remainder cents to the alphabetically-first
+    channels (q127's largest-remainder discipline applied to credit) —
+    so per-conversion credits sum back to the conversion EXACTLY, and
+    channel revenue reconciles to total conversion revenue to the cent.
+    Conversions with no prior touch credit '(direct)' in full; NULL
+    event types are the 'NULL' channel.
+
+    Scale: the channel set per conversion is collect_set over the
+    user-ordered frame (bounded by |channel|, tiny), exploded to at
+    most |channel| rows per conversion; one shuffle on the user key,
+    one on the channel rollup.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        ts_col, tiebreak_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = F.col(type_col).isNull() | (F.col(type_col) != conversion_type)
+    chans = F.array_sort(
+        F.collect_set(
+            F.when(is_touch, F.coalesce(F.col(type_col), F.lit("NULL")))
+        ).over(w)
+    )
+    conv = (
+        # NULL-value filter applies to CONVERSIONS only, after the frame:
+        # a NULL-value touch still carries channel information
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_chans", chans)
+        .where(
+            (F.col(type_col) == conversion_type)
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+            F.when(F.size("_chans") > 0, F.col("_chans"))
+            .otherwise(F.array(F.lit("(direct)")))
+            .alias("_chans"),
+        )
+    )
+    k = F.size("_chans")
+    credited = conv.select(
+        "v_c",
+        k.alias("k"),
+        F.posexplode("_chans").alias("pos", "channel"),
+    ).select(
+        "channel",
+        (
+            F.expr("v_c div k")
+            + (F.col("pos") < F.col("v_c") % F.col("k")).cast("long")
+        ).alias("credit_c"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+            F.sum(F.col("credit_c").cast("decimal(38,0)")).alias("_c"),
+        )
+        .select(
+            "channel",
+            "n_touchpoints",
+            F.round(F.col("_c").cast("double") / 100.0, 6).alias("revenue"),
+        )
+    )

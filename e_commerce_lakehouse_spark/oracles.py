@@ -3046,3 +3046,67 @@ JOIN dfreq da ON da.tok = tok_a
 JOIN dfreq db ON db.tok = tok_b
 CROSS JOIN nd
 """
+
+# q155: RFM segmentation — exact ntiles over the per-key aggregate with
+# (metric, key) tiebreaks (the q43 ntile-parity contract).
+ALL["q155_rfm_segments"] = """
+WITH base AS (
+    SELECT o_custkey AS key, o_orderdate::DATE AS d,
+        round(o_totalprice * 100)::BIGINT AS v_c
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_totalprice IS NOT NULL),
+prof AS (
+    SELECT key, max(d) AS last_d, count(*)::BIGINT AS freq,
+        sum(v_c::HUGEINT) AS mon_c
+    FROM base GROUP BY key),
+anch AS (SELECT max(d) AS anchor_d FROM base),
+scored AS (
+    SELECT key, mon_c,
+        5 - ntile(4) OVER (ORDER BY date_diff('day', last_d, anchor_d) ASC,
+                           key ASC) AS r_score,
+        ntile(4) OVER (ORDER BY freq ASC, key ASC) AS f_score,
+        ntile(4) OVER (ORDER BY mon_c ASC, key ASC) AS m_score
+    FROM prof CROSS JOIN anch)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+    m_score::BIGINT AS m_score,
+    count(*)::BIGINT AS n_customers,
+    round(sum(mon_c)::DOUBLE / count(*)::DOUBLE / 100.0, 6) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+# q156: linear multi-touch attribution — distinct prior channels per
+# conversion via a strict (ts, event_id) inequality join, equal split
+# with largest-remainder cents to the alphabetically-first channels.
+ALL["q156_linear_attribution"] = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type, value FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+convs AS (
+    SELECT user_id, ts, event_id AS cid,
+        round(value * 100)::BIGINT AS v_c
+    FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL),
+touch AS (
+    SELECT user_id, ts, event_id,
+        coalesce(event_type, 'NULL') AS ch
+    FROM ev WHERE event_type IS NULL OR event_type <> 'purchase'),
+pc AS (
+    SELECT DISTINCT c.cid, c.v_c, t.ch
+    FROM convs c JOIN touch t ON t.user_id = c.user_id
+        AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.cid))),
+withk AS (
+    SELECT cid, v_c, ch,
+        row_number() OVER (PARTITION BY cid ORDER BY ch) - 1 AS pos,
+        count(*) OVER (PARTITION BY cid) AS k
+    FROM pc),
+direct AS (
+    SELECT '(direct)' AS ch, c.v_c FROM convs c
+    WHERE NOT EXISTS (SELECT 1 FROM pc WHERE pc.cid = c.cid)),
+credits AS (
+    SELECT ch, (v_c // k + (pos < v_c % k)::INT)::BIGINT AS credit_c
+    FROM withk
+    UNION ALL SELECT ch, v_c AS credit_c FROM direct)
+SELECT ch AS channel, count(*)::BIGINT AS n_touchpoints,
+    round(sum(credit_c::HUGEINT)::DOUBLE / 100.0, 6) AS revenue
+FROM credits GROUP BY ch
+"""

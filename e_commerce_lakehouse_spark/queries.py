@@ -3509,6 +3509,27 @@ def q154_pmi_pairs(spark, sf_dir):
     return pmi_pairs(d, min_pair_docs=50)
 
 
+def q155_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation over orders (basket.rfm_segments):
+    exact ntiles on the per-customer aggregate with (metric, key)
+    tiebreaks; integer-cent monetary."""
+    from .operators.basket import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o)
+
+
+def q156_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution with exact money
+    (eventops.linear_attribution): equal split across distinct prior
+    channels, largest-remainder cents — channel revenue reconciles to
+    total conversion revenue exactly."""
+    from .operators.eventops import linear_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return linear_attribution(e)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3670,4 +3691,6 @@ ALL = {
     "q152_sketch_calibration": q152_sketch_calibration,
     "q153_last_touch_attribution": q153_last_touch_attribution,
     "q154_pmi_pairs": q154_pmi_pairs,
+    "q155_rfm_segments": q155_rfm_segments,
+    "q156_linear_attribution": q156_linear_attribution,
 }

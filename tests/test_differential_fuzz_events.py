@@ -72,6 +72,7 @@ FUZZ_QUERIES = [
     "q146_rolling_distinct_users",
     "q148_conversion_lag",
     "q153_last_touch_attribution",
+    "q156_linear_attribution",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -79,6 +79,7 @@ FUZZ_QUERIES = [
     "q147_cohort_ltv",
     "q149_triangle_count",
     "q150_pareto_abc",
+    "q155_rfm_segments",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
