@@ -274,3 +274,89 @@ def rfm_segments(
             ).alias("avg_monetary"),
         )
     )
+
+
+def frequent_triples(
+    lines: DataFrame,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    min_triple_support: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Level-3 A-priori: frequent item TRIPLES (a < b < c) with exact
+    basket support. Downward closure prunes twice before the 3-way
+    stage — items below ``min_item_support`` leave first, then the
+    basket-item table is semi-joined to the FREQUENT PAIR list on BOTH
+    (a,b) and (a,c) edges, so the triple join only extends wedges whose
+    legs are already frequent (the classic candidate-generation bound;
+    never |basket|³).
+
+    Output: (item_a, item_b, item_c, n_baskets) — exact counts, no
+    floats anywhere.
+    """
+    if min_pair_support > min_triple_support:
+        # closure is only lossless when every leg of a qualifying triple
+        # is itself a frequent pair
+        min_pair_support = min_triple_support
+    pairs = copurchase_pairs(
+        lines,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        max_basket_items=max_basket_items,
+    ).select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    bi = (
+        lines.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    # same mega-basket cap as the pair stage, so pair and triple counts
+    # describe the same basket universe
+    sized = (
+        bi.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") <= max_basket_items)
+        .select("basket")
+    )
+    bi = bi.join(sized, "basket")
+    # keep only items that appear in some frequent pair (closure)
+    freq_items = (
+        pairs.select(F.col("pa").alias("item"))
+        .unionByName(pairs.select(F.col("pb").alias("item")))
+        .distinct()
+    )
+    b = bi.join(freq_items, "item")
+    t = (
+        b.select("basket", F.col("item").alias("a"))
+        .join(b.select("basket", F.col("item").alias("b")), "basket")
+        .where(F.col("a") < F.col("b"))
+        # (a,b) must be a frequent pair before extending
+        .join(
+            pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+            ["a", "b"],
+        )
+        .join(b.select("basket", F.col("item").alias("c")), "basket")
+        .where(F.col("b") < F.col("c"))
+        # (a,c) frequent too (the (b,c) leg is checked by the final
+        # support floor; pruning two of three legs is the standard
+        # candidate bound)
+        .join(
+            pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c")),
+            ["a", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_triple_support)
+    )
+    return t.select(
+        F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"),
+        F.col("c").alias("item_c"),
+        "n_baskets",
+    )

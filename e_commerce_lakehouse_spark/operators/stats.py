@@ -512,3 +512,46 @@ def welch_t_stats(
         F.when(nb > 0, F.round(sb / nb, 6)).alias("mean_b"),
         F.when((na >= 2) & (nb >= 2), F.round(t, 6)).alias("welch_t"),
     )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Join-key skew profiler — the pre-join diagnostic that decides
+    between a plain shuffle join, broadcast, and salting (q36's
+    machinery): exact per-key counts, distinct-key count, the heaviest
+    key's share, and the skew factor max/mean (mean = rows/ndv; a
+    factor ≫ 1 means one reducer owns the join). Top-k heavy keys are
+    listed (stringified, count-desc, key-asc tiebreak) so the salt list
+    can be generated directly from the output.
+
+    One map-side-combinable aggregate on the key, then tiny rollups
+    over the per-key table; NULL keys are profiled as the 'NULL' entry
+    (they hash to one reducer too).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    ranked = per.select("k", "c", F.row_number().over(w).alias("rn"))
+    return ranked.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("skew_factor"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= top_k, F.struct("rn", "k"))
+                    )
+                ),
+                lambda s: s["k"],
+            ),
+            ",",
+        ).alias("top_keys"),
+    )

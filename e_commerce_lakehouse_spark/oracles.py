@@ -3110,3 +3110,50 @@ SELECT ch AS channel, count(*)::BIGINT AS n_touchpoints,
     round(sum(credit_c::HUGEINT)::DOUBLE / 100.0, 6) AS revenue
 FROM credits GROUP BY ch
 """
+
+# q157: level-3 A-priori triples — same basket universe and pair list
+# as q124, two frequent-pair leg checks, exact counts.
+ALL["q157_frequent_triples"] = """
+WITH bi AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ok AS (SELECT basket FROM bi GROUP BY basket HAVING count(*) <= 1000),
+b0 AS (SELECT bi.* FROM bi JOIN ok USING (basket)),
+sup AS (SELECT item FROM b0 GROUP BY item HAVING count(*) >= 2),
+f AS (SELECT b0.* FROM b0 JOIN sup USING (item)),
+pairs AS (
+    SELECT a.item AS pa, c.item AS pb
+    FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+    GROUP BY 1, 2 HAVING count(*) >= 2),
+fitems AS (
+    SELECT DISTINCT pa AS item FROM pairs
+    UNION SELECT pb AS item FROM pairs),
+b AS (SELECT b0.* FROM b0 JOIN fitems USING (item)),
+t AS (
+    SELECT x.item AS ia, y.item AS ib, z.item AS ic,
+        count(*)::BIGINT AS n
+    FROM b x
+    JOIN b y ON x.basket = y.basket AND x.item < y.item
+    JOIN pairs p1 ON p1.pa = x.item AND p1.pb = y.item
+    JOIN b z ON z.basket = x.basket AND y.item < z.item
+    JOIN pairs p2 ON p2.pa = x.item AND p2.pb = z.item
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT ia AS item_a, ib AS item_b, ic AS item_c, n AS n_baskets FROM t
+"""
+
+# q158: join-key skew profile — exact per-key counts, one division for
+# the factor, string_agg of the top-k keys in rank order.
+ALL["q158_skew_profile"] = """
+WITH per AS (
+    SELECT coalesce(user_id::VARCHAR, 'NULL') AS k, count(*) AS c
+    FROM events GROUP BY 1),
+r AS (
+    SELECT k, c, row_number() OVER (ORDER BY c DESC, k ASC) AS rn
+    FROM per)
+SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+    max(c)::BIGINT AS max_key_rows,
+    round(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)::DOUBLE), 6)
+        AS skew_factor,
+    string_agg(CASE WHEN rn <= 5 THEN k END, ',' ORDER BY rn) AS top_keys
+FROM r
+"""

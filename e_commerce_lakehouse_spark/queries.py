@@ -3530,6 +3530,28 @@ def q156_linear_attribution(spark, sf_dir):
     return linear_attribution(e)
 
 
+def q157_frequent_triples(spark, sf_dir):
+    """Level-3 A-priori frequent triples (basket.frequent_triples):
+    double downward-closure prune (items, then two pair legs) before
+    the 3-way basket join; exact integer supports."""
+    from .operators.basket import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_triples(
+        li, min_item_support=2, min_pair_support=2, min_triple_support=2
+    )
+
+
+def q158_skew_profile(spark, sf_dir):
+    """Join-key skew profiler (stats.skew_profile): exact per-key
+    counts, max-share skew factor, top-k heavy keys — the pre-join
+    broadcast/salt decision input (q36's companion)."""
+    from .operators.stats import skew_profile
+
+    e = _t(spark, sf_dir, "events")
+    return skew_profile(e, key_col="user_id", top_k=5)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3693,4 +3715,6 @@ ALL = {
     "q154_pmi_pairs": q154_pmi_pairs,
     "q155_rfm_segments": q155_rfm_segments,
     "q156_linear_attribution": q156_linear_attribution,
+    "q157_frequent_triples": q157_frequent_triples,
+    "q158_skew_profile": q158_skew_profile,
 }

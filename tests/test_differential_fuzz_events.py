@@ -73,6 +73,7 @@ FUZZ_QUERIES = [
     "q148_conversion_lag",
     "q153_last_touch_attribution",
     "q156_linear_attribution",
+    "q158_skew_profile",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

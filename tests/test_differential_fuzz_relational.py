@@ -80,6 +80,7 @@ FUZZ_QUERIES = [
     "q149_triangle_count",
     "q150_pareto_abc",
     "q155_rfm_segments",
+    "q157_frequent_triples",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
