@@ -879,3 +879,57 @@ def sketch_calibration(
             ),
         ).alias("mae"),
     )
+
+
+def dedup_burden(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source exact-duplicate burden report — the triage readout
+    that decides WHERE dedup budget goes: per group, document count,
+    unique-text count, duplicate rate, and the characters a dedup pass
+    would reclaim (total chars minus one survivor's chars per distinct
+    text). Pure aggregates on the content-hash key (q20's shuffle
+    shape); a duplicate text spanning two sources counts in each
+    source's burden (dedup within source — the cross-source view is
+    q106's overlap matrix).
+
+    Exact: counts and char sums are integers; the one division per
+    group is the reported rate.
+    """
+    per_text = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.md5(F.col(text_col)).alias("h"),
+            F.length(F.col(text_col)).cast("long").alias("chars"),
+        )
+        .groupBy("grp", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum(F.col("chars").cast("decimal(38,0)")).alias("chars_all"),
+            F.min("chars").alias("chars_keep"),
+        )
+    )
+    return (
+        per_text.groupBy("grp")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum(
+                F.col("chars_all") - F.col("chars_keep").cast("decimal(38,0)")
+            ).alias("_saved"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.col("_saved").cast("long").alias("chars_reclaimable"),
+        )
+    )

@@ -3157,3 +3157,19 @@ SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
     string_agg(CASE WHEN rn <= 5 THEN k END, ',' ORDER BY rn) AS top_keys
 FROM r
 """
+
+# q159: per-source duplicate burden — content-hash aggregates, one
+# division per group.
+ALL["q159_dedup_burden"] = """
+WITH per AS (
+    SELECT source AS grp, md5(text) AS h, count(*) AS n_copies,
+        sum(length(text)::HUGEINT) AS chars_all,
+        min(length(text)) AS chars_keep
+    FROM documents GROUP BY 1, 2)
+SELECT grp AS source, sum(n_copies)::BIGINT AS n_docs,
+    count(*)::BIGINT AS n_unique,
+    round((sum(n_copies) - count(*))::DOUBLE / sum(n_copies)::DOUBLE, 6)
+        AS dup_rate,
+    sum(chars_all - chars_keep::HUGEINT)::BIGINT AS chars_reclaimable
+FROM per GROUP BY grp
+"""

@@ -3552,6 +3552,16 @@ def q158_skew_profile(spark, sf_dir):
     return skew_profile(e, key_col="user_id", top_k=5)
 
 
+def q159_dedup_burden(spark, sf_dir):
+    """Per-source exact-duplicate burden (dedup.dedup_burden): dup rate
+    and reclaimable characters from pure content-hash aggregates — the
+    dedup-budget triage readout."""
+    from .operators.dedup import dedup_burden
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_burden(d)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3717,4 +3727,5 @@ ALL = {
     "q156_linear_attribution": q156_linear_attribution,
     "q157_frequent_triples": q157_frequent_triples,
     "q158_skew_profile": q158_skew_profile,
+    "q159_dedup_burden": q159_dedup_burden,
 }

@@ -70,6 +70,7 @@ FUZZ_QUERIES = [
     "q151_exact_stratified_split",
     "q152_sketch_calibration",
     "q154_pmi_pairs",
+    "q159_dedup_burden",
 ]
 
 VOCAB = [
