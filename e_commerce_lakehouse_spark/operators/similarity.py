@@ -446,3 +446,62 @@ def embedding_diversity(
             ),
         ).alias("mean_pairwise_dot"),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    nearest neighbors with a DIFFERENT label — the most-confusable
+    negatives that make metric-learning batches informative (random
+    negatives are trivially separable; hard ones carry the gradient).
+    Complements q140's hash-bucketed random negatives.
+
+    Same plan shape as q25's brute-force top-k (queries broadcast, the
+    fact table never shuffles; swap in the IVF probe for the scale
+    path); the label filter applies BEFORE ranking, so ranks index the
+    negative list. Cosines are 4-dp rounded (the shared round_cos
+    contract) with (cos desc, id asc) tiebreaks. NULL-label rows never
+    qualify on either side (SQL <> semantics, stated)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("qn", vec_norm(F.col("qv")))
+    v = vectors.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+        F.col(label_col).alias("n_label"),
+    ).withColumn("nn", vec_norm(F.col("nv")))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label"))
+        )
+        .withColumn(
+            "cos",
+            round_cos(
+                F.aggregate(
+                    F.zip_with(F.col("nv"), F.col("qv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.col("nn"),
+                F.col("qn"),
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neg_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )

@@ -3173,3 +3173,43 @@ SELECT grp AS source, sum(n_copies)::BIGINT AS n_docs,
     sum(chars_all - chars_keep::HUGEINT)::BIGINT AS chars_reclaimable
 FROM per GROUP BY grp
 """
+
+# q160: hierarchical contribution shares — exact cents, two window
+# levels over the aggregated (region, nation) table.
+ALL["q160_hierarchical_shares"] = """
+WITH rev AS (
+    SELECT r_name, n_name,
+        sum(round(o_totalprice * 100)::BIGINT::HUGEINT) AS rev_c,
+        count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_totalprice IS NOT NULL
+    GROUP BY 1, 2)
+SELECT r_name, n_name, n_orders,
+    round(rev_c::DOUBLE / 100.0, 6) AS revenue,
+    round(rev_c::DOUBLE
+          / sum(rev_c) OVER (PARTITION BY r_name)::DOUBLE, 6)
+        AS nation_share_of_region,
+    round(sum(rev_c) OVER (PARTITION BY r_name)::DOUBLE
+          / sum(rev_c) OVER ()::DOUBLE, 6) AS region_share_of_total
+FROM rev
+"""
+
+# q161: hard negatives — q25's cosine/rank machinery with the label
+# filter applied before ranking; 4-dp cosine, (cos desc, id asc) ties.
+ALL["q161_hard_negatives"] = f"""
+SELECT query_id, neg_id, rank, cos FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neg_id,
+        {_COS.replace("a.e", "v.e").replace("b.e", "q.e")} AS cos,
+        row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {_COS.replace("a.e", "v.e").replace("b.e", "q.e")} DESC,
+                     v.vec_id ASC)::BIGINT AS rank
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e, label
+          FROM embeddings WHERE vec_id < 8) q
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS e, label
+          FROM embeddings) v
+        ON v.vec_id <> q.vec_id AND v.label <> q.label)
+WHERE rank <= 3
+"""

@@ -3562,6 +3562,62 @@ def q159_dedup_burden(spark, sf_dir):
     return dedup_burden(d)
 
 
+def q160_hierarchical_shares(spark, sf_dir):
+    """Hierarchical contribution analysis: nation revenue share within
+    region and region share of total, from one star join (dims
+    broadcast) and two window levels over the AGGREGATED (region,
+    nation) table — exact integer cents until the two share
+    divisions."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.where(F.col("o_totalprice").isNotNull())
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("rev_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        F.round(F.col("rev_c").cast("double") / 100.0, 6).alias("revenue"),
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(w_r).cast("double"),
+            6,
+        ).alias("nation_share_of_region"),
+        F.round(
+            F.sum("rev_c").over(w_r).cast("double")
+            / F.sum("rev_c").over(w_all).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+def q161_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negatives): per query (vec_id < 8), the 3 nearest
+    DIFFERENT-label neighbors by 4-dp cosine — q25's broadcast plan
+    with the label filter before ranking."""
+    from .operators.similarity import hard_negatives
+
+    em = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(em, em.where(F.col("vec_id") < 8), k=3)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3728,4 +3784,6 @@ ALL = {
     "q157_frequent_triples": q157_frequent_triples,
     "q158_skew_profile": q158_skew_profile,
     "q159_dedup_burden": q159_dedup_burden,
+    "q160_hierarchical_shares": q160_hierarchical_shares,
+    "q161_hard_negatives": q161_hard_negatives,
 }

@@ -37,6 +37,7 @@ FUZZ_QUERIES = [
     "q26_lsh_ann_topk",
     "q50_embedding_centroids",
     "q141_embedding_diversity",
+    "q161_hard_negatives",
 ]
 
 DIM = 64

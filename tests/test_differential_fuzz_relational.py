@@ -81,6 +81,7 @@ FUZZ_QUERIES = [
     "q150_pareto_abc",
     "q155_rfm_segments",
     "q157_frequent_triples",
+    "q160_hierarchical_shares",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
