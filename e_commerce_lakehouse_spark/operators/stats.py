@@ -555,3 +555,48 @@ def skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             ",",
         ).alias("top_keys"),
     )
+
+
+def privacy_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit — the data-governance gate run
+    before a table is shared: rows grouped by the quasi-identifier
+    combination form equivalence classes; k-anonymity is the SMALLEST
+    class (an attacker knowing the quasi-identifiers can narrow any
+    individual to >= k rows), l-diversity the smallest number of
+    DISTINCT sensitive values within a class (k alone fails when a
+    class is homogeneous in the sensitive attribute). Also reported:
+    the share of rows in classes below ``k_threshold`` — the
+    re-identification-exposed fraction that a suppression pass would
+    remove.
+
+    Exact integer counts end-to-end (one groupBy on the quasi keys,
+    then a 1-row rollup); the one division is the exposed-share. NULL
+    quasi values form real classes (NULL is an attacker-visible value);
+    NULL sensitive values count as one distinct value.
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("cls_n"),
+        F.countDistinct(*[F.coalesce(F.col(sensitive_col).cast("string"),
+                                     F.lit("NULL"))]).alias("cls_l"),
+    )
+    return classes.agg(
+        F.sum("cls_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("cls_n").cast("long").alias("k_anonymity"),
+        F.min("cls_l").cast("long").alias("l_diversity"),
+        F.max("cls_n").cast("long").alias("largest_class"),
+        F.round(
+            F.sum(
+                F.when(F.col("cls_n") < k_threshold, F.col("cls_n")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("cls_n").cast("double"),
+            6,
+        ).alias("exposed_share"),
+    )

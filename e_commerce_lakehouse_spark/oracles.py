@@ -3213,3 +3213,19 @@ SELECT query_id, neg_id, rank, cos FROM (
         ON v.vec_id <> q.vec_id AND v.label <> q.label)
 WHERE rank <= 3
 """
+
+# q162: k-anonymity / l-diversity — exact equivalence-class counts,
+# NULL quasi values are real classes, NULL sensitive counts as one
+# distinct value, one division for the exposed share.
+ALL["q162_privacy_audit"] = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS cls_n,
+        count(DISTINCT coalesce(c_acctbal::VARCHAR, 'NULL')) AS cls_l
+    FROM customer GROUP BY 1, 2)
+SELECT sum(cls_n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+    min(cls_n)::BIGINT AS k_anonymity, min(cls_l)::BIGINT AS l_diversity,
+    max(cls_n)::BIGINT AS largest_class,
+    round(sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END)::DOUBLE
+          / sum(cls_n)::DOUBLE, 6) AS exposed_share
+FROM classes
+"""

@@ -3618,6 +3618,20 @@ def q161_hard_negatives(spark, sf_dir):
     return hard_negatives(em, em.where(F.col("vec_id") < 8), k=3)
 
 
+def q162_privacy_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit over customer
+    (stats.privacy_audit): quasi-identifiers (nation, market segment),
+    sensitive = account balance; exact class counts, one division for
+    the exposed share."""
+    from .operators.stats import privacy_audit
+
+    c = _t(spark, sf_dir, "customer")
+    return privacy_audit(
+        c, quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal", k_threshold=5,
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3786,4 +3800,5 @@ ALL = {
     "q159_dedup_burden": q159_dedup_burden,
     "q160_hierarchical_shares": q160_hierarchical_shares,
     "q161_hard_negatives": q161_hard_negatives,
+    "q162_privacy_audit": q162_privacy_audit,
 }

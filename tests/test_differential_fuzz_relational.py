@@ -82,6 +82,7 @@ FUZZ_QUERIES = [
     "q155_rfm_segments",
     "q157_frequent_triples",
     "q160_hierarchical_shares",
+    "q162_privacy_audit",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
