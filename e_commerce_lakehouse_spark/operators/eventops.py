@@ -987,3 +987,82 @@ def linear_attribution(
             F.round(F.col("_c").cast("double") / 100.0, 6).alias("revenue"),
         )
     )
+
+
+def session_conversion_paths(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Which journeys convert: q137's session paths joined with a
+    per-session conversion flag (any ``conversion_type`` event in the
+    session — not just within the first ``max_steps``), rolled up to
+    (path, n_sessions, n_converted, conversion_rate). The product
+    question behind path mining — "do view>click>purchase journeys
+    close more often than click-first ones?".
+
+    One shuffle on the user key (session assignment, row numbers, the
+    per-session fold and flag all share it); exact integer counts, one
+    division per path.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(int(gap_seconds))), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_sid", F.sum(new_session).over(run).cast("long"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(user_col, "_sid").orderBy(
+                    ts_col, tiebreak_col
+                )
+            ),
+        )
+        .select(
+            user_col,
+            "_sid",
+            "_rn",
+            F.coalesce(F.col("event_type"), F.lit("NULL")).alias("_et"),
+        )
+    )
+    per_session = s.groupBy(user_col, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_steps,
+                               F.struct("_rn", "_et"))
+                    )
+                ),
+                lambda x: x["_et"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max((F.col("_et") == conversion_type).cast("int")).alias("_conv"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("_conv").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ),
+        )
+    )

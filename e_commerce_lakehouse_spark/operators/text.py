@@ -361,3 +361,59 @@ def pmi_pairs(
         return result.localCheckpoint(eager=True)
     finally:
         toks.unpersist()
+
+
+def effective_tokens(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Effective (post-exact-dedup) token budget per group: raw token
+    count vs the count with each distinct text tallied ONCE — the
+    number that matters when sizing a training run (duplicates add
+    epochs, not information; q159 reports the same effect in
+    characters, this in the unit the token budget is written in).
+
+    Tokens are the repo-wide whitespace split; exact integer counts via
+    the content-hash aggregate (q20's shuffle shape), one division for
+    the duplication factor.
+    """
+    per_text = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.md5(F.col(text_col)).alias("h"),
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .cast("long")
+            .alias("toks"),
+        )
+        .groupBy("grp", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("toks").alias("toks_one"),
+        )
+    )
+    return (
+        per_text.groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("n_copies").cast("decimal(38,0)")
+                * F.col("toks_one").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("raw_tokens"),
+            F.sum(F.col("toks_one").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "raw_tokens",
+            "effective_tokens",
+            F.round(
+                F.col("raw_tokens").cast("double")
+                / F.col("effective_tokens").cast("double"),
+                6,
+            ).alias("duplication_factor"),
+        )
+    )

@@ -3229,3 +3229,52 @@ SELECT sum(cls_n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
           / sum(cls_n)::DOUBLE, 6) AS exposed_share
 FROM classes
 """
+
+# q163: converting session paths — q137's session/path CTEs plus a
+# whole-session conversion flag.
+ALL["q163_converting_paths"] = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+        coalesce(event_type, 'NULL') AS et,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (
+    SELECT *, CASE WHEN prev IS NULL
+                     OR date_diff('second', prev, ts) > 1800
+                   THEN 1 ELSE 0 END AS ns
+    FROM o),
+s AS (
+    SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f),
+r AS (
+    SELECT user_id, sid, et,
+        row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+    FROM s),
+p AS (
+    SELECT user_id, sid,
+        string_agg(CASE WHEN rn <= 5 THEN et END, '>' ORDER BY rn) AS path,
+        max((et = 'purchase')::INT) AS conv
+    FROM r GROUP BY 1, 2)
+SELECT path, count(*)::BIGINT AS n_sessions,
+    sum(conv)::BIGINT AS n_converted,
+    round(sum(conv)::DOUBLE / count(*)::DOUBLE, 6) AS conversion_rate
+FROM p GROUP BY path
+"""
+
+# q164: post-dedup token budget — content-hash aggregate, each distinct
+# text's tokens counted once for the effective number.
+ALL["q164_effective_tokens"] = """
+WITH per AS (
+    SELECT source AS grp, md5(text) AS h, count(*) AS n_copies,
+        min(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+            AS toks_one
+    FROM documents GROUP BY 1, 2)
+SELECT grp AS source,
+    sum(n_copies::HUGEINT * toks_one::HUGEINT)::BIGINT AS raw_tokens,
+    sum(toks_one::HUGEINT)::BIGINT AS effective_tokens,
+    round(sum(n_copies::HUGEINT * toks_one::HUGEINT)::DOUBLE
+          / sum(toks_one::HUGEINT)::DOUBLE, 6) AS duplication_factor
+FROM per GROUP BY grp
+"""

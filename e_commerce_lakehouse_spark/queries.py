@@ -3632,6 +3632,26 @@ def q162_privacy_audit(spark, sf_dir):
     )
 
 
+def q163_converting_paths(spark, sf_dir):
+    """Which journeys convert (eventops.session_conversion_paths):
+    q137's first-5 paths joined with a whole-session conversion flag;
+    exact counts, one division per path."""
+    from .operators.eventops import session_conversion_paths
+
+    e = _t(spark, sf_dir, "events")
+    return session_conversion_paths(e)
+
+
+def q164_effective_tokens(spark, sf_dir):
+    """Post-dedup token budget per source (text.effective_tokens): raw
+    vs distinct-text-once token counts and the duplication factor — the
+    training-run sizing number (q159's chars analog in tokens)."""
+    from .operators.text import effective_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return effective_tokens(d)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3801,4 +3821,6 @@ ALL = {
     "q160_hierarchical_shares": q160_hierarchical_shares,
     "q161_hard_negatives": q161_hard_negatives,
     "q162_privacy_audit": q162_privacy_audit,
+    "q163_converting_paths": q163_converting_paths,
+    "q164_effective_tokens": q164_effective_tokens,
 }

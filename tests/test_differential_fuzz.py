@@ -71,6 +71,7 @@ FUZZ_QUERIES = [
     "q152_sketch_calibration",
     "q154_pmi_pairs",
     "q159_dedup_burden",
+    "q164_effective_tokens",
 ]
 
 VOCAB = [

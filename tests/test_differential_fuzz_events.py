@@ -74,6 +74,7 @@ FUZZ_QUERIES = [
     "q153_last_touch_attribution",
     "q156_linear_attribution",
     "q158_skew_profile",
+    "q163_converting_paths",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
