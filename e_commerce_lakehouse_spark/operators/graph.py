@@ -230,3 +230,87 @@ def triangle_stats(
         return result.localCheckpoint(eager=True)
     finally:
         ed.unpersist()
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    a_col: str = "a",
+    b_col: str = "b",
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected simple graph with EXACT integer
+    arithmetic — the one formulation an iterative rank can be
+    cross-engine value-hash stable in: ranks live as integer mass
+    (``scale`` total), every contribution is a FLOOR division
+    (rank div degree), and the damping update is integer percent
+    arithmetic, so no float ever enters the loop and summation order
+    cannot matter. Floor-division leaks a deterministic dust of mass
+    per step (< degree per node per iteration at scale 1e12 — noise at
+    the 12th decimal); both engines leak identically.
+
+    Scale shape per iteration: one edges⋈ranks equi-join + one
+    map-side-combinable groupBy(dst) — the standard distributed
+    PageRank step; ranks persist each iteration to cut lineage.
+    Fixed ``iterations`` (default 3) keeps the plan finite and the
+    DuckDB oracle an unrolled CTE chain.
+
+    Output: (node, rank_scaled BIGINT, rank DOUBLE round 9).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = edges.where(a.isNotNull() & b.isNotNull() & (a != b)).select(
+        F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+    ).distinct()
+    e = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes_df = deg.agg(F.count(F.lit(1)).alias("n"))
+    # init: equal integer share of the mass (floor; dust dropped
+    # identically in both engines)
+    r = deg.crossJoin(F.broadcast(n_nodes_df)).select(
+        "src",
+        "deg",
+        F.expr(f"{scale} div n").alias("rank_s"),
+        F.col("n"),
+    ).persist()
+    base_term = f"(({scale} div n) * {100 - damping_pct}) div 100"
+    pinned = [e, r]
+    try:
+        for _ in range(iterations):
+            contrib = r.select(
+                "src", F.expr("rank_s div deg").alias("c")
+            ).join(e, "src").select(F.col("dst").alias("src"), "c")
+            inflow = contrib.groupBy("src").agg(
+                F.sum(F.col("c").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("inflow")
+            )
+            r = (
+                r.select("src", "deg", "n")
+                .join(inflow, "src", "left")
+                .select(
+                    "src",
+                    "deg",
+                    "n",
+                    F.expr(
+                        f"{base_term} + ({damping_pct} *"
+                        " coalesce(inflow, 0)) div 100"
+                    ).alias("rank_s"),
+                )
+                .persist()
+            )
+            pinned.append(r)
+        result = r.select(
+            F.col("src").alias("node"),
+            F.col("rank_s").cast("long").alias("rank_scaled"),
+            F.round(F.col("rank_s").cast("double") / float(scale), 9).alias(
+                "rank"
+            ),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        for p in pinned:
+            p.unpersist()

@@ -3278,3 +3278,48 @@ SELECT grp AS source,
           / sum(toks_one::HUGEINT)::DOUBLE, 6) AS duplication_factor
 FROM per GROUP BY grp
 """
+
+
+# q165: integer PageRank — unrolled CTE chain (SQL forbids aggregates in
+# recursive members, so fixed iterations unroll mechanically); floor
+# division (`//`, positive operands) mirrors Spark's `div` exactly.
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, dp: int = 85) -> str:
+    pre = f"""
+WITH pairs AS ({ALL["q124_copurchase_pairs"]}),
+und AS (
+    SELECT DISTINCT least(item_a, item_b) AS x,
+        greatest(item_a, item_b) AS y
+    FROM pairs WHERE item_a IS NOT NULL AND item_b IS NOT NULL
+      AND item_a <> item_b),
+e AS (SELECT x AS src, y AS dst FROM und
+      UNION ALL SELECT y AS src, x AS dst FROM und),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, deg, ({scale} // n) AS rank_s
+       FROM deg CROSS JOIN nn)"""
+    body = ""
+    for i in range(1, iters + 1):
+        p = i - 1
+        body += f""",
+c{i} AS (
+    SELECT e.dst AS src, (r{p}.rank_s // r{p}.deg) AS c
+    FROM r{p} JOIN e ON e.src = r{p}.src),
+i{i} AS (SELECT src, sum(c::HUGEINT)::BIGINT AS inflow
+         FROM c{i} GROUP BY src),
+r{i} AS (
+    SELECT d.src, d.deg,
+        ((({scale} // nn.n) * {100 - dp}) // 100)
+        + ({dp} * coalesce(i{i}.inflow, 0)) // 100 AS rank_s
+    FROM deg d CROSS JOIN nn LEFT JOIN i{i} ON i{i}.src = d.src)"""
+    return (
+        pre
+        + body
+        + f"""
+SELECT src AS node, rank_s::BIGINT AS rank_scaled,
+    round(rank_s::DOUBLE / {float(scale)}, 9) AS rank
+FROM r{iters}
+"""
+    )
+
+
+ALL["q165_integer_pagerank"] = _pagerank_sql()

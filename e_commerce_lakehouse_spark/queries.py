@@ -3652,6 +3652,21 @@ def q164_effective_tokens(spark, sf_dir):
     return effective_tokens(d)
 
 
+def q165_integer_pagerank(spark, sf_dir):
+    """Exact integer PageRank over the co-purchase graph
+    (graph.pagerank_integer): 3 iterations of floor-division mass
+    passing — no float in the loop, so an iterative rank is value-hash
+    stable across engines; oracled against an unrolled CTE chain."""
+    from .operators.basket import copurchase_pairs
+    from .operators.graph import pagerank_integer
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(
+        li, min_item_support=2, min_pair_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return pagerank_integer(edges, iterations=3)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3823,4 +3838,5 @@ ALL = {
     "q162_privacy_audit": q162_privacy_audit,
     "q163_converting_paths": q163_converting_paths,
     "q164_effective_tokens": q164_effective_tokens,
+    "q165_integer_pagerank": q165_integer_pagerank,
 }

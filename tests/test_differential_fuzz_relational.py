@@ -83,6 +83,7 @@ FUZZ_QUERIES = [
     "q157_frequent_triples",
     "q160_hierarchical_shares",
     "q162_privacy_audit",
+    "q165_integer_pagerank",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
