@@ -600,3 +600,112 @@ def privacy_audit(
             6,
         ).alias("exposed_share"),
     )
+
+
+def order_reconciliation(
+    orders: DataFrame,
+    lines: DataFrame,
+    *,
+    order_key: str = "o_orderkey",
+    line_key: str = "l_orderkey",
+    header_col: str = "o_totalprice",
+    line_col: str = "l_extendedprice",
+    tolerance_c: int = 0,
+) -> DataFrame:
+    """Header-vs-lines financial reconciliation — the warehouse audit
+    the reference domain (orders + order_items ETL) needs nightly: per
+    order, the header total against the sum of its lines in integer
+    cents; report matched / drifted / lineless / headerless counts, the
+    worst absolute drift, and total absolute drift. ``tolerance_c``
+    cents of slack counts as matched (rounding-policy differences).
+
+    Exact: all comparisons in integer cents (header and line sums never
+    meet a float); one shuffle on the order key (line aggregate +
+    full-outer join share it), then a 1-row rollup.
+    """
+    h = orders.where(F.col(order_key).isNotNull()).select(
+        F.col(order_key).alias("k"),
+        F.round(F.col(header_col) * 100).cast("long").alias("hdr_c"),
+    )
+    l = (
+        lines.where(F.col(line_key).isNotNull())
+        .groupBy(F.col(line_key).alias("k"))
+        .agg(
+            F.sum(F.round(F.col(line_col) * 100).cast("long").cast(
+                "decimal(38,0)"
+            ))
+            .cast("long")
+            .alias("lin_c")
+        )
+    )
+    j = h.join(l, "k", "full_outer").select(
+        "k",
+        "hdr_c",
+        "lin_c",
+        F.abs(F.col("hdr_c") - F.col("lin_c")).alias("drift_c"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("hdr_c").isNull()).cast("long")).alias("n_headerless"),
+        F.sum((F.col("lin_c").isNull()).cast("long")).alias("n_lineless"),
+        F.sum(
+            (F.col("drift_c") <= tolerance_c).cast("long")
+        ).alias("n_matched"),
+        F.sum((F.col("drift_c") > tolerance_c).cast("long")).alias(
+            "n_drifted"
+        ),
+        F.max("drift_c").cast("long").alias("max_drift_c"),
+        F.sum(F.col("drift_c").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_drift_c"),
+    )
+
+
+def duplicate_payments(
+    orders: DataFrame,
+    *,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    ts_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    window_days: int = 7,
+) -> DataFrame:
+    """Duplicate-payment candidates — the finance-audit double-charge
+    sweep: pairs of orders by the SAME customer for the SAME amount
+    (integer cents) within ``window_days``. The join key is (customer,
+    amount_cents) — an equi-join, so the quadratic stage is bounded by
+    per-(customer, amount) multiplicity, never customer×customer; the
+    day window is a residual filter on the joined pair.
+
+    Output: (key, amount, id_a, id_b, days_apart) with id_a < id_b —
+    exact integers end-to-end (amount reported via one /100 division).
+    """
+    base = orders.where(
+        F.col(key_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(amount_col) * 100).cast("long").alias("amt_c"),
+        F.col(ts_col).cast("date").alias("d"),
+        F.col(id_col).alias("oid"),
+    )
+    a = base.select("key", "amt_c", F.col("d").alias("da"), F.col("oid").alias("id_a"))
+    b = base.select("key", "amt_c", F.col("d").alias("db"), F.col("oid").alias("id_b"))
+    return (
+        a.join(b, ["key", "amt_c"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.datediff(F.col("db"), F.col("da"))) <= window_days)
+        )
+        .select(
+            "key",
+            F.round(F.col("amt_c") / 100.0, 6).alias("amount"),
+            "id_a",
+            "id_b",
+            F.abs(F.datediff(F.col("db"), F.col("da")))
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )

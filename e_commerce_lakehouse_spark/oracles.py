@@ -3323,3 +3323,44 @@ FROM r{iters}
 
 
 ALL["q165_integer_pagerank"] = _pagerank_sql()
+
+# q166: header-vs-lines reconciliation — integer cents, full-outer
+# join, 1-row rollup.
+ALL["q166_order_reconciliation"] = """
+WITH h AS (
+    SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS hdr_c
+    FROM orders WHERE o_orderkey IS NOT NULL),
+l AS (
+    SELECT l_orderkey AS k,
+        sum(round(l_extendedprice * 100)::BIGINT::HUGEINT)::BIGINT AS lin_c
+    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+j AS (
+    SELECT coalesce(h.k, l.k) AS k, hdr_c, lin_c,
+        abs(hdr_c - lin_c) AS drift_c
+    FROM h FULL OUTER JOIN l ON h.k = l.k)
+SELECT count(*)::BIGINT AS n_orders,
+    sum((hdr_c IS NULL)::INT)::BIGINT AS n_headerless,
+    sum((lin_c IS NULL)::INT)::BIGINT AS n_lineless,
+    sum((drift_c <= 0)::INT)::BIGINT AS n_matched,
+    sum((drift_c > 0)::INT)::BIGINT AS n_drifted,
+    max(drift_c)::BIGINT AS max_drift_c,
+    sum(drift_c::HUGEINT)::BIGINT AS total_drift_c
+FROM j
+"""
+
+# q167: duplicate-payment candidates — equi-join on (customer, cents),
+# 7-day residual filter, id_a < id_b canonical pairs.
+ALL["q167_duplicate_payments"] = """
+WITH base AS (
+    SELECT o_custkey AS key, round(o_totalprice * 100)::BIGINT AS amt_c,
+        o_orderdate::DATE AS d, o_orderkey AS oid
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL)
+SELECT a.key, round(a.amt_c / 100.0, 6) AS amount,
+    a.oid AS id_a, b.oid AS id_b,
+    abs(date_diff('day', a.d, b.d))::BIGINT AS days_apart
+FROM base a JOIN base b
+    ON a.key = b.key AND a.amt_c = b.amt_c AND a.oid < b.oid
+WHERE abs(date_diff('day', a.d, b.d)) <= 7
+"""

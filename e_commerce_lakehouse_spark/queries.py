@@ -3667,6 +3667,28 @@ def q165_integer_pagerank(spark, sf_dir):
     return pagerank_integer(edges, iterations=3)
 
 
+def q166_order_reconciliation(spark, sf_dir):
+    """Header-vs-lines financial reconciliation
+    (stats.order_reconciliation): integer-cent comparison of every
+    order's header total against its line sum; matched/drifted/
+    lineless/headerless counters plus worst and total drift."""
+    from .operators.stats import order_reconciliation
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return order_reconciliation(o, li)
+
+
+def q167_duplicate_payments(spark, sf_dir):
+    """Duplicate-payment sweep (stats.duplicate_payments): same
+    customer, same integer-cent amount, within 7 days — equi-join on
+    (customer, amount), day window as residual filter."""
+    from .operators.stats import duplicate_payments
+
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_payments(o, window_days=7)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3839,4 +3861,6 @@ ALL = {
     "q163_converting_paths": q163_converting_paths,
     "q164_effective_tokens": q164_effective_tokens,
     "q165_integer_pagerank": q165_integer_pagerank,
+    "q166_order_reconciliation": q166_order_reconciliation,
+    "q167_duplicate_payments": q167_duplicate_payments,
 }

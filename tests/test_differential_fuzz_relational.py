@@ -84,6 +84,8 @@ FUZZ_QUERIES = [
     "q160_hierarchical_shares",
     "q162_privacy_audit",
     "q165_integer_pagerank",
+    "q166_order_reconciliation",
+    "q167_duplicate_payments",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()

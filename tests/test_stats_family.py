@@ -181,3 +181,31 @@ def test_exact_stratified_split_total_is_exact(spark):
     # leftover 2 goes to c (8000) and b (6000)
     got = {r["source"]: r["n_test"] for r in out}
     assert got == {"a": 1, "b": 3, "c": 2, "d": 2}
+
+
+def test_order_reconciliation_and_duplicate_payments(spark):
+    from e_commerce_lakehouse_spark.operators.stats import (
+        duplicate_payments,
+        order_reconciliation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 100, 30.0, dt.datetime(2024, 1, 1)),   # matches lines exactly
+         (2, 100, 50.0, dt.datetime(2024, 1, 3)),   # drifts by 1 cent
+         (3, 200, 30.0, dt.datetime(2024, 1, 5)),   # lineless
+         (4, 100, 30.0, dt.datetime(2024, 1, 6))],  # dup of order 1 (5 days)
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    lines = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 49.99), (4, 30.0), (9, 7.0)],  # 9 headerless
+        "l_orderkey long, l_extendedprice double",
+    )
+    r = order_reconciliation(orders, lines).collect()[0]
+    assert (r["n_orders"], r["n_headerless"], r["n_lineless"]) == (5, 1, 1)
+    assert (r["n_matched"], r["n_drifted"]) == (2, 1)
+    assert r["max_drift_c"] == 1 and r["total_drift_c"] == 1
+
+    d = duplicate_payments(orders, window_days=7).collect()
+    assert [(x["key"], x["id_a"], x["id_b"], x["days_apart"]) for x in d] == [
+        (100, 1, 4, 5)
+    ]  # same cust, same 30.00, 5 days apart; order 3 is a different customer
