@@ -3364,3 +3364,24 @@ FROM base a JOIN base b
     ON a.key = b.key AND a.amt_c = b.amt_c AND a.oid < b.oid
 WHERE abs(date_diff('day', a.d, b.d)) <= 7
 """
+
+# q168: shipping-SLA percentiles — q111's nearest-rank machinery on the
+# derived ship-lag metric.
+ALL["q168_shipping_sla"] = """
+WITH lagt AS (
+    SELECT o_orderpriority AS prio,
+        date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT
+            AS lag_days,
+        l_orderkey * 10 + l_linenumber AS lid
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL),
+r AS (
+    SELECT prio, lag_days, lid,
+        row_number() OVER (PARTITION BY prio ORDER BY lag_days, lid) AS rnk,
+        count(*) OVER (PARTITION BY prio) AS n
+    FROM lagt),
+t AS (SELECT q::DOUBLE AS q FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT r.prio, t.q AS quantile, r.rnk::BIGINT AS rank,
+    r.lag_days AS value
+FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
+"""

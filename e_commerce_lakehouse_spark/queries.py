@@ -3689,6 +3689,34 @@ def q167_duplicate_payments(spark, sf_dir):
     return duplicate_payments(o, window_days=7)
 
 
+def q168_shipping_sla(spark, sf_dir):
+    """Shipping-SLA percentiles per priority: exact nearest-rank
+    p50/p90/p99 of ship lag (days from order to line shipment) via
+    curation.grouped_exact_quantiles on the joined derived metric —
+    operator reuse on a computed column."""
+    from .operators.curation import grouped_exact_quantiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lag = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+        )
+    )
+    return grouped_exact_quantiles(
+        lag, group_col="prio", value_col="lag_days", id_col="lid",
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3863,4 +3891,5 @@ ALL = {
     "q165_integer_pagerank": q165_integer_pagerank,
     "q166_order_reconciliation": q166_order_reconciliation,
     "q167_duplicate_payments": q167_duplicate_payments,
+    "q168_shipping_sla": q168_shipping_sla,
 }

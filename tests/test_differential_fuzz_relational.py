@@ -86,6 +86,7 @@ FUZZ_QUERIES = [
     "q165_integer_pagerank",
     "q166_order_reconciliation",
     "q167_duplicate_payments",
+    "q168_shipping_sla",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
