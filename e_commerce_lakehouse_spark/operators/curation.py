@@ -1261,3 +1261,68 @@ def exact_stratified_split(
         "n_test",
         (F.col("n_total") - F.col("n_test")).alias("n_train"),
     )
+
+
+def shard_rebalance_diff(
+    df: DataFrame,
+    n_from: int = 8,
+    n_to: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-placement policy comparison for a shard-count change: how
+    many rows MOVE when shards go ``n_from`` → ``n_to`` under (a)
+    modulo placement (md5(id) % n — a row stays only when
+    h mod lcm(n_from, n_to) lands in the agreeing residues: 80% moves
+    for 8→10) and (b) rendezvous/HRW hashing (argmax_s md5(id||s) —
+    moves only ~(1 − n_from/n_to) = 20% for 8→10, the
+    consistent-hashing bound). The number that
+    decides whether a re-shard is an overnight job or a month of
+    egress.
+
+    Pure projections (the rendezvous argmax is an array_max over a
+    literal shard list — no join, no shuffle except the final 2-row
+    rollup); md5 everywhere, so the diff is engine-portable and
+    reproducible.
+    """
+
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    sid = F.col(id_col).cast("string")
+    mod_from = _h(sid) % n_from
+    mod_to = _h(sid) % n_to
+
+    def _rdv(n):
+        entries = F.array(
+            *[
+                F.struct(
+                    _h(F.concat_ws("#", sid, F.lit(str(s)))).alias("hv"),
+                    F.lit(s).alias("shard"),
+                )
+                for s in range(n)
+            ]
+        )
+        return F.array_max(entries)["shard"]
+
+    marked = df.select(
+        (mod_from != mod_to).cast("long").alias("moved_mod"),
+        (_rdv(n_from) != _rdv(n_to)).cast("long").alias("moved_rdv"),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("moved_mod").cast("long").alias("mv_mod"),
+        F.sum("moved_rdv").cast("long").alias("mv_rdv"),
+    )
+    mod_row = agg.select(
+        F.lit("modulo").alias("policy"),
+        "n_rows",
+        F.col("mv_mod").alias("n_moved"),
+        F.round(F.col("mv_mod").cast("double") / F.col("n_rows").cast("double"), 6).alias("pct_moved"),
+    )
+    rdv_row = agg.select(
+        F.lit("rendezvous").alias("policy"),
+        "n_rows",
+        F.col("mv_rdv").alias("n_moved"),
+        F.round(F.col("mv_rdv").cast("double") / F.col("n_rows").cast("double"), 6).alias("pct_moved"),
+    )
+    return mod_row.unionByName(rdv_row)

@@ -3385,3 +3385,40 @@ SELECT r.prio, t.q AS quantile, r.rnk::BIGINT AS rank,
     r.lag_days AS value
 FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 """
+
+
+# q169: shard rebalance diff — modulo vs rendezvous (HRW) placement;
+# the rendezvous argmax via arg_max over an exploded shard spine (same
+# md5 values as Spark's array_max projection).
+def _shard_rebalance_sql(n_from: int = 8, n_to: int = 10) -> str:
+    def h(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    return f"""
+WITH ids AS (SELECT doc_id::VARCHAR AS sid FROM documents),
+rdv AS (
+    SELECT sid,
+        arg_max(CASE WHEN s < {n_from} THEN s END,
+                CASE WHEN s < {n_from}
+                     THEN {h("sid || '#' || s::VARCHAR")} END) AS r_from,
+        arg_max(s, {h("sid || '#' || s::VARCHAR")}) AS r_to
+    FROM ids CROSS JOIN (SELECT unnest(range({n_to})) AS s)
+    GROUP BY sid),
+marked AS (
+    SELECT
+        (({h("sid")}) % {n_from} <> ({h("sid")}) % {n_to})::INT AS mv_mod,
+        (r_from <> r_to)::INT AS mv_rdv
+    FROM rdv),
+agg AS (
+    SELECT count(*)::BIGINT AS n_rows,
+        sum(mv_mod)::BIGINT AS mv_mod, sum(mv_rdv)::BIGINT AS mv_rdv
+    FROM marked)
+SELECT 'modulo' AS policy, n_rows, mv_mod AS n_moved,
+    round(mv_mod::DOUBLE / n_rows::DOUBLE, 6) AS pct_moved FROM agg
+UNION ALL
+SELECT 'rendezvous' AS policy, n_rows, mv_rdv AS n_moved,
+    round(mv_rdv::DOUBLE / n_rows::DOUBLE, 6) AS pct_moved FROM agg
+"""
+
+
+ALL["q169_shard_rebalance"] = _shard_rebalance_sql()

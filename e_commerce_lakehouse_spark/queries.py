@@ -3717,6 +3717,17 @@ def q168_shipping_sla(spark, sf_dir):
     )
 
 
+def q169_shard_rebalance(spark, sf_dir):
+    """Shard-count change impact, modulo vs rendezvous hashing
+    (curation.shard_rebalance_diff): 8 → 10 shards; consistent hashing
+    moves ~20% of rows where modulo moves 80% (measured 0.1984 vs
+    0.7994 at sf0.1 — both match theory)."""
+    from .operators.curation import shard_rebalance_diff
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_rebalance_diff(d, n_from=8, n_to=10)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3892,4 +3903,5 @@ ALL = {
     "q166_order_reconciliation": q166_order_reconciliation,
     "q167_duplicate_payments": q167_duplicate_payments,
     "q168_shipping_sla": q168_shipping_sla,
+    "q169_shard_rebalance": q169_shard_rebalance,
 }

@@ -72,6 +72,7 @@ FUZZ_QUERIES = [
     "q154_pmi_pairs",
     "q159_dedup_burden",
     "q164_effective_tokens",
+    "q169_shard_rebalance",
 ]
 
 VOCAB = [
