@@ -96,3 +96,87 @@ def prorate_largest_remainder(
             )
         ).cast("long").alias("alloc_c"),
     )
+
+
+def greedy_allocation(
+    demand: DataFrame,
+    budgets: DataFrame,
+    *,
+    key_col: str = "key",
+    qty_col: str = "qty",
+    order_col: str = "prio",
+    tiebreak_col: str = "line_id",
+    budget_col: str = "budget",
+) -> DataFrame:
+    """First-come-first-served supply allocation: each key's integer
+    ``budget`` is handed out to its demand lines in ``(order_col,
+    tiebreak_col)`` order; a line receives ``clamp(budget - demand
+    already granted, 0, qty)``.
+
+    This is the classic inventory/quota waterfall (ATP allocation,
+    rate-limit ledgers, GPU-hour quotas): a running sum per key decides
+    how much of the budget is left when each line arrives. All integer
+    arithmetic — exact on any engine.
+
+    Scale shape: ONE hash shuffle on ``key_col``; the exclusive running
+    sum is a window inside that partitioning (state per task = one
+    key's lines, never global). Budgets join on the same key — map-side
+    after AQE notices the shared partitioning, broadcast when the
+    budget dim is small.
+
+    Output per key: n_lines, total demand, budget, total filled,
+    n_filled_full / n_partial / n_starved, fill_rate (6 dp).
+    """
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(order_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = demand.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias(order_col),
+        F.col(tiebreak_col).alias(tiebreak_col),
+        F.col(qty_col).cast("long").alias("_q"),
+    ).where(F.col("_k").isNotNull() & F.col("_q").isNotNull())
+    b = budgets.select(
+        F.col(key_col).alias("_k"), F.col(budget_col).cast("long").alias("_b")
+    )
+    granted_before = F.coalesce(F.sum("_q").over(w), F.lit(0).cast("long"))
+    lines = (
+        d.withColumn("_before", granted_before)
+        .join(b, "_k")
+        .withColumn(
+            "_fill",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("_q"), F.col("_b") - F.col("_before")),
+            ),
+        )
+    )
+    return (
+        lines.groupBy("_k", "_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_q").cast("long").alias("demand_qty"),
+            F.sum("_fill").cast("long").alias("filled_qty"),
+            F.sum((F.col("_fill") == F.col("_q")).cast("int")).cast("long").alias("n_filled_full"),
+            F.sum(
+                ((F.col("_fill") > 0) & (F.col("_fill") < F.col("_q"))).cast("int")
+            ).cast("long").alias("n_partial"),
+            F.sum((F.col("_fill") == 0).cast("int")).cast("long").alias("n_starved"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias(budget_col),
+            "n_lines",
+            "demand_qty",
+            "filled_qty",
+            "n_filled_full",
+            "n_partial",
+            "n_starved",
+            F.round(
+                F.col("filled_qty").cast("double") / F.col("demand_qty").cast("double"),
+                6,
+            ).alias("fill_rate"),
+        )
+    )

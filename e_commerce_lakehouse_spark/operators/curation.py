@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "distributed_cumsum",
+    "distributed_running_max",
     "pack_sequences",
     "stratified_sample",
     "temperature_resample",
@@ -264,6 +265,95 @@ def distributed_cumsum(
         local.join(F.broadcast(offsets), "_pmin")
         .withColumn(out_col, (F.col(out_col) + F.col("_off")).cast("long"))
         .drop("_pmin", "_off")
+    )
+
+
+def distributed_running_max(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running max of ``value_col`` over STRICTLY PRECEDING
+    rows in ``order_col`` order (exclusive prefix max), without a
+    single-partition global window.
+
+    Same three-stage shape as ``distributed_cumsum`` (one range shuffle,
+    partition-local Arrow scan with a carry, per-partition maxima →
+    driver → exclusive prefix over numPartitions scalars, broadcast
+    back), with max as the monoid instead of sum. The first row in
+    global order has no preceding value and gets NULL.
+
+    This is the batch twin of a streaming event-time watermark: the
+    exclusive running max of event time in ARRIVAL order is exactly the
+    watermark a `withWatermark(0s)` stream would have carried before
+    each element, so `running_max - ts` is the element's lateness —
+    the number `withWatermark(delay)` tuning needs.
+
+    Requires ``order_col`` globally unique and ``value_col`` int64
+    (cast timestamps to ``unix_micros`` at the call site).
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(nparts, order_col).sortWithinPartitions(order_col)
+
+    fields = list(ranged.schema.fields)
+    key_type = ranged.schema[order_col].dataType.simpleString()
+    out_schema_ddl = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + f", `_pmin` {key_type}, `{out_col}` bigint, `_pmax_v` bigint"
+    )
+    _NEG = -(2**63)
+
+    def _local_runmax(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        carry = _NEG  # max over all preceding rows in this partition
+        pmin = None
+        for b in batches:
+            if pmin is None and b.num_rows:
+                pmin = b.column(order_col)[0]  # sorted: first = min
+            vals = pc_cast_i64(b.column(value_col))
+            inc = np.maximum.accumulate(
+                np.concatenate(([carry], vals.to_numpy(zero_copy_only=False)))
+            )
+            excl = inc[:-1]  # max over strictly preceding rows
+            carry = int(inc[-1])
+            arrays = list(b.columns) + [
+                pa.array([pmin.as_py()] * b.num_rows, b.column(order_col).type),
+                pa.array(excl, pa.int64()),
+                pa.array([carry] * b.num_rows, pa.int64()),
+            ]
+            names = [f.name for f in fields] + ["_pmin", out_col, "_pmax_v"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def pc_cast_i64(arr):
+        import pyarrow.compute as pc
+
+        return pc.cast(arr, pa.int64())
+
+    local = ranged.mapInArrow(_local_runmax, out_schema_ddl)
+    # one evaluation only — same RangePartitioner-reseeding hazard as
+    # distributed_cumsum (see the comment there)
+    local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("_pmin").agg(F.max("_pmax_v").alias("_pm"))
+    w = Window.orderBy("_pmin").rowsBetween(Window.unboundedPreceding, -1)
+    # window over numPartitions rows, not data
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.max("_pm").over(w), F.lit(_NEG)).cast("long")
+    ).select("_pmin", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pmin")
+        .withColumn(out_col, F.greatest(F.col(out_col), F.col("_off")))
+        .withColumn(
+            out_col,
+            F.when(F.col(out_col) == F.lit(_NEG), F.lit(None).cast("long")).otherwise(
+                F.col(out_col)
+            ),
+        )
+        .drop("_pmin", "_off", "_pmax_v")
     )
 
 

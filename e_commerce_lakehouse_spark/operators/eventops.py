@@ -1066,3 +1066,119 @@ def session_conversion_paths(
             ),
         )
     )
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-time lateness profile in arrival order — the batch study
+    that picks a Structured Streaming ``withWatermark`` delay.
+
+    Replays the table in arrival order (``arrival_col``, a monotone
+    ingest id) and computes, for every event, how far its event time
+    lags the maximum event time seen BEFORE it — exactly the lateness a
+    zero-delay watermark would have charged it. The running max is the
+    exact distributed prefix-max (``curation.distributed_running_max``:
+    one range shuffle + Arrow scan; no single-partition global window),
+    so this runs at any scale.
+
+    Output: one row per (event_type, lateness_bucket) with counts and
+    the bucket's max observed lateness in seconds — read it as "a 1 h
+    watermark keeps all but the `>1h` rows". Buckets: on_time (lateness
+    0, including the first arrival), <=60s, <=1h, <=24h, >24h.
+    """
+    from .curation import distributed_running_max
+
+    base = events.where(
+        F.col(arrival_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(arrival_col).alias("aid"),
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    rm = distributed_running_max(
+        base, order_col="aid", value_col="ts_us", out_col="wm_us"
+    )
+    late_us = F.greatest(
+        F.lit(0).cast("long"), F.col("wm_us") - F.col("ts_us")
+    )
+    lateness = rm.withColumn(
+        "late_us", F.coalesce(late_us, F.lit(0).cast("long"))
+    ).withColumn(
+        "bucket",
+        F.when(F.col("late_us") == 0, F.lit("on_time"))
+        .when(F.col("late_us") <= 60_000_000, F.lit("le_60s"))
+        .when(F.col("late_us") <= 3_600_000_000, F.lit("le_1h"))
+        .when(F.col("late_us") <= 86_400_000_000, F.lit("le_24h"))
+        .otherwise(F.lit("gt_24h")),
+    )
+    return (
+        lateness.groupBy("etype", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            # floor-division (not cast) — Spark's double->long cast truncates
+            # where DuckDB's rounds, so the oracle twin uses floor() too
+            F.floor(F.max("late_us") / F.lit(1_000_000)).cast("long").alias("max_late_sec"),
+        )
+        .select(
+            F.col("etype").alias("event_type"),
+            "bucket",
+            "n_events",
+            "max_late_sec",
+        )
+    )
+
+
+def seasonality_index(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean(value | type,
+    dow) / mean(value | type), from EXACT integer micro-unit moments
+    (stats.py contract — double summation order can differ across
+    engines, DECIMAL(38,0) sums cannot).
+
+    Day-of-week is computed arithmetically from epoch days
+    ((days + 4) % 7, Sunday = 0; 1970-01-01 was a Thursday) so the two
+    engines can't disagree on locale/week-start conventions. Two
+    map-side-combinable aggregates, the per-type totals broadcast back
+    (one row per type). Index rounded 6 dp after a fixed-shape double
+    expression.
+    """
+    base = events.where(
+        F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("etype"),
+        ((F.unix_date(F.col(ts_col).cast("date")) + 4) % 7).cast("int").alias("dow"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("v_u"),
+    )
+    per_dow = base.groupBy("etype", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("_s"),
+    )
+    per_type = base.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("_tn"),
+        F.sum(F.col("v_u").cast("decimal(38,0)")).alias("_ts"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "etype")
+        .select(
+            F.col("etype").alias("event_type"),
+            "dow",
+            "n",
+            F.round(
+                (F.col("_s").cast("double") / F.col("n").cast("double"))
+                / (F.col("_ts").cast("double") / F.col("_tn").cast("double")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )

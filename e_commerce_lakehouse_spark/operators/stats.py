@@ -33,6 +33,7 @@ __all__ = [
     "robust_outliers",
     "gini_concentration",
     "welch_t_stats",
+    "benford_audit",
 ]
 
 _DEC = "decimal(38,0)"
@@ -707,5 +708,48 @@ def duplicate_payments(
             F.abs(F.datediff(F.col("db"), F.col("da")))
             .cast("long")
             .alias("days_apart"),
+        )
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Benford first-digit audit of a money column: observed counts per
+    leading digit vs the Benford expectation log10(1 + 1/d), with the
+    digit's chi-square contribution — the standard forensic screen for
+    fabricated or duplicated financial figures.
+
+    The digit is extracted from EXACT integer cents (round(x*100) →
+    BIGINT → first character of the decimal string), so engines can't
+    disagree on float formatting. The only doubles are the expectation
+    and the chi-square term, both fixed-shape expressions on exact
+    integer operands, rounded 6 dp (libm ulp differences in log10
+    cannot move a 6-dp value; q86 precedent).
+
+    Scale shape: one map-side-combinable 9-group aggregate; the scalar
+    total joins back by broadcast. No window, no second pass over data.
+    """
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    base = df.where(F.col(amount_col).isNotNull() & (cents > 0)).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = base.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    expected_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        obs.crossJoin(F.broadcast(total))  # 1-row scalar side
+        .withColumn("_exp", F.col("_total").cast("double") * expected_p)
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("_exp"), 6).alias("expected_n"),
+            F.round(
+                (F.col("n_obs").cast("double") - F.col("_exp"))
+                * (F.col("n_obs").cast("double") - F.col("_exp"))
+                / F.col("_exp"),
+                6,
+            ).alias("chi2_term"),
         )
     )

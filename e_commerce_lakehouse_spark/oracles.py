@@ -3422,3 +3422,155 @@ SELECT 'rendezvous' AS policy, n_rows, mv_rdv AS n_moved,
 
 
 ALL["q169_shard_rebalance"] = _shard_rebalance_sql()
+
+# q170: bucketed co-located join — the ORACLE checks the join+agg
+# semantics; the no-Exchange physical property is pinned by
+# tests/test_bucketing.py (DuckDB has no notion of Spark bucketing).
+ALL["q170_bucketed_colocated_join"] = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+# q171: watermark lateness — the oracle states the semantics as the
+# naive single-window prefix max (fine at sf0.01); the Spark side runs
+# the distributed range-shuffle + Arrow prefix-max instead.
+ALL["q171_watermark_lateness"] = """
+WITH base AS (
+    SELECT event_id AS aid, event_type AS etype, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+rm AS (
+    SELECT etype, ts_us,
+        max(ts_us) OVER (ORDER BY aid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+    FROM base),
+lt AS (
+    SELECT etype,
+        greatest(0, coalesce(wm_us - ts_us, 0))::BIGINT AS late_us
+    FROM rm),
+b AS (
+    SELECT etype,
+        CASE WHEN late_us = 0 THEN 'on_time'
+             WHEN late_us <= 60000000 THEN 'le_60s'
+             WHEN late_us <= 3600000000 THEN 'le_1h'
+             WHEN late_us <= 86400000000 THEN 'le_24h'
+             ELSE 'gt_24h' END AS bucket,
+        late_us
+    FROM lt)
+SELECT etype AS event_type, bucket, count(*)::BIGINT AS n_events,
+    floor(max(late_us) / 1000000)::BIGINT AS max_late_sec
+FROM b GROUP BY 1, 2
+"""
+
+# q172: FCFS allocation waterfall — exclusive running sum per part in
+# (shipdate, line id) order, integer fill clamp, per-part stats.
+ALL["q172_greedy_allocation"] = """
+WITH demand AS (
+    SELECT l_partkey AS key, l_quantity::BIGINT AS qty,
+        epoch_us(l_shipdate) AS prio,
+        l_orderkey * 10 + l_linenumber AS line_id
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL),
+budgets AS (
+    SELECT key, ((sum(qty) * 3) // 5)::BIGINT AS budget
+    FROM demand GROUP BY key),
+lines AS (
+    SELECT d.key, d.qty, b.budget,
+        coalesce(sum(d.qty) OVER (PARTITION BY d.key
+            ORDER BY d.prio, d.line_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_q
+    FROM demand d JOIN budgets b USING (key)),
+f AS (
+    SELECT key, budget, qty,
+        greatest(0, least(qty::HUGEINT, budget - before_q))::BIGINT AS fill
+    FROM lines)
+SELECT key, budget, count(*)::BIGINT AS n_lines,
+    sum(qty)::BIGINT AS demand_qty, sum(fill)::BIGINT AS filled_qty,
+    sum((fill = qty)::INT)::BIGINT AS n_filled_full,
+    sum((fill > 0 AND fill < qty)::INT)::BIGINT AS n_partial,
+    sum((fill = 0)::INT)::BIGINT AS n_starved,
+    round(sum(fill)::DOUBLE / sum(qty)::DOUBLE, 6) AS fill_rate
+FROM f GROUP BY key, budget
+"""
+
+# q173: Benford first-digit audit — digits from exact integer cents;
+# expectation/chi2 in the same fixed double shape as the Spark side.
+ALL["q173_benford_audit"] = """
+WITH base AS (
+    SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::INT
+        AS digit
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND round(o_totalprice * 100)::BIGINT > 0),
+obs AS (SELECT digit, count(*)::BIGINT AS n_obs FROM base GROUP BY digit),
+tot AS (SELECT count(*)::DOUBLE AS t FROM base),
+e AS (
+    SELECT digit, n_obs,
+        t * log10(1 + 1.0 / digit::DOUBLE) AS exp_n
+    FROM obs, tot)
+SELECT digit, n_obs, round(exp_n, 6) AS expected_n,
+    round((n_obs::DOUBLE - exp_n) * (n_obs::DOUBLE - exp_n) / exp_n, 6)
+        AS chi2_term
+FROM e
+"""
+
+# q174: DOW seasonality — arithmetic epoch-day DOW ((days+4)%7,
+# Sun=0), HUGEINT micro-unit moments mirroring Spark DECIMAL(38,0).
+ALL["q174_seasonality_index"] = """
+WITH base AS (
+    SELECT event_type AS etype,
+        ((date_diff('day', DATE '1970-01-01', ts::DATE) + 4) % 7)::INT
+            AS dow,
+        round(value * 1e6)::BIGINT AS v_u
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+pd AS (
+    SELECT etype, dow, count(*)::BIGINT AS n, sum(v_u::HUGEINT) AS s
+    FROM base GROUP BY 1, 2),
+pt AS (
+    SELECT etype, count(*)::BIGINT AS tn, sum(v_u::HUGEINT) AS ts_
+    FROM base GROUP BY 1)
+SELECT pd.etype AS event_type, pd.dow, pd.n,
+    round((pd.s::DOUBLE / pd.n::DOUBLE) / (pt.ts_::DOUBLE / pt.tn::DOUBLE), 6)
+        AS seasonal_index
+FROM pd JOIN pt ON pd.etype = pt.etype
+"""
+
+# q175: transcript projection + per-conversation integrity audit —
+# same deterministic role cycle and (ts, event_id) turn order as
+# operators/transcripts.py.
+ALL["q175_transcript_audit"] = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+        coalesce(props::VARCHAR, '') AS text,
+        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - 1)::INT AS turn_idx
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+tr AS (
+    SELECT printf('conv-%09d', user_id) AS conv_id, turn_idx,
+        CASE WHEN turn_idx = 0 THEN 'system'
+             WHEN event_id % 17 = 5 THEN 'tool'
+             WHEN turn_idx % 2 = 1 THEN 'assistant'
+             ELSE 'user' END AS role,
+        epoch_us(ts) AS ts_us, length(text)::BIGINT AS len
+    FROM ordered),
+a AS (
+    SELECT conv_id, turn_idx, role, ts_us, len,
+        lag(role) OVER w AS prev_role,
+        lag(ts_us) OVER w AS prev_ts
+    FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+    count(DISTINCT role)::BIGINT AS n_roles,
+    sum((role = 'tool')::INT)::BIGINT AS n_tool_turns,
+    sum(len)::BIGINT AS n_chars,
+    (max(turn_idx) = count(*) - 1 AND min(turn_idx) = 0) AS idx_contiguous,
+    (sum((prev_ts IS NOT NULL AND ts_us < prev_ts)::INT) = 0) AS ts_monotone,
+    sum((prev_role IS NOT NULL AND role = prev_role)::INT)::BIGINT
+        AS n_role_repeats,
+    floor((max(ts_us) - min(ts_us)) / 1000000)::BIGINT AS duration_sec,
+    coalesce(floor(max(ts_us - prev_ts) / 1000000)::BIGINT, 0) AS max_gap_sec
+FROM a GROUP BY conv_id
+"""

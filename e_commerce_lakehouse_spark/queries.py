@@ -3728,6 +3728,100 @@ def q169_shard_rebalance(spark, sf_dir):
     return shard_rebalance_diff(d, n_from=8, n_to=10)
 
 
+def q170_bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-free fact-fact join via writer-side bucketing
+    (bucketing.bucketed_join): both sides land bucketed+sorted on the
+    join key, so the SortMergeJoin needs NO Exchange on either side
+    (plan pinned by tests/test_bucketing.py) — the write-once,
+    join-free-forever layout a recurring 100 TB pipeline amortizes."""
+    import os
+
+    from .operators.bucketing import bucketed_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    j = bucketed_join(
+        spark, li, o, "l_orderkey", "o_orderkey", 8,
+        names=("q170_lineitem", "q170_orders"),
+        location=os.path.join(base, "spark_graft_bucketed_db"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q171_watermark_lateness(spark, sf_dir):
+    """Watermark-tuning lateness profile (eventops.
+    watermark_lateness_audit): exact distributed prefix-max of event
+    time in arrival order — per-type counts by lateness bucket; reads
+    as 'which withWatermark delay keeps which share of events'."""
+    from .operators.eventops import watermark_lateness_audit
+
+    e = _t(spark, sf_dir, "events")
+    return watermark_lateness_audit(e)
+
+
+def q172_greedy_allocation(spark, sf_dir):
+    """FCFS supply allocation waterfall (allocate.greedy_allocation):
+    per-part budget = 60% of demand (integer div), lines filled in
+    (shipdate, line id) order via an exclusive running sum — per-part
+    fill stats. One shuffle on the part key."""
+    from .operators.allocate import greedy_allocation
+
+    li = _t(spark, sf_dir, "lineitem")
+    demand = li.where(
+        F.col("l_partkey").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_partkey").alias("key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("prio"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+    )
+    budgets = demand.groupBy("key").agg(
+        F.expr("sum(qty) * 3 div 5").cast("long").alias("budget")
+    )
+    return greedy_allocation(demand, budgets)
+
+
+def q173_benford_audit(spark, sf_dir):
+    """Benford first-digit screen over order totals (stats.
+    benford_audit): observed vs log10(1+1/d) expectation with
+    chi-square terms, digits from exact integer cents."""
+    from .operators.stats import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, amount_col="o_totalprice")
+
+
+def q174_seasonality_index(spark, sf_dir):
+    """Day-of-week seasonal index per event type (eventops.
+    seasonality_index): exact DECIMAL micro-unit moments, arithmetic
+    epoch-day DOW so engines can't disagree on week conventions."""
+    from .operators.eventops import seasonality_index
+
+    e = _t(spark, sf_dir, "events")
+    return seasonality_index(e)
+
+
+def q175_transcript_audit(spark, sf_dir):
+    """Canonical-transcript integrity audit (transcripts.as_transcripts
+    → conversation_shape_audit): the events log projected to the
+    BASELINE input shape (conv_id, turn_idx, role, text, tool, ts),
+    then per-conversation contiguity / monotonicity / role-repeat /
+    gap profile — the precondition check for the north rule's stable
+    (conv_id, turn_idx) byte-equality invariant."""
+    from .operators.transcripts import as_transcripts, conversation_shape_audit
+
+    e = _t(spark, sf_dir, "events")
+    return conversation_shape_audit(as_transcripts(e))
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -3904,4 +3998,10 @@ ALL = {
     "q167_duplicate_payments": q167_duplicate_payments,
     "q168_shipping_sla": q168_shipping_sla,
     "q169_shard_rebalance": q169_shard_rebalance,
+    "q170_bucketed_colocated_join": q170_bucketed_colocated_join,
+    "q171_watermark_lateness": q171_watermark_lateness,
+    "q172_greedy_allocation": q172_greedy_allocation,
+    "q173_benford_audit": q173_benford_audit,
+    "q174_seasonality_index": q174_seasonality_index,
+    "q175_transcript_audit": q175_transcript_audit,
 }
