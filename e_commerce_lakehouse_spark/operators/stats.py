@@ -21,7 +21,7 @@ aggregate per group, no second pass, no window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -751,5 +751,137 @@ def benford_audit(
                 / F.col("_exp"),
                 6,
             ).alias("chi2_term"),
+        )
+    )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: weight k
+# is chosen when the row's md5-uniform lands in [cdf[k-1], cdf[k]).
+# Embedded as literals on BOTH engine sides (oracles.py interpolates
+# the same Python floats), so the resample weights are identical
+# everywhere. Truncated at w=6 (residual mass ~6e-4 — a property of
+# the estimator's definition here, not an approximation drift).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_U52 = 4503599627370496.0  # 2^52
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    n_resamples: int = 200,
+    seed: int = 42,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean of a money
+    column — ONE row: (n, n_resamples, mean, ci_lo, ci_hi).
+
+    The classic multinomial bootstrap needs coordinated sampling; the
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) replaces it with an iid
+    Poisson(1) weight per (resample, row) — embarrassingly parallel,
+    the standard bootstrap at web scale. Here the weight is DERIVED,
+    not sampled: an md5-uniform of (seed, resample, row id) inverted
+    through the Poisson(1) CDF, so every engine computes the identical
+    resample and the CI is value-hash reproducible.
+
+    Exactness: values enter as integer cents; per-resample sums are
+    DECIMAL(38,0); each resample mean is one fixed-shape double
+    division; the CI bounds are nearest-rank order statistics of those
+    means (no interpolation). Rounding to 6 dp happens only on output.
+
+    Scale shape: the (row x resample) expansion is |df| x B with B
+    bounded (default 200) and map-side partial aggregation — one
+    shuffle keyed on the resample index, B groups. The rank selection
+    runs over B rows only (explicitly tiny window).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if n_resamples < 2:
+        raise ValueError(f"n_resamples must be >= 2, got {n_resamples}")
+    spark = df.sparkSession
+    base = df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("id"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
+    )
+    bs = spark.range(n_resamples).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), F.col("b").cast("string"), F.col("id")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_U52)
+    )
+    w = F.when(u < POISSON1_CDF[0], 0)
+    for k in range(1, len(POISSON1_CDF)):
+        w = w.when(u < POISSON1_CDF[k], k)
+    w = w.otherwise(len(POISSON1_CDF))
+    per_b = (
+        base.crossJoin(F.broadcast(bs))  # bounded B side, broadcast
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("nw"),
+            F.sum(F.col("w").cast(_DEC) * F.col("v_c").cast(_DEC)).alias("sv"),
+        )
+        .where(F.col("nw") > 0)
+        .select(
+            "b",
+            (F.col("sv").cast("double") / (F.col("nw").cast("double") * F.lit(100.0)))
+            .alias("mean_b"),
+        )
+    )
+    # rank selection over B rows only — the single-partition window is
+    # over the bounded resample count, never the data
+    wm = Window.orderBy("mean_b", "b")
+    nb_df = per_b.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    ranked = (
+        per_b.withColumn("rk", F.row_number().over(wm))
+        .crossJoin(F.broadcast(nb_df))
+    )
+    lo = ranked.where(
+        F.col("rk")
+        == F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.lit(alpha / 2.0) * F.col("nb")))
+    ).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.where(
+        F.col("rk")
+        == F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("nb")))
+    ).select(F.col("mean_b").alias("ci_hi"))
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v_c").cast(_DEC)).alias("_sv"),
+    )
+    return (
+        point.crossJoin(F.broadcast(nb_df))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.col("nb").alias("n_resamples"),
+            F.round(
+                F.col("_sv").cast("double") / (F.col("n").cast("double") * F.lit(100.0)),
+                6,
+            ).alias("mean"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
         )
     )

@@ -3574,3 +3574,88 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
     coalesce(floor(max(ts_us - prev_ts) / 1000000)::BIGINT, 0) AS max_gap_sec
 FROM a GROUP BY conv_id
 """
+
+# q176: FIFO lot matching — cumulative-interval overlap; HUGEINT
+# window sums mirror Spark's exact longs.
+ALL["q176_fifo_lot_matching"] = """
+WITH demand AS (
+    SELECT l_partkey AS key, l_quantity::BIGINT AS qty,
+        epoch_us(l_shipdate) AS prio,
+        l_orderkey * 10 + l_linenumber AS line_id
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_quantity > 0),
+dint AS (
+    SELECT key, line_id, qty,
+        coalesce(sum(qty) OVER (PARTITION BY key ORDER BY prio, line_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dlo
+    FROM demand),
+tot AS (SELECT key, sum(qty)::BIGINT AS t FROM demand GROUP BY key),
+lots AS (
+    SELECT key, s::INT AS lot_id, ((t + 3) // 4)::BIGINT AS lot_qty
+    FROM tot CROSS JOIN (SELECT unnest(range(4)) AS s)),
+m AS (
+    SELECT d.key, l.lot_id,
+        least(d.dlo + d.qty, l.lot_qty::HUGEINT * (l.lot_id + 1))
+          - greatest(d.dlo, l.lot_qty::HUGEINT * l.lot_id) AS mq
+    FROM dint d JOIN lots l ON d.key = l.key),
+agg AS (
+    SELECT key, lot_id, count(*)::BIGINT AS n_lines,
+        sum(mq)::BIGINT AS consumed_qty
+    FROM m WHERE mq > 0 GROUP BY 1, 2)
+SELECT l.key, l.lot_id, l.lot_qty,
+    coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+    coalesce(a.consumed_qty, 0)::BIGINT AS consumed_qty,
+    (l.lot_qty - coalesce(a.consumed_qty, 0))::BIGINT AS leftover_qty,
+    (coalesce(a.consumed_qty, 0) = l.lot_qty) AS exhausted
+FROM lots l LEFT JOIN agg a ON l.key = a.key AND l.lot_id = a.lot_id
+"""
+
+
+# q177: deterministic Poisson bootstrap — the CDF thresholds are the
+# SAME Python floats the Spark operator embeds (stats.POISSON1_CDF),
+# interpolated at full repr precision, so both engines invert the
+# identical step function.
+def _bootstrap_ci_sql(n_resamples: int = 200, seed: int = 42,
+                      alpha: float = 0.05) -> str:
+    from .operators.stats import POISSON1_CDF
+
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey::VARCHAR AS id,
+        round(o_totalprice * 100)::BIGINT AS v_c
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+bs AS (SELECT unnest(range({n_resamples})) AS b),
+u AS (
+    SELECT b, v_c,
+        (('0x' || substr(md5(concat_ws('|', '{seed}', b::VARCHAR, id)),
+            1, 13))::BIGINT)::DOUBLE / 4503599627370496.0 AS u
+    FROM base CROSS JOIN bs),
+w AS (SELECT b, v_c, CASE {cases} ELSE {len(POISSON1_CDF)} END AS w FROM u),
+m AS (
+    SELECT b, sum(w)::BIGINT AS nw, sum(w::HUGEINT * v_c) AS sv
+    FROM w GROUP BY b),
+means AS (
+    SELECT b, sv::DOUBLE / (nw::DOUBLE * 100.0) AS mean_b
+    FROM m WHERE nw > 0),
+nb AS (SELECT count(*)::BIGINT AS nb FROM means),
+r AS (
+    SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk
+    FROM means),
+pt AS (
+    SELECT count(*)::BIGINT AS n, sum(v_c::HUGEINT) AS sv FROM base)
+SELECT pt.n, nb.nb AS n_resamples,
+    round(pt.sv::DOUBLE / (pt.n::DOUBLE * 100.0), 6) AS mean,
+    round((SELECT mean_b FROM r, nb
+           WHERE rk = greatest(1, ceil({alpha / 2.0!r} * nb))), 6) AS ci_lo,
+    round((SELECT mean_b FROM r, nb
+           WHERE rk = greatest(1, ceil({1.0 - alpha / 2.0!r} * nb))), 6) AS ci_hi
+FROM pt, nb
+"""
+
+
+ALL["q177_bootstrap_ci"] = _bootstrap_ci_sql()

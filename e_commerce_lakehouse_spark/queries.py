@@ -3822,6 +3822,58 @@ def q175_transcript_audit(spark, sf_dir):
     return conversation_shape_audit(as_transcripts(e))
 
 
+def q176_fifo_lot_matching(spark, sf_dir):
+    """FIFO lot consumption (fifo.fifo_match + fifo_lot_summary):
+    demand = lineitems per part in shipdate order; supply = 4 equal
+    lots per part sized ceil(demand/4). The FIFO decomposition is the
+    cumulative-interval overlap — two window cumsums + one equi-join,
+    zero iteration."""
+    from .operators.fifo import fifo_lot_summary, fifo_match
+
+    li = _t(spark, sf_dir, "lineitem")
+    demand = li.where(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") > 0)
+    ).select(
+        F.col("l_partkey").alias("key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("prio"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+    )
+    lots = (
+        demand.groupBy("key")
+        .agg(F.expr("(sum(qty) + 3) div 4").cast("long").alias("lot_qty"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lot_id"),
+            "lot_qty",
+        )
+        .withColumn("lot_id", F.col("lot_id").cast("int"))
+    )
+    m = fifo_match(
+        demand, lots,
+        key_col="key", demand_qty_col="qty",
+        demand_order_cols=["prio", "line_id"], demand_id_col="line_id",
+        supply_qty_col="lot_qty", supply_order_cols=["lot_id"],
+        supply_id_col="lot_id",
+    )
+    return fifo_lot_summary(m, lots)
+
+
+def q177_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for mean order value
+    (stats.bootstrap_ci): md5-derived Poisson(1) weights, exact
+    integer-cent resample sums, nearest-rank CI over 200 resample
+    means — the web-scale bootstrap, made value-hash reproducible."""
+    from .operators.stats import bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        o, "o_totalprice", "o_orderkey", n_resamples=200, seed=42
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4004,4 +4056,6 @@ ALL = {
     "q173_benford_audit": q173_benford_audit,
     "q174_seasonality_index": q174_seasonality_index,
     "q175_transcript_audit": q175_transcript_audit,
+    "q176_fifo_lot_matching": q176_fifo_lot_matching,
+    "q177_bootstrap_ci": q177_bootstrap_ci,
 }

@@ -170,3 +170,93 @@ def test_transcript_audit_flags_planted_corruption(spark, events):
     rows = {r.conv_id: r for r in conversation_shape_audit(broken).collect()}
     assert not rows["conv-000000005"].idx_contiguous
     assert rows["conv-000000012"].idx_contiguous
+
+
+def test_fifo_match_conservation_and_order(spark):
+    from e_commerce_lakehouse_spark.operators.fifo import (
+        fifo_lot_summary,
+        fifo_match,
+    )
+
+    demand = spark.createDataFrame(
+        [("p1", 5, 1, 10), ("p1", 7, 2, 11), ("p1", 4, 3, 12),
+         ("p2", 3, 1, 20)],
+        "key string, qty long, prio int, line_id long",
+    )
+    lots = spark.createDataFrame(
+        [("p1", 0, 6), ("p1", 1, 6), ("p1", 2, 6), ("p2", 0, 10)],
+        "key string, lot_id int, lot_qty long",
+    )
+    m = fifo_match(
+        demand, lots, key_col="key",
+        demand_order_cols=["prio", "line_id"], supply_order_cols=["lot_id"],
+    ).collect()
+    got = {(r.key, r.lot_id, r.line_id): r.matched_qty for r in m}
+    # p1: demand 5,7,4 against lots of 6,6,6 (FIFO):
+    # line10 -> lot0:5; line11 -> lot0:1 + lot1:6; line12 -> lot2:4
+    assert got == {
+        ("p1", 0, 10): 5, ("p1", 0, 11): 1, ("p1", 1, 11): 6,
+        ("p1", 2, 12): 4, ("p2", 0, 20): 3,
+    }
+    m_df = fifo_match(
+        demand, lots, key_col="key",
+        demand_order_cols=["prio", "line_id"], supply_order_cols=["lot_id"],
+    )
+    summary = {
+        (r.key, r.lot_id): r for r in fifo_lot_summary(m_df, lots).collect()
+    }
+    assert summary[("p1", 0)].exhausted and summary[("p1", 1)].exhausted
+    assert summary[("p1", 2)].leftover_qty == 2
+    assert summary[("p2", 0)].leftover_qty == 7
+    # conservation: total matched == min(total demand, total supply) per key
+    assert sum(r.matched_qty for r in m if r.key == "p1") == 16
+    # plan shape: equi-join only
+    plan = m_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_fifo_supply_shortage_leaves_tail_unmatched(spark):
+    from e_commerce_lakehouse_spark.operators.fifo import fifo_match
+
+    demand = spark.createDataFrame(
+        [("p", 10, 0, 1), ("p", 10, 1, 2)],
+        "key string, qty long, prio int, line_id long",
+    )
+    lots = spark.createDataFrame(
+        [("p", 0, 12)], "key string, lot_id int, lot_qty long"
+    )
+    m = {r.line_id: r.matched_qty for r in fifo_match(
+        demand, lots, key_col="key",
+        demand_order_cols=["prio", "line_id"], supply_order_cols=["lot_id"],
+    ).collect()}
+    assert m == {1: 10, 2: 2}  # second line only partially served
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from e_commerce_lakehouse_spark.operators.stats import bootstrap_ci
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") % 97 + 10.0).alias("amt"),
+    )
+    r1 = bootstrap_ci(df, "amt", "k", n_resamples=100, seed=7).collect()[0]
+    r2 = bootstrap_ci(df, "amt", "k", n_resamples=100, seed=7).collect()[0]
+    assert r1 == r2  # derived weights: bit-identical across invocations
+    assert r1.n == 2000 and r1.n_resamples == 100
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    # CI width sane: a 2000-row mean of a bounded variable is tight
+    assert (r1.ci_hi - r1.ci_lo) < 10.0
+    # different seed -> different resamples, overlapping CI
+    r3 = bootstrap_ci(df, "amt", "k", n_resamples=100, seed=8).collect()[0]
+    assert (r3.ci_lo, r3.ci_hi) != (r1.ci_lo, r1.ci_hi)
+    assert r3.mean == r1.mean  # point estimate independent of resampling
+
+
+def test_bootstrap_ci_validates_args(spark):
+    from e_commerce_lakehouse_spark.operators.stats import bootstrap_ci
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "k", alpha=0.0)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "k", n_resamples=1)
