@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_transcripts", "conversation_shape_audit"]
+__all__ = [
+    "as_transcripts",
+    "conversation_shape_audit",
+    "context_budget_audit",
+    "response_latency",
+    "conversation_dedup",
+]
 
 
 def as_transcripts(
@@ -128,4 +134,121 @@ def conversation_shape_audit(tr: DataFrame) -> DataFrame:
                 F.lit(0).cast("long"),
             ).alias("max_gap_sec"),
         )
+    )
+
+
+def context_budget_audit(tr: DataFrame, budget_chars: int = 2000) -> DataFrame:
+    """Context-window overflow analysis: per conversation, where does
+    the running transcript length cross ``budget_chars``?
+
+    The serving-side question every agent stack asks — which
+    conversations outgrow the model's context and at which turn — made
+    a batch operator: an inclusive character cumsum per conversation
+    (ONE shuffle on conv_id; state per task = one conversation), then
+    min(turn_idx) past the budget.
+
+    Output per conv: n_turns, total_chars, n_turns_within_budget,
+    first_overflow_turn (NULL when the conversation fits), overflowed.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        F.length("text").cast("long").alias("len"),
+    ).withColumn("cum", F.sum("len").over(w))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("len").cast("long").alias("total_chars"),
+        F.sum((F.col("cum") <= budget_chars).cast("int"))
+        .cast("long")
+        .alias("n_turns_within_budget"),
+        F.min(
+            F.when(F.col("cum") > budget_chars, F.col("turn_idx"))
+        ).alias("first_overflow_turn"),
+        F.max((F.col("cum") > budget_chars).cast("int")).cast("boolean")
+        .alias("overflowed"),
+    )
+
+
+def response_latency(tr: DataFrame) -> DataFrame:
+    """Assistant response latency per conversation: for every user →
+    assistant adjacent turn pair, the event-time gap; reported as
+    per-conversation exchange count and exact min/avg/max seconds.
+
+    All interval math is exact integer microseconds (q121 precision
+    contract); the avg is one fixed-shape double division rounded 6 dp.
+    One shuffle on conv_id shared by the lead() window and the final
+    group-by.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        tr.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_ts", F.lead("ts_us").over(w))
+    )
+    pairs = t.where(
+        (F.col("role") == "user") & (F.col("next_role") == "assistant")
+    ).select("conv_id", (F.col("next_ts") - F.col("ts_us")).alias("lat_us"))
+    return pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exchanges"),
+        F.floor(F.min("lat_us") / F.lit(1_000_000)).cast("long").alias("min_latency_sec"),
+        F.floor(F.max("lat_us") / F.lit(1_000_000)).cast("long").alias("max_latency_sec"),
+        # floor the mean to integer MICROseconds before the /1e6: the raw
+        # quotient lands on exact x.xxxxxx5 boundaries (latencies are
+        # whole minutes) where Spark's HALF_UP and DuckDB's rounding
+        # disagree by 1 in the 6th dp; an integer-micro value divided by
+        # 1e6 can never sit on a 6-dp rounding boundary
+        F.round(
+            F.floor(
+                F.sum("lat_us").cast("double") / F.count(F.lit(1)).cast("double")
+            ).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("avg_latency_sec"),
+    )
+
+
+def conversation_dedup(tr: DataFrame) -> DataFrame:
+    """Conversation-granularity exact dedup: fingerprint = md5 of the
+    turn texts in turn order, length-prefixed (`len:text`) and
+    unit-separated so no text can forge a boundary — the transcript
+    analog of document exact dedup (operators/dedup.py), where the
+    dedup unit is the whole multi-turn conversation.
+
+    Two shuffles: the per-conv fingerprint aggregate (collect_list is
+    bounded by one conversation's turns), then a fingerprint-group
+    count + canonical-keeper window. Output per conv: fingerprint,
+    group_size, is_canonical (min conv_id in its group survives).
+    """
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("turn_idx"), F.col("text"))
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    ":", F.length(x["text"]).cast("string"), x["text"]
+                ),
+            ),
+            "\x1f",
+        )
+    )
+    per_conv = tr.groupBy("conv_id").agg(fp.alias("fingerprint"))
+    wg = Window.partitionBy("fingerprint")
+    return per_conv.select(
+        "conv_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
+        (F.col("conv_id") == F.min("conv_id").over(wg)).alias("is_canonical"),
     )

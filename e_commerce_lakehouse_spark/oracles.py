@@ -3659,3 +3659,71 @@ FROM pt, nb
 
 
 ALL["q177_bootstrap_ci"] = _bootstrap_ci_sql()
+
+# q178-q180 share q175's transcript projection (same deterministic
+# role cycle and (ts, event_id) turn order).
+_TRANSCRIPT_CTE = """
+ordered AS (
+    SELECT user_id, ts, event_id,
+        coalesce(props::VARCHAR, '') AS text,
+        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - 1)::INT AS turn_idx
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+tr AS (
+    SELECT printf('conv-%09d', user_id) AS conv_id, turn_idx,
+        CASE WHEN turn_idx = 0 THEN 'system'
+             WHEN event_id % 17 = 5 THEN 'tool'
+             WHEN turn_idx % 2 = 1 THEN 'assistant'
+             ELSE 'user' END AS role,
+        epoch_us(ts) AS ts_us, text, length(text)::BIGINT AS len
+    FROM ordered)
+"""
+
+ALL["q178_context_budget"] = f"""
+WITH {_TRANSCRIPT_CTE},
+c AS (
+    SELECT conv_id, turn_idx, len,
+        sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM tr)
+SELECT conv_id, count(*)::BIGINT AS n_turns, sum(len)::BIGINT AS total_chars,
+    sum((cum <= 2000)::INT)::BIGINT AS n_turns_within_budget,
+    min(CASE WHEN cum > 2000 THEN turn_idx END)::INT AS first_overflow_turn,
+    (max((cum > 2000)::INT) = 1) AS overflowed
+FROM c GROUP BY conv_id
+"""
+
+ALL["q179_response_latency"] = f"""
+WITH {_TRANSCRIPT_CTE},
+nx AS (
+    SELECT conv_id, role, ts_us,
+        lead(role) OVER w AS next_role,
+        lead(ts_us) OVER w AS next_ts
+    FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+pairs AS (
+    SELECT conv_id, (next_ts - ts_us) AS lat_us
+    FROM nx WHERE role = 'user' AND next_role = 'assistant')
+SELECT conv_id, count(*)::BIGINT AS n_exchanges,
+    floor(min(lat_us) / 1000000)::BIGINT AS min_latency_sec,
+    floor(max(lat_us) / 1000000)::BIGINT AS max_latency_sec,
+    round(floor(sum(lat_us)::DOUBLE / count(*)::DOUBLE)::DOUBLE
+        / 1000000.0, 6) AS avg_latency_sec
+FROM pairs GROUP BY conv_id
+"""
+
+ALL["q180_conversation_dedup"] = f"""
+WITH {_TRANSCRIPT_CTE},
+fp AS (
+    SELECT conv_id,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx)) AS fingerprint
+    FROM tr GROUP BY conv_id),
+g AS (
+    SELECT fingerprint, count(*)::BIGINT AS group_size,
+        min(conv_id) AS keeper
+    FROM fp GROUP BY fingerprint)
+SELECT f.conv_id, f.fingerprint, g.group_size,
+    (f.conv_id = g.keeper) AS is_canonical
+FROM fp f JOIN g USING (fingerprint)
+"""

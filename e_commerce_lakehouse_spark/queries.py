@@ -3874,6 +3874,37 @@ def q177_bootstrap_ci(spark, sf_dir):
     )
 
 
+def q178_context_budget(spark, sf_dir):
+    """Context-window overflow audit (transcripts.context_budget_audit):
+    per-conversation running char budget — which conversations outgrow
+    a 2000-char context and at which turn."""
+    from .operators.transcripts import as_transcripts, context_budget_audit
+
+    e = _t(spark, sf_dir, "events")
+    return context_budget_audit(as_transcripts(e), budget_chars=2000)
+
+
+def q179_response_latency(spark, sf_dir):
+    """Assistant response latency (transcripts.response_latency): exact
+    integer-microsecond user→assistant turn gaps, per-conversation
+    min/avg/max seconds."""
+    from .operators.transcripts import as_transcripts, response_latency
+
+    e = _t(spark, sf_dir, "events")
+    return response_latency(as_transcripts(e))
+
+
+def q180_conversation_dedup(spark, sf_dir):
+    """Conversation-granularity exact dedup
+    (transcripts.conversation_dedup): md5 over length-prefixed turn
+    texts in turn order; group sizes + canonical keeper — the
+    transcript analog of q20's document dedup."""
+    from .operators.transcripts import as_transcripts, conversation_dedup
+
+    e = _t(spark, sf_dir, "events")
+    return conversation_dedup(as_transcripts(e))
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4058,4 +4089,7 @@ ALL = {
     "q175_transcript_audit": q175_transcript_audit,
     "q176_fifo_lot_matching": q176_fifo_lot_matching,
     "q177_bootstrap_ci": q177_bootstrap_ci,
+    "q178_context_budget": q178_context_budget,
+    "q179_response_latency": q179_response_latency,
+    "q180_conversation_dedup": q180_conversation_dedup,
 }
