@@ -36,7 +36,33 @@ __all__ = [
     "context_budget_audit",
     "response_latency",
     "conversation_dedup",
+    "tool_usage_profile",
+    "prefix_template_groups",
+    "turn_position_profile",
+    "agent_loop_runs",
+    "tool_bigrams",
+    "conversation_cost",
+    "boilerplate_turns",
+    "context_pack_examples",
 ]
+
+#: default per-character role prices for conversation_cost, in
+#: micro-cost units — assistant output is the expensive side,
+#: tool payloads the cheap one (mirrors typical serving economics).
+ROLE_PRICE_MICROS = {"system": 2, "user": 3, "assistant": 15, "tool": 1}
+
+
+def _avg_micro6(sum_name: str, n_name: str):
+    """Exact 6-dp average of an integer sum: integer `DIV` at micro
+    scale (exact at any magnitude — no double intermediate), THEN one
+    double division by 1e6 whose result can never sit on a 6-dp
+    rounding boundary (q179's precision contract). Args are column
+    NAMES of bigint sum / count columns already in scope."""
+    return F.round(
+        F.expr(f"({sum_name} * 1000000) DIV {n_name}").cast("double")
+        / F.lit(1_000_000.0),
+        6,
+    )
 
 
 def as_transcripts(
@@ -251,4 +277,333 @@ def conversation_dedup(tr: DataFrame) -> DataFrame:
         "fingerprint",
         F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
         (F.col("conv_id") == F.min("conv_id").over(wg)).alias("is_canonical"),
+    )
+
+
+def tool_usage_profile(tr: DataFrame) -> DataFrame:
+    """Per-tool usage profile over the transcript table: call volume,
+    conversation reach, where in a conversation the tool tends to fire,
+    and payload size.
+
+    - ``avg_rel_pos_ppm`` — mean relative position of the tool call in
+      its conversation (turn_idx / max_turn_idx) in exact integer parts
+      per million: each row's ratio is floored to ppm BEFORE summing so
+      no double accumulation order can perturb the result;
+    - ``avg_len`` — 6-dp exact (floor-to-micro contract).
+
+    Scale: one window shuffle on conv_id (max turn idx), then one
+    hash aggregate on the tool name — tool-name NDV is tiny, so the
+    final exchange is a broadcast-sized reduction.
+    """
+    wc = Window.partitionBy("conv_id")
+    t = (
+        tr.withColumn("max_idx", F.max("turn_idx").over(wc))
+        .where((F.col("role") == "tool") & F.col("tool").isNotNull())
+        .select(
+            "tool",
+            "conv_id",
+            F.expr(
+                "(CAST(turn_idx AS BIGINT) * 1000000) DIV max_idx"
+            ).cast("long").alias("rel_ppm"),
+            F.length("text").cast("long").alias("len"),
+        )
+    )
+    g = t.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("rel_ppm").cast("long").alias("_sum_ppm"),
+        F.sum("len").cast("long").alias("_sum_len"),
+        F.max("len").cast("long").alias("max_len"),
+    )
+    return g.select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.expr("_sum_ppm DIV n_calls").cast("long").alias("avg_rel_pos_ppm"),
+        _avg_micro6("_sum_len", "n_calls").alias("avg_len"),
+        "max_len",
+    )
+
+
+def prefix_template_groups(tr: DataFrame, k: int = 3) -> DataFrame:
+    """Shared-prefix template detection: conversations whose first ``k``
+    turn texts are byte-identical share a template (system prompt /
+    few-shot scaffold); the branch factor is how many DISTINCT full
+    conversations continue from that prefix.
+
+    Fingerprints are md5 over length-prefixed, unit-separated texts in
+    turn order (the q180 canonical form), so no text can forge a
+    boundary. Only conversations with >= k turns participate.
+
+    Two shuffles: per-conv fingerprint aggregate (collect_list bounded
+    by one conversation), then a group-by on the prefix fingerprint —
+    the shuffle key is a hash, never the text.
+    """
+
+    def _fp(pred):
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                pred,
+                                F.struct(F.col("turn_idx"), F.col("text")),
+                            )
+                        )
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", F.length(x["text"]).cast("string"), x["text"]
+                    ),
+                ),
+                "\x1f",
+            )
+        )
+
+    per_conv = (
+        tr.groupBy("conv_id")
+        .agg(
+            _fp(F.col("turn_idx") < k).alias("prefix_fp"),
+            _fp(F.lit(True)).alias("full_fp"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .where(F.col("n_turns") >= k)
+    )
+    return per_conv.groupBy("prefix_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("full_fp").cast("long").alias("n_continuations"),
+        F.min("conv_id").alias("keeper"),
+        (F.countDistinct("full_fp") > 1).alias("is_branching"),
+    )
+
+
+def turn_position_profile(tr: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Text-length drift over conversation position: bucket every turn
+    into ``n_buckets`` relative-position deciles (floor(turn_idx * B /
+    n_turns)) and profile length per (role, bucket).
+
+    One window shuffle on conv_id for the per-conversation turn count,
+    then a hash aggregate on (role, bucket) — a bounded-cardinality key
+    (4 roles x B buckets), so the reduction is map-side combinable.
+    """
+    wc = Window.partitionBy("conv_id")
+    t = tr.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        F.length("text").cast("long").alias("len"),
+    ).withColumn("n_turns", F.count(F.lit(1)).over(wc))
+    g = (
+        t.withColumn(
+            "pos_bucket",
+            F.expr(
+                f"(CAST(turn_idx AS BIGINT) * {int(n_buckets)}) DIV n_turns"
+            ).cast("int"),
+        )
+        .groupBy("role", "pos_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.max("len").cast("long").alias("max_len"),
+        )
+    )
+    return g.select(
+        "role",
+        "pos_bucket",
+        "n_turns",
+        "total_chars",
+        _avg_micro6("total_chars", "n_turns").alias("avg_len"),
+        "max_len",
+    )
+
+
+def agent_loop_runs(tr: DataFrame) -> DataFrame:
+    """Agent-loop detector: maximal runs of CONSECUTIVE turns with the
+    same role inside a conversation (retry storms, back-to-back tool
+    calls), flagging runs whose texts are all byte-identical — the
+    signature of a genuinely stuck loop. Classic gaps-and-islands:
+    turn_idx minus the per-(conv, role) row_number is constant within a
+    run.
+
+    Output: one row per conversation that contains at least one run of
+    length >= 2 — max_run_len, n_loop_runs (runs >= 2), n_looped_turns
+    (turns inside such runs), n_exact_loops (runs >= 2 where every text
+    is identical).
+
+    Scale: both windows and both aggregates partition by conv_id (run
+    identity adds only the md5 of the text, never the text itself), so
+    one hash shuffle on conv_id dominates; state per task is one
+    conversation.
+    """
+    t = tr.select(
+        "conv_id", "turn_idx", "role", F.md5(F.col("text")).alias("fp")
+    )
+    wk = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    runs = (
+        t.withColumn(
+            "grp", F.col("turn_idx") - F.row_number().over(wk)
+        )
+        .groupBy("conv_id", "role", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.countDistinct("fp").alias("n_texts"),
+        )
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.max("run_len").cast("long").alias("max_run_len"),
+            F.sum((F.col("run_len") >= 2).cast("int")).cast("long")
+            .alias("n_loop_runs"),
+            F.sum(
+                F.when(F.col("run_len") >= 2, F.col("run_len")).otherwise(0)
+            ).cast("long").alias("n_looped_turns"),
+            F.sum(
+                ((F.col("run_len") >= 2) & (F.col("n_texts") == 1)).cast("int")
+            ).cast("long").alias("n_exact_loops"),
+        )
+        .where(F.col("max_run_len") >= 2)
+    )
+
+
+def tool_bigrams(tr: DataFrame) -> DataFrame:
+    """Tool-chain bigrams: for the tool-call subsequence of each
+    conversation (tool turns in turn order), count each consecutive
+    (tool_a -> tool_b) pair — the Markov transition table of the agent's
+    tool use.
+
+    One window shuffle on conv_id (lead over the filtered subsequence),
+    then a hash aggregate on the (tool_a, tool_b) pair — bounded
+    cardinality (#tools squared), map-side combinable.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        tr.where((F.col("role") == "tool") & F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("next_tool", F.lead("tool").over(w))
+        .where(F.col("next_tool").isNotNull())
+    )
+    return t.groupBy(
+        F.col("tool").alias("tool_a"), F.col("next_tool").alias("tool_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def conversation_cost(
+    tr: DataFrame, prices: dict | None = None
+) -> DataFrame:
+    """Per-conversation serving-cost accounting: cost = sum over turns
+    of len(text) * price(role), in exact integer micro-cost units, plus
+    each conversation's share of the corpus total in ppm.
+
+    The corpus total is ONE tiny aggregate broadcast back over the
+    per-conversation rows (no global window, no single-partition sort) —
+    the established broadcast-total pattern (curation.py domain_mix).
+    """
+    prices = dict(ROLE_PRICE_MICROS if prices is None else prices)
+    price = F.lit(0)
+    for role, p in sorted(prices.items()):
+        price = F.when(F.col("role") == role, F.lit(int(p))).otherwise(price)
+    per_conv = (
+        tr.select(
+            "conv_id",
+            (F.length("text").cast("long") * price.cast("long")).alias("c"),
+            F.length("text").cast("long").alias("len"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.sum("c").cast("long").alias("cost_micros"),
+        )
+    )
+    total = per_conv.agg(
+        F.sum("cost_micros").cast("long").alias("total_cost")
+    )
+    from pyspark.sql.functions import broadcast
+
+    return per_conv.crossJoin(broadcast(total)).select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        "cost_micros",
+        F.floor(
+            (F.col("cost_micros").cast("double") * F.lit(1_000_000.0))
+            / F.col("total_cost").cast("double")
+        ).cast("long").alias("cost_share_ppm"),
+    )
+
+
+def boilerplate_turns(tr: DataFrame, min_occurrences: int = 2) -> DataFrame:
+    """Cross-conversation boilerplate detection: non-empty turn texts
+    that recur (same role, byte-identical text) across the corpus —
+    canned responses, template instructions, repeated tool payloads.
+
+    The group key is (role, md5(text)): the shuffle moves 16-byte
+    hashes, never the text, so the aggregate scales with row count
+    regardless of text size.
+    """
+    t = tr.where(F.length("text") > 0).select(
+        "role",
+        "conv_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.length("text").cast("long").alias("len"),
+    )
+    return (
+        t.groupBy("role", "fingerprint")
+        .agg(
+            F.min("len").cast("long").alias("text_len"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def context_pack_examples(
+    tr: DataFrame, budget_chars: int = 1000
+) -> DataFrame:
+    """Training-example context packing: for every assistant turn, how
+    many preceding turns fit in a ``budget_chars`` lookback context?
+
+    Mechanics: ``ctx_start`` = exclusive character cumsum (where this
+    turn's context begins); a RANGE window over ctx_start counts the
+    turns whose context start lies within [ctx_start - budget,
+    ctx_start] — ANSI RANGE semantics (ties are peers) in both engines,
+    so the count is deterministic even for zero-length turns. Reported
+    per conversation: example count, total and max context turns.
+
+    One shuffle on conv_id shared by the cumsum window, the RANGE
+    window, and the final group-by.
+    """
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length("text").cast("long").alias("len"),
+    ).withColumn(
+        "ctx_start", F.coalesce(F.sum("len").over(wc), F.lit(0).cast("long"))
+    )
+    wr = (
+        Window.partitionBy("conv_id")
+        .orderBy("ctx_start")
+        .rangeBetween(-int(budget_chars), 0)
+    )
+    ex = (
+        t.withColumn(
+            "ctx_turns", (F.count(F.lit(1)).over(wr) - 1).cast("long")
+        )
+        .where(F.col("role") == "assistant")
+    )
+    return ex.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples"),
+        F.sum("ctx_turns").cast("long").alias("total_ctx_turns"),
+        F.max("ctx_turns").cast("long").alias("max_ctx_turns"),
     )

@@ -3727,3 +3727,155 @@ SELECT f.conv_id, f.fingerprint, g.group_size,
     (f.conv_id = g.keeper) AS is_canonical
 FROM fp f JOIN g USING (fingerprint)
 """
+
+
+# q181-q188: transcript analytics over the same deterministic projection;
+# this variant of the CTE carries event_type through so the tool column
+# (CASE role='tool' -> event_type) is reconstructible.
+_TRANSCRIPT_CTE_TOOL = """
+ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+        coalesce(props::VARCHAR, '') AS text,
+        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - 1)::INT AS turn_idx
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+tr AS (
+    SELECT printf('conv-%09d', user_id) AS conv_id, turn_idx,
+        CASE WHEN turn_idx = 0 THEN 'system'
+             WHEN event_id % 17 = 5 THEN 'tool'
+             WHEN turn_idx % 2 = 1 THEN 'assistant'
+             ELSE 'user' END AS role,
+        event_type, text, length(text)::BIGINT AS len
+    FROM ordered)
+"""
+
+ALL["q181_tool_usage_profile"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+m AS (
+    SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx FROM tr),
+t AS (
+    SELECT event_type AS tool, conv_id,
+        ((turn_idx::BIGINT * 1000000) // max_idx)::BIGINT AS rel_ppm, len
+    FROM m WHERE role = 'tool' AND event_type IS NOT NULL)
+SELECT tool, count(*)::BIGINT AS n_calls,
+    count(DISTINCT conv_id)::BIGINT AS n_convs,
+    (sum(rel_ppm)::BIGINT // count(*))::BIGINT AS avg_rel_pos_ppm,
+    round(((sum(len)::BIGINT * 1000000) // count(*))::DOUBLE
+        / 1000000.0, 6) AS avg_len,
+    max(len)::BIGINT AS max_len
+FROM t GROUP BY tool
+"""
+
+ALL["q182_prefix_templates"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+fp AS (
+    SELECT conv_id,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx) FILTER (WHERE turn_idx < 3)) AS prefix_fp,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx)) AS full_fp,
+        count(*)::BIGINT AS n_turns
+    FROM tr GROUP BY conv_id),
+f AS (SELECT * FROM fp WHERE n_turns >= 3)
+SELECT prefix_fp, count(*)::BIGINT AS group_size,
+    count(DISTINCT full_fp)::BIGINT AS n_continuations,
+    min(conv_id) AS keeper,
+    (count(DISTINCT full_fp) > 1) AS is_branching
+FROM f GROUP BY prefix_fp
+"""
+
+ALL["q183_turn_position_profile"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+m AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_conv FROM tr),
+b AS (
+    SELECT role, ((turn_idx::BIGINT * 10) // n_conv)::INT AS pos_bucket, len
+    FROM m)
+SELECT role, pos_bucket, count(*)::BIGINT AS n_turns,
+    sum(len)::BIGINT AS total_chars,
+    round(((sum(len)::BIGINT * 1000000) // count(*))::DOUBLE
+        / 1000000.0, 6) AS avg_len,
+    max(len)::BIGINT AS max_len
+FROM b GROUP BY role, pos_bucket
+"""
+
+ALL["q184_agent_loop_runs"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+r AS (
+    SELECT conv_id, role, turn_idx, md5(text) AS fp,
+        (turn_idx - row_number() OVER (
+            PARTITION BY conv_id, role ORDER BY turn_idx)) AS grp
+    FROM tr),
+runs AS (
+    SELECT conv_id, role, grp, count(*)::BIGINT AS run_len,
+        count(DISTINCT fp) AS n_texts
+    FROM r GROUP BY 1, 2, 3),
+per AS (
+    SELECT conv_id, max(run_len)::BIGINT AS max_run_len,
+        sum((run_len >= 2)::INT)::BIGINT AS n_loop_runs,
+        sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)::BIGINT
+            AS n_looped_turns,
+        sum((run_len >= 2 AND n_texts = 1)::INT)::BIGINT AS n_exact_loops
+    FROM runs GROUP BY conv_id)
+SELECT * FROM per WHERE max_run_len >= 2
+"""
+
+ALL["q185_tool_bigrams"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+t AS (
+    SELECT conv_id, turn_idx, event_type AS tool
+    FROM tr WHERE role = 'tool' AND event_type IS NOT NULL),
+p AS (
+    SELECT conv_id, tool AS tool_a,
+        lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+    FROM t)
+SELECT tool_a, tool_b, count(*)::BIGINT AS n_pairs,
+    count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM p WHERE tool_b IS NOT NULL GROUP BY tool_a, tool_b
+"""
+
+ALL["q186_conversation_cost"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+c AS (
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+        sum(len)::BIGINT AS total_chars,
+        sum(len * CASE role WHEN 'system' THEN 2 WHEN 'user' THEN 3
+            WHEN 'assistant' THEN 15 ELSE 1 END)::BIGINT AS cost_micros
+    FROM tr GROUP BY conv_id),
+tt AS (SELECT sum(cost_micros)::BIGINT AS total_cost FROM c)
+SELECT conv_id, n_turns, total_chars, cost_micros,
+    floor((cost_micros::DOUBLE * 1000000.0) / total_cost::DOUBLE)::BIGINT
+        AS cost_share_ppm
+FROM c, tt
+"""
+
+ALL["q187_boilerplate_turns"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+t AS (
+    SELECT role, conv_id, md5(text) AS fingerprint, len
+    FROM tr WHERE len > 0)
+SELECT role, fingerprint, min(len)::BIGINT AS text_len,
+    count(*)::BIGINT AS n_occurrences,
+    count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM t GROUP BY role, fingerprint HAVING count(*) >= 2
+"""
+
+ALL["q188_context_pack_examples"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+s AS (
+    SELECT conv_id, turn_idx, role, len,
+        coalesce(sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::BIGINT AS ctx_start
+    FROM tr),
+e AS (
+    SELECT conv_id, role,
+        (count(*) OVER (PARTITION BY conv_id ORDER BY ctx_start
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) - 1)::BIGINT
+            AS ctx_turns
+    FROM s)
+SELECT conv_id, count(*)::BIGINT AS n_examples,
+    sum(ctx_turns)::BIGINT AS total_ctx_turns,
+    max(ctx_turns)::BIGINT AS max_ctx_turns
+FROM e WHERE role = 'assistant' GROUP BY conv_id
+"""

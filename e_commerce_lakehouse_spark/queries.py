@@ -3905,6 +3905,86 @@ def q180_conversation_dedup(spark, sf_dir):
     return conversation_dedup(as_transcripts(e))
 
 
+def q181_tool_usage_profile(spark, sf_dir):
+    """Per-tool usage profile (transcripts.tool_usage_profile): call
+    volume, conversation reach, mean relative position (exact ppm),
+    payload size stats."""
+    from .operators.transcripts import as_transcripts, tool_usage_profile
+
+    e = _t(spark, sf_dir, "events")
+    return tool_usage_profile(as_transcripts(e))
+
+
+def q182_prefix_templates(spark, sf_dir):
+    """Shared-prefix template groups (transcripts.prefix_template_groups):
+    conversations sharing byte-identical first-3-turn texts, with the
+    branch factor of distinct continuations."""
+    from .operators.transcripts import as_transcripts, prefix_template_groups
+
+    e = _t(spark, sf_dir, "events")
+    return prefix_template_groups(as_transcripts(e), k=3)
+
+
+def q183_turn_position_profile(spark, sf_dir):
+    """Length drift by conversation position (transcripts.
+    turn_position_profile): per (role, position-decile) turn counts and
+    exact length stats."""
+    from .operators.transcripts import as_transcripts, turn_position_profile
+
+    e = _t(spark, sf_dir, "events")
+    return turn_position_profile(as_transcripts(e), n_buckets=10)
+
+
+def q184_agent_loop_runs(spark, sf_dir):
+    """Agent-loop detection (transcripts.agent_loop_runs):
+    gaps-and-islands runs of consecutive identical (role, text) turns;
+    conversations with a run of length >= 2."""
+    from .operators.transcripts import agent_loop_runs, as_transcripts
+
+    e = _t(spark, sf_dir, "events")
+    return agent_loop_runs(as_transcripts(e))
+
+
+def q185_tool_bigrams(spark, sf_dir):
+    """Tool-chain bigrams (transcripts.tool_bigrams): consecutive
+    (tool_a -> tool_b) transition counts over each conversation's
+    tool-call subsequence."""
+    from .operators.transcripts import as_transcripts, tool_bigrams
+
+    e = _t(spark, sf_dir, "events")
+    return tool_bigrams(as_transcripts(e))
+
+
+def q186_conversation_cost(spark, sf_dir):
+    """Serving-cost accounting (transcripts.conversation_cost):
+    role-priced integer micro-cost per conversation plus corpus share
+    in ppm via one broadcast total."""
+    from .operators.transcripts import as_transcripts, conversation_cost
+
+    e = _t(spark, sf_dir, "events")
+    return conversation_cost(as_transcripts(e))
+
+
+def q187_boilerplate_turns(spark, sf_dir):
+    """Cross-conversation boilerplate (transcripts.boilerplate_turns):
+    recurring byte-identical (role, text) turns; shuffle key is the
+    md5, never the text."""
+    from .operators.transcripts import as_transcripts, boilerplate_turns
+
+    e = _t(spark, sf_dir, "events")
+    return boilerplate_turns(as_transcripts(e), min_occurrences=2)
+
+
+def q188_context_pack_examples(spark, sf_dir):
+    """Training-example context packing (transcripts.
+    context_pack_examples): RANGE-window lookback — how many preceding
+    turns fit a 1000-char context before each assistant turn."""
+    from .operators.transcripts import as_transcripts, context_pack_examples
+
+    e = _t(spark, sf_dir, "events")
+    return context_pack_examples(as_transcripts(e), budget_chars=1000)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4092,4 +4172,12 @@ ALL = {
     "q178_context_budget": q178_context_budget,
     "q179_response_latency": q179_response_latency,
     "q180_conversation_dedup": q180_conversation_dedup,
+    "q181_tool_usage_profile": q181_tool_usage_profile,
+    "q182_prefix_templates": q182_prefix_templates,
+    "q183_turn_position_profile": q183_turn_position_profile,
+    "q184_agent_loop_runs": q184_agent_loop_runs,
+    "q185_tool_bigrams": q185_tool_bigrams,
+    "q186_conversation_cost": q186_conversation_cost,
+    "q187_boilerplate_turns": q187_boilerplate_turns,
+    "q188_context_pack_examples": q188_context_pack_examples,
 }
