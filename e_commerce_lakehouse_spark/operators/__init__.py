@@ -1,4 +1,4 @@
-from .analyze import analyze, read_stats
+from .analyze import analyze, clustering_depth_report, read_stats
 from .apply_changes import apply_changes, replicate
 from .cluster import cluster
 from .compact import compact
@@ -16,6 +16,7 @@ from .schema_evolution import add_columns, drop_columns
 __all__ = [
     "add_columns",
     "analyze",
+    "clustering_depth_report",
     "read_stats",
     "drop_columns",
     "compact",

@@ -97,3 +97,70 @@ def _jsonable(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
+
+
+def clustering_depth_report(
+    table: Table, key_col: str, snapshot_id: int | None = None
+) -> dict:
+    """Metadata-only clustering-effectiveness audit: how much do the
+    data files' [min, max] ranges of ``key_col`` overlap each other?
+
+    For each file carrying stats, depth = number of OTHER files whose
+    key range intersects it (two binary searches over the sorted
+    lower/upper bounds — O(F log F) driver-side over manifest entries,
+    zero data reads; same planning precedent as compact's FFD pass).
+    A well-clustered table (post Z-order/Hilbert) has mostly-disjoint
+    ranges -> depth ~0; a freshly-appended table has near-total overlap.
+
+    Returns a report dict: n_files, n_with_stats, n_missing_stats,
+    max_depth, avg_depth_ppm (exact integer ppm), n_disjoint,
+    disjoint_frac_ppm, total_overlap_pairs.
+    """
+    import bisect
+
+    entries = table.entries(snapshot_id)
+    ivals = []
+    missing = 0
+    for e in entries:
+        st = e.stats.get(key_col)
+        if not st or st[0] is None or st[1] is None:
+            missing += 1
+            continue
+        ivals.append((st[0], st[1]))
+    base = {
+        "key": key_col,
+        "n_files": len(entries),
+        "n_with_stats": len(ivals),
+        "n_missing_stats": missing,
+    }
+    if not ivals:
+        base.update(
+            max_depth=0, avg_depth_ppm=0, n_disjoint=0,
+            disjoint_frac_ppm=0, total_overlap_pairs=0,
+        )
+        return base
+    kinds = {type(v) for pair in ivals for v in pair}
+    if len(kinds) > 1:
+        raise ValueError(
+            f"clustering_depth_report: mixed stat types for {key_col!r}: "
+            f"{sorted(k.__name__ for k in kinds)} — manifest bounds must "
+            "be uniformly typed to be order-comparable"
+        )
+    los = sorted(lo for lo, _ in ivals)
+    his = sorted(hi for _, hi in ivals)
+    n = len(ivals)
+    depths = []
+    for lo, hi in ivals:
+        covers_lo = bisect.bisect_right(los, hi)  # files with lo_j <= hi
+        below = bisect.bisect_left(his, lo)  # files with hi_j < lo
+        depths.append(covers_lo - below - 1)
+    total = sum(depths)
+    n_disjoint = sum(1 for d in depths if d == 0)
+    base.update(
+        max_depth=max(depths),
+        avg_depth_ppm=(total * 1_000_000) // n,
+        n_disjoint=n_disjoint,
+        disjoint_frac_ppm=(n_disjoint * 1_000_000) // n,
+        total_overlap_pairs=total // 2,
+    )
+    return base

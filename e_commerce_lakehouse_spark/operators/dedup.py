@@ -18,7 +18,7 @@ prefix chunks rather than cross-joined.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def _finish_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -933,3 +933,99 @@ def dedup_burden(
             F.col("_saved").cast("long").alias("chars_reclaimable"),
         )
     )
+
+
+def dup_span_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_chars: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication audit (the char-level dedup report of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every ``gram_chars``-char window that occurs >=
+    ``min_count`` times ANYWHERE in the corpus marks its positions as
+    duplicated; overlapping marked windows are merged into maximal
+    spans per document (gaps-and-islands over a running max-end).
+
+    Output per document with at least one span: n_dup_spans, dup_chars
+    (characters covered by merged spans), dup_frac_ppm (exact integer
+    DIV — chars duplicated per million).
+
+    Scale shape: the gram table is ~one row per character, but every
+    shuffle key is the md5 of the gram (never the text); the hot-gram
+    filter is a map-side-combinable count, the mark-back is a hash
+    equi-join on that digest, and the island merge partitions by
+    doc_id (state = one document's marked positions). Nothing is ever
+    all-pairs. Reference analog: none (the reference has no dedup); this
+    extends operators/dedup.py's window containment (q78) to exact
+    char-level span coverage.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    ).where(F.length("_t") >= gram_chars)
+    grams = base.select(
+        "doc_id",
+        F.length("_t").cast("long").alias("n_chars"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("_t") - gram_chars + 1)
+        ).alias("p"),
+        F.md5(
+            F.substring(F.col("_t"), F.col("p"), F.lit(gram_chars))
+        ).alias("h"),
+    )
+    # the gram fan-out feeds two consumers (hot-filter, mark-back);
+    # persist so the text scan + window extraction runs once
+    grams = grams.persist()
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    marked = grams.join(hot, "h").select(
+        "doc_id",
+        "n_chars",
+        "p",
+        (F.col("p") + gram_chars).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn("pme", F.max("e").over(wprev))
+        .withColumn(
+            "new_isl",
+            (F.col("pme").isNull() | (F.col("p") > F.col("pme"))).cast("int"),
+        )
+        .withColumn("isl", F.sum("new_isl").over(wrun))
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.max("n_chars").alias("n_chars"),
+        (F.max("e") - F.min("p")).cast("long").alias("span_chars"),
+    )
+    out = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("span_chars").cast("long").alias("dup_chars"),
+            F.max("n_chars").alias("_nc"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_chars",
+            F.expr("(dup_chars * 1000000) DIV _nc").cast("long")
+            .alias("dup_frac_ppm"),
+        )
+    )
+    return _finish_release(out, grams)

@@ -417,3 +417,66 @@ def effective_tokens(
             ).alias("duplication_factor"),
         )
     )
+
+
+#: 2^61 — modulus for the order-independent posting-list signature.
+_SIG_MOD = 2305843009213693952
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the term-level inverted-index summary: per lowercased
+    whitespace token — document frequency, collection frequency, and an
+    exact ORDER-INDEPENDENT signature of the full posting list
+    (doc -> sorted positions).
+
+    The signature makes posting lists comparable across engines without
+    materializing them: per (term, doc) an md5 over the ordered
+    position list (bounded by one document's length), then per term the
+    SUM mod 2^61 of a 60-bit digest of (doc_id, doc fingerprint) — a
+    commutative combine, so the term-level aggregate is map-side
+    combinable and never needs a sorted collect_list over an unbounded
+    posting list (stop-words have corpus-sized postings; an
+    order-dependent fingerprint would serialize them).
+
+    Tokenization matches q40's contract: split(trim(lower(text)),
+    '\\s+'), empty tokens dropped, positions are 0-based pre-filter
+    indexes.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("ord", "term"),
+    ).where(F.col("term") != "")
+    perdoc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ord")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("docfp"),
+    )
+    sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.col("doc_id").cast("string"), F.col("docfp")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return perdoc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.pmod(F.sum(sig), F.lit(_SIG_MOD)).cast("long").alias("postings_sig"),
+    )

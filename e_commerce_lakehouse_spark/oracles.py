@@ -3879,3 +3879,60 @@ SELECT conv_id, count(*)::BIGINT AS n_examples,
     max(ctx_turns)::BIGINT AS max_ctx_turns
 FROM e WHERE role = 'assistant' GROUP BY conv_id
 """
+
+# q189: char-level dup-span audit — same L-gram marking + island merge.
+ALL["q189_dup_span_audit"] = """
+WITH pos AS (
+    SELECT doc_id, length(text)::BIGINT AS n_chars, text,
+        unnest(range(1, length(text) - 20 + 2)) AS p
+    FROM documents WHERE length(text) >= 20),
+g AS (SELECT doc_id, n_chars, p, md5(substr(text, p, 20)) AS h FROM pos),
+hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+d AS (
+    SELECT g.doc_id, g.n_chars, g.p, g.p + 20 AS e
+    FROM g JOIN hot USING (h)),
+w AS (
+    SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY p
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+    FROM d),
+i AS (
+    SELECT *, sum(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM w),
+s AS (
+    SELECT doc_id, max(n_chars) AS n_chars, isl,
+        (max(e) - min(p))::BIGINT AS span_chars
+    FROM i GROUP BY doc_id, isl)
+SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+    sum(span_chars)::BIGINT AS dup_chars,
+    ((sum(span_chars)::BIGINT * 1000000) // max(n_chars))::BIGINT
+        AS dup_frac_ppm
+FROM s GROUP BY doc_id
+"""
+
+# q190: inverted index — q40 tokenization, 0-based pre-filter positions,
+# order-independent posting signature (sum mod 2^61 of 60-bit digests).
+ALL["q190_inverted_index"] = """
+WITH toks AS (
+    SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+    FROM documents),
+t AS (
+    SELECT doc_id, unnest(arr) AS term,
+        generate_subscripts(arr, 1) - 1 AS ord
+    FROM toks),
+tf AS (SELECT * FROM t WHERE term <> ''),
+pd AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tfreq,
+        md5(string_agg(ord::VARCHAR, ',' ORDER BY ord)) AS docfp
+    FROM tf GROUP BY term, doc_id),
+s AS (
+    SELECT term, tfreq,
+        ('0x' || substr(md5(doc_id::VARCHAR || '#' || docfp), 1, 15))::BIGINT
+            AS v
+    FROM pd)
+SELECT term, count(*)::BIGINT AS df, sum(tfreq)::BIGINT AS cf,
+    (sum(v::HUGEINT) % 2305843009213693952)::BIGINT AS postings_sig
+FROM s GROUP BY term
+"""

@@ -3985,6 +3985,23 @@ def q188_context_pack_examples(spark, sf_dir):
     return context_pack_examples(as_transcripts(e), budget_chars=1000)
 
 
+def q189_dup_span_audit(spark, sf_dir):
+    """Char-level exact substring-duplication audit (dedup.
+    dup_span_audit): 20-char windows occurring >= 2 times corpus-wide,
+    merged to maximal per-document spans; exact ppm coverage."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.dup_span_audit(d, gram_chars=20, min_count=2)
+
+
+def q190_inverted_index(spark, sf_dir):
+    """Inverted-index build (text.inverted_index): per term df/cf plus
+    an exact order-independent posting-list signature (sum-mod-2^61 of
+    per-doc position fingerprints) — map-side combinable, no unbounded
+    sorted collect."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.inverted_index(d)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4180,4 +4197,6 @@ ALL = {
     "q186_conversation_cost": q186_conversation_cost,
     "q187_boilerplate_turns": q187_boilerplate_turns,
     "q188_context_pack_examples": q188_context_pack_examples,
+    "q189_dup_span_audit": q189_dup_span_audit,
+    "q190_inverted_index": q190_inverted_index,
 }
