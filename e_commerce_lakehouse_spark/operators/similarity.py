@@ -505,3 +505,103 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neg_id", F.col("rank").cast("long").alias("rank"), "cos")
     )
+
+
+def tfidf_cosine_pairs(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    df_cap: int = 20,
+    min_df: int = 2,
+    min_cosine: float = 0.3,
+) -> DataFrame:
+    """Sparse lexical similarity: IDF-weighted set cosine between
+    documents, with RARE-SHINGLE BLOCKING for candidate generation —
+    the inverted-index counterpart of the embedding ANN family (no
+    embeddings needed).
+
+    Mechanics: per-document distinct word ``shingle_n``-grams (the
+    dedup-family shingle contract); weight = round(ln((N+1)/(df+1)) *
+    1e6) as an INTEGER, so dot products and norms are exact BIGINT sums
+    (no double accumulation order anywhere — the only doubles are two
+    correctly-rounded sqrt calls and one division at the end).
+    Candidates = pairs sharing at least one shingle with document
+    frequency in [min_df, df_cap]; the full cosine then runs over ALL
+    shared shingles of each candidate pair.
+
+    Scale shape: every join is an equi-join (shingle, then doc key);
+    the candidate stage is bounded by sum(df^2) over rare shingles —
+    the df_cap makes the blocking stage subquadratic by construction,
+    the same promise as MinHash banding but exact. A pair that shares
+    only ubiquitous shingles is unreachable by design (document this to
+    users: raise df_cap for higher recall at quadratic risk).
+    """
+    from .dedup import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    n_docs = df.count()  # one scalar to the driver, reused as a literal
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    w = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("dfc") + 1.0))
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    vec = (
+        sh.join(dfreq, "shingle")
+        .select("doc_id", "shingle", w.alias("w"), "dfc")
+        .persist()
+    )
+    norms = vec.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    rare = vec.where(
+        (F.col("dfc") >= min_df) & (F.col("dfc") <= df_cap)
+    ).select("doc_id", "shingle")
+    cand = (
+        rare.alias("x")
+        .join(rare.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    va = vec.select(
+        F.col("doc_id").alias("a"), "shingle", F.col("w").alias("wa")
+    )
+    vb = vec.select(
+        F.col("doc_id").alias("b"), "shingle", F.col("w").alias("wb")
+    )
+    dots = (
+        cand.join(va, "a")
+        .join(vb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("norm2").alias("nb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    result = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_shared",
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )
+    return _finish_release(result, vec)

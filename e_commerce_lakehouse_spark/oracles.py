@@ -3746,7 +3746,8 @@ tr AS (
              WHEN event_id % 17 = 5 THEN 'tool'
              WHEN turn_idx % 2 = 1 THEN 'assistant'
              ELSE 'user' END AS role,
-        event_type, text, length(text)::BIGINT AS len
+        event_type, epoch_us(ts) AS ts_us, text,
+        length(text)::BIGINT AS len
     FROM ordered)
 """
 
@@ -3935,4 +3936,73 @@ s AS (
 SELECT term, count(*)::BIGINT AS df, sum(tfreq)::BIGINT AS cf,
     (sum(v::HUGEINT) % 2305843009213693952)::BIGINT AS postings_sig
 FROM s GROUP BY term
+"""
+
+# q191: IDF-weighted set cosine with rare-shingle blocking — integer
+# 1e6-scaled weights so dot/norm sums are exact; only sqrt/division are
+# doubles (both correctly rounded per IEEE-754 in either engine).
+ALL["q191_tfidf_cosine_pairs"] = r"""
+WITH sh2 AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= 2 THEN
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [array_to_string(w, ' ')] END)) AS shingle
+    FROM (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents)),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+dfreq AS (SELECT shingle, count(*) AS dfc FROM sh2 GROUP BY shingle),
+vec AS (
+    SELECT s.doc_id, s.shingle,
+        round(ln(((SELECT nd FROM n) + 1.0) / (dfc + 1.0))
+            * 1000000.0)::BIGINT AS w,
+        dfc
+    FROM sh2 s JOIN dfreq USING (shingle)),
+norms AS (SELECT doc_id, sum(w * w)::BIGINT AS norm2 FROM vec GROUP BY doc_id),
+rare AS (SELECT doc_id, shingle FROM vec WHERE dfc BETWEEN 2 AND 20),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM rare x JOIN rare y USING (shingle)
+    WHERE x.doc_id < y.doc_id),
+dots AS (
+    SELECT c.a, c.b, sum(va.w * vb.w)::BIGINT AS dot,
+        count(*)::BIGINT AS n_shared
+    FROM cand c
+    JOIN vec va ON va.doc_id = c.a
+    JOIN vec vb ON vb.doc_id = c.b AND vb.shingle = va.shingle
+    GROUP BY c.a, c.b)
+SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
+    round(d.dot::DOUBLE
+        / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE round(d.dot::DOUBLE
+    / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.3
+"""
+
+# q192: per-tool execution latency (tool turn -> next turn, integer
+# micros) grouped nearest-rank quantiles, tid tiebreak.
+ALL["q192_tool_latency_quantiles"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+nx AS (
+    SELECT conv_id, turn_idx, role, event_type, ts_us,
+        lead(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS next_ts
+    FROM tr),
+lat AS (
+    SELECT event_type AS tool, (next_ts - ts_us)::BIGINT AS lat_us,
+        conv_id || ':' || turn_idx::VARCHAR AS tid
+    FROM nx
+    WHERE role = 'tool' AND event_type IS NOT NULL
+        AND next_ts IS NOT NULL),
+r AS (
+    SELECT tool, lat_us, tid,
+        row_number() OVER (PARTITION BY tool ORDER BY lat_us, tid) AS rnk,
+        count(*) OVER (PARTITION BY tool) AS n
+    FROM lat),
+t AS (SELECT q::DOUBLE AS q FROM (VALUES (0.5), (0.95)) AS t(q))
+SELECT r.tool, t.q AS quantile, r.rnk::BIGINT AS rank,
+    r.lat_us::BIGINT AS value
+FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 """

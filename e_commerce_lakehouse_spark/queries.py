@@ -4002,6 +4002,49 @@ def q190_inverted_index(spark, sf_dir):
     return tx.inverted_index(d)
 
 
+def q191_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse lexical similarity (similarity.tfidf_cosine_pairs):
+    IDF-weighted set cosine with rare-shingle blocking — integer
+    weights make every dot product / norm an exact BIGINT sum."""
+    d = _t(spark, sf_dir, "documents")
+    return sim.tfidf_cosine_pairs(
+        d, shingle_n=2, df_cap=20, min_df=2, min_cosine=0.3
+    )
+
+
+def q192_tool_latency_quantiles(spark, sf_dir):
+    """Per-tool execution-latency exact quantiles: tool turn -> gap to
+    the next turn (integer micros), then grouped nearest-rank p50/p95
+    (curation.grouped_exact_quantiles) keyed by tool."""
+    from .operators.curation import grouped_exact_quantiles
+    from .operators.transcripts import as_transcripts
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withColumn("next_ts", F.lead("ts_us").over(w))
+    lat = t.where(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("next_ts").isNotNull()
+    ).select(
+        "tool",
+        (F.col("next_ts") - F.col("ts_us")).alias("lat_us"),
+        F.concat_ws(
+            ":", "conv_id", F.col("turn_idx").cast("string")
+        ).alias("tid"),
+    )
+    return grouped_exact_quantiles(
+        lat, group_col="tool", value_col="lat_us", id_col="tid",
+        qs=(0.5, 0.95),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4199,4 +4242,6 @@ ALL = {
     "q188_context_pack_examples": q188_context_pack_examples,
     "q189_dup_span_audit": q189_dup_span_audit,
     "q190_inverted_index": q190_inverted_index,
+    "q191_tfidf_cosine_pairs": q191_tfidf_cosine_pairs,
+    "q192_tool_latency_quantiles": q192_tool_latency_quantiles,
 }

@@ -131,3 +131,15 @@ def test_depth_report_missing_column_all_missing(spark, tiny_table):
     rep = clustering_depth_report(tiny_table, "nope")
     assert rep["n_with_stats"] == 0 and rep["n_missing_stats"] == rep["n_files"]
     assert rep["max_depth"] == 0 and rep["total_overlap_pairs"] == 0
+
+
+def test_dup_span_plan_has_no_cartesian(spark):
+    d = _docs(spark, [(1, "x" * 40), (2, "y" * 40)])
+    plan = (
+        dup_span_audit(d, gram_chars=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
