@@ -314,3 +314,63 @@ def pagerank_integer(
     finally:
         for p in pinned:
             p.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """k-core peeling with a FIXED round count: repeatedly drop nodes
+    whose degree (within the currently-alive induced subgraph) is < k.
+    Peeling is monotone — dead nodes never revive — so ``rounds``
+    iterations give the exact k-core whenever the peel converges within
+    them, and a deterministic superset otherwise (document the round
+    budget to users; the oracle unrolls the identical chain).
+
+    Output: (node, degree) for nodes alive after the final round, with
+    their degree at the final peel.
+
+    Scale shape per round: one edges⋈alive equi-join per endpoint +
+    one map-side-combinable degree aggregate — the standard distributed
+    peel; alive sets persist per round to cut lineage (released before
+    return). No float anywhere; cross-engine value-hash stable.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore needs k >= 1 and rounds >= 1")
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    e = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    ).persist()
+    # each round references the alive set TWICE (src and dst joins), so
+    # a persist alone leaves a 2^rounds logical plan — localCheckpoint
+    # per round cuts lineage to keep analysis linear; the checkpointed
+    # blocks are node-set sized (bounded) and GC'd once dereferenced
+    alive = e.select("src").distinct().localCheckpoint(eager=True)
+    deg = None
+    try:
+        for _ in range(rounds):
+            live = e.join(alive, "src").join(
+                alive.select(F.col("src").alias("dst")), "dst"
+            )
+            deg = live.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("degree")
+            )
+            alive = (
+                deg.where(F.col("degree") >= k)
+                .select("src")
+                .localCheckpoint(eager=True)
+            )
+        out = deg.where(F.col("degree") >= k).select(
+            F.col("src").alias("node"), "degree"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

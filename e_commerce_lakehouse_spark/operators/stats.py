@@ -885,3 +885,147 @@ def bootstrap_ci(
             F.round("ci_hi", 6).alias("ci_hi"),
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature every tabular-ML pipeline derives: for each row, the mean
+    of ``value_col`` over the OTHER rows of the same category
+    ((sum_g - v_i) / (n_g - 1)); singleton categories encode NULL
+    rather than leaking their own target.
+
+    Exactness: values are scaled to integers (``scale``=100 = cents),
+    the group sum is one window aggregate (no second scan, no join),
+    and the quotient is an integer DIV at micro precision before the
+    single 6-dp double division (the q179 contract) — no double
+    accumulation anywhere.
+
+    Scale: ONE hash shuffle on the category key; state per task is one
+    category's rows (a whole-corpus category is a skew concern — salt
+    upstream if one key approaches corpus size).
+    """
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    w = Window.partitionBy("_k")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        v.alias("_v"),
+    ).where(F.col("_k").isNotNull() & F.col("_v").isNotNull())
+    enc = (
+        t.withColumn("_sum", F.sum("_v").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_k").alias(key_col),
+            F.when(
+                F.col("_n") > 1,
+                F.round(
+                    F.expr(
+                        f"((_sum - _v) * 1000000) DIV ((_n - 1) * {int(scale)})"
+                    ).cast("double")
+                    / F.lit(1_000_000.0),
+                    6,
+                ),
+            ).alias("loo_enc"),
+        )
+    )
+    return enc
+
+
+def equidepth_drift(
+    df: DataFrame,
+    *,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Distribution-drift audit without a single transcendental: split
+    the rows at the exact median timestamp into a reference half and a
+    current half, derive equi-depth bucket boundaries from the
+    REFERENCE half (exact nearest-rank quantiles, id tiebreak), then
+    compare per-bucket population shares between the halves in exact
+    ppm. The PSI-style drift readout with none of PSI's ln() —
+    share_ref_ppm / share_cur_ppm / abs_diff_ppm are all integers, so
+    the result is cross-engine value-hash stable.
+
+    Both nearest-rank passes go through curation.exact_quantiles
+    (distributed rank — range shuffle + Arrow partition-local cumsum,
+    NO single-partition global sort); driver traffic is the median
+    scalar plus n_buckets-1 boundary scalars, then buckets are a
+    literal comparison chain folded into the final bounded-key
+    aggregate. Integral id column required (the rank tiebreak).
+    """
+    from .curation import exact_quantiles
+
+    if n_buckets < 2:
+        raise ValueError("equidepth_drift needs n_buckets >= 2")
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    t = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        v.alias("_v"),
+    ).where(
+        F.col("_t").isNotNull() & F.col("_v").isNotNull()
+        & F.col("_id").isNotNull()
+    )
+    t = t.persist()
+    if t.count() < 2:
+        t.unpersist()
+        raise ValueError("equidepth_drift needs at least 2 rows")
+    med_t = exact_quantiles(
+        t, value_col="_t", id_col="_id", qs=(0.5,)
+    ).collect()[0]["value"]
+    ref = t.where(F.col("_t") <= med_t)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    bounds = [
+        r["value"]
+        for r in exact_quantiles(
+            ref, value_col="_v", id_col="_id", qs=qs
+        ).collect()
+    ]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("_v") > F.lit(int(b))).cast("int")
+    g = (
+        t.select(
+            bucket.alias("bucket"),
+            (F.col("_t") <= med_t).cast("int").alias("_is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("_is_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("_is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr("(n_ref * 1000000) DIV _tr").cast("long")
+        .alias("share_ref_ppm"),
+        F.expr(
+            "CASE WHEN _tc > 0 THEN (n_cur * 1000000) DIV _tc ELSE 0 END"
+        ).cast("long").alias("share_cur_ppm"),
+        F.abs(
+            F.expr("(n_ref * 1000000) DIV _tr")
+            - F.expr(
+                "CASE WHEN _tc > 0 THEN (n_cur * 1000000) DIV _tc ELSE 0 END"
+            )
+        ).cast("long").alias("abs_diff_ppm"),
+    )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()

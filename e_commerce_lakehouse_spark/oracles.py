@@ -4006,3 +4006,105 @@ SELECT r.tool, t.q AS quantile, r.rnk::BIGINT AS rank,
     r.lat_us::BIGINT AS value
 FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 """
+
+
+# q193: k-core — unrolled peel chain, same edge CTE as pagerank.
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    pre = f"""
+WITH pairs AS ({ALL["q124_copurchase_pairs"]}),
+und AS (
+    SELECT DISTINCT least(item_a, item_b) AS x,
+        greatest(item_a, item_b) AS y
+    FROM pairs WHERE item_a IS NOT NULL AND item_b IS NOT NULL
+      AND item_a <> item_b),
+e AS (SELECT x AS src, y AS dst FROM und
+      UNION ALL SELECT y AS src, x AS dst FROM und),
+a0 AS (SELECT DISTINCT src FROM e)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (
+    SELECT e.src, count(*)::BIGINT AS degree
+    FROM e JOIN a{p} x ON e.src = x.src JOIN a{p} y ON e.dst = y.src
+    GROUP BY e.src),
+a{i} AS (SELECT src FROM d{i} WHERE degree >= {k})"""
+    return (
+        pre
+        + body
+        + f"""
+SELECT src AS node, degree FROM d{rounds} WHERE degree >= {k}
+"""
+    )
+
+
+ALL["q193_kcore"] = _kcore_sql()
+
+# q194: leave-one-out target encoding, exact cents + integer division.
+ALL["q194_target_encode_loo"] = """
+WITH t AS (
+    SELECT event_id, event_type, round(value * 100)::BIGINT AS v
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+g AS (
+    SELECT *, sum(v) OVER (PARTITION BY event_type) AS s,
+        count(*) OVER (PARTITION BY event_type) AS n
+    FROM t)
+SELECT event_id, event_type,
+    CASE WHEN n > 1 THEN
+        round((((s - v) * 1000000) // ((n - 1) * 100))::DOUBLE
+            / 1000000.0, 6)
+    END AS loo_enc
+FROM g
+"""
+
+
+# q195: equi-depth drift — nearest-rank median ts split, decile bounds
+# from the reference half (same ceil(q*n) float contract as q110).
+def _equidepth_drift_sql(n_buckets: int = 10) -> str:
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = ",\n".join(
+        f"""b{i} AS (
+    SELECT v AS b FROM rr
+    WHERE rnk = greatest(1, ceil({q!r} * (SELECT n FROM nref))::BIGINT))"""
+        for i, q in enumerate(qs, 1)
+    )
+    bsum = " + ".join(
+        f"(t.v > (SELECT b FROM b{i}))::INT" for i in range(1, len(qs) + 1)
+    )
+    return f"""
+WITH t AS (
+    SELECT event_id, epoch_us(ts) AS tt, round(value * 100)::BIGINT AS v
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),
+n_all AS (SELECT count(*) AS n FROM t),
+rt AS (
+    SELECT tt, row_number() OVER (ORDER BY tt, event_id) AS rnk FROM t),
+med AS (
+    SELECT tt AS med_t FROM rt
+    WHERE rnk = greatest(1, ceil(0.5 * (SELECT n FROM n_all))::BIGINT)),
+ref AS (SELECT * FROM t WHERE tt <= (SELECT med_t FROM med)),
+nref AS (SELECT count(*) AS n FROM ref),
+rr AS (
+    SELECT v, row_number() OVER (ORDER BY v, event_id) AS rnk FROM ref),
+{bounds},
+bk AS (
+    SELECT ({bsum}) AS bucket,
+        (t.tt <= (SELECT med_t FROM med))::INT AS is_ref
+    FROM t),
+g AS (
+    SELECT bucket, sum(is_ref)::BIGINT AS n_ref,
+        sum(1 - is_ref)::BIGINT AS n_cur
+    FROM bk GROUP BY bucket),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g)
+SELECT bucket, n_ref, n_cur,
+    ((n_ref * 1000000) // tr)::BIGINT AS share_ref_ppm,
+    (CASE WHEN tc > 0 THEN (n_cur * 1000000) // tc ELSE 0 END)::BIGINT
+        AS share_cur_ppm,
+    abs(((n_ref * 1000000) // tr)
+        - CASE WHEN tc > 0 THEN (n_cur * 1000000) // tc ELSE 0 END)::BIGINT
+        AS abs_diff_ppm
+FROM g, tot
+"""
+
+
+ALL["q195_equidepth_drift"] = _equidepth_drift_sql()

@@ -4045,6 +4045,44 @@ def q192_tool_latency_quantiles(spark, sf_dir):
     )
 
 
+def q193_kcore(spark, sf_dir):
+    """k-core decomposition of the co-purchase graph (graph.kcore):
+    fixed-round distributed peeling, k=3 — exact integer degrees,
+    oracled against an unrolled CTE chain (the q165 pattern)."""
+    from .operators.basket import copurchase_pairs
+    from .operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(
+        li, min_item_support=2, min_pair_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return kcore(edges, k=3, rounds=6)
+
+
+def q194_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding (stats.target_encode_loo): the
+    leakage-safe categorical feature — per event, the mean value of
+    the OTHER events of its type; exact cents + integer DIV."""
+    from .operators.stats import target_encode_loo
+
+    e = _t(spark, sf_dir, "events")
+    return target_encode_loo(
+        e, key_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+def q195_equidepth_drift(spark, sf_dir):
+    """Distribution-drift audit (stats.equidepth_drift): equi-depth
+    deciles from the pre-median-ts half, per-bucket population shares
+    of both halves in exact ppm — PSI semantics with zero ln()."""
+    from .operators.stats import equidepth_drift
+
+    e = _t(spark, sf_dir, "events")
+    return equidepth_drift(
+        e, value_col="value", ts_col="ts", id_col="event_id", n_buckets=10
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4244,4 +4282,7 @@ ALL = {
     "q190_inverted_index": q190_inverted_index,
     "q191_tfidf_cosine_pairs": q191_tfidf_cosine_pairs,
     "q192_tool_latency_quantiles": q192_tool_latency_quantiles,
+    "q193_kcore": q193_kcore,
+    "q194_target_encode_loo": q194_target_encode_loo,
+    "q195_equidepth_drift": q195_equidepth_drift,
 }
