@@ -360,3 +360,42 @@ def frequent_triples(
         F.col("c").alias("item_c"),
         "n_baskets",
     )
+
+
+def association_rules(
+    lines: DataFrame,
+    *,
+    min_confidence_ppm: int = 200_000,
+    **pair_kwargs,
+) -> DataFrame:
+    """Directional association rules over the frequent co-purchase
+    pairs: each undirected pair yields antecedent→consequent and
+    consequent→antecedent candidates; confidence is EXACT integer ppm
+    (n_both * 1e6 DIV support_antecedent), lift carries over from the
+    pair table. Rules below ``min_confidence_ppm`` are dropped.
+
+    Scale: pure projection + union over ``copurchase_pairs`` output —
+    no additional shuffle beyond the pair mining itself.
+    """
+    pairs = copurchase_pairs(lines, **pair_kwargs)
+    a2b = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_baskets").alias("n_both"),
+        F.col("support_a").alias("support_ante"),
+        F.col("support_b").alias("support_cons"),
+        "lift",
+    )
+    b2a = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        F.col("n_baskets").alias("n_both"),
+        F.col("support_b").alias("support_ante"),
+        F.col("support_a").alias("support_cons"),
+        "lift",
+    )
+    rules = a2b.unionByName(b2a).withColumn(
+        "confidence_ppm",
+        F.expr("(n_both * 1000000) DIV support_ante").cast("long"),
+    )
+    return rules.where(F.col("confidence_ppm") >= int(min_confidence_ppm))

@@ -1416,3 +1416,78 @@ def shard_rebalance_diff(
         F.round(F.col("mv_rdv").cast("double") / F.col("n_rows").cast("double"), 6).alias("pct_moved"),
     )
     return mod_row.unionByName(rdv_row)
+
+
+def interpolated_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str = "doc_id",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT percentile_cont semantics, distributed: linear
+    interpolation between the two nearest ranks at position
+    ``q*(n-1)+1`` — the continuous companion to ``exact_quantiles``'s
+    nearest-rank (percentile_disc) contract, without Spark's
+    single-reducer ``percentile`` aggregate.
+
+    Global rank comes from ``distributed_cumsum`` (range shuffle +
+    Arrow partition-local cumsum — no single-partition sort); only the
+    <= 2*len(qs) boundary rows come to the driver. The interpolated
+    value is raw double arithmetic on two integer bounds with
+    IEEE-identical operation order in any engine (no rounding applied:
+    the bits match by construction).
+
+    Output: (quantile, lo_rank, hi_rank, value) — len(qs) rows.
+    """
+    import math
+
+    for col in (value_col, id_col):
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"interpolated_quantiles needs integral {col!r} (got {dt})"
+            )
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("each q must be in [0, 1]")
+
+    def _enc(col: str) -> Column:
+        return F.lpad(
+            (
+                F.col(col).cast("decimal(20,0)")
+                + F.lit("9223372036854775808").cast("decimal(20,0)")
+            )
+            .cast("decimal(20,0)")
+            .cast("string"),
+            20,
+            "0",
+        )
+
+    keyed = df.select(
+        F.col(value_col).cast("long").alias("value"),
+        F.concat(_enc(value_col), F.lit("-"), _enc(id_col)).alias("_rk"),
+    ).withColumn("_one", F.lit(1))
+    ranked = distributed_cumsum(
+        keyed, order_col="_rk", value_col="_one", out_col="_rank"
+    )
+    n = df.count()
+    spark = df.sparkSession
+    schema = "quantile double, lo_rank long, hi_rank long, value double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    targets = {}
+    for q in qs:
+        pos = q * (n - 1) + 1.0
+        lo = int(math.floor(pos))
+        hi = int(math.ceil(pos))
+        targets[float(q)] = (lo, hi, pos - lo)
+    need = {r for lo, hi, _ in targets.values() for r in (lo, hi)}
+    hit = {
+        r["_rank"]: r["value"]
+        for r in ranked.where(F.col("_rank").isin(*need)).collect()
+    }
+    rows = []
+    for q, (lo, hi, frac) in sorted(targets.items()):
+        vlo, vhi = float(hit[lo]), float(hit[hi])
+        rows.append((q, lo, hi, vlo + (vhi - vlo) * frac))
+    return spark.createDataFrame(rows, schema)

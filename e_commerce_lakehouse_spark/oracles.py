@@ -4108,3 +4108,47 @@ FROM g, tot
 
 
 ALL["q195_equidepth_drift"] = _equidepth_drift_sql()
+
+
+# q196: percentile_cont — interpolation between the two nearest global
+# ranks; raw doubles (bit-identical: same integer bounds, same IEEE ops).
+def _interp_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
+    rows = ", ".join(f"({q!r})" for q in sorted(qs))
+    return f"""
+WITH r AS (
+    SELECT n_chars::BIGINT AS v, doc_id,
+        row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+    FROM documents),
+n AS (SELECT count(*) AS n FROM r),
+t AS (SELECT q::DOUBLE AS q FROM (VALUES {rows}) AS t(q)),
+b AS (
+    SELECT q,
+        floor(q * ((SELECT n FROM n) - 1) + 1.0)::BIGINT AS lo_rank,
+        ceil(q * ((SELECT n FROM n) - 1) + 1.0)::BIGINT AS hi_rank,
+        (q * ((SELECT n FROM n) - 1) + 1.0)
+            - floor(q * ((SELECT n FROM n) - 1) + 1.0) AS frac
+    FROM t)
+SELECT b.q AS quantile, b.lo_rank, b.hi_rank,
+    (lo.v::DOUBLE + (hi.v::DOUBLE - lo.v::DOUBLE) * b.frac) AS value
+FROM b JOIN r lo ON lo.rnk = b.lo_rank JOIN r hi ON hi.rnk = b.hi_rank
+"""
+
+
+ALL["q196_interpolated_quantiles"] = _interp_quantiles_sql()
+
+# q197: directional rules over the q124 pair mining, exact-ppm confidence.
+ALL["q197_association_rules"] = (
+    "WITH pairs AS (" + ALL["q124_copurchase_pairs"] + """),
+r AS (
+    SELECT item_a AS antecedent, item_b AS consequent,
+        n_baskets AS n_both, support_a AS support_ante,
+        support_b AS support_cons, lift
+    FROM pairs
+    UNION ALL
+    SELECT item_b, item_a, n_baskets, support_b, support_a, lift
+    FROM pairs)
+SELECT antecedent, consequent, n_both, support_ante, support_cons, lift,
+    ((n_both * 1000000) // support_ante)::BIGINT AS confidence_ppm
+FROM r WHERE ((n_both * 1000000) // support_ante) >= 100000
+"""
+)

@@ -4083,6 +4083,32 @@ def q195_equidepth_drift(spark, sf_dir):
     )
 
 
+def q196_interpolated_quantiles(spark, sf_dir):
+    """percentile_cont semantics distributed (curation.
+    interpolated_quantiles): linear interpolation between the two
+    nearest global ranks via distributed_cumsum — raw IEEE doubles,
+    bit-identical in any engine."""
+    from .operators.curation import interpolated_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return interpolated_quantiles(
+        d, value_col="n_chars", qs=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+def q197_association_rules(spark, sf_dir):
+    """Directional association rules (basket.association_rules):
+    exact-ppm confidence over the frequent co-purchase pairs, lift
+    carried from the pair table."""
+    from .operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, min_confidence_ppm=100_000,
+        min_item_support=2, min_pair_support=2,
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4285,4 +4311,6 @@ ALL = {
     "q193_kcore": q193_kcore,
     "q194_target_encode_loo": q194_target_encode_loo,
     "q195_equidepth_drift": q195_equidepth_drift,
+    "q196_interpolated_quantiles": q196_interpolated_quantiles,
+    "q197_association_rules": q197_association_rules,
 }
