@@ -605,3 +605,105 @@ def tfidf_cosine_pairs(
         .where(F.col("cosine") >= min_cosine)
     )
     return _finish_release(result, vec)
+
+
+def kmeans_integer(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means with EXACT integer arithmetic — the one
+    formulation an iterative clustering is cross-engine value-hash
+    stable in: vectors quantize to ``scale``-scaled integers, every
+    distance is an exact BIGINT sum of squared integer differences,
+    centroid updates are per-dimension integer floor-divisions, ties in
+    the argmin break by cluster id. Seeds are the ``k`` smallest ids
+    (deterministic, no RNG).
+
+    Output after ``rounds`` assign/update rounds: (vec_id, cluster_id,
+    dist2) — the final assignment with its exact squared distance.
+
+    Scale shape: the long layout (id, dim, component) shuffles once and
+    persists; each round is one equi-join on dim against a k x dim
+    centroid table (broadcast-sized by construction) + two map-side
+    combinable aggregates. Centroids localCheckpoint per round so the
+    iterative plan stays linear (graph.kcore precedent). Brute-force
+    assignment is O(n * k * dim) — the IVF/LSH family is the scale path
+    for large k; this is the exact small-k workhorse.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans_integer needs k >= 1 and rounds >= 1")
+    pts = (
+        emb.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(
+                        x.cast("double") * F.lit(float(scale)), 0
+                    ).cast("long"),
+                )
+            ).alias("dim", "pv"),
+        )
+        .persist()
+    )
+    # deterministic seeds: the k smallest ids, cluster ids 0..k-1.
+    # limit(k) plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge — no global sort); the row_number window then runs
+    # over k rows only
+    wseed = Window.orderBy("id")
+    seeds = (
+        emb.select(F.col(id_col).alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(k)
+        .withColumn("_r", F.row_number().over(wseed))
+        .select("id", (F.col("_r") - 1).cast("int").alias("cid"))
+    )
+    cents = (
+        pts.join(F.broadcast(seeds), "id")
+        .select("cid", "dim", F.col("pv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    try:
+        for _ in range(rounds):
+            d = (
+                pts.join(F.broadcast(cents), "dim")
+                .groupBy("id", "cid")
+                .agg(
+                    F.sum(
+                        (F.col("pv") - F.col("cv"))
+                        * (F.col("pv") - F.col("cv"))
+                    ).cast("long").alias("dist2")
+                )
+            )
+            assign = (
+                d.groupBy("id")
+                .agg(F.min(F.struct("dist2", "cid")).alias("_m"))
+                .select(
+                    "id",
+                    F.col("_m.cid").alias("cid"),
+                    F.col("_m.dist2").alias("dist2"),
+                )
+            )
+            cents = (
+                pts.join(assign.select("id", "cid"), "id")
+                .groupBy("cid", "dim")
+                .agg(
+                    F.expr("sum(pv) DIV count(1)").cast("long").alias("cv")
+                )
+                .localCheckpoint(eager=True)
+            )
+        return assign.select(
+            F.col("id").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            "dist2",
+        ).localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()

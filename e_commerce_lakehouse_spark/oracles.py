@@ -4152,3 +4152,52 @@ SELECT antecedent, consequent, n_both, support_ante, support_cons, lift,
 FROM r WHERE ((n_both * 1000000) // support_ante) >= 100000
 """
 )
+
+
+# q198: exact integer Lloyd k-means — unrolled assign/update chain.
+def _kmeans_sql(k: int = 8, rounds: int = 2, scale: int = 10**6) -> str:
+    pre = f"""
+WITH pts AS (
+    SELECT vec_id AS id,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        round(unnest(embedding)::DOUBLE * {float(scale)})::BIGINT AS pv
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+seeds AS (
+    SELECT id, (row_number() OVER (ORDER BY id) - 1)::INT AS cid
+    FROM (SELECT DISTINCT vec_id AS id FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          ORDER BY id LIMIT {k})),
+c0 AS (
+    SELECT s.cid, p.dim, p.pv AS cv
+    FROM pts p JOIN seeds s ON p.id = s.id)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (
+    SELECT p.id, c.cid,
+        sum((p.pv - c.cv) * (p.pv - c.cv))::BIGINT AS dist2
+    FROM pts p JOIN c{p} c ON p.dim = c.dim
+    GROUP BY p.id, c.cid),
+a{i} AS (
+    SELECT id, cid, dist2 FROM (
+        SELECT id, cid, dist2,
+            row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+        FROM d{i})
+    WHERE rn = 1),
+c{i} AS (
+    SELECT a.cid, p.dim, (sum(p.pv) // count(*))::BIGINT AS cv
+    FROM pts p JOIN a{i} a ON p.id = a.id
+    GROUP BY a.cid, p.dim)"""
+    return (
+        pre
+        + body
+        + f"""
+SELECT id AS vec_id, cid::INT AS cluster_id, dist2
+FROM a{rounds}
+"""
+    )
+
+
+ALL["q198_kmeans_integer"] = _kmeans_sql()

@@ -4109,6 +4109,15 @@ def q197_association_rules(spark, sf_dir):
     )
 
 
+def q198_kmeans_integer(spark, sf_dir):
+    """Exact integer Lloyd k-means (similarity.kmeans_integer): k=8,
+    2 rounds, 1e6-quantized vectors — every distance and centroid an
+    exact integer, argmin tiebreak by cluster id; oracled against an
+    unrolled CTE chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_integer(emb, k=8, rounds=2)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4313,4 +4322,5 @@ ALL = {
     "q195_equidepth_drift": q195_equidepth_drift,
     "q196_interpolated_quantiles": q196_interpolated_quantiles,
     "q197_association_rules": q197_association_rules,
+    "q198_kmeans_integer": q198_kmeans_integer,
 }
