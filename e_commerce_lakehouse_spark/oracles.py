@@ -4201,3 +4201,22 @@ FROM a{rounds}
 
 
 ALL["q198_kmeans_integer"] = _kmeans_sql()
+
+
+# q199: near-duplicate conversations — the q22 MinHash pipeline with the
+# shingle base swapped to per-conversation concatenated transcripts
+# (reuse the q22 text after its WITH keyword, rebasing the shingle scan
+# onto convdoc).
+_q22 = ALL["q22_minhash_lsh"]
+_q22_body = _q22.split("WITH", 1)[1]
+ALL["q199_conversation_neardup"] = (
+    "WITH "
+    + _TRANSCRIPT_CTE_TOOL.strip()
+    + """,
+convdoc AS (
+    SELECT conv_id AS doc_id,
+        string_agg(text, ' ' ORDER BY turn_idx) AS text
+    FROM tr GROUP BY conv_id),
+"""
+    + _q22_body.replace("FROM documents", "FROM convdoc", 1).lstrip()
+)

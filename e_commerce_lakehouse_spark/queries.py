@@ -4118,6 +4118,31 @@ def q198_kmeans_integer(spark, sf_dir):
     return sim.kmeans_integer(emb, k=8, rounds=2)
 
 
+def q199_conversation_neardup(spark, sf_dir):
+    """Near-duplicate CONVERSATIONS: concatenate each conversation's
+    turn texts in turn order into one document, then the q22 MinHash →
+    LSH banding → signature-verify pipeline keyed by conv_id — the
+    relaxation of q180's exact conversation dedup to near-dup."""
+    from .operators.transcripts import as_transcripts
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    convdoc = tr.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "text"))
+                ),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return dd.minhash_lsh_pairs(
+        convdoc, threshold=0.25, num_hashes=12, bands=3, n=3,
+        id_col="conv_id",
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4323,4 +4348,5 @@ ALL = {
     "q196_interpolated_quantiles": q196_interpolated_quantiles,
     "q197_association_rules": q197_association_rules,
     "q198_kmeans_integer": q198_kmeans_integer,
+    "q199_conversation_neardup": q199_conversation_neardup,
 }

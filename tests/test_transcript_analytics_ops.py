@@ -267,3 +267,34 @@ def test_context_pack_zero_length_ties_are_peers(spark):
     r = context_pack_examples(tr, budget_chars=10).collect()[0]
     assert r.n_examples == 2
     assert r.max_ctx_turns == 2 and r.total_ctx_turns == 4
+
+
+def test_conversation_neardup_identical_and_disjoint(spark):
+    # c1/c2 identical multi-turn conversations -> jaccard_est 1.0;
+    # c3 disjoint vocabulary -> no pair with c1/c2.
+    from e_commerce_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from pyspark.sql import functions as F
+
+    rows = []
+    for conv in ["c1", "c2"]:
+        rows += [
+            (conv, 0, "system", "alpha beta gamma delta epsilon", None, 0),
+            (conv, 1, "assistant", "zeta eta theta iota kappa", None, 1),
+        ]
+    rows += [("c3", 0, "system", "one two three four five six", None, 0)]
+    tr = _tr(spark, rows)
+    convdoc = tr.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    pairs = minhash_lsh_pairs(
+        convdoc, threshold=0.25, num_hashes=12, bands=3, n=3,
+        id_col="conv_id",
+    ).collect()
+    got = {(r.a, r.b): r.jaccard_est for r in pairs}
+    assert got == {("c1", "c2"): 1.0}
