@@ -104,6 +104,18 @@ def write_bucketed(
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
     qualified = f"{database}.{table_name}"
+    # mode=overwrite is idempotent only while the table is REGISTERED:
+    # a fresh session whose predecessor was killed mid-write (or whose
+    # catalog died with the session) can find the bare directory still
+    # on disk and fail CREATE with LOCATION_ALREADY_EXISTS. Clear the
+    # stale local location when the catalog has no such table.
+    if location and not spark.catalog.tableExists(qualified):
+        import os
+        import shutil
+
+        stale = os.path.join(location, table_name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -94,3 +94,23 @@ def test_bucket_pruning_on_point_filter(spark, facts, tmp_path):
     finally:
         spark.conf.set(key, prev)
     assert df.count() == 1
+
+
+def test_write_bucketed_clears_stale_location_from_dead_session(spark, tmp_path):
+    """A killed session can leave the bucketed table's directory on disk
+    while the new session's catalog has no such table; the write must
+    clear the stale location instead of failing LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators.bucketing import write_bucketed
+
+    loc = str(tmp_path / "bdb")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    name = "stale_loc_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS bucketed.{name}")
+    os.makedirs(os.path.join(loc, name), exist_ok=True)
+    with open(os.path.join(loc, name, "leftover"), "w") as fh:
+        fh.write("x")
+    q = write_bucketed(spark, df, name, "k", 2, location=loc)
+    assert spark.table(q).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {q}")
