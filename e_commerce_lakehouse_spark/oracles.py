@@ -4220,3 +4220,56 @@ convdoc AS (
 """
     + _q22_body.replace("FROM documents", "FROM convdoc", 1).lstrip()
 )
+
+
+# q200: composed transcript curation pipeline — exact-dedup keepers,
+# near-dup drop (q199 pairs as a nested-WITH CTE, the q52 pattern),
+# quality gate, cost + context-pack joins.
+ALL["q200_transcript_training_pipeline"] = (
+    "WITH "
+    + _TRANSCRIPT_CTE_TOOL.strip()
+    + """,
+fp AS (
+    SELECT conv_id,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx)) AS fingerprint
+    FROM tr GROUP BY conv_id),
+keepers AS (
+    SELECT conv_id FROM fp f
+    WHERE conv_id = (SELECT min(conv_id) FROM fp g
+                     WHERE g.fingerprint = f.fingerprint)),
+pairs AS ("""
+    + ALL["q199_conversation_neardup"]
+    + """),
+dropped AS (SELECT DISTINCT b AS conv_id FROM pairs),
+cost AS (
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+        sum(len)::BIGINT AS total_chars,
+        sum(len * CASE role WHEN 'system' THEN 2 WHEN 'user' THEN 3
+            WHEN 'assistant' THEN 15 ELSE 1 END)::BIGINT AS cost_micros
+    FROM tr GROUP BY conv_id),
+s AS (
+    SELECT conv_id, turn_idx, role, len,
+        coalesce(sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::BIGINT AS ctx_start
+    FROM tr),
+e AS (
+    SELECT conv_id, role,
+        (count(*) OVER (PARTITION BY conv_id ORDER BY ctx_start
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) - 1)::BIGINT
+            AS ctx_turns
+    FROM s),
+examples AS (
+    SELECT conv_id, count(*)::BIGINT AS n_examples
+    FROM e WHERE role = 'assistant' GROUP BY conv_id)
+SELECT c.conv_id, c.n_turns, c.total_chars, c.cost_micros,
+    coalesce(x.n_examples, 0)::BIGINT AS n_examples
+FROM cost c
+JOIN keepers k ON k.conv_id = c.conv_id
+LEFT JOIN dropped d ON d.conv_id = c.conv_id
+LEFT JOIN examples x ON x.conv_id = c.conv_id
+WHERE d.conv_id IS NULL
+  AND c.n_turns >= 3 AND c.total_chars BETWEEN 50 AND 5000
+"""
+)

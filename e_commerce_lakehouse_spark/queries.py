@@ -4143,6 +4143,65 @@ def q199_conversation_neardup(spark, sf_dir):
     )
 
 
+def q200_transcript_training_pipeline(spark, sf_dir):
+    """Composed TRANSCRIPT curation pipeline (the q56 flagship, rebased
+    onto conversations): canonical projection → conversation-level
+    exact dedup (q180 keepers) → MinHash near-dup removal (q199 pairs,
+    greedy drop of the higher conv_id) → quality gate (>= 3 turns,
+    50..5000 chars) → per-survivor serving cost (q186 pricing) and
+    context-pack example count (q188). Every stage is an equi-join or
+    bounded aggregate over the shared conv_id shuffle."""
+    from .operators.transcripts import (
+        as_transcripts,
+        context_pack_examples,
+        conversation_cost,
+        conversation_dedup,
+    )
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    keepers = conversation_dedup(tr).where(F.col("is_canonical")).select(
+        "conv_id"
+    )
+    convdoc = tr.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    pairs = dd.minhash_lsh_pairs(
+        convdoc, threshold=0.25, num_hashes=12, bands=3, n=3,
+        id_col="conv_id",
+    )
+    dropped = pairs.select(F.col("b").alias("conv_id")).distinct()
+    cost = conversation_cost(tr).select(
+        "conv_id", "n_turns", "total_chars", "cost_micros"
+    )
+    examples = context_pack_examples(tr, budget_chars=1000).select(
+        "conv_id", "n_examples"
+    )
+    return (
+        cost.join(keepers, "conv_id")
+        .join(dropped, "conv_id", "left_anti")
+        .where(
+            (F.col("n_turns") >= 3)
+            & F.col("total_chars").between(50, 5000)
+        )
+        .join(examples, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "total_chars",
+            "cost_micros",
+            F.coalesce(F.col("n_examples"), F.lit(0).cast("long")).alias(
+                "n_examples"
+            ),
+        )
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4349,4 +4408,5 @@ ALL = {
     "q197_association_rules": q197_association_rules,
     "q198_kmeans_integer": q198_kmeans_integer,
     "q199_conversation_neardup": q199_conversation_neardup,
+    "q200_transcript_training_pipeline": q200_transcript_training_pipeline,
 }
