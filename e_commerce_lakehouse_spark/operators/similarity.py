@@ -588,11 +588,19 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("doc_id").alias("a"), F.col("norm2").alias("na"))
     nb = norms.select(F.col("doc_id").alias("b"), F.col("norm2").alias("nb"))
-    cos = F.round(
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-        6,
-    )
+    # a zero-norm side (every shingle ubiquitous -> all weights 0) can
+    # only reach here when df_cap >= corpus df; score it 0, not NaN
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     result = (
         dots.join(na, "a")
         .join(nb, "b")

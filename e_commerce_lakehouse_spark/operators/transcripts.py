@@ -302,8 +302,12 @@ def tool_usage_profile(tr: DataFrame) -> DataFrame:
         .select(
             "tool",
             "conv_id",
+            # greatest(1, ...): a caller-supplied transcript whose only
+            # turn is a tool call has max_idx 0 — degenerate rel pos 0,
+            # not an ANSI divide-by-zero
             F.expr(
-                "(CAST(turn_idx AS BIGINT) * 1000000) DIV max_idx"
+                "(CAST(turn_idx AS BIGINT) * 1000000)"
+                " DIV greatest(max_idx, 1)"
             ).cast("long").alias("rel_ppm"),
             F.length("text").cast("long").alias("len"),
         )
@@ -529,10 +533,14 @@ def conversation_cost(
         "n_turns",
         "total_chars",
         "cost_micros",
-        F.floor(
-            (F.col("cost_micros").cast("double") * F.lit(1_000_000.0))
-            / F.col("total_cost").cast("double")
-        ).cast("long").alias("cost_share_ppm"),
+        # an all-empty-text corpus has total 0: share 0, not NaN
+        F.when(
+            F.col("total_cost") > 0,
+            F.floor(
+                (F.col("cost_micros").cast("double") * F.lit(1_000_000.0))
+                / F.col("total_cost").cast("double")
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("cost_share_ppm"),
     )
 
 

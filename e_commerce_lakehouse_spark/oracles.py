@@ -3757,7 +3757,7 @@ m AS (
     SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx FROM tr),
 t AS (
     SELECT event_type AS tool, conv_id,
-        ((turn_idx::BIGINT * 1000000) // max_idx)::BIGINT AS rel_ppm, len
+        ((turn_idx::BIGINT * 1000000) // greatest(max_idx, 1))::BIGINT AS rel_ppm, len
     FROM m WHERE role = 'tool' AND event_type IS NOT NULL)
 SELECT tool, count(*)::BIGINT AS n_calls,
     count(DISTINCT conv_id)::BIGINT AS n_convs,
@@ -3845,8 +3845,9 @@ c AS (
     FROM tr GROUP BY conv_id),
 tt AS (SELECT sum(cost_micros)::BIGINT AS total_cost FROM c)
 SELECT conv_id, n_turns, total_chars, cost_micros,
-    floor((cost_micros::DOUBLE * 1000000.0) / total_cost::DOUBLE)::BIGINT
-        AS cost_share_ppm
+    (CASE WHEN total_cost > 0 THEN
+        floor((cost_micros::DOUBLE * 1000000.0) / total_cost::DOUBLE)
+        ELSE 0 END)::BIGINT AS cost_share_ppm
 FROM c, tt
 """
 
@@ -3972,13 +3973,15 @@ dots AS (
     JOIN vec vb ON vb.doc_id = c.b AND vb.shingle = va.shingle
     GROUP BY c.a, c.b)
 SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
-    round(d.dot::DOUBLE
-        / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) AS cosine
+    (CASE WHEN na.norm2 > 0 AND nb.norm2 > 0 THEN round(d.dot::DOUBLE
+        / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6)
+     ELSE 0.0 END) AS cosine
 FROM dots d
 JOIN norms na ON na.doc_id = d.a
 JOIN norms nb ON nb.doc_id = d.b
-WHERE round(d.dot::DOUBLE
-    / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.3
+WHERE (CASE WHEN na.norm2 > 0 AND nb.norm2 > 0 THEN round(d.dot::DOUBLE
+    / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6)
+     ELSE 0.0 END) >= 0.3
 """
 
 # q192: per-tool execution latency (tool turn -> next turn, integer

@@ -75,6 +75,26 @@ FUZZ_QUERIES = [
     "q156_linear_attribution",
     "q158_skew_profile",
     "q163_converting_paths",
+    "q171_watermark_lateness",
+    # transcript analytics family (round-5 final batch): all read the
+    # events parquet through the same deterministic projection
+    "q175_transcript_audit",
+    "q178_context_budget",
+    "q179_response_latency",
+    "q180_conversation_dedup",
+    "q181_tool_usage_profile",
+    "q182_prefix_templates",
+    "q183_turn_position_profile",
+    "q184_agent_loop_runs",
+    "q185_tool_bigrams",
+    "q186_conversation_cost",
+    "q187_boilerplate_turns",
+    "q188_context_pack_examples",
+    "q192_tool_latency_quantiles",
+    "q194_target_encode_loo",
+    "q195_equidepth_drift",
+    "q199_conversation_neardup",
+    "q200_transcript_training_pipeline",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
