@@ -642,9 +642,16 @@ def kmeans_integer(
     iterative plan stays linear (graph.kcore precedent). Brute-force
     assignment is O(n * k * dim) — the IVF/LSH family is the scale path
     for large k; this is the exact small-k workhorse.
+
+    Overflow contract: quantized components SATURATE at ±2^27 (±134.2
+    at the default 1e6 scale) so a 64-dim squared distance can never
+    exceed int64 (64 * (2^28)^2 = 2^62); embedding spaces are unit-ish,
+    so saturation only fires on corrupt inputs — and identically in
+    any engine.
     """
     if k < 1 or rounds < 1:
         raise ValueError("kmeans_integer needs k >= 1 and rounds >= 1")
+    clamp = 1 << 27
     pts = (
         emb.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .select(
@@ -652,9 +659,15 @@ def kmeans_integer(
             F.posexplode(
                 F.transform(
                     F.col(vec_col),
-                    lambda x: F.round(
-                        x.cast("double") * F.lit(float(scale)), 0
-                    ).cast("long"),
+                    lambda x: F.greatest(
+                        F.lit(-clamp).cast("long"),
+                        F.least(
+                            F.lit(clamp).cast("long"),
+                            F.round(
+                                x.cast("double") * F.lit(float(scale)), 0
+                            ).cast("long"),
+                        ),
+                    ),
                 )
             ).alias("dim", "pv"),
         )

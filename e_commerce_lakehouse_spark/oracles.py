@@ -4163,7 +4163,9 @@ def _kmeans_sql(k: int = 8, rounds: int = 2, scale: int = 10**6) -> str:
 WITH pts AS (
     SELECT vec_id AS id,
         generate_subscripts(embedding, 1) - 1 AS dim,
-        round(unnest(embedding)::DOUBLE * {float(scale)})::BIGINT AS pv
+        greatest(-134217728, least(134217728,
+            round(unnest(embedding)::DOUBLE * {float(scale)})::BIGINT))
+            AS pv
     FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
 seeds AS (

@@ -73,6 +73,11 @@ FUZZ_QUERIES = [
     "q159_dedup_burden",
     "q164_effective_tokens",
     "q169_shard_rebalance",
+    # round-5 final batch (documents-based)
+    "q189_dup_span_audit",
+    "q190_inverted_index",
+    "q191_tfidf_cosine_pairs",
+    "q196_interpolated_quantiles",
 ]
 
 VOCAB = [

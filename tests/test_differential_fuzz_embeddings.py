@@ -38,6 +38,7 @@ FUZZ_QUERIES = [
     "q50_embedding_centroids",
     "q141_embedding_diversity",
     "q161_hard_negatives",
+    "q198_kmeans_integer",
 ]
 
 DIM = 64

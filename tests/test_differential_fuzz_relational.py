@@ -87,6 +87,9 @@ FUZZ_QUERIES = [
     "q166_order_reconciliation",
     "q167_duplicate_payments",
     "q168_shipping_sla",
+    # round-5 final batch (relational)
+    "q193_kcore",
+    "q197_association_rules",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem".split()
