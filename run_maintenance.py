@@ -68,7 +68,7 @@ def main(argv=None) -> int:
             "evolve-partition", "create-branch", "delete-branch",
             "branches", "fast-forward", "replicate", "set-bloom",
             "matview-create", "matview-refresh", "retention", "count",
-            "set-ndv", "ndv",
+            "set-ndv", "ndv", "depth-report",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -297,6 +297,16 @@ def main(argv=None) -> int:
         t = Table.load(args.table, branch=args.branch)
         result = {c.strip(): table_ndv(t, c.strip(), snapshot_id=args.snapshot)
                   for c in args.columns.split(",") if c.strip()}
+    elif args.op == "depth-report":  # metadata-only clustering audit
+        from e_commerce_lakehouse_spark.operators.analyze import (
+            clustering_depth_report,
+        )
+
+        if not args.columns:
+            p.error("--op depth-report requires --columns <one key column>")
+        key = args.columns.split(",")[0].strip()
+        t = Table.load(args.table, branch=args.branch)
+        result = clustering_depth_report(t, key, snapshot_id=args.snapshot)
     elif args.op == "rename-column":  # metadata-only (field-id binding)
         from e_commerce_lakehouse_spark.operators.schema_evolution import (
             rename_column,
