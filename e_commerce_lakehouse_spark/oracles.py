@@ -4278,3 +4278,8 @@ WHERE d.conv_id IS NULL
   AND c.n_turns >= 3 AND c.total_chars BETWEEN 50 AND 5000
 """
 )
+
+
+# q201: stateful streaming context budget — on a bounded in-order replay
+# the final update row per conversation equals the batch audit (q178).
+ALL["q201_streaming_context_budget"] = ALL["q178_context_budget"]

@@ -4202,6 +4202,78 @@ def q200_transcript_training_pipeline(spark, sf_dir):
     )
 
 
+def q201_streaming_context_budget(spark, sf_dir):
+    """STATEFUL streaming in the value-hash gate: per-conversation
+    running char budget via applyInPandasWithState
+    (streaming.stateful.context_budget_stream), Trigger.AvailableNow,
+    memory sink in update mode. On a single-batch bounded replay the
+    last update row per conversation equals the batch operator, so the
+    oracle is exactly q178's SQL. State is Arrow-batched pandas with a
+    numpy cumsum — no per-row Python; unbounded, the same query runs
+    with an idle timeout finalizing cold conversations."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.stateful import context_budget_stream
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, f"spark_graft_q201_{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(d, "in"))
+    qname = "q201_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "in", "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(
+            os.path.join(d, "in")
+        )
+        tr = stream.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        ).select(
+            F.format_string("conv-%09d", F.col("user_id")).alias("conv_id"),
+            "ts",
+            "event_id",
+            F.coalesce(F.col("props").cast("string"), F.lit("")).alias(
+                "text"
+            ),
+        )
+        out = context_budget_stream(tr, budget_chars=2000)
+        with _tmp_conf(spark, spark__sql__shuffle__partitions="8"):
+            sq = (
+                out.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            sq.awaitTermination()
+        # update mode appends one row per key per batch; AvailableNow on
+        # one input file is a single batch, so the table IS the final
+        # state — but keep only the last row per conv for robustness
+        # against multi-batch splits of the same in-order file set
+        w = Window.partitionBy("conv_id").orderBy(
+            F.col("n_turns").desc(), F.col("total_chars").desc()
+        )
+        result = (
+            spark.table(qname)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4409,4 +4481,5 @@ ALL = {
     "q198_kmeans_integer": q198_kmeans_integer,
     "q199_conversation_neardup": q199_conversation_neardup,
     "q200_transcript_training_pipeline": q200_transcript_training_pipeline,
+    "q201_streaming_context_budget": q201_streaming_context_budget,
 }

@@ -77,3 +77,88 @@ def conversation_stats_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+BUDGET_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, total_chars long, "
+    "n_turns_within_budget long, first_overflow_turn int, overflowed boolean"
+)
+BUDGET_STATE_SCHEMA = (
+    "n_turns long, total_chars long, within long, overflow_turn int"
+)
+
+
+def _make_budget_update(budget_chars: int):
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        n, total, within, ovf = (
+            state.get if state.exists else (0, 0, 0, None)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+            # arrival order inside the batch = event time with id
+            # tiebreak (the as_transcripts turn-order contract); state
+            # carries the cumulative position across batches
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            lens = (
+                pdf["text"].fillna("").astype(str).str.len().to_numpy("int64")
+            )
+            cum = total + lens.cumsum()
+            within += int((cum <= budget_chars).sum())
+            if ovf is None:
+                over = (cum > budget_chars).nonzero()[0]
+                if len(over):
+                    ovf = n + int(over[0])
+            n += len(lens)
+            total = int(cum[-1])
+        state.update((n, total, within, ovf))
+        yield pd.DataFrame(
+            [
+                (
+                    conv_id,
+                    n,
+                    total,
+                    within,
+                    ovf,
+                    ovf is not None,
+                )
+            ],
+            columns=[
+                "conv_id",
+                "n_turns",
+                "total_chars",
+                "n_turns_within_budget",
+                "first_overflow_turn",
+                "overflowed",
+            ],
+        )
+
+    return _update
+
+
+def context_budget_stream(
+    stream_df: DataFrame, budget_chars: int = 2000
+) -> DataFrame:
+    """Stateful streaming twin of transcripts.context_budget_audit: a
+    running per-conversation character budget maintained across
+    micro-batches in ``applyInPandasWithState`` — state is (n_turns,
+    total_chars, n_within, first_overflow_turn); each batch sorts its
+    slice by (ts, event_id) and extends the cumulative sum, so on an
+    in-order (or single-batch AvailableNow) replay the final update row
+    per conversation equals the batch operator exactly (q178's oracle).
+
+    Input: raw event rows with (conv_id, ts, event_id, text). Arrow-
+    batched pandas; numpy cumsum — no per-row Python.
+    """
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _make_budget_update(int(budget_chars)),
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
