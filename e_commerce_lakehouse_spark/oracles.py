@@ -3285,15 +3285,15 @@ FROM per GROUP BY grp
 # division (`//`, positive operands) mirrors Spark's `div` exactly.
 def _pagerank_sql(iters: int = 3, scale: int = 10**12, dp: int = 85) -> str:
     pre = f"""
-WITH pairs AS ({ALL["q124_copurchase_pairs"]}),
-und AS (
+WITH pairs AS MATERIALIZED ({ALL["q124_copurchase_pairs"]}),
+und AS MATERIALIZED (
     SELECT DISTINCT least(item_a, item_b) AS x,
         greatest(item_a, item_b) AS y
     FROM pairs WHERE item_a IS NOT NULL AND item_b IS NOT NULL
       AND item_a <> item_b),
-e AS (SELECT x AS src, y AS dst FROM und
+e AS MATERIALIZED (SELECT x AS src, y AS dst FROM und
       UNION ALL SELECT y AS src, x AS dst FROM und),
-deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src, deg, ({scale} // n) AS rank_s
        FROM deg CROSS JOIN nn)"""
@@ -3301,12 +3301,12 @@ r0 AS (SELECT src, deg, ({scale} // n) AS rank_s
     for i in range(1, iters + 1):
         p = i - 1
         body += f""",
-c{i} AS (
+c{i} AS MATERIALIZED (
     SELECT e.dst AS src, (r{p}.rank_s // r{p}.deg) AS c
     FROM r{p} JOIN e ON e.src = r{p}.src),
-i{i} AS (SELECT src, sum(c::HUGEINT)::BIGINT AS inflow
+i{i} AS MATERIALIZED (SELECT src, sum(c::HUGEINT)::BIGINT AS inflow
          FROM c{i} GROUP BY src),
-r{i} AS (
+r{i} AS MATERIALIZED (
     SELECT d.src, d.deg,
         ((({scale} // nn.n) * {100 - dp}) // 100)
         + ({dp} * coalesce(i{i}.inflow, 0)) // 100 AS rank_s
@@ -4013,25 +4013,29 @@ FROM r JOIN t ON r.rnk = greatest(1, ceil(t.q * r.n)::BIGINT)
 
 # q193: k-core — unrolled peel chain, same edge CTE as pagerank.
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    # every CTE in the peel chain is referenced twice downstream —
+    # without MATERIALIZED DuckDB re-inlines the whole upstream pipeline
+    # per reference (2^rounds expansions, ~260 s at sf0.01; 0.3 s
+    # materialized)
     pre = f"""
-WITH pairs AS ({ALL["q124_copurchase_pairs"]}),
-und AS (
+WITH pairs AS MATERIALIZED ({ALL["q124_copurchase_pairs"]}),
+und AS MATERIALIZED (
     SELECT DISTINCT least(item_a, item_b) AS x,
         greatest(item_a, item_b) AS y
     FROM pairs WHERE item_a IS NOT NULL AND item_b IS NOT NULL
       AND item_a <> item_b),
-e AS (SELECT x AS src, y AS dst FROM und
+e AS MATERIALIZED (SELECT x AS src, y AS dst FROM und
       UNION ALL SELECT y AS src, x AS dst FROM und),
-a0 AS (SELECT DISTINCT src FROM e)"""
+a0 AS MATERIALIZED (SELECT DISTINCT src FROM e)"""
     body = ""
     for i in range(1, rounds + 1):
         p = i - 1
         body += f""",
-d{i} AS (
+d{i} AS MATERIALIZED (
     SELECT e.src, count(*)::BIGINT AS degree
     FROM e JOIN a{p} x ON e.src = x.src JOIN a{p} y ON e.dst = y.src
     GROUP BY e.src),
-a{i} AS (SELECT src FROM d{i} WHERE degree >= {k})"""
+a{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE degree >= {k})"""
     return (
         pre
         + body
@@ -4160,7 +4164,7 @@ FROM r WHERE ((n_both * 1000000) // support_ante) >= 100000
 # q198: exact integer Lloyd k-means — unrolled assign/update chain.
 def _kmeans_sql(k: int = 8, rounds: int = 2, scale: int = 10**6) -> str:
     pre = f"""
-WITH pts AS (
+WITH pts AS MATERIALIZED (
     SELECT vec_id AS id,
         generate_subscripts(embedding, 1) - 1 AS dim,
         greatest(-134217728, least(134217728,
@@ -4180,18 +4184,18 @@ c0 AS (
     for i in range(1, rounds + 1):
         p = i - 1
         body += f""",
-d{i} AS (
+d{i} AS MATERIALIZED (
     SELECT p.id, c.cid,
         sum((p.pv - c.cv) * (p.pv - c.cv))::BIGINT AS dist2
     FROM pts p JOIN c{p} c ON p.dim = c.dim
     GROUP BY p.id, c.cid),
-a{i} AS (
+a{i} AS MATERIALIZED (
     SELECT id, cid, dist2 FROM (
         SELECT id, cid, dist2,
             row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
         FROM d{i})
     WHERE rn = 1),
-c{i} AS (
+c{i} AS MATERIALIZED (
     SELECT a.cid, p.dim, (sum(p.pv) // count(*))::BIGINT AS cv
     FROM pts p JOIN a{i} a ON p.id = a.id
     GROUP BY a.cid, p.dim)"""
