@@ -133,7 +133,14 @@ def test_depth_report_missing_column_all_missing(spark, tiny_table):
     assert rep["max_depth"] == 0 and rep["total_overlap_pairs"] == 0
 
 
-def test_dup_span_plan_has_no_cartesian(spark):
+def test_dup_span_plan_has_no_cartesian(spark, monkeypatch):
+    # patch out the localCheckpoint so the assertion sees the REAL join
+    # plan (post-checkpoint plans are just an RDD scan — vacuously clean)
+    import e_commerce_lakehouse_spark.operators.dedup as ddmod
+
+    monkeypatch.setattr(
+        ddmod, "_finish_release", lambda result, *cached: result
+    )
     d = _docs(spark, [(1, "x" * 40), (2, "y" * 40)])
     plan = (
         dup_span_audit(d, gram_chars=20)
@@ -141,5 +148,6 @@ def test_dup_span_plan_has_no_cartesian(spark):
         .executedPlan()
         .toString()
     )
+    assert "Join" in plan  # the real plan, not a checkpoint scan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -95,7 +95,14 @@ def test_tfidf_cosine_df_cap_blocks_ubiquitous_shingles(spark):
     assert out == []  # the only shared shingle has df 6 > cap 3
 
 
-def test_tfidf_cosine_plan_has_no_cartesian(spark):
+def test_tfidf_cosine_plan_has_no_cartesian(spark, monkeypatch):
+    # patch out the localCheckpoint so the assertion sees the REAL join
+    # plan (post-checkpoint plans are just an RDD scan — vacuously clean)
+    import e_commerce_lakehouse_spark.operators.similarity as simmod
+
+    monkeypatch.setattr(
+        simmod, "_finish_release", lambda result, *cached: result
+    )
     df = _docs(spark, [(1, "a b c"), (2, "a b d")])
     plan = (
         tfidf_cosine_pairs(df, min_cosine=0.0)
@@ -103,6 +110,7 @@ def test_tfidf_cosine_plan_has_no_cartesian(spark):
         .executedPlan()
         .toString()
     )
+    assert "Join" in plan  # the real plan, not a checkpoint scan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
