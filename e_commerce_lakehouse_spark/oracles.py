@@ -4287,3 +4287,24 @@ WHERE d.conv_id IS NULL
 # q201: stateful streaming context budget — on a bounded in-order replay
 # the final update row per conversation equals the batch audit (q178).
 ALL["q201_streaming_context_budget"] = ALL["q178_context_budget"]
+
+
+# q202: VARIANT shredding — typed JSON extraction with NULL-on-malformed
+# semantics mirrored via json_valid + try_cast.
+ALL["q202_variant_shred"] = """
+WITH v AS (
+    SELECT event_type,
+        CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN try_cast(json_extract(props, '$.k') AS BIGINT)
+        END AS k
+    FROM events),
+g AS (
+    SELECT event_type, count(*)::BIGINT AS n_events,
+        count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k
+    FROM v GROUP BY event_type)
+SELECT event_type, n_events, n_with_k, sum_k,
+    CASE WHEN n_with_k > 0 THEN
+        round(((sum_k * 1000000) // n_with_k)::DOUBLE / 1000000.0, 6)
+    END AS avg_k
+FROM g
+"""

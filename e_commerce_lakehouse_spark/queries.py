@@ -4274,6 +4274,41 @@ def q201_streaming_context_budget(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q202_variant_shred(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    try_parse_json(props) -> typed try_variant_get extraction (NULL on
+    malformed/missing, never an error) -> per-type aggregate with the
+    exact integer-DIV average. The open-schema ingestion path a
+    transcript lakehouse uses for tool payloads; binary VARIANT scans
+    beat per-row get_json_object at scale (shredded columnar access)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "long"
+        ).alias("k"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_with_k",
+        "sum_k",
+        F.when(
+            F.col("n_with_k") > 0,
+            F.round(
+                F.expr("(sum_k * 1000000) DIV n_with_k").cast("double")
+                / F.lit(1_000_000.0),
+                6,
+            ),
+        ).alias("avg_k"),
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4482,4 +4517,5 @@ ALL = {
     "q199_conversation_neardup": q199_conversation_neardup,
     "q200_transcript_training_pipeline": q200_transcript_training_pipeline,
     "q201_streaming_context_budget": q201_streaming_context_budget,
+    "q202_variant_shred": q202_variant_shred,
 }

@@ -77,3 +77,28 @@ def test_association_rules_threshold_drops_weak_direction(spark):
     }
     assert ("B", "A") in out  # conf 1.0
     assert ("A", "B") not in out  # conf 0.2 < 0.5
+
+
+def test_variant_shred_null_on_malformed(spark):
+    """q202 semantics: malformed JSON, missing key, wrong type, and NULL
+    props all extract as NULL (counted in n_events, not n_with_k)."""
+    import e_commerce_lakehouse_spark.queries as Q
+    import os, tempfile
+
+    rows = [
+        (1, "a", '{"k": 10}'),
+        (2, "a", '{"k": 32}'),
+        (3, "a", "not json at all"),
+        (4, "a", '{"other": 1}'),
+        (5, "a", None),
+        (6, "b", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    )
+    d = tempfile.mkdtemp(prefix="q202_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in Q.ALL["q202_variant_shred"](spark, d).collect()}
+    assert out["a"].n_events == 5 and out["a"].n_with_k == 2
+    assert out["a"].sum_k == 42 and out["a"].avg_k == 21.0
+    assert out["b"].n_with_k == 1 and out["b"].avg_k == 7.0
