@@ -70,6 +70,13 @@ HEADLINE = [
     "q44_multiway_dim_join",
     "q78_window_containment",
     "q79_incremental_minhash_dedup",
+    # round-5 final batch heavy hitters
+    "q189_dup_span_audit",
+    "q191_tfidf_cosine_pairs",
+    "q193_kcore",
+    "q198_kmeans_integer",
+    "q199_conversation_neardup",
+    "q200_transcript_training_pipeline",
 ]
 
 
