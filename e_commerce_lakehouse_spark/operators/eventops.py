@@ -451,6 +451,9 @@ def interarrival_stats(
         gaps.groupBy("key")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
+            # exact int64: per-key gaps telescope to (max ts - min ts),
+            # so the sum is bounded by the key's time span in micros
+            F.sum("gap_us").cast("long").alias("s1i"),
             F.sum(g).cast("double").alias("s1"),
             F.sum(g * g).cast("double").alias("s2"),
             F.max("gap_us").alias("max_gap_us"),
@@ -458,7 +461,13 @@ def interarrival_stats(
         .where(F.col("n") >= min_gaps)
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    # fixed expression shapes — keep in exact sync with the oracle SQL
+    # fixed expression shapes — keep in exact sync with the oracle SQL.
+    # the REPORTED mean floors to integer micros before the one double
+    # division (q179 contract): round(s1/n, 6) sat exactly on a 6-dp
+    # half boundary at sf0.1 where Spark's HALF_UP and DuckDB's round
+    # disagree (key 1124) — an integer-micro value divided by 1e6 can
+    # never sit on one. μ inside σ/B stays the raw double quotient
+    # (identical bits in any IEEE engine; no rounding applied to it).
     mu = s1 / n
     sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
     burst = F.when(sd + mu == F.lit(0.0), F.lit(0.0)).otherwise(
@@ -467,8 +476,14 @@ def interarrival_stats(
     return m.select(
         F.col("key"),
         n.cast("long").alias("n_gaps"),
-        F.round(mu / F.lit(1000000.0), 6).alias("mean_gap_s"),
-        F.round(sd / F.lit(1000000.0), 6).alias("sd_gap_s"),
+        F.round(
+            F.expr("s1i DIV CAST(n AS BIGINT)").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_gap_s"),
+        F.round(
+            F.floor(sd).cast("double") / F.lit(1000000.0), 6
+        ).alias("sd_gap_s"),
         F.col("max_gap_us").cast("long").alias("max_gap_us"),
         burst.alias("burstiness"),
     )

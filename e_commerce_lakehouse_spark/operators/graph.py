@@ -354,6 +354,7 @@ def kcore(
     # per round cuts lineage to keep analysis linear; the checkpointed
     # blocks are node-set sized (bounded) and GC'd once dereferenced
     alive = e.select("src").distinct().localCheckpoint(eager=True)
+    n_alive = alive.count()
     deg = None
     try:
         for _ in range(rounds):
@@ -368,6 +369,12 @@ def kcore(
                 .select("src")
                 .localCheckpoint(eager=True)
             )
+            n_next = alive.count()
+            if n_next == n_alive:
+                # peeling is monotone: an unchanged alive COUNT means an
+                # unchanged alive SET — fixed point, the exact k-core
+                break
+            n_alive = n_next
         out = deg.where(F.col("degree") >= k).select(
             F.col("src").alias("node"), "degree"
         )

@@ -2427,14 +2427,16 @@ WITH g AS (
     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 m AS (
     SELECT key, count(*)::DOUBLE AS n,
+        sum(gap)::BIGINT AS s1i,
         sum(gap::HUGEINT)::DOUBLE AS s1,
         sum(gap::HUGEINT * gap::HUGEINT)::DOUBLE AS s2,
         max(gap)::BIGINT AS max_gap_us
     FROM g WHERE gap IS NOT NULL GROUP BY key
     HAVING count(*) >= 2)
 SELECT key, n::BIGINT AS n_gaps,
-    round((s1 / n) / 1000000.0, 6) AS mean_gap_s,
-    round(sqrt((s2 - s1 * s1 / n) / (n - 1.0)) / 1000000.0, 6) AS sd_gap_s,
+    round((s1i // n::BIGINT)::DOUBLE / 1000000.0, 6) AS mean_gap_s,
+    round(floor(sqrt((s2 - s1 * s1 / n) / (n - 1.0)))::DOUBLE
+        / 1000000.0, 6) AS sd_gap_s,
     max_gap_us,
     CASE WHEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) + s1 / n = 0 THEN 0.0
          ELSE round((sqrt((s2 - s1 * s1 / n) / (n - 1.0)) - s1 / n)
