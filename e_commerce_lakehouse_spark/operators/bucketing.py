@@ -108,14 +108,23 @@ def write_bucketed(
     # a fresh session whose predecessor was killed mid-write (or whose
     # catalog died with the session) can find the bare directory still
     # on disk and fail CREATE with LOCATION_ALREADY_EXISTS. Clear the
-    # stale local location when the catalog has no such table.
-    if location and not spark.catalog.tableExists(qualified):
+    # stale local location when the catalog has no such table. The base
+    # comes from the catalog's OWN database location (a pre-existing
+    # database pins its original root — the ``location`` argument is
+    # ignored by CREATE IF NOT EXISTS), so the guard clears the path
+    # saveAsTable will actually use. Single-writer assumption: this is
+    # the bench/query helper, not a concurrent ingest path.
+    if not spark.catalog.tableExists(qualified):
         import os
         import shutil
+        from urllib.parse import urlparse
 
-        stale = os.path.join(location, table_name)
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
+        db_loc = spark.catalog.getDatabase(database).locationUri
+        parsed = urlparse(db_loc)
+        if parsed.scheme in ("", "file"):
+            stale = os.path.join(parsed.path or db_loc, table_name)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -1048,6 +1048,23 @@ def quality_funnel(
         )
     )
 
+def _rank_key_enc(col: str) -> Column:
+    """Order-preserving fixed-width encoding of a signed int64 column:
+    +2^63 offset into an unsigned decimal, zero-padded to 20 digits —
+    string order == numeric order. Shared by exact_quantiles and
+    interpolated_quantiles (the distributed-rank order key)."""
+    return F.lpad(
+        (
+            F.col(col).cast("decimal(20,0)")
+            + F.lit("9223372036854775808").cast("decimal(20,0)")
+        )
+        .cast("decimal(20,0)")
+        .cast("string"),
+        20,
+        "0",
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     *,
@@ -1079,21 +1096,11 @@ def exact_quantiles(
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("each q must be in (0, 1]")
 
-    def _enc(col: str) -> Column:
-        return F.lpad(
-            (
-                F.col(col).cast("decimal(20,0)")
-                + F.lit("9223372036854775808").cast("decimal(20,0)")
-            )
-            .cast("decimal(20,0)")
-            .cast("string"),
-            20,
-            "0",
-        )
-
     keyed = df.select(
         F.col(value_col).cast("long").alias("value"),
-        F.concat(_enc(value_col), F.lit("-"), _enc(id_col)).alias("_rk"),
+        F.concat(
+            _rank_key_enc(value_col), F.lit("-"), _rank_key_enc(id_col)
+        ).alias("_rk"),
     ).withColumn("_one", F.lit(1))
     ranked = distributed_cumsum(keyed, order_col="_rk", value_col="_one", out_col="_rank")
     n = df.count()
@@ -1451,43 +1458,39 @@ def interpolated_quantiles(
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError("each q must be in [0, 1]")
 
-    def _enc(col: str) -> Column:
-        return F.lpad(
-            (
-                F.col(col).cast("decimal(20,0)")
-                + F.lit("9223372036854775808").cast("decimal(20,0)")
-            )
-            .cast("decimal(20,0)")
-            .cast("string"),
-            20,
-            "0",
-        )
-
-    keyed = df.select(
+    # NULLs are excluded from both the rank and n — a NULL value/id
+    # would encode a NULL order key (breaking distributed_cumsum's
+    # unique-key contract) while still inflating the count
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    keyed = base.select(
         F.col(value_col).cast("long").alias("value"),
-        F.concat(_enc(value_col), F.lit("-"), _enc(id_col)).alias("_rk"),
+        F.concat(
+            _rank_key_enc(value_col), F.lit("-"), _rank_key_enc(id_col)
+        ).alias("_rk"),
     ).withColumn("_one", F.lit(1))
     ranked = distributed_cumsum(
         keyed, order_col="_rk", value_col="_one", out_col="_rank"
     )
-    n = df.count()
+    n = base.count()
     spark = df.sparkSession
     schema = "quantile double, lo_rank long, hi_rank long, value double"
     if n == 0:
         return spark.createDataFrame([], schema)
-    targets = {}
-    for q in qs:
+    targets = []  # list, not dict: duplicate qs keep their rows
+    for q in sorted(float(q) for q in qs):
         pos = q * (n - 1) + 1.0
         lo = int(math.floor(pos))
         hi = int(math.ceil(pos))
-        targets[float(q)] = (lo, hi, pos - lo)
-    need = {r for lo, hi, _ in targets.values() for r in (lo, hi)}
+        targets.append((q, lo, hi, pos - lo))
+    need = {r for _, lo, hi, _ in targets for r in (lo, hi)}
     hit = {
         r["_rank"]: r["value"]
         for r in ranked.where(F.col("_rank").isin(*need)).collect()
     }
     rows = []
-    for q, (lo, hi, frac) in sorted(targets.items()):
+    for q, lo, hi, frac in targets:
         vlo, vhi = float(hit[lo]), float(hit[hi])
         rows.append((q, lo, hi, vlo + (vhi - vlo) * frac))
     return spark.createDataFrame(rows, schema)

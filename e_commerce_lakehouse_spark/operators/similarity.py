@@ -540,7 +540,10 @@ def tfidf_cosine_pairs(
     """
     from .dedup import word_shingles
 
-    sh = df.select(
+    # NULL texts are excluded on BOTH sides: Spark's word_shingles(NULL)
+    # would otherwise emit an empty-string shingle while DuckDB's
+    # list_distinct strips the NULL — a cross-engine df disagreement
+    sh = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
@@ -679,7 +682,8 @@ def kmeans_integer(
     # over k rows only
     wseed = Window.orderBy("id")
     seeds = (
-        emb.select(F.col(id_col).alias("id"))
+        emb.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"))
         .distinct()
         .orderBy("id")
         .limit(k)

@@ -3666,7 +3666,7 @@ ALL["q177_bootstrap_ci"] = _bootstrap_ci_sql()
 # role cycle and (ts, event_id) turn order).
 _TRANSCRIPT_CTE = """
 ordered AS (
-    SELECT user_id, ts, event_id,
+    SELECT user_id, ts, event_id, event_type,
         coalesce(props::VARCHAR, '') AS text,
         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
             - 1)::INT AS turn_idx
@@ -3678,7 +3678,8 @@ tr AS (
              WHEN event_id % 17 = 5 THEN 'tool'
              WHEN turn_idx % 2 = 1 THEN 'assistant'
              ELSE 'user' END AS role,
-        epoch_us(ts) AS ts_us, text, length(text)::BIGINT AS len
+        event_type, epoch_us(ts) AS ts_us, text,
+        length(text)::BIGINT AS len
     FROM ordered)
 """
 
@@ -3734,24 +3735,7 @@ FROM fp f JOIN g USING (fingerprint)
 # q181-q188: transcript analytics over the same deterministic projection;
 # this variant of the CTE carries event_type through so the tool column
 # (CASE role='tool' -> event_type) is reconstructible.
-_TRANSCRIPT_CTE_TOOL = """
-ordered AS (
-    SELECT user_id, ts, event_id, event_type,
-        coalesce(props::VARCHAR, '') AS text,
-        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-            - 1)::INT AS turn_idx
-    FROM events
-    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
-tr AS (
-    SELECT printf('conv-%09d', user_id) AS conv_id, turn_idx,
-        CASE WHEN turn_idx = 0 THEN 'system'
-             WHEN event_id % 17 = 5 THEN 'tool'
-             WHEN turn_idx % 2 = 1 THEN 'assistant'
-             ELSE 'user' END AS role,
-        event_type, epoch_us(ts) AS ts_us, text,
-        length(text)::BIGINT AS len
-    FROM ordered)
-"""
+_TRANSCRIPT_CTE_TOOL = _TRANSCRIPT_CTE
 
 ALL["q181_tool_usage_profile"] = f"""
 WITH {_TRANSCRIPT_CTE_TOOL},
@@ -4127,7 +4111,8 @@ def _interp_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
 WITH r AS (
     SELECT n_chars::BIGINT AS v, doc_id,
         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
-    FROM documents),
+    FROM documents
+    WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
 n AS (SELECT count(*) AS n FROM r),
 t AS (SELECT q::DOUBLE AS q FROM (VALUES {rows}) AS t(q)),
 b AS (

@@ -4118,6 +4118,21 @@ def q198_kmeans_integer(spark, sf_dir):
     return sim.kmeans_integer(emb, k=8, rounds=2)
 
 
+def _conv_docs(tr):
+    """One document per conversation: turn texts in turn order joined
+    with single spaces — the shared input of q199 (near-dup) and q200
+    (curation pipeline)."""
+    return tr.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+
+
 def q199_conversation_neardup(spark, sf_dir):
     """Near-duplicate CONVERSATIONS: concatenate each conversation's
     turn texts in turn order into one document, then the q22 MinHash →
@@ -4126,17 +4141,7 @@ def q199_conversation_neardup(spark, sf_dir):
     from .operators.transcripts import as_transcripts
 
     tr = as_transcripts(_t(spark, sf_dir, "events"))
-    convdoc = tr.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("turn_idx", "text"))
-                ),
-                lambda x: x["text"],
-            ),
-            " ",
-        ).alias("text")
-    )
+    convdoc = _conv_docs(tr)
     return dd.minhash_lsh_pairs(
         convdoc, threshold=0.25, num_hashes=12, bands=3, n=3,
         id_col="conv_id",
@@ -4158,19 +4163,14 @@ def q200_transcript_training_pipeline(spark, sf_dir):
         conversation_dedup,
     )
 
-    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    from .operators.dedup import _finish_release
+
+    # four stages fan out from the same projection: persist it once
+    tr = as_transcripts(_t(spark, sf_dir, "events")).persist()
     keepers = conversation_dedup(tr).where(F.col("is_canonical")).select(
         "conv_id"
     )
-    convdoc = tr.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda x: x["text"],
-            ),
-            " ",
-        ).alias("text")
-    )
+    convdoc = _conv_docs(tr)
     pairs = dd.minhash_lsh_pairs(
         convdoc, threshold=0.25, num_hashes=12, bands=3, n=3,
         id_col="conv_id",
@@ -4182,7 +4182,7 @@ def q200_transcript_training_pipeline(spark, sf_dir):
     examples = context_pack_examples(tr, budget_chars=1000).select(
         "conv_id", "n_examples"
     )
-    return (
+    result = (
         cost.join(keepers, "conv_id")
         .join(dropped, "conv_id", "left_anti")
         .where(
@@ -4200,6 +4200,7 @@ def q200_transcript_training_pipeline(spark, sf_dir):
             ),
         )
     )
+    return _finish_release(result, tr)
 
 
 def q201_streaming_context_budget(spark, sf_dir):
