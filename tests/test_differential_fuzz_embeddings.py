@@ -73,9 +73,16 @@ def _corpus(seed: int):
 def fuzz_emb_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("fuzz_emb_sf")
     vecs, labels = _corpus(seed=31)
+    ids = list(range(len(vecs)))
+    # NULL adversaries: a NULL vec_id with a valid vector (must not
+    # hijack a k-means seed slot / ANN identity), and a valid id with a
+    # NULL embedding (must not void a centroid)
+    ids += [None, len(vecs)]
+    vecs += [[0.25] * DIM, None]
+    labels += [1, 2]
     tb = pa.table(
         {
-            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
             "embedding": pa.array(vecs, pa.list_(pa.float32())),
             "label": pa.array(labels, pa.int32()),
         }
