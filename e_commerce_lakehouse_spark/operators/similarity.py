@@ -285,6 +285,44 @@ def lsh_ann_topk(
     )
     return _finish_release(result, v, q)
 
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Index-quality audit: recall@k of an approximate ANN result against
+    the exact ground truth, per query.
+
+    ``exact`` / ``approx`` are result frames in the shape returned by
+    :func:`brute_force_topk` / :func:`ivf_ann_topk` / :func:`lsh_ann_topk`
+    (one row per (query, neighbor)). Output: one row per query with the
+    ground-truth size, hit count and ``recall_at_k = n_hits / k``.
+
+    100 TB story: both inputs are top-k frames (≤ k rows per query), so
+    the equi-join on (query, neighbor) and the per-query aggregate are
+    O(|queries| · k) — the expensive leg is *producing* the exact ground
+    truth, which recall evaluation runs over a query SAMPLE by design
+    (this is the offline audit for q26/q53's online indexes)."""
+    gt = exact.select(query_id_col, neighbor_col)
+    ap = (
+        approx.select(query_id_col, neighbor_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        gt.join(ap, [query_id_col, neighbor_col], "left")
+        .groupBy(query_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall_at_k", F.round(F.col("n_hits") / F.lit(float(k)), 9))
+    )
+
+
 def _ivf_centroids(v: DataFrame, dim: int, n_cells: int) -> list[tuple[int, list[float], float]]:
     """Deterministic coarse quantizer shared by ivf_ann_topk and
     semdedup: seeds = the n_cells vectors with smallest md5(id) (the q51

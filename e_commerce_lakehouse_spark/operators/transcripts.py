@@ -615,3 +615,85 @@ def context_pack_examples(
         F.sum("ctx_turns").cast("long").alias("total_ctx_turns"),
         F.max("ctx_turns").cast("long").alias("max_ctx_turns"),
     )
+
+
+def preference_pairs(
+    tr: DataFrame,
+    min_candidates: int = 2,
+    score: F.Column | None = None,
+) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction: group assistant
+    responses by their (exact) user prompt across the corpus, then per
+    prompt group emit one (chosen, rejected) pair — the top- and
+    bottom-scored response under a deterministic total order.
+
+    ``score`` is any column expression over the response row (default: a
+    response-length proxy, ``length(text)``); in a production pipeline
+    it is a reward-model output joined onto ``tr`` upstream — the
+    operator is score-agnostic. Ties break on (conv_id, turn_idx) so the
+    pair is a pure function of the input. Groups with fewer than
+    ``min_candidates`` responses emit nothing; chosen ≠ rejected is
+    guaranteed because rejected is the LAST row of the same ordering.
+
+    Shuffle budget: one shuffle on conv_id (lead() adjacency), one on
+    prompt (ranking windows + the chosen⋈rejected equi-join). Prompt
+    groups distribute across the cluster; a pathologically hot prompt is
+    a skew key like any other (salt upstream or cap group size).
+    """
+    if score is None:
+        score = F.length("text").cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        tr.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+    )
+    resp = (
+        t.where(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
+        )
+        .select(
+            F.col("text").alias("prompt"),
+            "conv_id",
+            F.col("next_idx").alias("resp_idx"),
+            F.col("next_text").alias("text"),
+        )
+        # score is evaluated against the RESPONSE row (its text is the
+        # assistant turn's text here), so the default length proxy and
+        # any caller-supplied expression both see response columns
+        .withColumn("score", score)
+    )
+    wp = Window.partitionBy("prompt").orderBy(
+        F.desc("score"), F.asc("conv_id"), F.asc("resp_idx")
+    )
+    ranked = resp.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("prompt"))
+    )
+    eligible = ranked.where(F.col("n_candidates") >= min_candidates)
+    chosen = eligible.where(F.col("rn") == 1).select(
+        "prompt",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("resp_idx").alias("chosen_turn"),
+        F.col("score").cast("long").alias("chosen_score"),
+    )
+    rejected = eligible.where(F.col("rn") == F.col("n_candidates")).select(
+        "prompt",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("resp_idx").alias("rejected_turn"),
+        F.col("score").cast("long").alias("rejected_score"),
+    )
+    return chosen.join(rejected, "prompt").select(
+        "prompt",
+        "n_candidates",
+        "chosen_conv",
+        "chosen_turn",
+        "chosen_score",
+        "rejected_conv",
+        "rejected_turn",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+    )

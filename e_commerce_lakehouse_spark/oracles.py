@@ -4295,3 +4295,65 @@ SELECT event_type, n_events, n_with_k, sum_k,
     END AS avg_k
 FROM g
 """
+
+
+# q203: ANN recall audit — composes the q25 exact, q53 IVF and q26 LSH
+# mirrors as nested-WITH CTEs (the q52/q200 pattern); ground truth is
+# crossed with a literal method list so a method that returns zero
+# candidates still reports recall 0, matching the Spark union.
+ALL["q203_ann_recall_eval"] = f"""
+WITH exact AS ({ALL["q25_ann_topk"]}),
+ivf AS ({ALL["q53_ivf_ann_topk"]}),
+lsh AS ({ALL["q26_lsh_ann_topk"]}),
+labeled AS (
+    SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh),
+m AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
+gt AS (SELECT m.method, e.query_id, e.neighbor_id FROM exact e CROSS JOIN m)
+SELECT g.method, g.query_id,
+    count(*)::BIGINT AS n_exact,
+    sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+    round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 9)
+        AS recall_at_k
+FROM gt g
+LEFT JOIN labeled l
+    ON l.method = g.method AND l.query_id = g.query_id
+    AND l.neighbor_id = g.neighbor_id
+GROUP BY g.method, g.query_id
+"""
+
+
+# q204: preference pairs — same lead() adjacency as q179, ranking window
+# ordered (score DESC, conv_id, resp_idx); rejected = LAST row of the
+# same ordering so chosen != rejected whenever the group qualifies.
+ALL["q204_preference_pairs"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+nxt AS (
+    SELECT conv_id, turn_idx, role, text,
+        lead(role) OVER w AS next_role,
+        lead(text) OVER w AS next_text,
+        lead(turn_idx) OVER w AS next_idx
+    FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+resp AS (
+    SELECT text AS prompt, conv_id, next_idx AS resp_idx,
+        length(next_text)::BIGINT AS score
+    FROM nxt
+    WHERE role = 'user' AND next_role = 'assistant'
+      AND next_idx = turn_idx + 1),
+ranked AS (
+    SELECT prompt, conv_id, resp_idx, score,
+        row_number() OVER (PARTITION BY prompt
+                           ORDER BY score DESC, conv_id, resp_idx) AS rn,
+        count(*) OVER (PARTITION BY prompt) AS n
+    FROM resp)
+SELECT b.prompt, b.n::BIGINT AS n_candidates,
+    b.conv_id AS chosen_conv, b.resp_idx::INT AS chosen_turn,
+    b.score AS chosen_score,
+    w.conv_id AS rejected_conv, w.resp_idx::INT AS rejected_turn,
+    w.score AS rejected_score,
+    (b.score - w.score)::BIGINT AS margin
+FROM ranked b
+JOIN ranked w ON w.prompt = b.prompt AND w.rn = w.n
+WHERE b.rn = 1 AND b.n >= 2
+"""

@@ -4310,6 +4310,43 @@ def q202_variant_shred(spark, sf_dir):
     )
 
 
+def q203_ann_recall_eval(spark, sf_dir):
+    """Offline ANN index-quality audit: recall@5 of BOTH approximate
+    indexes (q53's IVF, q26's multi-table sign-LSH) against q25's exact
+    brute-force ground truth, per (method, query). The missing third leg
+    of the ANN family — building an approximate index without measuring
+    its recall on a ground-truth sample is how silent retrieval
+    regressions ship. Exact ground truth is computed once and shared by
+    both method legs; the recall joins are O(|queries| * k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries_ = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(e, queries_, k=5).persist()
+    ivf = sim.ivf_ann_topk(e, queries_, dim=64, k=5, n_cells=16, nprobe=4)
+    lsh = sim.lsh_ann_topk(e, queries_, dim=64, k=5, n_planes=6, n_tables=4)
+    legs = [
+        sim.ann_recall(exact, ivf, k=5).withColumn("method", F.lit("ivf")),
+        sim.ann_recall(exact, lsh, k=5).withColumn("method", F.lit("lsh")),
+    ]
+    result = legs[0].unionByName(legs[1]).select(
+        "method", "query_id", "n_exact", "n_hits", "recall_at_k"
+    )
+    return dd._finish_release(result, exact)
+
+
+def q204_preference_pairs(spark, sf_dir):
+    """DPO-style preference-pair construction over transcripts: group
+    assistant responses by exact user prompt across conversations, emit
+    one deterministic (chosen, rejected) pair per prompt group with a
+    response-length score proxy (the operator is score-agnostic — a
+    reward-model column drops in upstream)."""
+    from .operators.transcripts import as_transcripts, preference_pairs
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return preference_pairs(tr, min_candidates=2)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4519,4 +4556,6 @@ ALL = {
     "q200_transcript_training_pipeline": q200_transcript_training_pipeline,
     "q201_streaming_context_budget": q201_streaming_context_budget,
     "q202_variant_shred": q202_variant_shred,
+    "q203_ann_recall_eval": q203_ann_recall_eval,
+    "q204_preference_pairs": q204_preference_pairs,
 }
