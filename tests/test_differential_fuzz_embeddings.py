@@ -10,7 +10,11 @@ deliberately NOT in this gate: their cell-assignment step divides by
 the vector norm inside an argmax, so a zero-norm vector's cell is an
 engine-specific artifact — their contract (documented) is non-zero
 vectors, enforced upstream by the quality gates; their sf0.01 oracle
-rows remain their correctness anchor.
+rows remain their correctness anchor. q203 (ANN recall audit) is out
+for the same reason: its IVF leg inherits q53's contract (its LSH and
+exact legs ARE covered here via q25/q26, and ann_recall itself is
+unit-tested on contrived overlap sets in
+tests/test_recall_and_preference.py).
 """
 
 from __future__ import annotations

@@ -95,6 +95,7 @@ FUZZ_QUERIES = [
     "q195_equidepth_drift",
     "q199_conversation_neardup",
     "q200_transcript_training_pipeline",
+    "q204_preference_pairs",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
