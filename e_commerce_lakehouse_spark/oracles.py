@@ -4357,3 +4357,14 @@ FROM ranked b
 JOIN ranked w ON w.prompt = b.prompt AND w.rn = w.n
 WHERE b.rn = 1 AND b.n >= 2
 """
+
+
+# q205: dynamic file pruning — the pruned scan must EQUAL the plain
+# semi-join; the oracle is that semi-join (skipping itself is pinned by
+# pytest metrics, not the hash).
+ALL["q205_dynamic_file_pruning"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents
+WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+GROUP BY lang
+"""

@@ -4335,6 +4335,52 @@ def q203_ann_recall_eval(spark, sf_dir):
     return dd._finish_release(result, exact)
 
 
+def q205_dynamic_file_pruning(spark, sf_dir):
+    """Join-driven dynamic file pruning (table.scan.scan_semi_join —
+    Delta dynamic-file-pruning / Iceberg runtime-filter analog). Build
+    side: embeddings vec_ids with label = 3 (a selective dim predicate);
+    probe side: a bloom-indexed hash-bucketed documents table in q82's
+    adversarial layout — every file spans ~the whole doc_id RANGE
+    (min/max prunes nothing) but holds a disjoint key SET, so only the
+    per-file bloom probes can skip. The value hash proves pruning never
+    drops a row (result ≡ full-scan semi-join); pytest pins that files
+    are actually skipped (files_kept < files_total)."""
+    import os
+    import shutil
+    import uuid
+
+    from .table import scan_semi_join
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("label") == 3)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q205_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        t.set_bloom_columns(["doc_id"])
+        for i in range(4):
+            part = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
+            entries = write_files(spark, t, part, 2, f"ingest-b{i}",
+                                  stat_columns=("doc_id",))
+            t.commit_append(entries, {"op": f"ingest-{i}"})
+        res = scan_semi_join(spark, t, keys, key_col="doc_id",
+                             schema=docs.schema)
+        result = res.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q204_preference_pairs(spark, sf_dir):
     """DPO-style preference-pair construction over transcripts: group
     assistant responses by exact user prompt across conversations, emit
@@ -4558,4 +4604,5 @@ ALL = {
     "q202_variant_shred": q202_variant_shred,
     "q203_ann_recall_eval": q203_ann_recall_eval,
     "q204_preference_pairs": q204_preference_pairs,
+    "q205_dynamic_file_pruning": q205_dynamic_file_pruning,
 }

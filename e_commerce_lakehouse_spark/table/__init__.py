@@ -13,6 +13,7 @@ from .scan import (
     prune_entries,
     read_with_tombstones,
     scan,
+    scan_semi_join,
     tombstone_classes,
 )
 from .stats import collect_entries
@@ -27,6 +28,7 @@ __all__ = [
     "Snapshot",
     "Table",
     "scan",
+    "scan_semi_join",
     "incremental_scan",
     "planned_entries",
     "prune_entries",

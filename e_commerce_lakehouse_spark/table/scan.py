@@ -480,6 +480,124 @@ def scan(
     return df
 
 
+#: bloom refinement probes at most this many in-range keys per file —
+#: beyond it the range check alone decides (probe cost would exceed the
+#: read it might save)
+_SEMI_BLOOM_PROBE_CAP = 2048
+#: key sets up to this size filter rows via an isin literal; larger sets
+#: become a broadcast left-semi join (an isin list that size bloats the
+#: plan and recompiles per file)
+_SEMI_ISIN_MAX = 1000
+
+
+def scan_semi_join(
+    spark: SparkSession,
+    table: Table,
+    keys,
+    key_col: str = "conv_id",
+    snapshot_id: int | None = None,
+    schema=None,
+    columns: list[str] | None = None,
+    max_keys: int = 100_000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Join-driven dynamic file pruning (Delta dynamic file pruning /
+    Iceberg runtime-filter analog): restrict a scan to the files that can
+    contain at least one of a selective equi-join's build-side keys.
+
+    ``keys`` is the BUILD side: a single- or named-column DataFrame (its
+    ``key_col``), or a plain iterable of values. Distinct non-null keys
+    are collected to the driver, BOUNDED by ``max_keys`` — past that the
+    join is not selective enough for file skipping to pay and the caller
+    should scan + shuffle-join instead (ValueError says so). Planning is
+    O(F log K): keys are sorted once and each file's [min, max] stat
+    range bisects out its in-range key subset; a file whose range holds
+    no key is skipped, and a file that carries a bloom for ``key_col``
+    is additionally skipped when every in-range key (capped at
+    ``_SEMI_BLOOM_PROBE_CAP``) misses the bloom. Survivors are read
+    through the normal MoR-tombstone path, then row-filtered by set
+    membership (isin for small sets, broadcast left-semi above
+    ``_SEMI_ISIN_MAX``), so the result EQUALS full-scan ∘ semi-join.
+
+    At 100 TB this is the difference between reading the table and
+    reading the handful of files a dimension-side predicate touches —
+    the manifest work is metadata-only on the driver. ``metrics`` (a
+    dict, optional) receives files_total / files_kept / n_keys for
+    observability and tests."""
+    import bisect
+
+    if isinstance(keys, DataFrame):
+        kdf = keys.select(key_col) if key_col in keys.columns else keys
+        if len(kdf.columns) != 1:
+            raise ValueError(
+                f"keys DataFrame must have a {key_col!r} column or exactly one column"
+            )
+        rows = (
+            kdf.toDF(key_col)
+            .where(F.col(key_col).isNotNull())
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
+        )
+        vals = [r[0] for r in rows]
+    else:
+        vals = list({v for v in keys if v is not None})
+    if len(vals) > max_keys:
+        raise ValueError(
+            f"scan_semi_join collected > max_keys ({max_keys}) build-side keys; "
+            "a join this wide should scan + shuffle-join instead "
+            "(or raise max_keys explicitly)"
+        )
+    schema = resolve_schema(table, snapshot_id, schema)
+    if not vals:
+        return spark.createDataFrame([], schema)
+    try:
+        svals = sorted(vals)
+    except TypeError as exc:  # mixed-type build side: no safe order
+        raise TypeError(f"build-side keys are not mutually orderable: {exc}")
+
+    entries = planned_entries(table, snapshot_id)
+    survivors: list[DataFileEntry] = []
+    for e in entries:
+        rng = e.stats.get(key_col) if e.stats else None
+        if rng is None:
+            survivors.append(e)  # no stats: conservative keep
+            continue
+        mn, mx = rng
+        try:
+            lo = bisect.bisect_left(svals, mn)
+            hi = bisect.bisect_right(svals, mx)
+        except TypeError:
+            survivors.append(e)  # stat/key type mismatch: conservative
+            continue
+        in_range = svals[lo:hi]
+        if not in_range:
+            continue
+        if e.blooms and key_col in e.blooms and len(in_range) <= _SEMI_BLOOM_PROBE_CAP:
+            from .._bloom import bloom_contains
+
+            probes = [_bloom_probe_value(v) for v in in_range]
+            if all(p is not None for p in probes) and not any(
+                bloom_contains(e.blooms[key_col], p) for p in probes
+            ):
+                continue  # in range, provably absent from the file's SET
+        survivors.append(e)
+    if metrics is not None:
+        metrics.update(
+            files_total=len(entries), files_kept=len(survivors), n_keys=len(vals)
+        )
+
+    df = read_with_tombstones(spark, table, survivors, schema, snapshot_id)
+    if len(vals) <= _SEMI_ISIN_MAX:
+        df = df.where(F.col(key_col).isin(vals))
+    else:
+        bkeys = spark.createDataFrame([(v,) for v in vals], [key_col])
+        df = df.join(F.broadcast(bkeys), key_col, "left_semi")
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
 def incremental_scan(
     spark: SparkSession,
     table: Table,

@@ -1,0 +1,98 @@
+"""scan_semi_join (join-driven dynamic file pruning): result equality
+with full-scan semi-join, actual file skipping under both layouts
+(range-sorted and bloom-bucketed), MoR tombstone interplay, and the
+selectivity/input contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.table import scan, scan_semi_join
+from e_commerce_lakehouse_spark.table.meta import Table
+from e_commerce_lakehouse_spark.table.writer import write_files
+
+
+def _mk_table(spark, tiny_df, root, layout: str) -> Table:
+    t = Table.create(str(root))
+    if layout == "bloom-bucketed":
+        t.set_bloom_columns(["conv_id"])
+        for i in range(4):
+            part = tiny_df.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i)
+            entries = write_files(spark, t, part, 2, f"b{i}")
+            t.commit_append(entries, {"op": f"ingest-{i}"})
+    else:  # range-sorted: disjoint conv_id ranges per file, no blooms
+        for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 150), (150, 10**9)]):
+            part = tiny_df.where(
+                F.col("conv_id").between(
+                    f"conv-{lo:012d}", f"conv-{hi:012d}"
+                )
+                & (F.col("conv_id") != f"conv-{hi:012d}")
+            )
+            entries = write_files(spark, t, part, 2, f"r{i}")
+            t.commit_append(entries, {"op": f"ingest-{i}"})
+    return t
+
+
+@pytest.mark.parametrize("layout", ["range-sorted", "bloom-bucketed"])
+def test_semi_join_equals_full_scan_and_prunes(spark, tiny_df, tmp_path, layout):
+    t = _mk_table(spark, tiny_df, tmp_path / layout, layout)
+    # ~3 existing hot conversations + one absent in-range key
+    keys = ["conv-%012d" % i for i in (0, 1, 7)] + ["conv-000000000007-absent"]
+    m: dict = {}
+    got = scan_semi_join(spark, t, keys, key_col="conv_id", metrics=m)
+    want = scan(spark, t).where(F.col("conv_id").isin(keys))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    # both layouts must actually skip files for this key set
+    assert m["files_total"] == 8
+    assert m["files_kept"] < m["files_total"], m
+    assert m["n_keys"] == 4
+
+
+def test_semi_join_dataframe_build_side(spark, tiny_df, tmp_path):
+    t = _mk_table(spark, tiny_df, tmp_path / "tb", "bloom-bucketed")
+    build = spark.createDataFrame(
+        [("conv-%012d" % 2, 1), ("conv-%012d" % 2, 2), ("conv-%012d" % 5, 3)],
+        ["conv_id", "junk"],
+    )
+    got = scan_semi_join(spark, t, build, key_col="conv_id")
+    want = scan(spark, t).where(
+        F.col("conv_id").isin(["conv-%012d" % 2, "conv-%012d" % 5])
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_semi_join_empty_keys_and_contracts(spark, tiny_df, tmp_path):
+    t = _mk_table(spark, tiny_df, tmp_path / "tc", "range-sorted")
+    empty = scan_semi_join(spark, t, [], key_col="conv_id")
+    assert empty.count() == 0
+    assert "conv_id" in empty.columns  # typed empty frame
+    # None keys are dropped, not probed
+    one = scan_semi_join(spark, t, [None, "conv-%012d" % 1], key_col="conv_id")
+    assert one.select("conv_id").distinct().count() == 1
+    with pytest.raises(ValueError, match="max_keys"):
+        scan_semi_join(
+            spark, t, ["conv-%012d" % i for i in range(5)],
+            key_col="conv_id", max_keys=3,
+        )
+    with pytest.raises(TypeError, match="orderable"):
+        scan_semi_join(spark, t, ["conv-000000000001", 7], key_col="conv_id")
+
+
+def test_semi_join_reads_through_mor_tombstones(spark, tiny_df, tmp_path):
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+
+    t = _mk_table(spark, tiny_df, tmp_path / "td", "bloom-bucketed")
+    key = "conv-%012d" % 1
+    before = scan_semi_join(spark, t, [key], key_col="conv_id").count()
+    assert before > 0
+    delete_where(
+        spark, t, f"conv_id = '{key}' AND turn_idx >= 2",
+        mode="merge-on-read", keys=["conv_id", "turn_idx"],
+    )
+    t2 = Table.load(t.root)
+    after = scan_semi_join(spark, t2, [key], key_col="conv_id")
+    assert after.where(F.col("turn_idx") >= 2).count() == 0
+    assert after.count() == min(before, 2)
