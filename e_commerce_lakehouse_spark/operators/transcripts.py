@@ -44,6 +44,9 @@ __all__ = [
     "conversation_cost",
     "boilerplate_turns",
     "context_pack_examples",
+    "preference_pairs",
+    "truncation_audit",
+    "grounding_audit",
 ]
 
 #: default per-character role prices for conversation_cost, in
@@ -696,4 +699,88 @@ def preference_pairs(
         "rejected_turn",
         "rejected_score",
         (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+    )
+
+
+def truncation_audit(tr: DataFrame, budget_chars: int = 1500) -> DataFrame:
+    """Context-truncation strategy comparison: when a conversation must
+    fit in ``budget_chars``, how much survives under keep-HEAD (prefix
+    while the forward cumsum fits), keep-TAIL (suffix while the reverse
+    cumsum fits), and MIDDLE-DROP (a turn survives if it fits in the
+    head OR tail half-budget — the 'attention sink + recency' shape)?
+
+    Pure window arithmetic: one forward and one reverse running sum
+    over the SAME conv_id shuffle, then a grouped count — no UDFs, no
+    joins. A single over-budget first/last turn keeps zero turns under
+    its strategy (inclusive cumsum), deterministically in both engines.
+    """
+    half = budget_chars // 2
+    wf = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = (
+        tr.select("conv_id", "turn_idx", F.length("text").cast("long").alias("len"))
+        .withColumn("fwd", F.sum("len").over(wf))
+        .withColumn("rev", F.sum("len").over(wr))
+    )
+    keep_head = F.col("fwd") <= budget_chars
+    keep_tail = F.col("rev") <= budget_chars
+    keep_mid = (F.col("fwd") <= half) | (F.col("rev") <= half)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("len").cast("long").alias("total_chars"),
+        F.sum(keep_head.cast("long")).cast("long").alias("head_turns"),
+        F.sum(F.when(keep_head, F.col("len")).otherwise(F.lit(0)))
+        .cast("long").alias("head_chars"),
+        F.sum(keep_tail.cast("long")).cast("long").alias("tail_turns"),
+        F.sum(F.when(keep_tail, F.col("len")).otherwise(F.lit(0)))
+        .cast("long").alias("tail_chars"),
+        F.sum(keep_mid.cast("long")).cast("long").alias("middrop_turns"),
+        F.sum(F.when(keep_mid, F.col("len")).otherwise(F.lit(0)))
+        .cast("long").alias("middrop_chars"),
+    )
+
+
+def grounding_audit(tr: DataFrame, lookback_turns: int = 2) -> DataFrame:
+    """Tool-grounding audit: what fraction of each conversation's
+    assistant turns are GROUNDED — preceded by a tool turn within the
+    last ``lookback_turns`` turns? The serving-quality signal for
+    agentic transcripts (an ungrounded answer after a tool-free window
+    is a hallucination risk class).
+
+    One RANGE window over turn_idx per conv_id shuffle; the fraction is
+    reported in integer ppm (exact integer DIV) so the value hash is
+    engine-stable."""
+    wt = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rangeBetween(-int(lookback_turns), -1)
+    )
+    t = tr.select("conv_id", "turn_idx", "role").withColumn(
+        "grounded",
+        (
+            F.count(F.when(F.col("role") == "tool", F.lit(1))).over(wt) > 0
+        ).cast("long"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "tool").cast("long")).cast("long").alias("n_tool"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long").alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("grounded")).otherwise(F.lit(0)))
+        .cast("long").alias("n_grounded"),
+        F.when(
+            F.sum((F.col("role") == "assistant").cast("long")) > 0,
+            F.expr(
+                "(sum(CASE WHEN role = 'assistant' THEN grounded ELSE 0 END)"
+                " * 1000000) DIV sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+            ),
+        ).cast("long").alias("grounded_ppm"),
     )

@@ -4368,3 +4368,53 @@ FROM documents
 WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
 GROUP BY lang
 """
+
+
+# q206: truncation strategies — forward/reverse inclusive cumsums; a
+# turn survives middle-drop if it fits the head OR tail half-budget.
+ALL["q206_truncation_audit"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+c AS (
+    SELECT conv_id, turn_idx, len,
+        sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd,
+        sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
+    FROM tr)
+SELECT conv_id,
+    count(*)::BIGINT AS n_turns,
+    sum(len)::BIGINT AS total_chars,
+    sum((fwd <= 120)::INT)::BIGINT AS head_turns,
+    sum(CASE WHEN fwd <= 120 THEN len ELSE 0 END)::BIGINT AS head_chars,
+    sum((rev <= 120)::INT)::BIGINT AS tail_turns,
+    sum(CASE WHEN rev <= 120 THEN len ELSE 0 END)::BIGINT AS tail_chars,
+    sum((fwd <= 60 OR rev <= 60)::INT)::BIGINT AS middrop_turns,
+    sum(CASE WHEN fwd <= 60 OR rev <= 60 THEN len ELSE 0 END)::BIGINT
+        AS middrop_chars
+FROM c GROUP BY conv_id
+"""
+
+
+# q207: grounding audit — RANGE window over turn_idx (dense, so RANGE
+# [-2, -1] == the two preceding turns); ppm via exact integer //.
+ALL["q207_grounding_audit"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+g AS (
+    SELECT conv_id, turn_idx, role,
+        (count(CASE WHEN role = 'tool' THEN 1 END) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) > 0)::BIGINT
+            AS grounded
+    FROM tr)
+SELECT conv_id,
+    count(*)::BIGINT AS n_turns,
+    sum((role = 'tool')::INT)::BIGINT AS n_tool,
+    sum((role = 'assistant')::INT)::BIGINT AS n_assistant,
+    sum(CASE WHEN role = 'assistant' THEN grounded ELSE 0 END)::BIGINT
+        AS n_grounded,
+    CASE WHEN sum((role = 'assistant')::INT) > 0 THEN
+        (sum(CASE WHEN role = 'assistant' THEN grounded ELSE 0 END)
+         * 1000000) // sum((role = 'assistant')::INT)
+    END::BIGINT AS grounded_ppm
+FROM g GROUP BY conv_id
+"""

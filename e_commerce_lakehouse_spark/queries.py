@@ -4393,6 +4393,26 @@ def q204_preference_pairs(spark, sf_dir):
     return preference_pairs(tr, min_candidates=2)
 
 
+def q206_truncation_audit(spark, sf_dir):
+    """Context-truncation strategy comparison (keep-head / keep-tail /
+    middle-drop) per conversation — pure forward+reverse window cumsums
+    over one conv_id shuffle (transcripts.truncation_audit)."""
+    from .operators.transcripts import as_transcripts, truncation_audit
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return truncation_audit(tr, budget_chars=120)
+
+
+def q207_grounding_audit(spark, sf_dir):
+    """Tool-grounding audit: fraction of assistant turns preceded by a
+    tool turn within a 2-turn lookback, in exact integer ppm
+    (transcripts.grounding_audit)."""
+    from .operators.transcripts import as_transcripts, grounding_audit
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return grounding_audit(tr, lookback_turns=2)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4605,4 +4625,6 @@ ALL = {
     "q203_ann_recall_eval": q203_ann_recall_eval,
     "q204_preference_pairs": q204_preference_pairs,
     "q205_dynamic_file_pruning": q205_dynamic_file_pruning,
+    "q206_truncation_audit": q206_truncation_audit,
+    "q207_grounding_audit": q207_grounding_audit,
 }

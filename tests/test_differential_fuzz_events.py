@@ -96,6 +96,8 @@ FUZZ_QUERIES = [
     "q199_conversation_neardup",
     "q200_transcript_training_pipeline",
     "q204_preference_pairs",
+    "q206_truncation_audit",
+    "q207_grounding_audit",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

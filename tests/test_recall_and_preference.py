@@ -146,3 +146,55 @@ def test_preference_pairs_custom_score_sees_response_row(spark):
     r = out[0]
     assert r["chosen_conv"] == "c2" and r["chosen_score"] == 7
     assert r["rejected_conv"] == "c1" and r["rejected_score"] == 1
+
+
+def test_truncation_audit_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import truncation_audit
+
+    rows = [
+        ("c1", 0, "user", "x" * 50),
+        ("c1", 1, "assistant", "x" * 60),
+        ("c1", 2, "user", "x" * 70),
+        # single turn larger than the whole budget: zero kept everywhere
+        ("c2", 0, "user", "x" * 200),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in truncation_audit(_tr(spark, rows), budget_chars=120).collect()
+    }
+    c1 = out["c1"]
+    # fwd cums 50,110,180 -> head keeps 2 turns / 110 chars
+    assert (c1["head_turns"], c1["head_chars"]) == (2, 110)
+    # rev cums 70,130,180 -> tail keeps 1 turn / 70 chars
+    assert (c1["tail_turns"], c1["tail_chars"]) == (1, 70)
+    # half-budget 60: fwd<=60 keeps turn0 only, rev<=60 keeps none
+    assert (c1["middrop_turns"], c1["middrop_chars"]) == (1, 50)
+    assert (c1["n_turns"], c1["total_chars"]) == (3, 180)
+    c2 = out["c2"]
+    assert c2["head_turns"] == c2["tail_turns"] == c2["middrop_turns"] == 0
+    assert c2["total_chars"] == 200
+
+
+def test_grounding_audit_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import grounding_audit
+
+    rows = [
+        ("c1", 0, "system", "s"),
+        ("c1", 1, "tool", "t"),
+        ("c1", 2, "assistant", "a"),   # tool at idx1 within [-2,-1]: grounded
+        ("c1", 3, "user", "u"),
+        ("c1", 4, "assistant", "a"),   # lookback idx2,3: no tool
+        # conversation with no assistant turns: ppm must be NULL
+        ("c2", 0, "system", "s"),
+        ("c2", 1, "user", "u"),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in grounding_audit(_tr(spark, rows), lookback_turns=2).collect()
+    }
+    c1 = out["c1"]
+    assert (c1["n_assistant"], c1["n_grounded"]) == (2, 1)
+    assert c1["grounded_ppm"] == 500_000
+    assert c1["n_tool"] == 1
+    c2 = out["c2"]
+    assert c2["n_assistant"] == 0 and c2["grounded_ppm"] is None
