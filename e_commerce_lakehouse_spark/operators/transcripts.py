@@ -47,6 +47,7 @@ __all__ = [
     "preference_pairs",
     "truncation_audit",
     "grounding_audit",
+    "sft_examples",
 ]
 
 #: default per-character role prices for conversation_cost, in
@@ -783,4 +784,62 @@ def grounding_audit(tr: DataFrame, lookback_turns: int = 2) -> DataFrame:
                 " * 1000000) DIV sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
             ),
         ).cast("long").alias("grounded_ppm"),
+    )
+
+
+def sft_examples(tr: DataFrame, budget_chars: int = 1000) -> DataFrame:
+    """SFT training-example EXPORT: one row per assistant turn (the
+    target) with its lookback context window under ``budget_chars`` —
+    the emit twin of :func:`context_pack_examples`, which only counts.
+
+    ``ctx_start`` is the exclusive character cumsum (where this turn's
+    context begins); the context window is every prior turn whose own
+    ctx_start lies within [ctx_start - budget, ctx_start] (ANSI RANGE —
+    ties are peers in both engines, so zero-length turns can't flip the
+    window). Output per example: the target turn, the first context
+    turn index, context turn/char counts, and the target's own length —
+    the manifest a downstream tokenizer job materializes text for (a
+    second join back to the table by (conv_id, turn range), never a
+    driver loop).
+
+    One conv_id shuffle shared by the cumsum window, both RANGE
+    windows, and the projection."""
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length("text").cast("long").alias("len"),
+    ).withColumn(
+        "ctx_start", F.coalesce(F.sum("len").over(wc), F.lit(0).cast("long"))
+    )
+    wr = (
+        Window.partitionBy("conv_id")
+        .orderBy("ctx_start")
+        .rangeBetween(-int(budget_chars), 0)
+    )
+    ex = (
+        t.withColumn("n_ctx_turns", (F.count(F.lit(1)).over(wr) - 1).cast("long"))
+        .withColumn("first_ctx_turn", F.min("turn_idx").over(wr))
+        .withColumn(
+            "ctx_chars",
+            (F.sum("len").over(wr) - F.col("len")).cast("long"),
+        )
+        .where(F.col("role") == "assistant")
+    )
+    return ex.select(
+        "conv_id",
+        F.col("turn_idx").alias("target_turn_idx"),
+        # the window includes the target row itself; with zero context
+        # the 'first context turn' IS the target (n_ctx_turns 0 tells
+        # the consumer the context is empty)
+        F.when(F.col("n_ctx_turns") > 0, F.col("first_ctx_turn"))
+        .otherwise(F.col("turn_idx")).alias("first_ctx_turn"),
+        "n_ctx_turns",
+        "ctx_chars",
+        F.col("len").alias("target_chars"),
     )

@@ -4418,3 +4418,29 @@ SELECT conv_id,
     END::BIGINT AS grounded_ppm
 FROM g GROUP BY conv_id
 """
+
+
+# q208: SFT example export — q188's RANGE-window machinery, emitting
+# the per-target manifest instead of per-conversation counts.
+ALL["q208_sft_examples"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+c AS (
+    SELECT conv_id, turn_idx, role, len,
+        coalesce(sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS ctx_start
+    FROM tr),
+e AS (
+    SELECT conv_id, turn_idx, role, len, ctx_start,
+        (count(*) OVER w - 1)::BIGINT AS n_ctx_turns,
+        min(turn_idx) OVER w AS min_idx,
+        (sum(len) OVER w - len)::BIGINT AS ctx_chars
+    FROM c
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ctx_start
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW))
+SELECT conv_id, turn_idx::INT AS target_turn_idx,
+    CASE WHEN n_ctx_turns > 0 THEN min_idx ELSE turn_idx END::INT
+        AS first_ctx_turn,
+    n_ctx_turns, ctx_chars, len AS target_chars
+FROM e WHERE role = 'assistant'
+"""

@@ -4413,6 +4413,16 @@ def q207_grounding_audit(spark, sf_dir):
     return grounding_audit(tr, lookback_turns=2)
 
 
+def q208_sft_examples(spark, sf_dir):
+    """SFT example export: one manifest row per assistant target turn
+    with its char-budgeted lookback context window
+    (transcripts.sft_examples — the emit twin of q188's counter)."""
+    from .operators.transcripts import as_transcripts, sft_examples
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return sft_examples(tr, budget_chars=100)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4627,4 +4637,5 @@ ALL = {
     "q205_dynamic_file_pruning": q205_dynamic_file_pruning,
     "q206_truncation_audit": q206_truncation_audit,
     "q207_grounding_audit": q207_grounding_audit,
+    "q208_sft_examples": q208_sft_examples,
 }

@@ -98,6 +98,7 @@ FUZZ_QUERIES = [
     "q204_preference_pairs",
     "q206_truncation_audit",
     "q207_grounding_audit",
+    "q208_sft_examples",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -198,3 +198,31 @@ def test_grounding_audit_closed_form(spark):
     assert c1["n_tool"] == 1
     c2 = out["c2"]
     assert c2["n_assistant"] == 0 and c2["grounded_ppm"] is None
+
+
+def test_sft_examples_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import sft_examples
+
+    rows = [
+        ("c1", 0, "system", "x" * 40),
+        ("c1", 1, "user", "x" * 30),
+        ("c1", 2, "assistant", "x" * 20),  # ctx_start 70: window fits both priors
+        ("c1", 3, "user", "x" * 90),
+        ("c1", 4, "assistant", "x" * 10),  # ctx_start 180: only turn3 (90) fits
+        # assistant with NO prior turns: empty context, first_ctx = self
+        ("c2", 0, "assistant", "x" * 5),
+    ]
+    out = {
+        (r["conv_id"], r["target_turn_idx"]): r
+        for r in sft_examples(_tr(spark, rows), budget_chars=120).collect()
+    }
+    assert len(out) == 3
+    a = out[("c1", 2)]
+    assert (a["n_ctx_turns"], a["ctx_chars"], a["first_ctx_turn"]) == (2, 70, 0)
+    assert a["target_chars"] == 20
+    b = out[("c1", 4)]
+    # target ctx_start 180, window [60, 180]: turn2 (70) and turn3 (90)
+    # qualify; turns 0/1 (ctx_start 0/40) fall outside the budget
+    assert (b["n_ctx_turns"], b["ctx_chars"], b["first_ctx_turn"]) == (2, 110, 2)
+    c = out[("c2", 0)]
+    assert (c["n_ctx_turns"], c["ctx_chars"], c["first_ctx_turn"]) == (0, 0, 0)
