@@ -299,7 +299,10 @@ def ann_recall(
     ``exact`` / ``approx`` are result frames in the shape returned by
     :func:`brute_force_topk` / :func:`ivf_ann_topk` / :func:`lsh_ann_topk`
     (one row per (query, neighbor)). Output: one row per query with the
-    ground-truth size, hit count and ``recall_at_k = n_hits / k``.
+    ground-truth size, hit count and ``recall_at_k = n_hits /
+    min(k, n_exact)`` — normalized by the ACHIEVABLE hit count, so a
+    perfect index on a corpus smaller than k still reports 1.0 (review
+    finding).
 
     100 TB story: both inputs are top-k frames (≤ k rows per query), so
     the equi-join on (query, neighbor) and the per-query aggregate are
@@ -319,7 +322,13 @@ def ann_recall(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
         )
-        .withColumn("recall_at_k", F.round(F.col("n_hits") / F.lit(float(k)), 9))
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.col("n_hits") / F.least(F.lit(k), F.col("n_exact")).cast("double"),
+                9,
+            ),
+        )
     )
 
 

@@ -574,6 +574,25 @@ def boilerplate_turns(tr: DataFrame, min_occurrences: int = 2) -> DataFrame:
     )
 
 
+def _ctx_start_frame(tr: DataFrame) -> DataFrame:
+    """Shared (conv_id, turn_idx, role, len, ctx_start) projection:
+    ``ctx_start`` = exclusive character cumsum (where this turn's
+    context begins). Used by context_pack_examples and sft_examples."""
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length("text").cast("long").alias("len"),
+    ).withColumn(
+        "ctx_start", F.coalesce(F.sum("len").over(wc), F.lit(0).cast("long"))
+    )
+
+
 def context_pack_examples(
     tr: DataFrame, budget_chars: int = 1000
 ) -> DataFrame:
@@ -584,25 +603,17 @@ def context_pack_examples(
     turn's context begins); a RANGE window over ctx_start counts the
     turns whose context start lies within [ctx_start - budget,
     ctx_start] — ANSI RANGE semantics (ties are peers) in both engines,
-    so the count is deterministic even for zero-length turns. Reported
-    per conversation: example count, total and max context turns.
+    so the count is deterministic even for zero-length turns. NOTE: a
+    zero-length turn makes its successor a ctx_start PEER, so this
+    audit count can include a same-offset future turn; the exporter
+    (sft_examples) subtracts those — use it for anything that ships
+    training data. Reported per conversation: example count, total and
+    max context turns.
 
     One shuffle on conv_id shared by the cumsum window, the RANGE
     window, and the final group-by.
     """
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    t = tr.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        F.length("text").cast("long").alias("len"),
-    ).withColumn(
-        "ctx_start", F.coalesce(F.sum("len").over(wc), F.lit(0).cast("long"))
-    )
+    t = _ctx_start_frame(tr)
     wr = (
         Window.partitionBy("conv_id")
         .orderBy("ctx_start")
@@ -644,6 +655,13 @@ def preference_pairs(
     groups distribute across the cluster; a pathologically hot prompt is
     a skew key like any other (salt upstream or cap group size).
     """
+    if min_candidates < 2:
+        # a singleton group would pair a row with ITSELF (rn == 1 == n),
+        # silently breaking the chosen != rejected guarantee above
+        raise ValueError(
+            f"min_candidates must be >= 2 (got {min_candidates}): a "
+            "1-candidate group has no distinct rejected response"
+        )
     if score is None:
         score = F.length("text").cast("long")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -793,41 +811,47 @@ def sft_examples(tr: DataFrame, budget_chars: int = 1000) -> DataFrame:
     the emit twin of :func:`context_pack_examples`, which only counts.
 
     ``ctx_start`` is the exclusive character cumsum (where this turn's
-    context begins); the context window is every prior turn whose own
-    ctx_start lies within [ctx_start - budget, ctx_start] (ANSI RANGE —
-    ties are peers in both engines, so zero-length turns can't flip the
-    window). Output per example: the target turn, the first context
-    turn index, context turn/char counts, and the target's own length —
-    the manifest a downstream tokenizer job materializes text for (a
-    second join back to the table by (conv_id, turn range), never a
-    driver loop).
+    context begins); the context window is every PRIOR turn whose own
+    ctx_start lies within [ctx_start - budget, ctx_start]. ANSI RANGE
+    includes peers — and a zero-length turn makes its SUCCESSOR a
+    ctx_start peer, i.e. a FUTURE turn — so the window aggregates are
+    corrected by subtracting same-offset followers (a peer window over
+    (conv_id, ctx_start)): training context must never contain a turn
+    after the target (review finding). Output per example: the target
+    turn, the first context turn index, context turn/char counts, and
+    the target's own length — the manifest a downstream tokenizer job
+    materializes text for (a second join back to the table by
+    (conv_id, turn range), never a driver loop).
 
-    One conv_id shuffle shared by the cumsum window, both RANGE
-    windows, and the projection."""
-    wc = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    t = tr.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        F.length("text").cast("long").alias("len"),
-    ).withColumn(
-        "ctx_start", F.coalesce(F.sum("len").over(wc), F.lit(0).cast("long"))
-    )
+    One conv_id shuffle shared by the cumsum, RANGE, and peer windows
+    (the peer partition is a prefix-compatible refinement)."""
+    t = _ctx_start_frame(tr)
     wr = (
         Window.partitionBy("conv_id")
         .orderBy("ctx_start")
         .rangeBetween(-int(budget_chars), 0)
     )
+    # same-offset FOLLOWERS (peers with a later turn_idx): their
+    # count/chars must not appear in the target's context
+    wpeer = (
+        Window.partitionBy("conv_id", "ctx_start")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
     ex = (
-        t.withColumn("n_ctx_turns", (F.count(F.lit(1)).over(wr) - 1).cast("long"))
+        t.withColumn("after_cnt", F.count(F.lit(1)).over(wpeer).cast("long"))
+        .withColumn(
+            "after_len",
+            F.coalesce(F.sum("len").over(wpeer), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_ctx_turns",
+            (F.count(F.lit(1)).over(wr) - 1 - F.col("after_cnt")).cast("long"),
+        )
         .withColumn("first_ctx_turn", F.min("turn_idx").over(wr))
         .withColumn(
             "ctx_chars",
-            (F.sum("len").over(wr) - F.col("len")).cast("long"),
+            (F.sum("len").over(wr) - F.col("len") - F.col("after_len")).cast("long"),
         )
         .where(F.col("role") == "assistant")
     )

@@ -4314,8 +4314,8 @@ gt AS (SELECT m.method, e.query_id, e.neighbor_id FROM exact e CROSS JOIN m)
 SELECT g.method, g.query_id,
     count(*)::BIGINT AS n_exact,
     sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
-    round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 9)
-        AS recall_at_k
+    round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          / least(5, count(*)), 9) AS recall_at_k
 FROM gt g
 LEFT JOIN labeled l
     ON l.method = g.method AND l.query_id = g.query_id
@@ -4421,7 +4421,11 @@ FROM g GROUP BY conv_id
 
 
 # q208: SFT example export — q188's RANGE-window machinery, emitting
-# the per-target manifest instead of per-conversation counts.
+# the per-target manifest instead of per-conversation counts. ANSI
+# RANGE peers include same-ctx_start FOLLOWERS (a zero-length turn
+# makes its successor a peer), which would leak FUTURE turns into a
+# training context: the peer window subtracts them, exactly like the
+# Spark side.
 ALL["q208_sft_examples"] = f"""
 WITH {_TRANSCRIPT_CTE_TOOL},
 c AS (
@@ -4432,12 +4436,15 @@ c AS (
     FROM tr),
 e AS (
     SELECT conv_id, turn_idx, role, len, ctx_start,
-        (count(*) OVER w - 1)::BIGINT AS n_ctx_turns,
+        (count(*) OVER w - 1 - count(*) OVER p)::BIGINT AS n_ctx_turns,
         min(turn_idx) OVER w AS min_idx,
-        (sum(len) OVER w - len)::BIGINT AS ctx_chars
+        (sum(len) OVER w - len - coalesce(sum(len) OVER p, 0))::BIGINT
+            AS ctx_chars
     FROM c
     WINDOW w AS (PARTITION BY conv_id ORDER BY ctx_start
-                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW))
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW),
+           p AS (PARTITION BY conv_id, ctx_start ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
 SELECT conv_id, turn_idx::INT AS target_turn_idx,
     CASE WHEN n_ctx_turns > 0 THEN min_idx ELSE turn_idx END::INT
         AS first_ctx_turn,

@@ -70,6 +70,30 @@ def _docs_table_clone(spark, sf_dir: str, tag: str) -> str:
     return dst
 
 
+def _bucketed_bloom_table(spark, df, key_col: str, tag: str,
+                          n_buckets: int = 4, files_per_bucket: int = 2):
+    """Bloom-index adversarial layout shared by q82/q205: ``n_buckets``
+    hash-bucketed appends so every file spans ~the whole key RANGE
+    (min/max stats prune nothing) but holds a disjoint key SET — only
+    the per-file bloom can skip. Returns (Table, root); caller owns
+    (and removes) the directory."""
+    import uuid
+
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_{tag}_{uuid.uuid4().hex[:12]}")
+    t = Table.create(root)
+    t.set_bloom_columns([key_col])
+    for i in range(n_buckets):
+        part = df.where(F.pmod(F.xxhash64(key_col), F.lit(n_buckets)) == i)
+        entries = write_files(spark, t, part, files_per_bucket,
+                              f"ingest-b{i}", stat_columns=(key_col,))
+        t.commit_append(entries, {"op": f"ingest-{i}"})
+    return t, root
+
+
 # ------------------------------------------------------------ aggregation
 
 
@@ -2319,30 +2343,18 @@ def q82_bloom_point_lookup(spark, sf_dir):
     absent-but-in-range key is probed too — it must contribute zero rows
     whether or not a bloom false-positive keeps a file."""
     import functools
-    import os
     import shutil
-    import uuid
 
     from .table import scan
-    from .table.meta import Table
-    from .table.writer import write_files
 
     docs = _t(spark, sf_dir, "documents").select(
         F.format_string("doc-%09d", F.col("doc_id")).alias("conv_id"),
         "doc_id", "source", "lang", "n_chars",
     )
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    root = os.path.join(base, f"spark_graft_q82_{uuid.uuid4().hex[:12]}")
     keys = [f"doc-{i:09d}" for i in (3, 57, 123, 250, 411)]
     keys.append("doc-000000123-absent")  # in-range, never written
+    t, root = _bucketed_bloom_table(spark, docs, "conv_id", "q82")
     try:
-        t = Table.create(root)
-        t.set_bloom_columns(["conv_id"])
-        for i in range(4):
-            part = docs.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i)
-            entries = write_files(spark, t, part, 2, f"ingest-b{i}",
-                                  stat_columns=("conv_id",))
-            t.commit_append(entries, {"op": f"ingest-{i}"})
         parts = [
             scan(spark, t, conv_id=k, schema=docs.schema) for k in keys
         ]
@@ -4344,14 +4356,13 @@ def q205_dynamic_file_pruning(spark, sf_dir):
     (min/max prunes nothing) but holds a disjoint key SET, so only the
     per-file bloom probes can skip. The value hash proves pruning never
     drops a row (result ≡ full-scan semi-join); pytest pins that files
-    are actually skipped (files_kept < files_total)."""
-    import os
+    are actually skipped (files_kept < files_total). on_overflow='scan'
+    keeps the query total at any sf: if the label stratum ever outgrows
+    max_keys, the op degrades to the plain distributed semi-join
+    instead of raising (review finding)."""
     import shutil
-    import uuid
 
     from .table import scan_semi_join
-    from .table.meta import Table
-    from .table.writer import write_files
 
     docs = _t(spark, sf_dir, "documents")
     keys = (
@@ -4359,18 +4370,10 @@ def q205_dynamic_file_pruning(spark, sf_dir):
         .where(F.col("label") == 3)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    root = os.path.join(base, f"spark_graft_q205_{uuid.uuid4().hex[:12]}")
+    t, root = _bucketed_bloom_table(spark, docs, "doc_id", "q205")
     try:
-        t = Table.create(root)
-        t.set_bloom_columns(["doc_id"])
-        for i in range(4):
-            part = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == i)
-            entries = write_files(spark, t, part, 2, f"ingest-b{i}",
-                                  stat_columns=("doc_id",))
-            t.commit_append(entries, {"op": f"ingest-{i}"})
         res = scan_semi_join(spark, t, keys, key_col="doc_id",
-                             schema=docs.schema)
+                             schema=docs.schema, on_overflow="scan")
         result = res.groupBy("lang").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("chars"),

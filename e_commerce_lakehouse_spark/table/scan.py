@@ -500,6 +500,7 @@ def scan_semi_join(
     columns: list[str] | None = None,
     max_keys: int = 100_000,
     metrics: dict | None = None,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Join-driven dynamic file pruning (Delta dynamic file pruning /
     Iceberg runtime-filter analog): restrict a scan to the files that can
@@ -523,33 +524,50 @@ def scan_semi_join(
     reading the handful of files a dimension-side predicate touches —
     the manifest work is metadata-only on the driver. ``metrics`` (a
     dict, optional) receives files_total / files_kept / n_keys for
-    observability and tests."""
+    observability and tests (an empty build side short-circuits
+    planning and reports 0/0/0). ``on_overflow`` decides what happens
+    past ``max_keys``: ``"raise"`` (default) or ``"scan"`` — fall back
+    to full scan + shuffle semi-join, i.e. graceful degradation when
+    the build side turns out not to be selective (files_kept ==
+    files_total in metrics, n_keys = -1 for 'unbounded')."""
     import bisect
 
+    if on_overflow not in ("raise", "scan"):
+        raise ValueError(f"on_overflow must be 'raise' or 'scan', got {on_overflow!r}")
+    build_df = None
     if isinstance(keys, DataFrame):
         kdf = keys.select(key_col) if key_col in keys.columns else keys
         if len(kdf.columns) != 1:
             raise ValueError(
                 f"keys DataFrame must have a {key_col!r} column or exactly one column"
             )
-        rows = (
-            kdf.toDF(key_col)
-            .where(F.col(key_col).isNotNull())
-            .distinct()
-            .limit(max_keys + 1)
-            .collect()
-        )
+        build_df = kdf.toDF(key_col).where(F.col(key_col).isNotNull())
+        rows = build_df.distinct().limit(max_keys + 1).collect()
         vals = [r[0] for r in rows]
     else:
         vals = list({v for v in keys if v is not None})
-    if len(vals) > max_keys:
-        raise ValueError(
-            f"scan_semi_join collected > max_keys ({max_keys}) build-side keys; "
-            "a join this wide should scan + shuffle-join instead "
-            "(or raise max_keys explicitly)"
-        )
     schema = resolve_schema(table, snapshot_id, schema)
+    if len(vals) > max_keys:
+        if on_overflow == "raise":
+            raise ValueError(
+                f"scan_semi_join collected > max_keys ({max_keys}) build-side keys; "
+                "a join this wide should scan + shuffle-join instead "
+                "(or raise max_keys / pass on_overflow='scan')"
+            )
+        # graceful fallback: no file skipping, plain distributed semi-join
+        entries = planned_entries(table, snapshot_id)
+        if metrics is not None:
+            metrics.update(
+                files_total=len(entries), files_kept=len(entries), n_keys=-1
+            )
+        df = read_with_tombstones(spark, table, entries, schema, snapshot_id)
+        if build_df is None:
+            build_df = spark.createDataFrame([(v,) for v in vals], [key_col])
+        df = df.join(build_df.distinct(), key_col, "left_semi")
+        return df.select(*columns) if columns else df
     if not vals:
+        if metrics is not None:
+            metrics.update(files_total=0, files_kept=0, n_keys=0)
         return spark.createDataFrame([], schema)
     try:
         svals = sorted(vals)
@@ -561,18 +579,21 @@ def scan_semi_join(
     for e in entries:
         rng = e.stats.get(key_col) if e.stats else None
         if rng is None:
-            survivors.append(e)  # no stats: conservative keep
-            continue
-        mn, mx = rng
-        try:
-            lo = bisect.bisect_left(svals, mn)
-            hi = bisect.bisect_right(svals, mx)
-        except TypeError:
-            survivors.append(e)  # stat/key type mismatch: conservative
-            continue
-        in_range = svals[lo:hi]
-        if not in_range:
-            continue
+            in_range = svals  # no stats: every key is plausibly in-range
+        else:
+            mn, mx = rng
+            try:
+                lo = bisect.bisect_left(svals, mn)
+                hi = bisect.bisect_right(svals, mx)
+            except TypeError:
+                survivors.append(e)  # stat/key type mismatch: conservative
+                continue
+            in_range = svals[lo:hi]
+            if not in_range:
+                continue
+        # bloom-set refinement runs with OR without stats (matching
+        # prune_entries' point-lookup path — a stats-less file with a
+        # bloom is still provably skippable)
         if e.blooms and key_col in e.blooms and len(in_range) <= _SEMI_BLOOM_PROBE_CAP:
             from .._bloom import bloom_contains
 

@@ -226,3 +226,45 @@ def test_sft_examples_closed_form(spark):
     assert (b["n_ctx_turns"], b["ctx_chars"], b["first_ctx_turn"]) == (2, 110, 2)
     c = out[("c2", 0)]
     assert (c["n_ctx_turns"], c["ctx_chars"], c["first_ctx_turn"]) == (0, 0, 0)
+
+
+def test_sft_examples_no_future_turn_leak_on_ctx_start_ties(spark):
+    # review finding: a zero-length turn makes its SUCCESSOR a ctx_start
+    # peer; the exporter must not count the future turn as context
+    from e_commerce_lakehouse_spark.operators.transcripts import sft_examples
+
+    rows = [
+        ("c1", 0, "system", "x" * 10),
+        ("c1", 1, "user", ""),             # zero-length: turns 1,2,3 tie at 10
+        ("c1", 2, "assistant", ""),        # target; turn 3 is a FUTURE peer
+        ("c1", 3, "user", "x" * 50),
+    ]
+    out = {
+        r["target_turn_idx"]: r
+        for r in sft_examples(_tr(spark, rows), budget_chars=120).collect()
+    }
+    a = out[2]
+    # context = turns 0 and 1 only (10 chars); turn 3's 50 chars must NOT leak
+    assert (a["n_ctx_turns"], a["ctx_chars"], a["first_ctx_turn"]) == (2, 10, 0)
+
+
+def test_preference_pairs_rejects_min_candidates_below_two(spark):
+    rows = [("c1", 0, "user", "P"), ("c1", 1, "assistant", "a")]
+    with pytest.raises(ValueError, match="min_candidates"):
+        preference_pairs(_tr(spark, rows), min_candidates=1)
+
+
+def test_ann_recall_normalizes_by_achievable_hits(spark):
+    # review finding: ground truth smaller than k — a perfect index must
+    # report recall 1.0, not n_exact/k
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = tiny.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(tiny, queries, k=5)  # only 2 neighbors exist
+    out = ann_recall(exact, exact, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["n_exact"] == 2 and out[0]["recall_at_k"] == 1.0

@@ -96,3 +96,44 @@ def test_semi_join_reads_through_mor_tombstones(spark, tiny_df, tmp_path):
     after = scan_semi_join(spark, t2, [key], key_col="conv_id")
     assert after.where(F.col("turn_idx") >= 2).count() == 0
     assert after.count() == min(before, 2)
+
+
+def test_semi_join_empty_keys_populates_metrics(spark, tiny_df, tmp_path):
+    t = _mk_table(spark, tiny_df, tmp_path / "tm", "range-sorted")
+    m: dict = {}
+    scan_semi_join(spark, t, [], key_col="conv_id", metrics=m)
+    assert m == {"files_total": 0, "files_kept": 0, "n_keys": 0}
+
+
+def test_semi_join_overflow_scan_fallback(spark, tiny_df, tmp_path):
+    t = _mk_table(spark, tiny_df, tmp_path / "to", "range-sorted")
+    keys = ["conv-%012d" % i for i in range(6)]
+    m: dict = {}
+    got = scan_semi_join(
+        spark, t, keys, key_col="conv_id", max_keys=3,
+        on_overflow="scan", metrics=m,
+    )
+    want = scan(spark, t).where(F.col("conv_id").isin(keys))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert m["n_keys"] == -1 and m["files_kept"] == m["files_total"] > 0
+    with pytest.raises(ValueError, match="on_overflow"):
+        scan_semi_join(spark, t, keys, key_col="conv_id", on_overflow="nope")
+
+
+def test_semi_join_bloom_skips_without_stats(spark, tiny_df, tmp_path):
+    # review finding: a stats-less file with a bloom is still provably
+    # skippable — the bloom check must run even when min/max is absent
+    t = Table.create(str(tmp_path / "tb_nostats"))
+    t.set_bloom_columns(["conv_id"])
+    for i in range(4):
+        part = tiny_df.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == i)
+        # stat only ts: conv_id has a bloom but NO min/max range
+        entries = write_files(spark, t, part, 2, f"b{i}", stat_columns=("ts",))
+        t.commit_append(entries, {"op": f"ingest-{i}"})
+    keys = ["conv-%012d" % 1]
+    m: dict = {}
+    got = scan_semi_join(spark, t, keys, key_col="conv_id", metrics=m)
+    want = scan(spark, t).where(F.col("conv_id").isin(keys))
+    assert got.count() == want.count() > 0
+    assert m["files_kept"] < m["files_total"], m
