@@ -366,6 +366,36 @@ def _ivf_centroids(v: DataFrame, dim: int, n_cells: int) -> list[tuple[int, list
     ]
 
 
+def ivf_assign_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: the coarse quantizer is built
+    ONCE from the base corpus (same deterministic md5 seeds + one Lloyd
+    step as :func:`ivf_ann_topk`, so an index built today reproduces
+    bit-identically), then a NEW ingest batch is assigned to those
+    FROZEN centroids by a pure projection — the daily-ingest path of a
+    vector index (q79's incremental-MinHash twin for ANN): the base is
+    scanned only for the centroid build, the new batch never shuffles,
+    and the output is the (id, cell) postings the index table appends.
+    Non-zero vectors are the contract, as for ivf_ann_topk (enforced
+    upstream by the quality gates)."""
+    vb = _norms(base, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
+    try:
+        cents = _ivf_centroids(vb, dim, n_cells)
+    finally:
+        vb.unpersist()
+    vn = _norms(new, "neighbor_id", "nv", "nn", id_col, vec_col)
+    return vn.select(
+        F.col("neighbor_id").alias(id_col),
+        _centroid_argmax(cents, "nv", "nn"),
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     dim: int,

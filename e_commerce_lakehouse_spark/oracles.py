@@ -4451,3 +4451,42 @@ SELECT conv_id, turn_idx::INT AS target_turn_idx,
     n_ctx_turns, ctx_chars, len AS target_chars
 FROM e WHERE role = 'assistant'
 """
+
+
+# q209: incremental IVF assignment — _ivf_sql's quantizer stages with
+# the corpus split: seeds/means from the BASE (vec_id < 400), argmax
+# assignment of the NEW batch only.
+def _ivf_assign_sql(split: int = 400, n_cells: int = 16) -> str:
+    cos5 = """
+round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+ / nullif(sqrt(list_sum(list_transform(a.e, x -> x * x)))
+  * sqrt(list_sum(list_transform(b.e, x -> x * x))), 0), 5)
+"""
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+base AS (SELECT * FROM ev WHERE vec_id < {split}),
+seeds AS (
+    SELECT vec_id, e,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cell
+    FROM base QUALIFY cell <= {n_cells}),
+assign0 AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT a.vec_id, a.e, b.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos5} DESC, b.cell ASC) AS rn
+        FROM base a CROSS JOIN (SELECT cell, e FROM seeds) b) WHERE rn = 1),
+cent AS (
+    SELECT cell, i, round(avg(e[i]), 6) AS m
+    FROM assign0 CROSS JOIN (SELECT unnest(range(1, len((SELECT e FROM ev LIMIT 1)) + 1)) AS i)
+    GROUP BY cell, i),
+centl AS (SELECT cell, list(m ORDER BY i) AS e FROM cent GROUP BY cell)
+SELECT vec_id, cell::INT AS cell FROM (
+    SELECT a.vec_id, b.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos5} DESC, b.cell ASC) AS rn
+    FROM (SELECT * FROM ev WHERE vec_id >= {split}) a CROSS JOIN centl b)
+WHERE rn = 1
+"""
+
+
+ALL["q209_ivf_incremental_assign"] = _ivf_assign_sql()

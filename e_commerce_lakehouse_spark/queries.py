@@ -4426,6 +4426,19 @@ def q208_sft_examples(spark, sf_dir):
     return sft_examples(tr, budget_chars=100)
 
 
+def q209_ivf_incremental_assign(spark, sf_dir):
+    """Incremental IVF index maintenance (similarity.
+    ivf_assign_incremental): centroids frozen on the base corpus
+    (vec_id < 400), the new ingest batch (vec_id >= 400) assigned by a
+    pure projection — per-row (vec_id, cell) postings, fully value-hash
+    oracled because every stage (md5 seeds, 6-dp Lloyd means, 5-dp
+    argmax cosines) is deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") < 400)
+    new = e.where(F.col("vec_id") >= 400)
+    return sim.ivf_assign_incremental(base, new, dim=64, n_cells=16)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4641,4 +4654,5 @@ ALL = {
     "q206_truncation_audit": q206_truncation_audit,
     "q207_grounding_audit": q207_grounding_audit,
     "q208_sft_examples": q208_sft_examples,
+    "q209_ivf_incremental_assign": q209_ivf_incremental_assign,
 }

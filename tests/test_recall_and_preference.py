@@ -268,3 +268,35 @@ def test_ann_recall_normalizes_by_achievable_hits(spark):
     out = ann_recall(exact, exact, k=5).collect()
     assert len(out) == 1
     assert out[0]["n_exact"] == 2 and out[0]["recall_at_k"] == 1.0
+
+
+def test_ivf_assign_incremental_frozen_quantizer(spark, vec_df):
+    # base = the two antipodal bundles; new vectors cloned from each
+    # bundle (with a small wiggle) must land in that bundle's cell, and
+    # the assignment is deterministic across invocations
+    from e_commerce_lakehouse_spark.operators.similarity import (
+        ivf_assign_incremental,
+    )
+
+    base = vec_df.where(F.col("vec_id") < 30)
+    probe_rows = []
+    for i in range(4):
+        base_sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [base_sign + ((i * 5 + d) % 7) / 100.0 for d in range(8)]
+        probe_rows.append((1000 + i, [float(x) for x in vec]))
+    new = spark.createDataFrame(
+        probe_rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_incremental(base, new, dim=8, n_cells=2).collect()
+    }
+    assert set(got) == {1000, 1001, 1002, 1003}
+    # same-bundle probes share a cell; opposite bundles differ
+    assert got[1000] == got[1002] and got[1001] == got[1003]
+    assert got[1000] != got[1001]
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_incremental(base, new, dim=8, n_cells=2).collect()
+    }
+    assert got == again
