@@ -77,6 +77,11 @@ HEADLINE = [
     "q198_kmeans_integer",
     "q199_conversation_neardup",
     "q200_transcript_training_pipeline",
+    # round-5 closing batch (recall eval, dynamic file pruning, SFT export)
+    "q203_ann_recall_eval",
+    "q205_dynamic_file_pruning",
+    "q208_sft_examples",
+    "q209_ivf_incremental_assign",
 ]
 
 
