@@ -4490,3 +4490,18 @@ WHERE rn = 1
 
 
 ALL["q209_ivf_incremental_assign"] = _ivf_assign_sql()
+
+
+# q210: preference pipeline — q204's pair construction as a nested CTE,
+# then the same md5 gates (DuckDB md5 = lowercase hex like Spark's).
+ALL["q210_preference_pipeline"] = f"""
+WITH pairs AS ({ALL["q204_preference_pairs"]})
+SELECT CASE WHEN substr(md5('split|' || prompt), 1, 1) < '3'
+            THEN 'val' ELSE 'train' END AS split,
+    prompt, n_candidates,
+    chosen_conv, chosen_turn, chosen_score,
+    rejected_conv, rejected_turn, rejected_score, margin
+FROM pairs
+WHERE margin >= 1 AND chosen_score <= 2000
+  AND NOT (substr(md5(prompt), 1, 1) < '1')
+"""

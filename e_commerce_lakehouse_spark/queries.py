@@ -4439,6 +4439,41 @@ def q209_ivf_incremental_assign(spark, sf_dir):
     return sim.ivf_assign_incremental(base, new, dim=64, n_cells=16)
 
 
+def q210_preference_pipeline(spark, sf_dir):
+    """Composed DPO preference-data pipeline (the q200 flagship shape
+    for the preference path): q204's pairs -> quality gate (non-trivial
+    margin, length cap) -> benchmark decontamination (prompts whose
+    md5 falls in the reserved 1/16 gate are treated as the eval set and
+    dropped — the q51 deterministic-gate trick standing in for a real
+    benchmark list, which would broadcast-join the same way) -> exact
+    deterministic train/val split by salted prompt hash. Every stage is
+    a row-local predicate over the one prompt-keyed shuffle q204
+    already paid."""
+    from .operators.transcripts import as_transcripts, preference_pairs
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    pairs = preference_pairs(tr, min_candidates=2)
+    gated = pairs.where(
+        (F.col("margin") >= 1) & (F.col("chosen_score") <= 2000)
+    )
+    bench_gate = F.substring(F.md5(F.col("prompt")), 1, 1) < "1"
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("split|"), F.col("prompt"))), 1, 1
+        ) < "3",
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return (
+        gated.where(~bench_gate)
+        .withColumn("split", split)
+        .select(
+            "split", "prompt", "n_candidates",
+            "chosen_conv", "chosen_turn", "chosen_score",
+            "rejected_conv", "rejected_turn", "rejected_score", "margin",
+        )
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4655,4 +4690,5 @@ ALL = {
     "q207_grounding_audit": q207_grounding_audit,
     "q208_sft_examples": q208_sft_examples,
     "q209_ivf_incremental_assign": q209_ivf_incremental_assign,
+    "q210_preference_pipeline": q210_preference_pipeline,
 }

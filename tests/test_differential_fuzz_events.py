@@ -99,6 +99,7 @@ FUZZ_QUERIES = [
     "q206_truncation_audit",
     "q207_grounding_audit",
     "q208_sft_examples",
+    "q210_preference_pipeline",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
