@@ -68,7 +68,7 @@ def main(argv=None) -> int:
             "evolve-partition", "create-branch", "delete-branch",
             "branches", "fast-forward", "replicate", "set-bloom",
             "matview-create", "matview-refresh", "retention", "count",
-            "set-ndv", "ndv", "depth-report",
+            "set-ndv", "ndv", "depth-report", "semi-scan",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -134,6 +134,9 @@ def main(argv=None) -> int:
     p.add_argument("--conv-id-range", default=None, metavar="LO:HI",
                    help="compact/cluster: scope the rewrite to files whose conv_id "
                         "stats overlap [LO, HI] (either side empty = unbounded)")
+    p.add_argument("--keys", default=None,
+                   help="semi-scan: comma-separated build-side key values "
+                        "(ints auto-cast when every value is numeric)")
     p.add_argument("--eq", default=None, metavar="COL=VALUE",
                    help="skipping-report: generic point predicate on any "
                         "stat-tracked (and bloom-indexed) column; integer "
@@ -378,6 +381,28 @@ def main(argv=None) -> int:
             "bytes_skipped": sum(e.bytes for e in entries) - sum(e.bytes for e in kept),
             "rows_scanned_upper_bound": sum(e.rows for e in kept),
             "skip_ratio": round(1 - len(kept) / max(1, len(entries)), 4),
+        }
+    elif args.op == "semi-scan":  # join-driven dynamic file pruning
+        from e_commerce_lakehouse_spark.session import get_spark
+        from e_commerce_lakehouse_spark.table.scan import scan_semi_join
+
+        if not args.key_cols or not args.keys:
+            p.error("--op semi-scan requires --key-cols COL and --keys v1,v2,...")
+        key_col = args.key_cols.split(",")[0].strip()
+        raw = [v for v in args.keys.split(",") if v != ""]
+        vals = ([int(v) for v in raw]
+                if all(v.lstrip("-").isdigit() for v in raw) else raw)
+        t = Table.load(args.table, branch=args.branch)
+        spark = get_spark(app_name="semi-scan")
+        m_ = {}
+        df = scan_semi_join(spark, t, vals, key_col=key_col,
+                            snapshot_id=args.snapshot, metrics=m_)
+        result = {
+            "snapshot": args.snapshot or t.current_snapshot_id(),
+            "key_col": key_col,
+            "n_rows": df.count(),
+            **m_,
+            "files_skipped": m_["files_total"] - m_["files_kept"],
         }
     elif args.op == "rollback":  # metadata-only: no Spark session needed
         from e_commerce_lakehouse_spark.operators.rollback import rollback_to

@@ -137,3 +137,21 @@ def test_semi_join_bloom_skips_without_stats(spark, tiny_df, tmp_path):
     want = scan(spark, t).where(F.col("conv_id").isin(keys))
     assert got.count() == want.count() > 0
     assert m["files_kept"] < m["files_total"], m
+
+
+def test_cli_semi_scan_op(spark, tiny_df, tmp_path, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    t = _mk_table(spark, tiny_df, tmp_path / "cli", "range-sorted")
+    key = "conv-%012d" % 1
+    assert main(["--table", str(t.root), "--op", "semi-scan",
+                 "--key-cols", "conv_id", "--keys", key]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = scan(spark, t).where(F.col("conv_id") == key).count()
+    assert out["n_rows"] == want > 0
+    assert out["files_skipped"] > 0
+    assert out["files_total"] == out["files_kept"] + out["files_skipped"]
