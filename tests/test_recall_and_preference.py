@@ -300,3 +300,27 @@ def test_ivf_assign_incremental_frozen_quantizer(spark, vec_df):
         for r in ivf_assign_incremental(base, new, dim=8, n_cells=2).collect()
     }
     assert got == again
+
+
+def test_new_transcript_ops_single_exchange_plans(spark):
+    """The docstrings' one-conv_id-shuffle claims, pinned on the physical
+    plan: truncation_audit, grounding_audit and sft_examples each carry
+    exactly ONE hashpartitioning exchange — sft's (conv_id, ctx_start)
+    peer window is satisfied by the conv_id distribution (clustering
+    subset), so it must NOT introduce a second shuffle."""
+    from e_commerce_lakehouse_spark.operators.transcripts import (
+        grounding_audit,
+        sft_examples,
+        truncation_audit,
+    )
+
+    rows = [("c1", 0, "user", "ab"), ("c1", 1, "assistant", "cd")]
+    tr = _tr(spark, rows)
+    for op in (
+        lambda d: truncation_audit(d, 100),
+        lambda d: grounding_audit(d, 2),
+        lambda d: sft_examples(d, 100),
+    ):
+        plan = op(tr)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange hashpartitioning")
+        assert n == 1, f"{op}: {n} exchanges\n{plan}"
