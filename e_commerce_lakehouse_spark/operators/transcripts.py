@@ -48,6 +48,7 @@ __all__ = [
     "truncation_audit",
     "grounding_audit",
     "sft_examples",
+    "cache_economics",
 ]
 
 #: default per-character role prices for conversation_cost, in
@@ -866,4 +867,41 @@ def sft_examples(tr: DataFrame, budget_chars: int = 1000) -> DataFrame:
         "n_ctx_turns",
         "ctx_chars",
         F.col("len").alias("target_chars"),
+    )
+
+
+def cache_economics(tr: DataFrame) -> DataFrame:
+    """Prefix-cache ROI: how many context characters does prompt caching
+    save per conversation? Each assistant turn is one serving request
+    that re-sends the full preceding transcript: WITHOUT a prefix cache
+    the provider bills ctx_start + len per request (the whole context,
+    again, every turn); WITH an ideal prefix cache only the suffix new
+    since the previous request is billed, so the conversation's total
+    input cost collapses to the final request's context size. Reported:
+    request count, both billed totals, and the savings in exact integer
+    ppm — the number that decides whether cache writes pay for
+    themselves on your transcript mix.
+
+    One conv_id shuffle (the shared cumsum window + the group-by)."""
+    t = _ctx_start_frame(tr)
+    req = t.where(F.col("role") == "assistant").select(
+        "conv_id",
+        (F.col("ctx_start") + F.col("len")).alias("billed_nocache"),
+    )
+    agg = req.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests"),
+        F.sum("billed_nocache").cast("long").alias("nocache_chars"),
+        F.max("billed_nocache").cast("long").alias("cache_chars"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_requests",
+        "nocache_chars",
+        "cache_chars",
+        F.when(
+            F.col("nocache_chars") > 0,
+            F.expr(
+                "((nocache_chars - cache_chars) * 1000000) DIV nocache_chars"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("saved_ppm"),
     )

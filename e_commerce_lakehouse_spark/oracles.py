@@ -4505,3 +4505,29 @@ FROM pairs
 WHERE margin >= 1 AND chosen_score <= 2000
   AND NOT (substr(md5(prompt), 1, 1) < '1')
 """
+
+
+# q211: prefix-cache ROI — exclusive cumsum per conv, billed-with-cache
+# collapses to the max request context; ppm via exact integer //.
+ALL["q211_cache_economics"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+c AS (
+    SELECT conv_id, turn_idx, role, len,
+        coalesce(sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS ctx_start
+    FROM tr),
+req AS (
+    SELECT conv_id, (ctx_start + len)::BIGINT AS billed
+    FROM c WHERE role = 'assistant'),
+agg AS (
+    SELECT conv_id, count(*)::BIGINT AS n_requests,
+        sum(billed)::BIGINT AS nocache_chars,
+        max(billed)::BIGINT AS cache_chars
+    FROM req GROUP BY conv_id)
+SELECT conv_id, n_requests, nocache_chars, cache_chars,
+    CASE WHEN nocache_chars > 0 THEN
+        ((nocache_chars - cache_chars) * 1000000) // nocache_chars
+    ELSE 0 END::BIGINT AS saved_ppm
+FROM agg
+"""

@@ -4474,6 +4474,16 @@ def q210_preference_pipeline(spark, sf_dir):
     )
 
 
+def q211_cache_economics(spark, sf_dir):
+    """Prefix-cache ROI per conversation (transcripts.cache_economics):
+    chars billed per assistant request without vs with an ideal prefix
+    cache, savings in exact integer ppm."""
+    from .operators.transcripts import as_transcripts, cache_economics
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return cache_economics(tr)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4691,4 +4701,5 @@ ALL = {
     "q208_sft_examples": q208_sft_examples,
     "q209_ivf_incremental_assign": q209_ivf_incremental_assign,
     "q210_preference_pipeline": q210_preference_pipeline,
+    "q211_cache_economics": q211_cache_economics,
 }

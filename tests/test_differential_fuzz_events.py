@@ -100,6 +100,7 @@ FUZZ_QUERIES = [
     "q207_grounding_audit",
     "q208_sft_examples",
     "q210_preference_pipeline",
+    "q211_cache_economics",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

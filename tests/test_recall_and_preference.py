@@ -324,3 +324,23 @@ def test_new_transcript_ops_single_exchange_plans(spark):
         plan = op(tr)._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange hashpartitioning")
         assert n == 1, f"{op}: {n} exchanges\n{plan}"
+
+
+def test_cache_economics_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import cache_economics
+
+    rows = [
+        ("c1", 0, "user", "x" * 10),
+        ("c1", 1, "assistant", "x" * 5),   # request 1: ctx 10 + 5 = 15
+        ("c1", 2, "user", "x" * 20),
+        ("c1", 3, "assistant", "x" * 5),   # request 2: ctx 35 + 5 = 40
+        # conversation with no assistant turns: no row at all
+        ("c2", 0, "user", "x"),
+    ]
+    out = {r["conv_id"]: r for r in cache_economics(_tr(spark, rows)).collect()}
+    assert set(out) == {"c1"}
+    c1 = out["c1"]
+    assert c1["n_requests"] == 2
+    assert c1["nocache_chars"] == 55       # 15 + 40
+    assert c1["cache_chars"] == 40         # final request's context
+    assert c1["saved_ppm"] == (15 * 1_000_000) // 55
