@@ -4531,3 +4531,23 @@ SELECT conv_id, n_requests, nocache_chars, cache_chars,
     ELSE 0 END::BIGINT AS saved_ppm
 FROM agg
 """
+
+
+# q212: vector-index lifecycle — every vector (both splits) assigned to
+# the BASE-corpus centroids (the same frozen quantizer the Spark side
+# writes through the table format), profiled per cell.
+ALL["q212_vector_index_lifecycle"] = f"""
+WITH assigned AS (
+    SELECT vec_id, cell FROM ({_ivf_assign_sql(split=400)})
+    UNION ALL
+    SELECT vec_id, cell FROM (
+        {_ivf_assign_sql(split=400).replace(
+            "SELECT * FROM ev WHERE vec_id >= 400",
+            "SELECT * FROM ev WHERE vec_id < 400")}
+    )
+)
+SELECT cell::INT AS cell, count(*)::BIGINT AS n_vectors,
+    min(vec_id)::BIGINT AS min_vec, max(vec_id)::BIGINT AS max_vec,
+    sum((vec_id >= 400)::INT)::BIGINT AS n_incremental
+FROM assigned GROUP BY cell
+"""

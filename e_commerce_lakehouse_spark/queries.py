@@ -4484,6 +4484,50 @@ def q211_cache_economics(spark, sf_dir):
     return cache_economics(tr)
 
 
+def q212_vector_index_lifecycle(spark, sf_dir):
+    """Vector-index-as-lakehouse-table lifecycle: the base corpus's IVF
+    postings (q209's quantizer applied to the base itself) are written
+    through the REAL table format, the new ingest batch's postings land
+    as an incremental append COMMIT, and the final per-cell profile is
+    read back from the table — proving the daily index-maintenance path
+    (build -> append -> scan) end to end, not just the assignment math.
+    Postings carry cell stats so a per-cell member fetch prunes files."""
+    import shutil
+    import uuid
+
+    from .table import scan
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") < 400)
+    new = e.where(F.col("vec_id") >= 400)
+    base_post = sim.ivf_assign_incremental(base, base, dim=64, n_cells=16)
+    new_post = sim.ivf_assign_incremental(base, new, dim=64, n_cells=16)
+    broot = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(broot, f"spark_graft_q212_{uuid.uuid4().hex[:12]}")
+    try:
+        t = Table.create(root)
+        entries = write_files(spark, t, base_post, 4, "index-build",
+                              stat_columns=("cell",))
+        t.commit_append(entries, {"op": "index-build"})
+        entries = write_files(spark, t, new_post, 2, "index-append",
+                              stat_columns=("cell",))
+        t.commit_append(entries, {"op": "index-append"})
+        posted = scan(spark, Table.load(root), schema=base_post.schema)
+        result = posted.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+            F.max("vec_id").cast("long").alias("max_vec"),
+            F.sum((F.col("vec_id") >= 400).cast("long"))
+            .cast("long").alias("n_incremental"),
+        )
+        rows = result.collect()  # materialize before the temp table dies
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4702,4 +4746,5 @@ ALL = {
     "q209_ivf_incremental_assign": q209_ivf_incremental_assign,
     "q210_preference_pipeline": q210_preference_pipeline,
     "q211_cache_economics": q211_cache_economics,
+    "q212_vector_index_lifecycle": q212_vector_index_lifecycle,
 }
