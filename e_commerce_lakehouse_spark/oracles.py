@@ -4551,3 +4551,30 @@ SELECT cell::INT AS cell, count(*)::BIGINT AS n_vectors,
     sum((vec_id >= 400)::INT)::BIGINT AS n_incremental
 FROM assigned GROUP BY cell
 """
+
+
+# q213: index staleness — the q209/q212 quantizer machinery with
+# parameterized base/assign predicates: frozen (base < 400) vs fresh
+# (base = all), both assigning ALL vectors, joined on vec_id.
+def _ivf_assign2_sql(base_where: str, assign_where: str,
+                     n_cells: int = 16) -> str:
+    return (
+        _ivf_assign_sql(split=400, n_cells=n_cells)
+        # the template has exactly one base clause and one assign clause
+        .replace("SELECT * FROM ev WHERE vec_id < 400",
+                 f"SELECT * FROM ev WHERE {base_where}")
+        .replace("SELECT * FROM ev WHERE vec_id >= 400",
+                 f"SELECT * FROM ev WHERE {assign_where}")
+    )
+
+
+ALL["q213_index_staleness"] = f"""
+WITH frozen AS ({_ivf_assign2_sql("vec_id < 400", "TRUE")}),
+fresh AS ({_ivf_assign2_sql("TRUE", "TRUE")})
+SELECT f.cell::INT AS cell, count(*)::BIGINT AS n_vectors,
+    sum((f.cell <> r.cell)::INT)::BIGINT AS n_moved,
+    ((sum((f.cell <> r.cell)::INT) * 1000000) // count(*))::BIGINT
+        AS moved_ppm
+FROM frozen f JOIN fresh r ON r.vec_id = f.vec_id
+GROUP BY f.cell
+"""

@@ -4528,6 +4528,38 @@ def q212_vector_index_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q213_index_staleness(spark, sf_dir):
+    """Index-staleness audit: after incremental ingest (q209), how far
+    has the FROZEN base-corpus quantizer drifted from a fresh full
+    rebuild? Every vector is assigned under both quantizers and the
+    per-frozen-cell disagreement is reported in exact integer ppm — the
+    'rebuild the index now?' signal an ANN serving stack alarms on.
+    Both assignment legs are the same deterministic pure-projection
+    machinery, so the drift itself is value-hash oracled."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") < 400)
+    frozen = sim.ivf_assign_incremental(base, e, dim=64, n_cells=16)
+    fresh = sim.ivf_assign_incremental(e, e, dim=64, n_cells=16).select(
+        "vec_id", F.col("cell").alias("cell_fresh")
+    )
+    j = frozen.join(fresh, "vec_id")
+    return (
+        j.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum((F.col("cell") != F.col("cell_fresh")).cast("long"))
+            .cast("long").alias("n_moved"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "n_moved",
+            F.expr("(n_moved * 1000000) DIV n_vectors")
+            .cast("long").alias("moved_ppm"),
+        )
+    )
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4747,4 +4779,5 @@ ALL = {
     "q210_preference_pipeline": q210_preference_pipeline,
     "q211_cache_economics": q211_cache_economics,
     "q212_vector_index_lifecycle": q212_vector_index_lifecycle,
+    "q213_index_staleness": q213_index_staleness,
 }
