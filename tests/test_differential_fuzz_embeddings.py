@@ -10,10 +10,11 @@ deliberately NOT in this gate: their cell-assignment step divides by
 the vector norm inside an argmax, so a zero-norm vector's cell is an
 engine-specific artifact — their contract (documented) is non-zero
 vectors, enforced upstream by the quality gates; their sf0.01 oracle
-rows remain their correctness anchor. q203 (ANN recall audit) is out
-for the same reason: its IVF leg inherits q53's contract (its LSH and
-exact legs ARE covered here via q25/q26, and ann_recall itself is
-unit-tested on contrived overlap sets in
+rows remain their correctness anchor. q203 (ANN recall audit), q209/q212
+(incremental IVF assignment / index lifecycle) and q213 (staleness)
+are out for the same reason: every IVF leg inherits q53's non-zero
+contract (q203's LSH and exact legs ARE covered here via q25/q26, and
+ann_recall / ivf_assign_incremental carry closed-form unit tests in
 tests/test_recall_and_preference.py).
 """
 

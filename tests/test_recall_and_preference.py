@@ -316,10 +316,15 @@ def test_new_transcript_ops_single_exchange_plans(spark):
 
     rows = [("c1", 0, "user", "ab"), ("c1", 1, "assistant", "cd")]
     tr = _tr(spark, rows)
+    from e_commerce_lakehouse_spark.operators.transcripts import (
+        cache_economics,
+    )
+
     for op in (
         lambda d: truncation_audit(d, 100),
         lambda d: grounding_audit(d, 2),
         lambda d: sft_examples(d, 100),
+        cache_economics,
     ):
         plan = op(tr)._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange hashpartitioning")
