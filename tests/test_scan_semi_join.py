@@ -155,3 +155,49 @@ def test_cli_semi_scan_op(spark, tiny_df, tmp_path, capsys):
     assert out["n_rows"] == want > 0
     assert out["files_skipped"] > 0
     assert out["files_total"] == out["files_kept"] + out["files_skipped"]
+
+
+def test_semi_join_randomized_differential(spark, tiny_df, tmp_path):
+    """Seeded randomized differential: random bucketed layouts (bloom on
+    or off), random key sets (present, absent-in-range, absent-out-of-
+    range, None), with a MoR delete mixed in — scan_semi_join must
+    EQUAL full-scan + isin in every draw, and metrics must stay
+    coherent (kept <= total, skipping never breaks equality)."""
+    import random
+
+    from e_commerce_lakehouse_spark.operators.rowlevel import delete_where
+
+    for seed in (13, 47):
+        rng = random.Random(seed)
+        root = tmp_path / f"rand{seed}"
+        t = Table.create(str(root))
+        use_bloom = rng.random() < 0.5
+        if use_bloom:
+            t.set_bloom_columns(["conv_id"])
+        n_buckets = rng.choice([3, 4, 5])
+        for i in range(n_buckets):
+            part = tiny_df.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)) == i
+            )
+            entries = write_files(spark, t, part, rng.choice([1, 2]), f"b{i}")
+            t.commit_append(entries, {"op": f"ingest-{i}"})
+        # MoR-delete one present conversation's tail
+        mor_key = "conv-%012d" % rng.randrange(0, 10)
+        delete_where(
+            spark, t, f"conv_id = '{mor_key}' AND turn_idx >= 1",
+            mode="merge-on-read", keys=["conv_id", "turn_idx"],
+        )
+        t = Table.load(t.root)
+        keys = [None]
+        for _ in range(rng.randrange(1, 6)):
+            keys.append("conv-%012d" % rng.randrange(0, 40))
+        keys.append("conv-%012d-absent" % rng.randrange(0, 40))  # in range
+        keys.append("zzz-out-of-range")
+        m: dict = {}
+        got = scan_semi_join(spark, t, keys, key_col="conv_id", metrics=m)
+        want = scan(spark, t).where(
+            F.col("conv_id").isin([k for k in keys if k is not None])
+        )
+        assert got.exceptAll(want).count() == 0, f"seed {seed}"
+        assert want.exceptAll(got).count() == 0, f"seed {seed}"
+        assert 0 <= m["files_kept"] <= m["files_total"], (seed, m)
