@@ -575,6 +575,30 @@ def scan_semi_join(
         raise TypeError(f"build-side keys are not mutually orderable: {exc}")
 
     entries = planned_entries(table, snapshot_id)
+    n_live_files = len(entries)  # metrics: total BEFORE any pruning
+    # hidden-partition pruning for the KEY SET (exact, like scan's point
+    # path): for every spec field sourced from key_col, a file whose
+    # partition tuple carries a transform value outside
+    # {transform(k) for k in keys} cannot contain any key. On a
+    # bucket(key_col, N)-partitioned 100 TB table this alone drops the
+    # scan to the |{bucket(k)}| touched buckets before any stats work.
+    spec = table.partition_fields_for_pruning()
+    for f in spec or []:
+        if f.source != key_col:
+            continue
+        from .partition import apply_transform
+
+        try:
+            allowed = {apply_transform(f, k) for k in svals}
+        except Exception:
+            continue  # transform/key type mismatch: no pruning from f
+        entries = [
+            e for e in entries
+            if not getattr(e, "partition", None)
+            or f.name not in e.partition
+            or e.partition[f.name] is None
+            or e.partition[f.name] in allowed
+        ]
     survivors: list[DataFileEntry] = []
     for e in entries:
         rng = e.stats.get(key_col) if e.stats else None
@@ -605,7 +629,7 @@ def scan_semi_join(
         survivors.append(e)
     if metrics is not None:
         metrics.update(
-            files_total=len(entries), files_kept=len(survivors), n_keys=len(vals)
+            files_total=n_live_files, files_kept=len(survivors), n_keys=len(vals)
         )
 
     df = read_with_tombstones(spark, table, survivors, schema, snapshot_id)

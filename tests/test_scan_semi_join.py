@@ -201,3 +201,27 @@ def test_semi_join_randomized_differential(spark, tiny_df, tmp_path):
         assert got.exceptAll(want).count() == 0, f"seed {seed}"
         assert want.exceptAll(got).count() == 0, f"seed {seed}"
         assert 0 <= m["files_kept"] <= m["files_total"], (seed, m)
+
+
+def test_semi_join_partition_bucket_pruning(spark, tiny_df, tmp_path):
+    """A bucket(conv_id, 4)-partitioned table: the key set's bucket
+    values alone must prune partitions (exact, before any stats or
+    bloom work) and the result still equals full-scan + isin."""
+    from e_commerce_lakehouse_spark.table import PartitionField
+    from e_commerce_lakehouse_spark.table.writer import create_transcripts_table
+
+    root = str(tmp_path / "pt")
+    t = create_transcripts_table(
+        spark, root, tiny_df, rows_per_file=300,
+        partition_spec=[PartitionField("cb", "conv_id", "bucket[4]")],
+    )
+    keys = ["conv-%012d" % 3]
+    m: dict = {}
+    got = scan_semi_join(spark, t, keys, key_col="conv_id", metrics=m)
+    want = scan(spark, t).where(F.col("conv_id").isin(keys))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    # one key -> one bucket of four: at least the other buckets' files
+    # must be gone (stats may prune further)
+    assert m["files_kept"] <= m["files_total"] // 2, m
