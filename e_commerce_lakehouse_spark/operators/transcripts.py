@@ -49,6 +49,7 @@ __all__ = [
     "grounding_audit",
     "sft_examples",
     "cache_economics",
+    "turn_windows",
 ]
 
 #: default per-character role prices for conversation_cost, in
@@ -904,4 +905,46 @@ def cache_economics(tr: DataFrame) -> DataFrame:
                 "((nocache_chars - cache_chars) * 1000000) DIV nocache_chars"
             ),
         ).otherwise(F.lit(0)).cast("long").alias("saved_ppm"),
+    )
+
+
+def turn_windows(
+    tr: DataFrame, window_turns: int = 8, stride: int = 4
+) -> DataFrame:
+    """Long-conversation splitter: overlapping ``window_turns``-turn
+    training windows at ``stride`` — the TURN-granularity companion of
+    the char-chunker (operators/curation.chunk_documents): a 400-turn
+    agent session becomes ~100 overlapping windows a trainer can pack
+    independently, preserving local turn continuity.
+
+    Window w covers turns [w*stride, w*stride + window_turns); a turn
+    at index i belongs to windows ceil((i - window_turns + 1)/stride)
+    .. floor(i/stride) (clamped at 0) — emitted ZERO-shuffle via a
+    sequence+explode projection, then one conv_id-keyed aggregate.
+    Output per (conv_id, window_id): turn span, turn/char counts, and
+    whether the window is complete (a full window_turns run) — ragged
+    tails stay visible so the packer can drop or pad them explicitly.
+    """
+    if window_turns < 1 or stride < 1:
+        raise ValueError("window_turns and stride must be >= 1")
+    lo = F.greatest(
+        F.lit(0),
+        F.ceil(
+            (F.col("turn_idx") - F.lit(window_turns) + 1)
+            / F.lit(float(stride))
+        ).cast("long"),
+    )
+    hi = F.floor(F.col("turn_idx") / F.lit(stride)).cast("long")
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        F.length("text").cast("long").alias("len"),
+        F.explode(F.sequence(lo, hi)).alias("window_id"),
+    )
+    return t.groupBy("conv_id", "window_id").agg(
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("len").cast("long").alias("n_chars"),
+        (F.count(F.lit(1)) == window_turns).alias("complete"),
     )

@@ -4578,3 +4578,21 @@ SELECT f.cell::INT AS cell, count(*)::BIGINT AS n_vectors,
 FROM frozen f JOIN fresh r ON r.vec_id = f.vec_id
 GROUP BY f.cell
 """
+
+
+# q214: turn windows — the same membership algebra via generate_series;
+# ceil((i - W + 1)/S) expressed with integer ceiling division.
+ALL["q214_turn_windows"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+m AS (
+    SELECT conv_id, turn_idx, len,
+        unnest(range(
+            greatest(0, (turn_idx - 8 + 1 + 4 - 1) // 4),
+            (turn_idx // 4) + 1)) AS window_id
+    FROM tr)
+SELECT conv_id, window_id::BIGINT AS window_id,
+    min(turn_idx)::INT AS first_turn, max(turn_idx)::INT AS last_turn,
+    count(*)::BIGINT AS n_turns, sum(len)::BIGINT AS n_chars,
+    (count(*) = 8) AS complete
+FROM m GROUP BY conv_id, window_id
+"""

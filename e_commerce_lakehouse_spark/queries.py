@@ -4560,6 +4560,16 @@ def q213_index_staleness(spark, sf_dir):
     )
 
 
+def q214_turn_windows(spark, sf_dir):
+    """Overlapping turn-granularity training windows per conversation
+    (transcripts.turn_windows): 8-turn windows at stride 4, zero-shuffle
+    sequence+explode expansion, ragged tails flagged."""
+    from .operators.transcripts import as_transcripts, turn_windows
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return turn_windows(tr, window_turns=8, stride=4)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4780,4 +4790,5 @@ ALL = {
     "q211_cache_economics": q211_cache_economics,
     "q212_vector_index_lifecycle": q212_vector_index_lifecycle,
     "q213_index_staleness": q213_index_staleness,
+    "q214_turn_windows": q214_turn_windows,
 }

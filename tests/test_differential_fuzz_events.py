@@ -101,6 +101,7 @@ FUZZ_QUERIES = [
     "q208_sft_examples",
     "q210_preference_pipeline",
     "q211_cache_economics",
+    "q214_turn_windows",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -349,3 +349,30 @@ def test_cache_economics_closed_form(spark):
     assert c1["nocache_chars"] == 55       # 15 + 40
     assert c1["cache_chars"] == 40         # final request's context
     assert c1["saved_ppm"] == (15 * 1_000_000) // 55
+
+
+def test_turn_windows_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import turn_windows
+
+    # 10 turns, window 4, stride 2 -> windows at 0,2,4,6,8; tails ragged
+    rows = [("c1", i, "user", "x" * (i + 1)) for i in range(10)]
+    out = {
+        r["window_id"]: r
+        for r in turn_windows(
+            _tr(spark, rows), window_turns=4, stride=2
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    w0 = out[0]
+    assert (w0["first_turn"], w0["last_turn"], w0["n_turns"]) == (0, 3, 4)
+    assert w0["n_chars"] == 1 + 2 + 3 + 4 and w0["complete"]
+    w3 = out[3]
+    assert (w3["first_turn"], w3["last_turn"]) == (6, 9) and w3["complete"]
+    w4 = out[4]  # ragged tail: turns 8,9 only
+    assert (w4["first_turn"], w4["last_turn"], w4["n_turns"]) == (8, 9, 2)
+    assert not w4["complete"]
+    # every turn appears in ceil(W/S)=2 windows except edges
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        turn_windows(_tr(spark, rows), window_turns=0)
