@@ -184,10 +184,14 @@ def _fuzz_events(seed: int) -> list[tuple]:
     return rows
 
 
-@pytest.fixture(scope="module")
-def fuzz_events_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_events_sf")
-    rows = _fuzz_events(seed=11)
+# two corpus draws: the planted adversaries are identical, but the
+# random interleavings (burst placement, noise users, value draws)
+# differ — a tiebreak or boundary defect that survives one draw by
+# luck gets a second chance to split the engines
+@pytest.fixture(scope="module", params=[11, 83])
+def fuzz_events_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzz_events_sf{request.param}")
+    rows = _fuzz_events(seed=request.param)
     tb = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
