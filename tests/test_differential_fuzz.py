@@ -126,10 +126,12 @@ def _fuzz_corpus(seed: int) -> list[tuple]:
     return rows
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_sf")
-    rows = _fuzz_corpus(seed=7)
+@pytest.fixture(scope="module", params=[7, 71])
+def fuzz_dir(request, tmp_path_factory):
+    # two corpus draws (see events gate): identical planted adversaries,
+    # different random interleavings
+    d = tmp_path_factory.mktemp(f"fuzz_sf{request.param}")
+    rows = _fuzz_corpus(seed=request.param)
     tb = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),

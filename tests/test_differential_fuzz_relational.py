@@ -269,10 +269,11 @@ def _corpus(seed: int) -> dict[str, pa.Table]:
     }
 
 
-@pytest.fixture(scope="module")
-def fuzz_rel_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_rel_sf")
-    for name, tb in _corpus(seed=23).items():
+@pytest.fixture(scope="module", params=[23, 67])
+def fuzz_rel_dir(request, tmp_path_factory):
+    # two corpus draws (see events gate)
+    d = tmp_path_factory.mktemp(f"fuzz_rel_sf{request.param}")
+    for name, tb in _corpus(seed=request.param).items():
         pq.write_table(tb, d / f"{name}.parquet")
     return str(d)
 
