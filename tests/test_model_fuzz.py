@@ -201,6 +201,24 @@ def test_random_lifecycle_program_matches_model(spark, tmp_path, seed):
         cols_now = current_schema(t).fieldNames()
         assert cols_now == cols, f"step {step}: schema drift {cols_now} vs {cols}"
         _assert_equal(spark, t, model, cols, f"{step}:{op}")
+        if step % 4 == 0 and model:
+            # dynamic-file-pruning read path must agree with the model
+            # through every lifecycle state (mixed vintages, tombstones,
+            # rewrites, evolved schemas)
+            from e_commerce_lakehouse_spark.table.scan import scan_semi_join
+
+            keys = {r["conv_id"] for r in rng.sample(model, min(3, len(model)))}
+            keys.add(f"conv-absent-{step}")
+            got = sorted(
+                tuple(r)
+                for r in scan_semi_join(spark, t, sorted(keys))
+                .select(*cols).collect()
+            )
+            want = sorted(
+                tuple(r.get(c) for c in cols)
+                for r in model if r["conv_id"] in keys
+            )
+            assert got == want, f"step {step}:{op}: semi-join diverged from model"
         history[t.current_snapshot_id()] = ([dict(r) for r in model], list(cols))
 
 
