@@ -50,6 +50,7 @@ __all__ = [
     "sft_examples",
     "cache_economics",
     "turn_windows",
+    "window_dedup",
 ]
 
 #: default per-character role prices for conversation_cost, in
@@ -947,4 +948,65 @@ def turn_windows(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
         F.sum("len").cast("long").alias("n_chars"),
         (F.count(F.lit(1)) == window_turns).alias("complete"),
+    )
+
+
+def window_dedup(
+    tr: DataFrame, window_turns: int = 8, stride: int = 4
+) -> DataFrame:
+    """Training-WINDOW exact dedup: fingerprint every ``turn_windows``
+    window by its covered turn texts (turn order, length-prefixed and
+    unit-separated like conversation_dedup) and mark the canonical
+    survivor per fingerprint group — overlapping-window exports
+    (q214) re-emit boilerplate openings across conversations, and a
+    packer that trains on every copy overweights them; this is the
+    dedup gate between windowing and packing.
+
+    Shuffle budget: the zero-shuffle window expansion, one aggregate on
+    (conv_id, window_id) (collect_list bounded by window_turns), then
+    the fingerprint-group window. Output per (conv_id, window_id):
+    fingerprint, n_turns, group_size, is_canonical (smallest
+    (conv_id, window_id) in its group survives)."""
+    if window_turns < 1 or stride < 1:
+        raise ValueError("window_turns and stride must be >= 1")
+    lo = F.greatest(
+        F.lit(0),
+        F.ceil(
+            (F.col("turn_idx") - F.lit(window_turns) + 1)
+            / F.lit(float(stride))
+        ).cast("long"),
+    )
+    hi = F.floor(F.col("turn_idx") / F.lit(stride)).cast("long")
+    t = tr.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.explode(F.sequence(lo, hi)).alias("window_id"),
+    )
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+                ),
+                lambda x: F.concat_ws(
+                    ":", F.length(x["text"]).cast("string"), x["text"]
+                ),
+            ),
+            "\x1f",
+        )
+    )
+    per_win = t.groupBy("conv_id", "window_id").agg(
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+    wg = Window.partitionBy("fingerprint")
+    first = Window.partitionBy("fingerprint").orderBy("conv_id", "window_id")
+    return per_win.select(
+        "conv_id",
+        "window_id",
+        "fingerprint",
+        "n_turns",
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
+        (F.row_number().over(first) == 1).alias("is_canonical"),
     )

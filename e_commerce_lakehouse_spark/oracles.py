@@ -4596,3 +4596,28 @@ SELECT conv_id, window_id::BIGINT AS window_id,
     (count(*) = 8) AS complete
 FROM m GROUP BY conv_id, window_id
 """
+
+
+# q215: window dedup — q214's membership algebra, fingerprint via
+# ordered string_agg with the same len:text unit-separated encoding
+# (chr(31) = \x1f), canonical = smallest (conv_id, window_id).
+ALL["q215_window_dedup"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+m AS (
+    SELECT conv_id, turn_idx, text,
+        unnest(range(
+            greatest(0, (turn_idx - 8 + 1 + 4 - 1) // 4),
+            (turn_idx // 4) + 1)) AS window_id
+    FROM tr),
+w AS (
+    SELECT conv_id, window_id::BIGINT AS window_id,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx)) AS fingerprint,
+        count(*)::BIGINT AS n_turns
+    FROM m GROUP BY conv_id, window_id)
+SELECT conv_id, window_id, fingerprint, n_turns,
+    count(*) OVER (PARTITION BY fingerprint)::BIGINT AS group_size,
+    (row_number() OVER (PARTITION BY fingerprint
+                        ORDER BY conv_id, window_id) = 1) AS is_canonical
+FROM w
+"""

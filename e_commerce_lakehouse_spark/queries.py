@@ -4570,6 +4570,16 @@ def q214_turn_windows(spark, sf_dir):
     return turn_windows(tr, window_turns=8, stride=4)
 
 
+def q215_window_dedup(spark, sf_dir):
+    """Training-window exact dedup (transcripts.window_dedup): q214's
+    windows fingerprinted by covered text, canonical survivor per
+    duplicate group — the gate between windowing and packing."""
+    from .operators.transcripts import as_transcripts, window_dedup
+
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    return window_dedup(tr, window_turns=8, stride=4)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4791,4 +4801,5 @@ ALL = {
     "q212_vector_index_lifecycle": q212_vector_index_lifecycle,
     "q213_index_staleness": q213_index_staleness,
     "q214_turn_windows": q214_turn_windows,
+    "q215_window_dedup": q215_window_dedup,
 }

@@ -102,6 +102,7 @@ FUZZ_QUERIES = [
     "q210_preference_pipeline",
     "q211_cache_economics",
     "q214_turn_windows",
+    "q215_window_dedup",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -376,3 +376,29 @@ def test_turn_windows_closed_form(spark):
 
     with _pt.raises(ValueError):
         turn_windows(_tr(spark, rows), window_turns=0)
+
+
+def test_window_dedup_closed_form(spark):
+    from e_commerce_lakehouse_spark.operators.transcripts import window_dedup
+
+    # c1 and c2 share identical turns 0..3 (one duplicate 4-turn window
+    # at stride 4); c2 diverges after, c3 is unique
+    rows = []
+    for conv in ("c1", "c2"):
+        for i in range(4):
+            rows.append((conv, i, "user", f"same-{i}"))
+    rows += [("c2", 4, "user", "diverge")]
+    rows += [("c3", 0, "user", "other")]
+    out = {
+        (r["conv_id"], r["window_id"]): r
+        for r in window_dedup(
+            _tr(spark, rows), window_turns=4, stride=4
+        ).collect()
+    }
+    a, b = out[("c1", 0)], out[("c2", 0)]
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["group_size"] == b["group_size"] == 2
+    assert a["is_canonical"] and not b["is_canonical"]  # c1 < c2
+    assert out[("c3", 0)]["group_size"] == 1
+    # c2's ragged second window (turn 4 only) is its own group
+    assert out[("c2", 1)]["n_turns"] == 1
