@@ -4621,3 +4621,42 @@ SELECT conv_id, window_id, fingerprint, n_turns,
                         ORDER BY conv_id, window_id) = 1) AS is_canonical
 FROM w
 """
+
+
+# q216: window packing — q215's canonical windows with q214's char
+# counts, global running sum ordered by the same composite key, then
+# the pack_sequences chunk formulas (zero-char windows pinned to their
+# start pack via greatest()).
+ALL["q216_window_packing"] = f"""
+WITH {_TRANSCRIPT_CTE_TOOL},
+m AS (
+    SELECT conv_id, turn_idx, text, len,
+        unnest(range(
+            greatest(0, (turn_idx - 8 + 1 + 4 - 1) // 4),
+            (turn_idx // 4) + 1)) AS window_id
+    FROM tr),
+w AS (
+    SELECT conv_id, window_id::BIGINT AS window_id,
+        md5(string_agg(length(text)::VARCHAR || ':' || text, chr(31)
+            ORDER BY turn_idx)) AS fingerprint,
+        sum(len)::BIGINT AS n_chars
+    FROM m GROUP BY conv_id, window_id),
+keep AS (
+    SELECT conv_id, window_id, n_chars,
+        printf('%s#%06d', conv_id, window_id) AS wkey
+    FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint
+              ORDER BY conv_id, window_id) AS rn FROM w)
+    WHERE rn = 1),
+c AS (
+    SELECT conv_id, window_id, n_chars,
+        sum(n_chars) OVER (ORDER BY wkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM keep)
+SELECT conv_id, window_id, n_chars,
+    (cum - n_chars)::BIGINT AS start_offset,
+    ((cum - n_chars) // 500)::BIGINT AS first_pack,
+    greatest((cum - n_chars) // 500, (cum - 1) // 500)::BIGINT AS last_pack,
+    (greatest((cum - n_chars) // 500, (cum - 1) // 500)
+     - (cum - n_chars) // 500 + 1)::BIGINT AS n_packs_spanned
+FROM c
+"""

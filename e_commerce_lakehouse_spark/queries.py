@@ -4580,6 +4580,54 @@ def q215_window_dedup(spark, sf_dir):
     return window_dedup(tr, window_turns=8, stride=4)
 
 
+def q216_window_packing(spark, sf_dir):
+    """End of the long-conversation training pipeline: q214's windows,
+    q215's canonical survivors, then concat-and-chunk packing offsets
+    into 500-char training packs via the exact distributed prefix sum
+    (curation.distributed_cumsum — no single-partition global window).
+    Output per canonical window: start offset in the virtual stream and
+    the first/last pack it lands in (windows may straddle packs, the
+    GPT pre-training shape). Zero-char windows pin to their start pack."""
+    from .operators.curation import distributed_cumsum
+    from .operators.transcripts import (
+        as_transcripts,
+        turn_windows,
+        window_dedup,
+    )
+
+    budget = 500
+    tr = as_transcripts(_t(spark, sf_dir, "events")).persist()
+    wins = turn_windows(tr, window_turns=8, stride=4)
+    keep = (
+        window_dedup(tr, window_turns=8, stride=4)
+        .where(F.col("is_canonical"))
+        .select("conv_id", "window_id")
+    )
+    w = wins.join(keep, ["conv_id", "window_id"]).select(
+        F.format_string("%s#%06d", F.col("conv_id"), F.col("window_id"))
+        .alias("wkey"),
+        "conv_id",
+        "window_id",
+        "n_chars",
+    )
+    cum = distributed_cumsum(
+        w, order_col="wkey", value_col="n_chars", out_col="_cum"
+    )
+    start = (F.col("_cum") - F.col("n_chars")).cast("long")
+    first = F.floor(start / budget).cast("long")
+    last = F.greatest(first, F.floor((F.col("_cum") - 1) / budget).cast("long"))
+    result = cum.select(
+        "conv_id",
+        "window_id",
+        "n_chars",
+        start.alias("start_offset"),
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_packs_spanned"),
+    )
+    return dd._finish_release(result, tr)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4802,4 +4850,5 @@ ALL = {
     "q213_index_staleness": q213_index_staleness,
     "q214_turn_windows": q214_turn_windows,
     "q215_window_dedup": q215_window_dedup,
+    "q216_window_packing": q216_window_packing,
 }

@@ -103,6 +103,7 @@ FUZZ_QUERIES = [
     "q211_cache_economics",
     "q214_turn_windows",
     "q215_window_dedup",
+    "q216_window_packing",
 ]
 
 TYPES = ["view", "click", "purchase", "signup", "error"]
