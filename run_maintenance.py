@@ -137,6 +137,10 @@ def main(argv=None) -> int:
     p.add_argument("--keys", default=None,
                    help="semi-scan: comma-separated build-side key values "
                         "(ints auto-cast when every value is numeric)")
+    p.add_argument("--keys-file", default=None,
+                   help="semi-scan: parquet file of build-side keys (its "
+                        "--key-cols column; for key sets too large for "
+                        "--keys)")
     p.add_argument("--eq", default=None, metavar="COL=VALUE",
                    help="skipping-report: generic point predicate on any "
                         "stat-tracked (and bloom-indexed) column; integer "
@@ -386,16 +390,20 @@ def main(argv=None) -> int:
         from e_commerce_lakehouse_spark.session import get_spark
         from e_commerce_lakehouse_spark.table.scan import scan_semi_join
 
-        if not args.key_cols or not args.keys:
-            p.error("--op semi-scan requires --key-cols COL and --keys v1,v2,...")
+        if not args.key_cols or not (args.keys or args.keys_file):
+            p.error("--op semi-scan requires --key-cols COL and "
+                    "--keys v1,v2,... (or --keys-file keys.parquet)")
         key_col = args.key_cols.split(",")[0].strip()
-        raw = [v for v in args.keys.split(",") if v != ""]
-        vals = ([int(v) for v in raw]
-                if all(v.lstrip("-").isdigit() for v in raw) else raw)
         t = Table.load(args.table, branch=args.branch)
         spark = get_spark(app_name="semi-scan")
+        if args.keys_file:
+            keys_in = spark.read.parquet(args.keys_file)
+        else:
+            raw = [v for v in args.keys.split(",") if v != ""]
+            keys_in = ([int(v) for v in raw]
+                       if all(v.lstrip("-").isdigit() for v in raw) else raw)
         m_ = {}
-        df = scan_semi_join(spark, t, vals, key_col=key_col,
+        df = scan_semi_join(spark, t, keys_in, key_col=key_col,
                             snapshot_id=args.snapshot, metrics=m_)
         result = {
             "snapshot": args.snapshot or t.current_snapshot_id(),

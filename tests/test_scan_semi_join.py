@@ -225,3 +225,21 @@ def test_semi_join_partition_bucket_pruning(spark, tiny_df, tmp_path):
     # one key -> one bucket of four: at least the other buckets' files
     # must be gone (stats may prune further)
     assert m["files_kept"] <= m["files_total"] // 2, m
+
+
+def test_cli_semi_scan_keys_file(spark, tiny_df, tmp_path, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    t = _mk_table(spark, tiny_df, tmp_path / "clif", "range-sorted")
+    keys = ["conv-%012d" % 2, "conv-%012d" % 9]
+    kf = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(k,) for k in keys], ["conv_id"]).write.parquet(kf)
+    assert main(["--table", str(t.root), "--op", "semi-scan",
+                 "--key-cols", "conv_id", "--keys-file", kf]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = scan(spark, t).where(F.col("conv_id").isin(keys)).count()
+    assert out["n_rows"] == want > 0
