@@ -402,3 +402,20 @@ def test_window_dedup_closed_form(spark):
     assert out[("c3", 0)]["group_size"] == 1
     # c2's ragged second window (turn 4 only) is its own group
     assert out[("c2", 1)]["n_turns"] == 1
+
+
+def test_windowing_family_exchange_budget(spark):
+    """Shuffle-budget pins for the windowing family: turn_windows'
+    sequence+explode expansion is map-side (exactly ONE exchange — the
+    (conv_id, window_id) aggregate); window_dedup adds only the
+    fingerprint-group window (exactly TWO)."""
+    from e_commerce_lakehouse_spark.operators.transcripts import (
+        turn_windows,
+        window_dedup,
+    )
+
+    tr = _tr(spark, [("c1", 0, "user", "ab"), ("c1", 1, "assistant", "cd")])
+    p1 = turn_windows(tr, 4, 2)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange hashpartitioning") == 1, p1
+    p2 = window_dedup(tr, 4, 2)._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange hashpartitioning") == 2, p2
