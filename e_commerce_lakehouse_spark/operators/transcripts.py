@@ -909,23 +909,17 @@ def cache_economics(tr: DataFrame) -> DataFrame:
     )
 
 
-def turn_windows(
-    tr: DataFrame, window_turns: int = 8, stride: int = 4
+def _window_membership(
+    tr: DataFrame, window_turns: int, stride: int, *cols: str
 ) -> DataFrame:
-    """Long-conversation splitter: overlapping ``window_turns``-turn
-    training windows at ``stride`` — the TURN-granularity companion of
-    the char-chunker (operators/curation.chunk_documents): a 400-turn
-    agent session becomes ~100 overlapping windows a trainer can pack
-    independently, preserving local turn continuity.
-
-    Window w covers turns [w*stride, w*stride + window_turns); a turn
-    at index i belongs to windows ceil((i - window_turns + 1)/stride)
-    .. floor(i/stride) (clamped at 0) — emitted ZERO-shuffle via a
-    sequence+explode projection, then one conv_id-keyed aggregate.
-    Output per (conv_id, window_id): turn span, turn/char counts, and
-    whether the window is complete (a full window_turns run) — ragged
-    tails stay visible so the packer can drop or pad them explicitly.
-    """
+    """Shared window-membership expansion for turn_windows /
+    window_dedup: turn i belongs to windows ceil((i - W + 1)/S) ..
+    floor(i/S), clamped at 0 — one (conv_id, turn_idx, window_id) row
+    per membership, zero-shuffle. When stride > window_turns a turn can
+    fall in the GAP between windows (lo > hi): F.sequence would emit a
+    DESCENDING sequence there (review finding — the turn was counted in
+    two wrong windows), so the range is guarded to an empty array and
+    explode drops the gap turn."""
     if window_turns < 1 or stride < 1:
         raise ValueError("window_turns and stride must be >= 1")
     lo = F.greatest(
@@ -936,11 +930,37 @@ def turn_windows(
         ).cast("long"),
     )
     hi = F.floor(F.col("turn_idx") / F.lit(stride)).cast("long")
-    t = tr.select(
+    wins = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return tr.select(
         "conv_id",
         "turn_idx",
-        F.length("text").cast("long").alias("len"),
-        F.explode(F.sequence(lo, hi)).alias("window_id"),
+        *cols,
+        F.explode(wins).alias("window_id"),
+    )
+
+
+def turn_windows(
+    tr: DataFrame, window_turns: int = 8, stride: int = 4
+) -> DataFrame:
+    """Long-conversation splitter: overlapping ``window_turns``-turn
+    training windows at ``stride`` — the TURN-granularity companion of
+    the char-chunker (operators/curation.chunk_documents): a 400-turn
+    agent session becomes ~100 overlapping windows a trainer can pack
+    independently, preserving local turn continuity.
+
+    Window w covers turns [w*stride, w*stride + window_turns); turns in
+    the inter-window gap of a sparse stride (stride > window_turns)
+    belong to NO window (_window_membership). Emitted ZERO-shuffle via
+    a sequence+explode projection, then one conv_id-keyed aggregate.
+    Output per (conv_id, window_id): turn span, turn/char counts, and
+    whether the window is complete (a full window_turns run) — ragged
+    tails stay visible so the packer can drop or pad them explicitly.
+    """
+    t = _window_membership(
+        tr.withColumn("len", F.length("text").cast("long")),
+        window_turns, stride, "len",
     )
     return t.groupBy("conv_id", "window_id").agg(
         F.min("turn_idx").alias("first_turn"),
@@ -952,7 +972,8 @@ def turn_windows(
 
 
 def window_dedup(
-    tr: DataFrame, window_turns: int = 8, stride: int = 4
+    tr: DataFrame, window_turns: int = 8, stride: int = 4,
+    include_chars: bool = False,
 ) -> DataFrame:
     """Training-WINDOW exact dedup: fingerprint every ``turn_windows``
     window by its covered turn texts (turn order, length-prefixed and
@@ -966,23 +987,10 @@ def window_dedup(
     (conv_id, window_id) (collect_list bounded by window_turns), then
     the fingerprint-group window. Output per (conv_id, window_id):
     fingerprint, n_turns, group_size, is_canonical (smallest
-    (conv_id, window_id) in its group survives)."""
-    if window_turns < 1 or stride < 1:
-        raise ValueError("window_turns and stride must be >= 1")
-    lo = F.greatest(
-        F.lit(0),
-        F.ceil(
-            (F.col("turn_idx") - F.lit(window_turns) + 1)
-            / F.lit(float(stride))
-        ).cast("long"),
-    )
-    hi = F.floor(F.col("turn_idx") / F.lit(stride)).cast("long")
-    t = tr.select(
-        "conv_id",
-        "turn_idx",
-        "text",
-        F.explode(F.sequence(lo, hi)).alias("window_id"),
-    )
+    (conv_id, window_id) in its group survives). ``include_chars``
+    appends the window's char count so a downstream packer (q216) can
+    skip a second expansion pass."""
+    t = _window_membership(tr, window_turns, stride, "text")
     fp = F.md5(
         F.array_join(
             F.transform(
@@ -996,17 +1004,25 @@ def window_dedup(
             "\x1f",
         )
     )
-    per_win = t.groupBy("conv_id", "window_id").agg(
+    aggs = [
         fp.alias("fingerprint"),
         F.count(F.lit(1)).cast("long").alias("n_turns"),
-    )
+    ]
+    if include_chars:
+        aggs.append(
+            F.sum(F.length("text").cast("long")).cast("long").alias("n_chars")
+        )
+    per_win = t.groupBy("conv_id", "window_id").agg(*aggs)
     wg = Window.partitionBy("fingerprint")
     first = Window.partitionBy("fingerprint").orderBy("conv_id", "window_id")
-    return per_win.select(
+    out = [
         "conv_id",
         "window_id",
         "fingerprint",
         "n_turns",
         F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
         (F.row_number().over(first) == 1).alias("is_canonical"),
-    )
+    ]
+    if include_chars:
+        out.insert(4, "n_chars")
+    return per_win.select(*out)

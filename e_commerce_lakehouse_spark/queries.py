@@ -4501,9 +4501,13 @@ def q212_vector_index_lifecycle(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") < 400)
-    new = e.where(F.col("vec_id") >= 400)
-    base_post = sim.ivf_assign_incremental(base, base, dim=64, n_cells=16)
-    new_post = sim.ivf_assign_incremental(base, new, dim=64, n_cells=16)
+    # ONE quantizer build + assignment of the whole corpus, split into
+    # the two commit legs by id (review finding — two
+    # ivf_assign_incremental calls rebuilt the identical frozen
+    # centroids twice)
+    post = sim.ivf_assign_incremental(base, e, dim=64, n_cells=16).persist()
+    base_post = post.where(F.col("vec_id") < 400)
+    new_post = post.where(F.col("vec_id") >= 400)
     broot = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     root = os.path.join(broot, f"spark_graft_q212_{uuid.uuid4().hex[:12]}")
     try:
@@ -4525,6 +4529,7 @@ def q212_vector_index_lifecycle(spark, sf_dir):
         rows = result.collect()  # materialize before the temp table dies
         return spark.createDataFrame(rows, result.schema)
     finally:
+        post.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -4589,26 +4594,23 @@ def q216_window_packing(spark, sf_dir):
     the first/last pack it lands in (windows may straddle packs, the
     GPT pre-training shape). Zero-char windows pin to their start pack."""
     from .operators.curation import distributed_cumsum
-    from .operators.transcripts import (
-        as_transcripts,
-        turn_windows,
-        window_dedup,
-    )
+    from .operators.transcripts import as_transcripts, window_dedup
 
     budget = 500
-    tr = as_transcripts(_t(spark, sf_dir, "events")).persist()
-    wins = turn_windows(tr, window_turns=8, stride=4)
-    keep = (
-        window_dedup(tr, window_turns=8, stride=4)
+    tr = as_transcripts(_t(spark, sf_dir, "events"))
+    # include_chars: ONE window expansion + aggregate serves both the
+    # dedup decision and the char counts (review finding — previously a
+    # second turn_windows pass joined back per window)
+    w = (
+        window_dedup(tr, window_turns=8, stride=4, include_chars=True)
         .where(F.col("is_canonical"))
-        .select("conv_id", "window_id")
-    )
-    w = wins.join(keep, ["conv_id", "window_id"]).select(
-        F.format_string("%s#%06d", F.col("conv_id"), F.col("window_id"))
-        .alias("wkey"),
-        "conv_id",
-        "window_id",
-        "n_chars",
+        .select(
+            F.format_string("%s#%06d", F.col("conv_id"), F.col("window_id"))
+            .alias("wkey"),
+            "conv_id",
+            "window_id",
+            "n_chars",
+        )
     )
     cum = distributed_cumsum(
         w, order_col="wkey", value_col="n_chars", out_col="_cum"
@@ -4625,7 +4627,7 @@ def q216_window_packing(spark, sf_dir):
         last.alias("last_pack"),
         (last - first + 1).alias("n_packs_spanned"),
     )
-    return dd._finish_release(result, tr)
+    return result
 
 
 ALL = {

@@ -589,7 +589,17 @@ def scan_semi_join(
         from .partition import apply_transform
 
         try:
-            allowed = {apply_transform(f, k) for k in svals}
+            # identity partition values round-trip through the hive path
+            # as raw STRINGS (partition_from_path) while apply_transform
+            # returns the key's native type — compare canonical strings
+            # there, native values (int bucket/day) otherwise (review
+            # finding: an int identity key pruned every file)
+            if f.transform == "identity":
+                allowed = {str(apply_transform(f, k)) for k in svals}
+                matches = lambda pv: str(pv) in allowed  # noqa: E731
+            else:
+                allowed = {apply_transform(f, k) for k in svals}
+                matches = lambda pv: pv in allowed  # noqa: E731
         except Exception:
             continue  # transform/key type mismatch: no pruning from f
         entries = [
@@ -597,7 +607,7 @@ def scan_semi_join(
             if not getattr(e, "partition", None)
             or f.name not in e.partition
             or e.partition[f.name] is None
-            or e.partition[f.name] in allowed
+            or matches(e.partition[f.name])
         ]
     survivors: list[DataFileEntry] = []
     for e in entries:

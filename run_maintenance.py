@@ -399,9 +399,18 @@ def main(argv=None) -> int:
         if args.keys_file:
             keys_in = spark.read.parquet(args.keys_file)
         else:
+            # type --keys by the COLUMN's schema type, not by how the
+            # values look: '007' on a string column must stay '007'
+            # (int-cast would probe the wrong bucket/bloom — review
+            # finding); int columns cast strictly
+            from e_commerce_lakehouse_spark.table.scan import resolve_schema
+
+            fld = next((f for f in resolve_schema(t).fields
+                        if f.name == key_col), None)
+            integral = fld is not None and fld.dataType.simpleString() in (
+                "bigint", "int", "smallint", "tinyint")
             raw = [v for v in args.keys.split(",") if v != ""]
-            keys_in = ([int(v) for v in raw]
-                       if all(v.lstrip("-").isdigit() for v in raw) else raw)
+            keys_in = [int(v) for v in raw] if integral else raw
         m_ = {}
         df = scan_semi_join(spark, t, keys_in, key_col=key_col,
                             snapshot_id=args.snapshot, metrics=m_)

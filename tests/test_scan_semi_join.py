@@ -243,3 +243,43 @@ def test_cli_semi_scan_keys_file(spark, tiny_df, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     want = scan(spark, t).where(F.col("conv_id").isin(keys)).count()
     assert out["n_rows"] == want > 0
+
+
+def test_semi_join_identity_partition_int_key_not_lost(spark, tmp_path):
+    """Review finding: identity partition values round-trip as path
+    STRINGS; an int identity key must still match (canonical-string
+    compare), and other partitions must still prune."""
+    from e_commerce_lakehouse_spark.table import PartitionField
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(30)], "rid long, grp long, txt string"
+    )
+    t = Table.create(str(tmp_path / "ident"))
+    spec = [PartitionField("g", "grp", "identity")]
+    for g in range(3):
+        part = df.where(F.col("grp") == g)
+        entries = write_files(spark, t, part, 1, f"g{g}",
+                              stat_columns=("grp",), partition_spec=spec)
+        t.commit_append(entries, {"op": f"ingest-{g}"})
+    m: dict = {}
+    got = scan_semi_join(spark, t, [1], key_col="grp",
+                         schema=df.schema, metrics=m)
+    assert got.count() == 10          # NOT zero — the int key matched
+    assert m["files_kept"] == 1, m    # the other two partitions pruned
+
+
+def test_cli_semi_scan_numeric_looking_string_keys(spark, tiny_df, tmp_path, capsys):
+    """Review finding: --keys values that look numeric must be typed by
+    the COLUMN (string conv_id stays string — no int cast probing the
+    wrong bucket)."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    t = _mk_table(spark, tiny_df, tmp_path / "clin", "bloom-bucketed")
+    assert main(["--table", str(t.root), "--op", "semi-scan",
+                 "--key-cols", "conv_id", "--keys", "12345"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 0  # absent key: empty, no crash, no mis-typing

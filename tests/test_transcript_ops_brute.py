@@ -157,3 +157,42 @@ def test_cache_economics_matches_bruteforce(spark):
             for r in cache_economics(df).collect()
         }
         assert got == _brute_cache(rows), f"seed {seed}"
+
+
+def _brute_windows(rows, W, S):
+    by_conv = {}
+    for conv, idx, role, text in rows:
+        by_conv.setdefault(conv, []).append((idx, len(text)))
+    out = {}
+    for conv, turns in by_conv.items():
+        for idx, ln in sorted(turns):
+            w = 0
+            while True:
+                start = w * S
+                if start > idx:
+                    break
+                if idx < start + W:
+                    key = (conv, w)
+                    f, l, n, c = out.get(key, (idx, idx, 0, 0))
+                    out[key] = (min(f, idx), max(l, idx), n + 1, c + ln)
+                w += 1
+    return out
+
+
+def test_turn_windows_matches_bruteforce_incl_sparse_stride(spark):
+    # stride > window_turns leaves GAP turns belonging to no window —
+    # the F.sequence descending-range regression class (review finding)
+    from e_commerce_lakehouse_spark.operators.transcripts import turn_windows
+
+    for seed, (W, S) in [(3, (2, 4)), (9, (4, 2)), (21, (3, 3))]:
+        rows = _random_transcripts(seed)
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        got = {
+            (r["conv_id"], r["window_id"]): (
+                r["first_turn"], r["last_turn"], r["n_turns"], r["n_chars"]
+            )
+            for r in turn_windows(df, window_turns=W, stride=S).collect()
+        }
+        assert got == _brute_windows(rows, W, S), f"seed {seed} W{W} S{S}"
