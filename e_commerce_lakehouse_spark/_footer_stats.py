@@ -48,12 +48,110 @@ def kmv_mins(values, k: int) -> list[int]:
     return heapq.nsmallest(k, hs)  # already ascending-sorted
 
 
+def hist_counts(values, counts, lo: float, hi: float, bins: int) -> list[int]:
+    """Equi-width histogram bin counts from a (uniques, multiplicities)
+    pair — the per-file distribution sketch. Layout: [underflow,
+    b0..b(bins-1), overflow]; bin index = floor((x - lo) * bins /
+    (hi - lo)) clamped to bins-1 at the float edge, the exact expression
+    a SQL twin states (LEAST(bins-1, CAST(floor(...) AS INT))), so
+    merged table-level histograms value-hash oracle. NULLs excluded by
+    the caller. Counts are exact integers, so per-file sketches merge by
+    elementwise SUM into the histogram of the whole table."""
+    out = [0] * (bins + 2)
+    width = hi - lo
+    for v, c in zip(values, counts):
+        x = float(v)
+        if x < lo:
+            out[0] += c
+        elif x >= hi:
+            out[bins + 1] += c
+        else:
+            idx = int((x - lo) * bins / width)
+            if idx >= bins:  # float-edge guard (x*bins/width == bins)
+                idx = bins - 1
+            out[idx + 1] += c
+    return out
+
+
+def cm_rows(values, counts, w: int, d: int) -> list[list[int]]:
+    """Count-min counter matrix (d rows × w counters) from a (uniques,
+    multiplicities) pair. Row-j hash of value v is md5('j|' || str(v))'s
+    60-bit prefix mod w — deterministic and SQL-statable (DuckDB twin:
+    ('0x' || substr(md5(j || '|' || v::VARCHAR), 1, 15))::BIGINT % w), so
+    merged estimates oracle bit-for-bit. Per-file matrices merge by
+    elementwise SUM; estimate(v) = min over rows of the merged counter —
+    a guaranteed OVERestimate of v's true count (never under)."""
+    import hashlib
+
+    rows = [[0] * w for _ in range(d)]
+    for v, c in zip(values, counts):
+        s = str(v)
+        for j in range(d):
+            h = int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) % w
+            rows[j][h] += c
+    return rows
+
+
+def topk_counts(values, counts, t: int) -> list[list]:
+    """The file's t most frequent values as [str(value), count] pairs,
+    ties broken by value string ascending — the candidate pool for
+    table-level heavy-hitter queries (union of per-file top-t provably
+    contains every value that is top-t BY COUNT in at least one file)."""
+    pairs = sorted(
+        ((int(c), str(v)) for v, c in zip(values, counts)),
+        key=lambda p: (-p[0], p[1]),
+    )[:t]
+    return [[v, c] for c, v in pairs]
+
+
+def _dist_one(values, counts, params: dict) -> dict:
+    """One column's distribution sketch dict from its value counts."""
+    out = {}
+    h = params.get("hist")
+    if h:
+        out["hist"] = {
+            "lo": float(h["lo"]), "hi": float(h["hi"]),
+            "bins": int(h["bins"]),
+            "counts": hist_counts(values, counts, float(h["lo"]),
+                                  float(h["hi"]), int(h["bins"])),
+        }
+    c = params.get("cm")
+    if c:
+        w, d, t = int(c["w"]), int(c["d"]), int(c.get("topk", 16))
+        out["cm"] = {"w": w, "d": d,
+                     "rows": cm_rows(values, counts, w, d),
+                     "topk": topk_counts(values, counts, t)}
+    return out
+
+
+def dist_from_arrow(t, dist_spec: dict) -> dict:
+    """Per-column distribution sketches (equi-width histogram and/or
+    count-min, per ``Table.dist_spec()``) from an IN-MEMORY arrow table —
+    shared by the footer pass and compact's rewrite tasks, like
+    ndv_from_arrow."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for col, params in (dist_spec or {}).items():
+        if col not in t.column_names:
+            continue
+        vc = pc.value_counts(t.column(col).combine_chunks())
+        values = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_pylist()
+        pairs = [(v, c) for v, c in zip(values, counts) if v is not None]
+        sk = _dist_one([p[0] for p in pairs], [p[1] for p in pairs], params)
+        if sk:
+            out[col] = sk
+    return out
+
+
 def file_stats_dict(
     abs_path: str,
     root: str,
     stat_columns: Iterable[str],
     bloom_spec: dict | None = None,
     ndv_spec: dict | None = None,
+    dist_spec: dict | None = None,
 ) -> dict:
     """DataFileEntry-shaped dict from one parquet footer (no data pages).
 
@@ -129,6 +227,15 @@ def file_stats_dict(
         }
         if ndv:
             out["ndv"] = ndv
+    if dist_spec:
+        # distribution sketches need multiplicities, not uniques — one
+        # value_counts per declared column (one column read each)
+        name_set = set(name_to_idx)
+        cols = [c for c in dist_spec if c in name_set]
+        if cols:
+            dist = dist_from_arrow(pf.read(columns=cols), dist_spec)
+            if dist:
+                out["dist"] = dist
     return out
 
 

@@ -54,6 +54,7 @@ def _rewrite_wave_arrow(
     bloom_spec: dict | None = None,
     sv_plan: int | None = None,
     ndv_spec: dict | None = None,
+    dist_spec: dict | None = None,
 ) -> list[dict]:
     """Rewrite a wave of file groups in ONE Spark job: each task
     concatenates its group's parquet files with pyarrow and writes one
@@ -160,6 +161,14 @@ def _rewrite_wave_arrow(
                 nd = ndv_from_arrow(merged, ndv_spec)
                 if nd:
                     e["ndv"] = nd
+            if dist_spec:
+                # distribution sketches from the IN-MEMORY merged table —
+                # no second read of the file just written (same rule)
+                from e_commerce_lakehouse_spark._footer_stats import dist_from_arrow
+
+                ds = dist_from_arrow(merged, dist_spec)
+                if ds:
+                    e["dist"] = ds
             if sv_plan:
                 # write-schema version RECORDED AT WRITE TIME: stays
                 # correct across resume even if an evolution lands
@@ -232,7 +241,7 @@ def _rewrite_group(
     # coalesce: no shuffle — small whole files concatenate into n_out files
     df.coalesce(n_out).write.mode("error").parquet(out_dir)
     outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
-                           bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec())
+                           bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(), dist_spec=table.dist_spec())
     for e in outs:
         e.seq = out_seq
         e.partition = out_partition
@@ -277,7 +286,7 @@ def _run_arrow(
         results = _rewrite_wave_arrow(
             spark, table.root, specs, base_snapshot, stat_columns, codec=codec,
             field_spec=field_spec, run_token=run_token,
-            bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(),
+            bloom_spec=table.bloom_spec(), ndv_spec=table.ndv_spec(), dist_spec=table.dist_spec(),
             sv_plan=sv_plan,
         )
         for r in results:  # outputs carry the group's preserved seq

@@ -128,3 +128,172 @@ def table_ndv(table, col: str, snapshot_id: int | None = None) -> dict:
                                               rounding=ROUND_HALF_UP))
     out.update(n_min=n_min, kth_hash=kth, est_distinct=est)
     return out
+
+
+def table_histogram(table, col: str, snapshot_id: int | None = None) -> dict:
+    """Table-level equi-width histogram for ``col`` MERGED from the
+    per-file distribution sketches in the manifests — zero data reads,
+    O(live files * bins) driver work. Per-file bin counts are EXACT (not
+    estimates), and the bin edges are fixed by the table's dist spec, so
+    the elementwise SUM of the per-file counts IS the histogram of the
+    whole column — which is what the q217 oracle states in SQL.
+
+    Layout mirrors _footer_stats.hist_counts: counts[0] = underflow
+    (x < lo), counts[1..bins] = the bins of [lo, hi), counts[bins+1] =
+    overflow (x >= hi). NULLs are excluded (like COUNT(col)). Files
+    without a sketch for ``col`` are counted in ``files_missing`` and
+    excluded from the merge (lower bound, like table_ndv)."""
+    entries = table.entries(snapshot_id)
+    merged: list[int] | None = None
+    lo = hi = None
+    bins = None
+    missing = 0
+    for e in entries:
+        sk = (e.dist or {}).get(col, {}).get("hist")
+        if sk is None:
+            if e.rows > 0:
+                missing += 1
+            continue
+        if merged is None:
+            lo, hi, bins = sk["lo"], sk["hi"], sk["bins"]
+            merged = list(sk["counts"])
+        else:
+            if (sk["lo"], sk["hi"], sk["bins"]) != (lo, hi, bins):
+                raise ValueError(
+                    f"histogram spec drift for {col!r}: file {e.path} has "
+                    f"({sk['lo']}, {sk['hi']}, {sk['bins']}) vs "
+                    f"({lo}, {hi}, {bins}); re-declare + rewrite first"
+                )
+            for i, c in enumerate(sk["counts"]):
+                merged[i] += c
+    out = {"column": col, "files_total": len(entries),
+           "files_missing": missing, "lo": lo, "hi": hi, "bins": bins,
+           "counts": merged, "total": sum(merged) if merged else 0}
+    return out
+
+
+def table_quantiles(table, col: str, qs: list[float],
+                    snapshot_id: int | None = None) -> list[tuple]:
+    """Metadata-only quantile ESTIMATES for ``col`` from the merged
+    histogram: for each q in (0, 1], target = q * total; the answer is a
+    linear interpolation inside the first bin whose cumulative count
+    reaches the target — lo + (width/bins) * (b + (target - cum_before)
+    / bin_count) — clamped to lo/hi when the target lands in the
+    underflow/overflow slot. Exact same arithmetic as the SQL twin
+    (identical op order, both IEEE doubles rounded to 9 dp), so the
+    estimates value-hash oracle. Error bound: within one bin width of
+    the true quantile for in-range data by construction.
+
+    Returns [(q, estimate), ...]; estimate None when the merged
+    histogram is empty."""
+    h = table_histogram(table, col, snapshot_id)
+    counts, total = h["counts"], h["total"]
+    out = []
+    if not counts or total == 0:
+        return [(float(q), None) for q in qs]
+    lo, hi, bins = h["lo"], h["hi"], h["bins"]
+    width = hi - lo
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile {q} outside (0, 1]")
+        target = q * total
+        cum = 0
+        est = None
+        for i, c in enumerate(counts):
+            cum += c
+            if c > 0 and cum >= target:
+                if i == 0:
+                    est = float(lo)
+                elif i == len(counts) - 1:
+                    est = float(hi)
+                else:
+                    b = i - 1
+                    cum_before = cum - c
+                    est = lo + (width / bins) * (b + (target - cum_before) / c)
+                break
+        out.append((float(q), round(est, 9) if est is not None else None))
+    return out
+
+
+def _cm_slot(j: int, s: str, w: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) % w
+
+
+def table_cm(table, col: str, snapshot_id: int | None = None) -> dict:
+    """Merged count-min matrix for ``col`` from the manifests (zero data
+    reads): per-file matrices sum elementwise into the matrix of the
+    whole column. Also unions the per-file top-k candidate pools."""
+    entries = table.entries(snapshot_id)
+    rows: list[list[int]] | None = None
+    w = d = None
+    cands: dict[str, int] = {}
+    missing = 0
+    for e in entries:
+        sk = (e.dist or {}).get(col, {}).get("cm")
+        if sk is None:
+            if e.rows > 0:
+                missing += 1
+            continue
+        if rows is None:
+            w, d = sk["w"], sk["d"]
+            rows = [list(r) for r in sk["rows"]]
+        else:
+            if (sk["w"], sk["d"]) != (w, d):
+                raise ValueError(
+                    f"count-min spec drift for {col!r}: file {e.path} has "
+                    f"(w={sk['w']}, d={sk['d']}) vs (w={w}, d={d}); "
+                    f"re-declare + rewrite first"
+                )
+            for j in range(d):
+                rj, sj = rows[j], sk["rows"][j]
+                for i in range(w):
+                    rj[i] += sj[i]
+        for v, c in sk.get("topk", []):
+            cands[v] = cands.get(v, 0) + int(c)
+    return {"column": col, "files_total": len(entries),
+            "files_missing": missing, "w": w, "d": d, "rows": rows,
+            "candidates": cands}
+
+
+def cm_estimate(table, col: str, values: list,
+                snapshot_id: int | None = None) -> list[tuple]:
+    """Frequency over-estimates for specific ``values`` from the merged
+    count-min matrix — min over hash rows of the summed counters, a
+    GUARANTEED upper bound on each value's true count (collisions only
+    inflate). Returns [(str(value), estimate), ...] in input order;
+    estimate None when no file carries the sketch."""
+    cm = table_cm(table, col, snapshot_id)
+    rows, w, d = cm["rows"], cm["w"], cm["d"]
+    out = []
+    for v in values:
+        s = str(v)
+        if rows is None:
+            out.append((s, None))
+        else:
+            out.append((s, min(rows[j][_cm_slot(j, s, w)] for j in range(d))))
+    return out
+
+
+def heavy_hitters(table, col: str, min_count: int,
+                  snapshot_id: int | None = None) -> list[tuple]:
+    """Heavy-hitter CANDIDATES with count-min estimated frequencies,
+    metadata-only: candidates are the union of every file's top-k pool
+    (provably containing any value that ranks top-k by count in at least
+    one file), filtered to cm_estimate >= min_count. Because count-min
+    never underestimates, no candidate with true count >= min_count is
+    dropped by the filter; collisions can ADD false candidates, so an
+    exact verify leg (one scan filtered to the candidate set) confirms —
+    the two-phase shape q218 demonstrates. Sorted by (-estimate, value)."""
+    cm = table_cm(table, col, snapshot_id)
+    rows, w, d = cm["rows"], cm["w"], cm["d"]
+    if rows is None:
+        return []
+    out = []
+    for v in cm["candidates"]:
+        est = min(rows[j][_cm_slot(j, v, w)] for j in range(d))
+        if est >= min_count:
+            out.append((v, est))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out

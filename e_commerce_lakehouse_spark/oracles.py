@@ -4660,3 +4660,108 @@ SELECT conv_id, window_id, n_chars,
      - (cum - n_chars) // 500 + 1)::BIGINT AS n_packs_spanned
 FROM c
 """
+
+
+# q217: the merged per-file histogram == the whole-column histogram —
+# per-file bin counts are exact and merge by SUM, so the oracle bins
+# documents.n_chars directly with the IDENTICAL expression (underflow
+# bin -1, overflow bin 25, float-edge clamp via LEAST).
+ALL["q217_manifest_histogram"] = """
+WITH x AS (
+    SELECT n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL
+), binned AS (
+    SELECT CASE WHEN x < 0.0 THEN -1
+                WHEN x >= 500.0 THEN 25
+                ELSE LEAST(24, CAST(floor((x - 0.0) * 25 / 500.0) AS INT))
+           END AS bin
+    FROM x
+), c AS (
+    SELECT bin, count(*) AS n FROM binned GROUP BY bin
+), grid AS (
+    SELECT unnest(range(-1, 26))::INT AS bin
+)
+SELECT grid.bin AS bin, COALESCE(c.n, 0)::BIGINT AS n
+FROM grid LEFT JOIN c ON c.bin = grid.bin
+"""
+
+
+# q218: metadata-only quantile estimates — same binning as q217, then
+# the first bin whose cumulative count reaches q * total, interpolated
+# with the IDENTICAL op order as sketch.table_quantiles:
+# lo + (width / bins) * (b + (target - cum_before) / c), clamped to
+# lo/hi in the under/overflow slots, rounded to 9 dp on both sides.
+ALL["q218_metadata_quantiles"] = """
+WITH x AS (
+    SELECT n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL
+), binned AS (
+    SELECT CASE WHEN x < 0.0 THEN -1
+                WHEN x >= 500.0 THEN 25
+                ELSE LEAST(24, CAST(floor((x - 0.0) * 25 / 500.0) AS INT))
+           END AS bin
+    FROM x
+), c AS (
+    SELECT bin, count(*) AS n FROM binned GROUP BY bin
+), grid AS (
+    SELECT unnest(range(-1, 26))::INT AS bin
+), f AS (
+    SELECT grid.bin, COALESCE(c.n, 0)::BIGINT AS n,
+           SUM(COALESCE(c.n, 0)) OVER (ORDER BY grid.bin)::BIGINT AS cum
+    FROM grid LEFT JOIN c ON c.bin = grid.bin
+), tot AS (
+    SELECT SUM(n)::BIGINT AS t FROM f
+), qs AS (
+    SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99, 1.0]::DOUBLE[]) AS q
+), pick AS (
+    SELECT qs.q, min(f.bin) AS bin
+    FROM qs, f, tot
+    WHERE f.n > 0 AND f.cum >= qs.q * tot.t
+    GROUP BY qs.q
+)
+SELECT pick.q AS q,
+       round(CASE WHEN pick.bin = -1 THEN 0.0
+                  WHEN pick.bin = 25 THEN 500.0
+                  ELSE 0.0 + (500.0 / 25) * (pick.bin
+                       + (pick.q * tot.t - (f.cum - f.n)) / f.n)
+             END, 9) AS est
+FROM pick JOIN f ON f.bin = pick.bin, tot
+"""
+
+
+# q219: count-min heavy hitters — candidate pool = union of the two
+# parity halves' top-3 (count desc, value asc: topk_counts' tiebreak),
+# counters = the whole-column d=3 x w=32 matrix (per-file matrices sum,
+# split-independent), estimate = min over hash rows (md5('j|' || v)
+# 60-bit prefix mod 32 — _footer_stats.cm_rows verbatim), threshold =
+# max(1, rows // 20), exact counts from a full group-by.
+ALL["q219_cm_heavy_hitters"] = """
+WITH sides AS (
+    SELECT lang AS v, doc_id % 2 AS f FROM documents WHERE lang IS NOT NULL
+), pool AS (
+    SELECT DISTINCT v FROM (
+        SELECT v, row_number() OVER (
+            PARTITION BY f ORDER BY c DESC, v ASC) AS rn
+        FROM (SELECT f, v, count(*) AS c FROM sides GROUP BY f, v)
+    ) WHERE rn <= 3
+), vc AS (
+    SELECT v, count(*) AS c FROM sides GROUP BY v
+), hashes AS (
+    SELECT j.j, vc.v, vc.c,
+           ('0x' || substr(md5(j.j::VARCHAR || '|' || vc.v), 1, 15))::BIGINT
+               % 32 AS slot
+    FROM vc, (SELECT unnest(range(0, 3)) AS j) j
+), counters AS (
+    SELECT j, slot, SUM(c)::BIGINT AS cnt FROM hashes GROUP BY j, slot
+), est AS (
+    SELECT pool.v, min(counters.cnt)::BIGINT AS est_count
+    FROM pool
+    JOIN hashes ON hashes.v = pool.v
+    JOIN counters ON counters.j = hashes.j AND counters.slot = hashes.slot
+    GROUP BY pool.v
+), tot AS (
+    SELECT count(*) AS t FROM sides
+)
+SELECT est.v AS value, est.est_count,
+       COALESCE(vc.c, 0)::BIGINT AS exact_n
+FROM est JOIN vc ON vc.v = est.v, tot
+WHERE est.est_count >= GREATEST(1, tot.t // 20)
+"""

@@ -4630,6 +4630,132 @@ def q216_window_packing(spark, sf_dir):
     return result
 
 
+def _dist_docs_table(spark, sf_dir, root, hist=None, cm=None,
+                     compact_after=False):
+    """Shared q217-q219 lifecycle: documents ingested as two
+    DETERMINISTIC halves (doc_id parity — the split the SQL twins can
+    restate), under the given distribution-sketch specs."""
+    from .operators.compact import compact as compact_op
+    from .table.meta import Table
+    from .table.writer import append_dataframe
+
+    docs = _t(spark, sf_dir, "documents")
+    t = Table.create(root)
+    t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    if hist:
+        t.set_histogram_columns(hist)
+    if cm:
+        t.set_cm_columns(cm, w=32, d=3, topk=3)
+    append_dataframe(spark, t, docs.where(F.col("doc_id") % 2 == 0),
+                     rows_per_file=1_000_000)
+    append_dataframe(spark, t, docs.where(F.col("doc_id") % 2 == 1),
+                     rows_per_file=1_000_000)
+    if compact_after:
+        compact_op(spark, t, target_bytes=1 << 30, stat_columns=("doc_id",))
+    return t
+
+
+def q217_manifest_histogram(spark, sf_dir):
+    """Per-file equi-width histogram sketches merged from MANIFESTS
+    (operators/sketch.table_histogram): declare hist(n_chars, [0, 500),
+    25 bins) on a documents table, write two batches, compact (rewrites
+    re-sketch from the in-memory merged table), then read the table
+    histogram with ZERO data reads. Per-file bin counts are exact and
+    the merge is an elementwise sum, so the merged histogram IS the
+    whole-column histogram — which the oracle states directly over
+    documents with the identical binning expression (underflow slot
+    bin=-1, overflow slot bin=25)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.sketch import table_histogram
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q217_{uuid.uuid4().hex[:12]}")
+    try:
+        t = _dist_docs_table(spark, sf_dir, root,
+                             hist={"n_chars": (0.0, 500.0, 25)},
+                             compact_after=True)
+        h = table_histogram(t, "n_chars")
+        assert h["files_missing"] == 0, h
+        rows = [(b, int(n)) for b, n in zip(range(-1, 26), h["counts"])]
+        return spark.createDataFrame(rows, "bin int, n bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q218_metadata_quantiles(spark, sf_dir):
+    """Metadata-only quantile ESTIMATES from the merged histogram
+    (operators/sketch.table_quantiles): linear interpolation inside the
+    first bin whose cumulative count reaches q * total — identical
+    arithmetic (op order and all) to the SQL twin, so even the
+    INTERPOLATED estimates value-hash oracle. Answers percentile
+    questions over a 100 TB column from kilobytes of manifest sketch."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.sketch import table_quantiles
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q218_{uuid.uuid4().hex[:12]}")
+    try:
+        t = _dist_docs_table(spark, sf_dir, root,
+                             hist={"n_chars": (0.0, 500.0, 25)},
+                             compact_after=True)
+        qs = [0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+        rows = [(float(q), float(est)) for q, est in
+                table_quantiles(t, "n_chars", qs)]
+        return spark.createDataFrame(rows, "q double, est double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q219_cm_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters from MANIFESTS (operators/sketch.
+    heavy_hitters) + an exact verify leg: two deterministic file halves
+    each carry a d=3 x w=32 count-min matrix and a top-3 candidate
+    pool; matrices merge by sum (split-independent — the merged matrix
+    IS the whole-column matrix), candidates are the pool union, and the
+    estimate (min over hash rows) is a GUARANTEED upper bound on each
+    true count. The verify leg scans the TABLE (not the input) for the
+    candidates' exact counts, proving est >= exact always. The oracle
+    restates pools, counters, estimates, and exact counts relationally
+    over the same parity split."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.sketch import heavy_hitters
+    from .table import scan as _scan
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q219_{uuid.uuid4().hex[:12]}")
+    try:
+        t = _dist_docs_table(spark, sf_dir, root, cm=["lang"])
+        table_df = _scan(spark, t)
+        n_lang = table_df.where(F.col("lang").isNotNull()).count()
+        min_count = max(1, n_lang // 20)
+        hh = heavy_hitters(t, "lang", min_count)
+        cand = spark.createDataFrame(
+            [(v, int(est)) for v, est in hh], "value string, est_count bigint"
+        )
+        exact = (
+            table_df.where(F.col("lang").isNotNull())
+            .groupBy(F.col("lang").alias("value"))
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+        )
+        result = cand.join(exact, "value", "left").select(
+            "value", "est_count",
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        )
+        # collected before the table dir is removed (lifecycle query)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4853,4 +4979,7 @@ ALL = {
     "q214_turn_windows": q214_turn_windows,
     "q215_window_dedup": q215_window_dedup,
     "q216_window_packing": q216_window_packing,
+    "q217_manifest_histogram": q217_manifest_histogram,
+    "q218_metadata_quantiles": q218_metadata_quantiles,
+    "q219_cm_heavy_hitters": q219_cm_heavy_hitters,
 }

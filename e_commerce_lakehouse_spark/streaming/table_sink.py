@@ -50,6 +50,7 @@ class _FileMessage(WriterCommitMessage):
     blooms: dict | None = None
     nulls: dict | None = None
     ndv: dict | None = None
+    dist: dict | None = None
 
 
 class LakehouseStreamWriter(DataSourceStreamWriter):
@@ -70,6 +71,7 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
         t = Table.load(self._root)
         self._bloom_spec = t.bloom_spec()
         self._ndv_spec = t.ndv_spec()
+        self._dist_spec = t.dist_spec()
         # write-schema version captured at STREAM START: entries commit
         # with this sv, so files written here bind their column names
         # correctly even if an evolution lands mid-stream
@@ -135,11 +137,12 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
                        coerce_timestamps="us", allow_truncated_timestamps=True)
         d = file_stats_dict(abs_path, self._root, self._stat_columns,
                             bloom_spec=self._bloom_spec,
-                            ndv_spec=self._ndv_spec)
+                            ndv_spec=self._ndv_spec,
+                            dist_spec=self._dist_spec)
         return _FileMessage(path=d["path"], rows=d["rows"],
                             bytes=d["bytes"], stats=d["stats"],
                             blooms=d.get("blooms"), nulls=d.get("nulls"),
-                            ndv=d.get("ndv"))
+                            ndv=d.get("ndv"), dist=d.get("dist"))
 
     # ---- driver side ----
 
@@ -151,7 +154,8 @@ class LakehouseStreamWriter(DataSourceStreamWriter):
             DataFileEntry(path=m.path, rows=m.rows, bytes=m.bytes, stats=m.stats,
                           blooms=getattr(m, "blooms", None), sv=self._sv,
                           nulls=getattr(m, "nulls", None),
-                          ndv=getattr(m, "ndv", None))
+                          ndv=getattr(m, "ndv", None),
+                          dist=getattr(m, "dist", None))
             for m in messages
             if m is not None and m.rows > 0
         ]

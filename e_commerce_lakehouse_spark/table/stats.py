@@ -31,6 +31,7 @@ def file_entry(
     stat_columns: Iterable[str],
     bloom_spec: dict | None = None,
     ndv_spec: dict | None = None,
+    dist_spec: dict | None = None,
 ) -> DataFileEntry:
     """Build a DataFileEntry from one file's footer. Freshly collected
     entries are seq-UNSTAMPED (None): the commit that adds them assigns
@@ -38,7 +39,8 @@ def file_entry(
     set it explicitly afterwards (from_dict's 0-default is for reading
     pre-seq manifests, not for new files)."""
     e = DataFileEntry.from_dict(
-        file_stats_dict(abs_path, root, stat_columns, bloom_spec=bloom_spec, ndv_spec=ndv_spec)
+        file_stats_dict(abs_path, root, stat_columns, bloom_spec=bloom_spec,
+                        ndv_spec=ndv_spec, dist_spec=dist_spec)
     )
     e.seq = None
     return e
@@ -51,6 +53,7 @@ def collect_entries(
     spark=None,
     bloom_spec: dict | None = None,
     ndv_spec: dict | None = None,
+    dist_spec: dict | None = None,
 ) -> list[DataFileEntry]:
     """Footer-stat collection; distributed over executors when the file
     count is large and a SparkSession is provided. ``bloom_spec``
@@ -67,7 +70,8 @@ def collect_entries(
             from e_commerce_lakehouse_spark._footer_stats import file_stats_dict
 
             return [
-                file_stats_dict(p, root, stat_columns, bloom_spec=bloom_spec, ndv_spec=ndv_spec)
+                file_stats_dict(p, root, stat_columns, bloom_spec=bloom_spec,
+                                ndv_spec=ndv_spec, dist_spec=dist_spec)
                 for p in paths
             ]
 
@@ -79,7 +83,9 @@ def collect_entries(
             by_path[d["path"]] = e
         # preserve caller ordering
         return [by_path[os.path.relpath(p, root)] for p in abs_paths]
-    return [file_entry(p, root, stat_columns, bloom_spec=bloom_spec, ndv_spec=ndv_spec) for p in abs_paths]
+    return [file_entry(p, root, stat_columns, bloom_spec=bloom_spec,
+                       ndv_spec=ndv_spec, dist_spec=dist_spec)
+            for p in abs_paths]
 
 
 def list_parquet_files(directory: str) -> list[str]:

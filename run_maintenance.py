@@ -69,6 +69,7 @@ def main(argv=None) -> int:
             "branches", "fast-forward", "replicate", "set-bloom",
             "matview-create", "matview-refresh", "retention", "count",
             "set-ndv", "ndv", "depth-report", "semi-scan",
+            "set-hist", "set-cm", "histogram", "quantiles", "heavy-hitters",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -106,6 +107,9 @@ def main(argv=None) -> int:
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
     p.add_argument("--retry-backoff", type=float, default=2.0,
                    help="initial backoff seconds (doubles per attempt)")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="heavy-hitters: report candidates whose count-min "
+                        "estimate is at least this")
     p.add_argument("--snapshot", type=int, default=None,
                    help="inspect: pin a snapshot id; diff: the FROM snapshot; "
                         "rollback: the snapshot to restore")
@@ -304,6 +308,56 @@ def main(argv=None) -> int:
         t = Table.load(args.table, branch=args.branch)
         result = {c.strip(): table_ndv(t, c.strip(), snapshot_id=args.snapshot)
                   for c in args.columns.split(",") if c.strip()}
+    elif args.op == "set-hist":  # metadata-only spec declaration
+        # --columns col=lo:hi[:bins][,col=...] ('' drops all hist specs)
+        if args.columns is None:
+            p.error("--op set-hist requires --columns col=lo:hi[:bins],...")
+        spec = {}
+        for item in args.columns.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            c, _, rng = item.partition("=")
+            parts = rng.split(":")
+            if len(parts) < 2:
+                p.error(f"bad hist spec {item!r}: want col=lo:hi[:bins]")
+            spec[c] = tuple(float(x) if i < 2 else int(x)
+                            for i, x in enumerate(parts))
+        Table.load(args.table, branch=args.branch).set_histogram_columns(spec)
+        result = {"hist_columns": sorted(spec)}
+    elif args.op == "set-cm":  # metadata-only spec declaration
+        if args.columns is None:
+            p.error("--op set-cm requires --columns col[,col...] ('' drops)")
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        Table.load(args.table, branch=args.branch).set_cm_columns(cols)
+        result = {"cm_columns": cols}
+    elif args.op == "histogram":  # metadata-only merged histogram
+        from e_commerce_lakehouse_spark.operators.sketch import table_histogram
+
+        if not args.columns:
+            p.error("--op histogram requires --columns col[,col...]")
+        t = Table.load(args.table, branch=args.branch)
+        result = {c.strip(): table_histogram(t, c.strip(),
+                                             snapshot_id=args.snapshot)
+                  for c in args.columns.split(",") if c.strip()}
+    elif args.op == "quantiles":  # metadata-only quantile estimates
+        from e_commerce_lakehouse_spark.operators.sketch import table_quantiles
+
+        if not args.columns:
+            p.error("--op quantiles requires --columns <one column>")
+        col = args.columns.split(",")[0].strip()
+        t = Table.load(args.table, branch=args.branch)
+        result = {col: table_quantiles(t, col, [0.25, 0.5, 0.75, 0.9, 0.99],
+                                       snapshot_id=args.snapshot)}
+    elif args.op == "heavy-hitters":  # metadata-only candidates + cm bounds
+        from e_commerce_lakehouse_spark.operators.sketch import heavy_hitters
+
+        if not args.columns:
+            p.error("--op heavy-hitters requires --columns <one column>")
+        col = args.columns.split(",")[0].strip()
+        t = Table.load(args.table, branch=args.branch)
+        result = {col: heavy_hitters(t, col, max(1, args.min_count),
+                                     snapshot_id=args.snapshot)}
     elif args.op == "depth-report":  # metadata-only clustering audit
         from e_commerce_lakehouse_spark.operators.analyze import (
             clustering_depth_report,
