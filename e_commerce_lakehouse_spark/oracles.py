@@ -4765,3 +4765,18 @@ SELECT est.v AS value, est.est_count,
 FROM est JOIN vc ON vc.v = est.v, tot
 WHERE est.est_count >= GREATEST(1, tot.t // 20)
 """
+
+
+# q220: multi-table atomic transaction — both tables hold exactly the
+# union of their even and odd halves iff the txn committed on BOTH and
+# the aborted duplicate txn leaked on NEITHER; the twin is the plain
+# two-table join aggregate over the full inputs. Quantities are integral
+# doubles, so the sums are exact in both engines.
+ALL["q220_multitable_txn"] = """
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       SUM(l.l_quantity) AS sum_qty,
+       count(DISTINCT o.o_orderkey)::BIGINT AS n_orders
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""

@@ -4756,6 +4756,71 @@ def q219_cm_heavy_hitters(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q220_multitable_txn(spark, sf_dir):
+    """Multi-table ATOMIC transaction (table/txn.py, the reference's
+    Parallel multi-table ETL fan-out made all-or-nothing, reference
+    etl_orchestrator.json:249-353): orders and lineitem each ingest
+    their even-key half, then ONE transaction stages both odd-key
+    halves and publishes them with a single atomic decision record
+    (2PC over write-audit-publish; interrupted flips heal at next
+    load/commit). A second transaction stages duplicate rows and
+    ABORTS — nothing from it may surface. The proof is a cross-table
+    join aggregate over the final state: only if both tables hold
+    exactly their full halves (txn committed everywhere, abort leaked
+    nowhere) does the hash match the plain two-table SQL twin."""
+    import os
+    import shutil
+    import uuid
+
+    from .table.meta import Table
+    from .table.scan import scan as scan_table
+    from .table.txn import MultiTableTransaction
+    from .table.writer import append_dataframe
+
+    orders = _t(spark, sf_dir, "orders")
+    items = _t(spark, sf_dir, "lineitem")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q220_{uuid.uuid4().hex[:12]}")
+    try:
+        ta = Table.create(os.path.join(root, "orders"))
+        ta.append_schema_version(orders.schema.jsonValue(), as_of_snapshot=0)
+        append_dataframe(spark, ta, orders.where(F.col("o_orderkey") % 2 == 0),
+                         rows_per_file=1_000_000)
+        tb = Table.create(os.path.join(root, "lineitem"))
+        tb.append_schema_version(items.schema.jsonValue(), as_of_snapshot=0)
+        append_dataframe(spark, tb, items.where(F.col("l_orderkey") % 2 == 0),
+                         rows_per_file=1_000_000)
+
+        txn = MultiTableTransaction(os.path.join(root, "_txns"))
+        txn.stage_append(spark, ta,
+                         orders.where(F.col("o_orderkey") % 2 == 1),
+                         rows_per_file=1_000_000)
+        txn.stage_append(spark, tb,
+                         items.where(F.col("l_orderkey") % 2 == 1),
+                         rows_per_file=1_000_000)
+        txn.commit()
+
+        dup = MultiTableTransaction(os.path.join(root, "_txns"))
+        dup.stage_append(spark, ta, orders.limit(10), rows_per_file=1_000_000)
+        dup.stage_append(spark, tb, items.limit(10), rows_per_file=1_000_000)
+        dup.abort()  # must leak nowhere
+
+        a = scan_table(spark, Table.load(ta.root))
+        b = scan_table(spark, Table.load(tb.root))
+        result = (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("l_quantity").alias("sum_qty"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -4982,4 +5047,5 @@ ALL = {
     "q217_manifest_histogram": q217_manifest_histogram,
     "q218_metadata_quantiles": q218_metadata_quantiles,
     "q219_cm_heavy_hitters": q219_cm_heavy_hitters,
+    "q220_multitable_txn": q220_multitable_txn,
 }

@@ -280,6 +280,16 @@ class Table:
         if branch is not None and not os.path.exists(t._version_path()):
             raise ValueError(f"no such branch: {branch}")
         t.lock_wait_s = lock_wait_s
+        tdir = os.path.join(t.metadata_dir, "txns")
+        if os.path.isdir(tdir) and os.listdir(tdir):
+            # finish/clean multi-table transactions this table took part
+            # in BEFORE handing out the handle: a decided (committed) txn
+            # whose head flip was interrupted mid-crash completes here,
+            # so no commit through this handle can build on the pre-txn
+            # head (table/txn.py crash-atomicity contract)
+            from .txn import heal_table_txns
+
+            heal_table_txns(t)
         return t
 
     # ---------- metadata reads ----------
@@ -371,6 +381,17 @@ class Table:
         acquire). Release removes the lock only if it still carries OUR
         token, so a writer whose lock was broken as stale mid-commit
         cannot delete the new holder's lock."""
+        if getattr(self, "_lock_depth", 0) > 0:
+            # RE-ENTRANT per Table handle: a multi-table transaction holds
+            # the lock across verify→mark→flip and then publishes through
+            # this same handle; the nested acquisition is a no-op (the
+            # table is single-writer, and the outer holder IS this writer)
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
         path = self._lock_path()
         token = f"{os.getpid()}-{time.time_ns()}"
         # lock_wait_s > 0: bounded poll turns contention into transparent
@@ -405,8 +426,21 @@ class Table:
         try:
             os.write(fd, token.encode())
             os.close(fd)
+            self._lock_depth = 1
+            if self.branch is None:
+                # belt+braces to Table.load's heal: a commit through a
+                # long-lived in-process handle must ALSO finish a decided
+                # multi-table txn before building on the pre-txn head.
+                # Runs at depth 1, so heal's own nested _commit_lock (and
+                # publish_snapshot's) re-enter without re-triggering.
+                tdir = os.path.join(self.metadata_dir, "txns")
+                if os.path.isdir(tdir) and os.listdir(tdir):
+                    from .txn import heal_table_txns
+
+                    heal_table_txns(self)
             yield
         finally:
+            self._lock_depth = 0
             try:
                 with open(path) as f:
                     still_ours = f.read() == token
@@ -1252,11 +1286,22 @@ class Table:
         # alive by their branch pin — excluded just like staged ones. A
         # branch snapshot adopted into main history had its marker cleared
         # by fast_forward, and while reachable it is on the chain anyway.
+        def _staged_excluded(summary: dict) -> bool:
+            if not summary.get("staged"):
+                return False
+            if summary.get("txn_log"):
+                # a COMMITTED multi-table txn's snapshot is logically
+                # published even before its head flip heals (txn.py)
+                from .txn import txn_state
+
+                return txn_state(summary["txn_log"]) != "committed"
+            return True
+
         return chain | {
             s
             for s in self.snapshot_ids()
             if s < floor
-            and not self.snapshot(s).summary.get("staged")
+            and not _staged_excluded(self.snapshot(s).summary)
             and not self.snapshot(s).summary.get("branch")
         }
 

@@ -1,0 +1,187 @@
+"""Multi-table atomic transactions (table/txn.py): two-phase commit over
+the WAP machinery with an atomically-renamed decision log.
+
+Invariants:
+- all-or-nothing VISIBILITY: before commit no table shows staged rows,
+  after commit every table does;
+- first-writer-wins: an interleaved commit on any participant aborts the
+  whole transaction (CommitConflictError), leaving every table at its
+  pre-txn content;
+- crash atomicity: a crash AFTER the decision record but mid-head-flip
+  is healed by the next Table.load (the decided txn finishes); a crash
+  BEFORE the decision record leaves nothing visible;
+- expire never GCs a committed-but-unhealed txn snapshot;
+- abort cleans markers and stays invisible.
+"""
+
+import os
+
+import pytest
+
+from e_commerce_lakehouse_spark.table.meta import CommitConflictError, Table
+from e_commerce_lakehouse_spark.table.txn import (
+    MultiTableTransaction,
+    heal_table_txns,
+    txn_state,
+)
+from e_commerce_lakehouse_spark.table.writer import append_dataframe
+from e_commerce_lakehouse_spark.table.scan import scan
+
+
+def _mk_tables(spark, tmp_path, names=("a", "b")):
+    out = []
+    for name in names:
+        df = spark.range(10).selectExpr("id", f"'{name}' AS tbl")
+        t = Table.create(str(tmp_path / name))
+        t.append_schema_version(df.schema.jsonValue(), as_of_snapshot=0)
+        append_dataframe(spark, t, df)
+        out.append(t)
+    return out
+
+
+def _batch(spark, name, lo=100, n=5):
+    return spark.range(lo, lo + n).selectExpr("id", f"'{name}' AS tbl")
+
+
+def test_all_or_nothing_visibility(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    assert txn.state() == "pending"
+    # staged: INVISIBLE everywhere
+    assert scan(spark, a).count() == 10
+    assert scan(spark, b).count() == 10
+    r = txn.commit()
+    assert r["state"] == "committed" and r["tables"] == 2
+    assert scan(spark, a).count() == 15
+    assert scan(spark, b).count() == 15
+    # markers gone, published summaries keep txn provenance
+    assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
+    head = a.snapshot(a.current_snapshot_id())
+    assert head.summary["txn"] == txn.txn_id
+    assert "staged" not in head.summary
+    # single-use
+    with pytest.raises(ValueError, match="finished"):
+        txn.commit()
+
+
+def test_interleaved_commit_aborts_whole_txn(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    # a concurrent writer lands on b between stage and commit
+    append_dataframe(spark, b, _batch(spark, "b", lo=900, n=3))
+    with pytest.raises(CommitConflictError, match="re-stage"):
+        txn.commit()
+    assert txn.state() == "aborted"
+    # NEITHER table shows txn rows; b shows only the interleaved commit
+    assert scan(spark, a).count() == 10
+    assert scan(spark, b).count() == 13
+    assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
+
+
+def test_crash_after_decision_heals_on_load(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(_fail_after_flips=1)  # a flipped, b crashed mid-flip
+    assert txn.state() == "committed"  # the decision is durable
+    assert scan(spark, a).count() == 15
+    # b's flip is missing until heal — Table.load finishes the txn
+    b2 = Table.load(b.root)
+    assert scan(spark, b2).count() == 15
+    assert not os.listdir(os.path.join(b2.metadata_dir, "txns"))
+    # heal is idempotent
+    assert heal_table_txns(b2)["healed"] == 0
+
+
+def test_crash_before_decision_stays_invisible(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    # coordinator dies before commit(): logs stay pending, nothing flips
+    assert txn.state() == "pending"
+    a2, b2 = Table.load(a.root), Table.load(b.root)
+    assert scan(spark, a2).count() == 10
+    assert scan(spark, b2).count() == 10
+    # fresh pending txns are left alone by heal...
+    r = heal_table_txns(a2)
+    assert r["left"] == 1 and r["cleaned"] == 0
+    # ...and presumed aborted once stale
+    r = heal_table_txns(a2, stale_txn_s=0.0)
+    assert r["cleaned"] == 1
+    assert txn_state(txn.log_path) == "aborted"
+
+
+def test_commit_through_stale_handle_heals_first(spark, tmp_path):
+    """A decided txn whose flips crashed is finished by the NEXT commit
+    even through a long-lived in-process handle (no Table.load): the
+    commit lock heals before the new commit reads its parent, so nothing
+    ever builds past an unflipped decided txn."""
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(_fail_after_flips=0)  # decided, ZERO flips done
+    # commit via the SAME handles — heal runs inside the lock first
+    append_dataframe(spark, a, _batch(spark, "a", lo=200, n=2))
+    append_dataframe(spark, b, _batch(spark, "b", lo=200, n=2))
+    assert scan(spark, a).count() == 17  # 10 + 5 txn + 2
+    assert scan(spark, b).count() == 17
+    # the txn snapshot is an ANCESTOR of the new head on both tables
+    for t in (a, b):
+        chain = set()
+        sid = t.current_snapshot_id()
+        while sid is not None:
+            chain.add(sid)
+            sid = t.snapshot(sid).parent_id
+        assert any(t.snapshot(s).summary.get("txn") == txn.txn_id
+                   for s in chain)
+
+
+def test_expire_never_gcs_pending_txn_snapshot(spark, tmp_path):
+    from e_commerce_lakehouse_spark.operators.expire import expire_snapshots
+
+    (a,) = _mk_tables(spark, tmp_path, names=("a",))
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    staged_sid = txn._staged[0][1]
+    # pile on published commits so keep_last would drop the staged id
+    # (each append's auto-heal leaves the fresh pending marker alone)
+    for i in range(3):
+        append_dataframe(spark, a, _batch(spark, "a", lo=200 + 10 * i, n=2))
+    expire_snapshots(a, keep_last=1, orphan_grace_ms=0)
+    assert staged_sid in a.snapshot_ids()  # pinned: in-flight txn
+    # presumed-abort once stale -> the pin lapses and GC collects it
+    heal_table_txns(a, stale_txn_s=0.0)
+    expire_snapshots(a, keep_last=1, orphan_grace_ms=0)
+    assert staged_sid not in a.snapshot_ids()
+
+
+def test_abort_cleans_and_stays_invisible(spark, tmp_path):
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    txn.abort()
+    assert txn.state() == "aborted"
+    assert scan(spark, Table.load(a.root)).count() == 10
+    assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
+    with pytest.raises(ValueError, match="finished"):
+        txn.stage_append(spark, a, _batch(spark, "a"))
+
+
+def test_same_table_staged_twice_refused(spark, tmp_path):
+    (a,) = _mk_tables(spark, tmp_path, names=("a",))
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    with pytest.raises(ValueError, match="already staged"):
+        txn.stage_append(spark, a, _batch(spark, "a", lo=300))
+    with pytest.raises(ValueError, match="nothing staged"):
+        MultiTableTransaction(str(tmp_path / "_txns")).commit()
