@@ -60,7 +60,15 @@ def hist_counts(values, counts, lo: float, hi: float, bins: int) -> list[int]:
     out = [0] * (bins + 2)
     width = hi - lo
     for v, c in zip(values, counts):
-        x = float(v)
+        try:
+            x = float(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"histogram sketch declared on a non-numeric column "
+                f"(value {v!r}); histograms need int/float/decimal"
+            ) from None
+        if x != x:
+            continue  # NaN: excluded like NULL (no bin is meaningful)
         if x < lo:
             out[0] += c
         elif x >= hi:
@@ -73,22 +81,28 @@ def hist_counts(values, counts, lo: float, hi: float, bins: int) -> list[int]:
     return out
 
 
-def cm_rows(values, counts, w: int, d: int) -> list[list[int]]:
-    """Count-min counter matrix (d rows × w counters) from a (uniques,
-    multiplicities) pair. Row-j hash of value v is md5('j|' || str(v))'s
-    60-bit prefix mod w — deterministic and SQL-statable (DuckDB twin:
-    ('0x' || substr(md5(j || '|' || v::VARCHAR), 1, 15))::BIGINT % w), so
-    merged estimates oracle bit-for-bit. Per-file matrices merge by
-    elementwise SUM; estimate(v) = min over rows of the merged counter —
-    a guaranteed OVERestimate of v's true count (never under)."""
+def cm_slot(j: int, s: str, w: int) -> int:
+    """Row-``j`` count-min slot of value string ``s``: the 60-bit md5
+    prefix of ``'j|' || s`` mod ``w`` — THE one hash both the per-file
+    sketch builder and the table-level merger (operators/sketch.py) use;
+    SQL twin: ('0x' || substr(md5(j || '|' || v::VARCHAR), 1, 15))::BIGINT
+    % w, so merged estimates oracle bit-for-bit."""
     import hashlib
 
+    return int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) % w
+
+
+def cm_rows(values, counts, w: int, d: int) -> list[list[int]]:
+    """Count-min counter matrix (d rows × w counters) from a (uniques,
+    multiplicities) pair, hashed by ``cm_slot``. Per-file matrices merge
+    by elementwise SUM; estimate(v) = min over rows of the merged
+    counter — a guaranteed OVERestimate of v's true count (never
+    under)."""
     rows = [[0] * w for _ in range(d)]
     for v, c in zip(values, counts):
         s = str(v)
         for j in range(d):
-            h = int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) % w
-            rows[j][h] += c
+            rows[j][cm_slot(j, s, w)] += c
     return rows
 
 

@@ -78,20 +78,25 @@ def expire_snapshots(
     # have healed yet) and must never expire; an undecided (pending) txn
     # within the stale bound is an in-flight writer, same as orphan grace.
     # Aborted/stale-pending ones fall through to normal abandoned-stage GC.
-    import time as _time
+    _txn_marker_dir = os.path.join(table.metadata_dir, "txns")
+    if os.path.isdir(_txn_marker_dir) and os.listdir(_txn_marker_dir):
+        # marker present <=> some txn here is pending or committed-unhealed
+        # (heal/abort remove markers), so tables that never transacted (or
+        # whose txns all healed) skip the per-snapshot summary reads
+        import time as _time
 
-    from ..table.txn import STALE_TXN_S, txn_state
+        from ..table.txn import STALE_TXN_S, txn_state
 
-    _now_ms = _time.time() * 1000
-    for sid in ids:
-        snap = table.snapshot(sid)
-        if snap.summary.get("staged") and snap.summary.get("txn_log"):
-            state = txn_state(snap.summary["txn_log"])
-            if state == "committed" or (
-                state in ("pending", "absent")
-                and _now_ms - snap.timestamp_ms < STALE_TXN_S * 1000
-            ):
-                retained.add(sid)
+        _now_ms = _time.time() * 1000
+        for sid in ids:
+            snap = table.snapshot(sid)
+            if snap.summary.get("staged") and snap.summary.get("txn_log"):
+                state = txn_state(snap.summary["txn_log"])
+                if state == "committed" or (
+                    state in ("pending", "absent")
+                    and _now_ms - snap.timestamp_ms < STALE_TXN_S * 1000
+                ):
+                    retained.add(sid)
     # EVERY ref's head pins itself AND its parent chain down to the first
     # already-retained ancestor: the head keeps that ref readable, the
     # connecting chain keeps fast_forward's ancestry walk (and CDC)

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# THE count-min slot hash, shared with the per-file sketch builder
+# (cm_rows): one definition so the table-level merger can never drift
+# from the on-disk sketches
+from .._footer_stats import cm_slot as _cm_slot
+
 _HASH_SPACE = float(1 << 60)  # md5 15-hex-char prefix → [0, 2^60)
 
 
@@ -215,10 +220,6 @@ def table_quantiles(table, col: str, qs: list[float],
     return out
 
 
-def _cm_slot(j: int, s: str, w: int) -> int:
-    import hashlib
-
-    return int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16) % w
 
 
 def table_cm(table, col: str, snapshot_id: int | None = None) -> dict:

@@ -4637,7 +4637,7 @@ def _dist_docs_table(spark, sf_dir, root, hist=None, cm=None,
     restate), under the given distribution-sketch specs."""
     from .operators.compact import compact as compact_op
     from .table.meta import Table
-    from .table.writer import append_dataframe
+    from .table.writer import write_files
 
     docs = _t(spark, sf_dir, "documents")
     t = Table.create(root)
@@ -4646,10 +4646,15 @@ def _dist_docs_table(spark, sf_dir, root, hist=None, cm=None,
         t.set_histogram_columns(hist)
     if cm:
         t.set_cm_columns(cm, w=32, d=3, topk=3)
-    append_dataframe(spark, t, docs.where(F.col("doc_id") % 2 == 0),
-                     rows_per_file=1_000_000)
-    append_dataframe(spark, t, docs.where(F.col("doc_id") % 2 == 1),
-                     rows_per_file=1_000_000)
+    for parity in (0, 1):
+        # EXACTLY one file per parity half at ANY scale factor
+        # (n_files=1, not a rows_per_file heuristic): q219's oracle
+        # restates the per-file top-k pools as per-HALF pools, which is
+        # only the same thing if half == file (review finding)
+        entries = write_files(spark, t,
+                              docs.where(F.col("doc_id") % 2 == parity),
+                              1, f"half-{parity}", stat_columns=("doc_id",))
+        t.commit_append(entries, {"op": f"ingest-half-{parity}"})
     if compact_after:
         compact_op(spark, t, target_bytes=1 << 30, stat_columns=("doc_id",))
     return t

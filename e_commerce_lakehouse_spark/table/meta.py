@@ -286,10 +286,16 @@ class Table:
             # in BEFORE handing out the handle: a decided (committed) txn
             # whose head flip was interrupted mid-crash completes here,
             # so no commit through this handle can build on the pre-txn
-            # head (table/txn.py crash-atomicity contract)
+            # head (table/txn.py crash-atomicity contract). BEST-EFFORT:
+            # a live coordinator holds the commit lock across its flip
+            # window (CommitConflictError here = it will finish its own
+            # flips), and read-only mounts cannot heal (OSError) — both
+            # must not fail a load; the commit-lock acquisition heal is
+            # the hard guarantee for writers.
             from .txn import heal_table_txns
 
-            heal_table_txns(t)
+            with contextlib.suppress(CommitConflictError, OSError):
+                heal_table_txns(t)
         return t
 
     # ---------- metadata reads ----------
@@ -381,11 +387,17 @@ class Table:
         acquire). Release removes the lock only if it still carries OUR
         token, so a writer whose lock was broken as stale mid-commit
         cannot delete the new holder's lock."""
-        if getattr(self, "_lock_depth", 0) > 0:
-            # RE-ENTRANT per Table handle: a multi-table transaction holds
-            # the lock across verify→mark→flip and then publishes through
-            # this same handle; the nested acquisition is a no-op (the
-            # table is single-writer, and the outer holder IS this writer)
+        import threading
+
+        if (getattr(self, "_lock_depth", 0) > 0
+                and getattr(self, "_lock_owner", None) == threading.get_ident()):
+            # RE-ENTRANT per Table handle AND owning thread: a multi-table
+            # transaction holds the lock across verify→mark→flip and then
+            # publishes through this same handle; the nested acquisition is
+            # a no-op (the outer holder IS this writer). A DIFFERENT thread
+            # sharing the handle falls through to the file lock and fails
+            # fast exactly as before — re-entrancy must not weaken mutual
+            # exclusion between threads (review finding).
             self._lock_depth += 1
             try:
                 yield
@@ -427,6 +439,7 @@ class Table:
             os.write(fd, token.encode())
             os.close(fd)
             self._lock_depth = 1
+            self._lock_owner = threading.get_ident()
             if self.branch is None:
                 # belt+braces to Table.load's heal: a commit through a
                 # long-lived in-process handle must ALSO finish a decided
@@ -441,6 +454,7 @@ class Table:
             yield
         finally:
             self._lock_depth = 0
+            self._lock_owner = None
             try:
                 with open(path) as f:
                     still_ours = f.read() == token
@@ -1060,6 +1074,15 @@ class Table:
         except FileNotFoundError:
             return {}
 
+    def _write_dist_spec(self, spec: dict) -> None:
+        """Shared declaration tail: branch guard happened in the caller;
+        drop emptied columns and persist atomically."""
+        spec = {c: p for c, p in spec.items() if p}
+        tmp = self._dist_spec_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dist": spec}, f)
+        os.replace(tmp, self._dist_spec_path())
+
     def set_histogram_columns(self, columns: dict[str, tuple],
                               bins: int = 64) -> None:
         """Declare equi-width histogram sketch columns:
@@ -1082,11 +1105,7 @@ class Table:
             if b < 1:
                 raise ValueError(f"hist spec for {c}: bins must be >= 1")
             spec.setdefault(c, {})["hist"] = {"lo": lo, "hi": hi, "bins": b}
-        spec = {c: p for c, p in spec.items() if p}
-        tmp = self._dist_spec_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"dist": spec}, f)
-        os.replace(tmp, self._dist_spec_path())
+        self._write_dist_spec(spec)
 
     def set_cm_columns(self, columns: list[str], w: int = 128, d: int = 4,
                        topk: int = 16) -> None:
@@ -1105,11 +1124,7 @@ class Table:
         for c in columns:
             spec.setdefault(c, {})["cm"] = {"w": int(w), "d": int(d),
                                             "topk": int(topk)}
-        spec = {c: p for c, p in spec.items() if p}
-        tmp = self._dist_spec_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"dist": spec}, f)
-        os.replace(tmp, self._dist_spec_path())
+        self._write_dist_spec(spec)
 
     # ---------- hidden partitioning ----------
 
@@ -1227,6 +1242,8 @@ class Table:
         if not versions:
             return None
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            sid = 0  # no snapshots yet: the declared (as_of 0) version applies
         best = None
         for v in versions:
             if v["as_of_snapshot"] <= sid:

@@ -111,6 +111,9 @@ class MultiTableTransaction:
         return txn_state(self.log_path)
 
     def _write_log(self, state: str) -> None:
+        if state != "committed" and txn_state(self.log_path) == "committed":
+            raise ValueError(f"transaction {self.txn_id} is already decided "
+                             f"committed; refusing {state!r}")
         _write_json_atomic(self.log_path, {
             "txn_id": self.txn_id,
             "state": state,
@@ -170,6 +173,14 @@ class MultiTableTransaction:
         self._check_open()
         if not self._staged:
             raise ValueError("nothing staged")
+        if self.state() == "committed":
+            # the decision record is FINAL: a flip-side failure after it
+            # does not un-decide the txn — finishing is heal's job, and
+            # re-running the verify loop here could wrongly abort
+            raise ValueError(
+                f"transaction {self.txn_id} is already decided committed; "
+                f"interrupted flips finish via heal_table_txns / the next "
+                f"Table.load")
         with contextlib.ExitStack() as st:
             for t, _sid in sorted(self._staged,
                                   key=lambda p: os.path.realpath(p[0].root)):
@@ -202,8 +213,15 @@ class MultiTableTransaction:
     def abort(self) -> dict:
         """Abandon the transaction: mark the log aborted and drop the
         markers. Staged snapshots stay invisible and age out via the
-        ordinary abandoned-stage lifecycle (expire GC)."""
+        ordinary abandoned-stage lifecycle (expire GC). Refuses once the
+        decision record says committed — a decided txn can only be
+        FINISHED (heal), never rolled back half-applied."""
         self._check_open()
+        if self.state() == "committed":
+            raise ValueError(
+                f"transaction {self.txn_id} is already decided committed "
+                f"and cannot be aborted; interrupted flips finish via "
+                f"heal_table_txns / the next Table.load")
         for t, _sid in self._staged:
             self._remove_marker(t, self.txn_id)
         if self._staged:

@@ -204,3 +204,10 @@ def test_branch_declaration_refused(spark, tmp_path):
         b.set_histogram_columns({"x": (0.0, 1.0)})
     with pytest.raises(ValueError, match="branch"):
         b.set_cm_columns(["x"])
+
+
+def test_hist_nan_excluded_like_null_and_nonnumeric_refused():
+    out = hist_counts([float("nan"), 1.0], [5, 2], 0.0, 4.0, 4)
+    assert out == [0, 0, 2, 0, 0, 0]  # NaN rows contribute to no bin
+    with pytest.raises(ValueError, match="non-numeric"):
+        hist_counts(["abc"], [1], 0.0, 4.0, 4)

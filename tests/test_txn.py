@@ -185,3 +185,59 @@ def test_same_table_staged_twice_refused(spark, tmp_path):
         txn.stage_append(spark, a, _batch(spark, "a", lo=300))
     with pytest.raises(ValueError, match="nothing staged"):
         MultiTableTransaction(str(tmp_path / "_txns")).commit()
+
+
+def test_decided_txn_cannot_be_aborted_or_recommitted(spark, tmp_path):
+    """The decision record is FINAL: after a mid-flip crash, abort() and
+    commit() both refuse — the only way forward is heal (review
+    finding: abort used to rewrite 'committed' to 'aborted', leaving
+    the txn half-applied forever)."""
+    a, b = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn.stage_append(spark, b, _batch(spark, "b"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(_fail_after_flips=1)
+    with pytest.raises(ValueError, match="already decided committed"):
+        txn.abort()
+    with pytest.raises(ValueError, match="already decided committed"):
+        txn.commit()
+    assert txn.state() == "committed"
+    heal_table_txns(Table.load(b.root))
+    assert scan(spark, Table.load(b.root)).count() == 15
+
+
+def test_lock_reentry_is_thread_scoped(tmp_path):
+    """A second THREAD sharing the handle must not ride the re-entrancy
+    flag past the file lock (review finding)."""
+    import threading
+
+    t = Table.create(str(tmp_path / "t"))
+    # simulate another thread currently holding the lock via this handle
+    open(t._lock_path(), "w").write("other")
+    t._lock_depth = 1
+    t._lock_owner = threading.get_ident() + 1  # some OTHER thread
+    with pytest.raises(CommitConflictError, match="COMMIT.lock"):
+        with t._commit_lock():
+            pass
+    os.remove(t._lock_path())
+    t._lock_depth = 0
+    t._lock_owner = None
+
+
+def test_load_during_live_commit_window_does_not_raise(spark, tmp_path):
+    """Table.load's heal is best-effort: a committed marker whose table
+    lock is held by a live coordinator must not fail the load (review
+    finding)."""
+    import json
+
+    (a,) = _mk_tables(spark, tmp_path, names=("a",))
+    txn = MultiTableTransaction(str(tmp_path / "_txns"))
+    txn.stage_append(spark, a, _batch(spark, "a"))
+    txn._write_log("committed")  # decided...
+    open(a._lock_path(), "w").write("coordinator")  # ...lock held live
+    a2 = Table.load(a.root)  # must not raise
+    assert scan(spark, a2).count() == 10  # flip not healed (lock held)
+    os.remove(a._lock_path())
+    heal_table_txns(Table.load(a.root))
+    assert scan(spark, Table.load(a.root)).count() == 15
