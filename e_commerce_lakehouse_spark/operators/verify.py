@@ -155,6 +155,46 @@ def verify_table(
                                    "manifest_n": len(sk.get("mins", [])),
                                    "recomputed_n": len(want)})
 
+    # distribution sketches (hist/cm) recompute bit-for-bit from the file
+    dist_bad = []
+    if check_blooms:
+        import pyarrow.parquet as pq
+
+        from .._footer_stats import dist_from_arrow
+
+        for e in present:
+            if not e.dist:
+                continue
+            # reconstruct the DECLARATION each stored sketch was built
+            # under (hist: the pinned bin edges; cm: w/d plus the stored
+            # pool length — a file with fewer distincts than the declared
+            # top-k stores a shorter pool, and recomputing with that
+            # length reproduces it exactly)
+            spec: dict = {}
+            for col, sk in e.dist.items():
+                s: dict = {}
+                if "hist" in sk:
+                    h = sk["hist"]
+                    s["hist"] = {"lo": h["lo"], "hi": h["hi"],
+                                 "bins": h["bins"]}
+                if "cm" in sk:
+                    c = sk["cm"]
+                    s["cm"] = {"w": c["w"], "d": c["d"],
+                               "topk": len(c.get("topk", []))}
+                spec[col] = s
+            cols = list(spec)
+            try:
+                pf = pq.ParquetFile(os.path.join(table.root, e.path))
+                want = dist_from_arrow(pf.read(columns=cols), spec)
+            except Exception:
+                continue  # missing column: schema evolution, not a fault
+            for col in cols:
+                if e.dist.get(col) != want.get(col):
+                    dist_bad.append(e.path)
+                    issues.append({"kind": "dist-sketch-mismatch",
+                                   "path": e.path, "column": col})
+                    break
+
     # live MoR tombstones must exist
     for tpath in table.tombstones(sid):
         if not os.path.exists(os.path.join(table.root, tpath)):
@@ -202,6 +242,7 @@ def verify_table(
         "unresolvable_constraints": len(bad_constraints),
         "bloom_mismatches": len(bloom_bad),
         "ndv_mismatches": len(ndv_bad),
+        "dist_mismatches": len(dist_bad),
         "orphan_files": len(orphans),  # informational: GC's job, not an error
         "issues": issues[:100],
     }

@@ -296,3 +296,48 @@ def heal_table_txns(table: Table, stale_txn_s: float = STALE_TXN_S) -> dict:
                 left += 1
     return {"healed": healed, "cleaned": cleaned, "left": left,
             "stuck": stuck}
+
+
+def vacuum_txn_logs(txn_dir: str,
+                    older_than_s: float = STALE_TXN_S) -> dict:
+    """GC decided transaction logs from ``txn_dir``.
+
+    A log is removable only when it is older than ``older_than_s`` AND
+    no participant table still holds a marker pointing at it — removing
+    a committed log while a marker lingers would read as 'absent' and
+    eventually presumed-abort a DECIDED txn (atomicity violation), so
+    lingering participants are healed first (the log records their
+    roots) and the log is kept if any marker survives (e.g. an
+    unreachable root). Idempotent; run it from the same maintenance
+    cadence as snapshot expiration."""
+    removed = kept = 0
+    if not os.path.isdir(txn_dir):
+        return {"removed": 0, "kept": 0}
+    for fn in sorted(os.listdir(txn_dir)):
+        if not (fn.startswith("txn-") and fn.endswith(".json")):
+            continue
+        path = os.path.join(txn_dir, fn)
+        d = _read_json(path)
+        if d is None:
+            continue
+        age_s = time.time() - d.get("ts_ms", 0) / 1000
+        if age_s <= older_than_s:
+            kept += 1
+            continue
+        blocked = False
+        for tb in d.get("tables", []):
+            marker = os.path.join(tb["root"], "metadata", "txns",
+                                  f"{d['txn_id']}.json")
+            if os.path.exists(marker):
+                with contextlib.suppress(Exception):
+                    heal_table_txns(Table.load(tb["root"]),
+                                    stale_txn_s=older_than_s)
+                if os.path.exists(marker):
+                    blocked = True
+        if blocked:
+            kept += 1
+            continue
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+        removed += 1
+    return {"removed": removed, "kept": kept}

@@ -70,6 +70,7 @@ def main(argv=None) -> int:
             "matview-create", "matview-refresh", "retention", "count",
             "set-ndv", "ndv", "depth-report", "semi-scan",
             "set-hist", "set-cm", "histogram", "quantiles", "heavy-hitters",
+            "txn-heal", "txn-vacuum",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -107,6 +108,8 @@ def main(argv=None) -> int:
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
     p.add_argument("--retry-backoff", type=float, default=2.0,
                    help="initial backoff seconds (doubles per attempt)")
+    p.add_argument("--txn-dir", default=None,
+                   help="txn-vacuum: the shared transaction-log directory")
     p.add_argument("--min-count", type=int, default=1,
                    help="heavy-hitters: report candidates whose count-min "
                         "estimate is at least this")
@@ -358,6 +361,16 @@ def main(argv=None) -> int:
         t = Table.load(args.table, branch=args.branch)
         result = {col: heavy_hitters(t, col, max(1, args.min_count),
                                      snapshot_id=args.snapshot)}
+    elif args.op == "txn-heal":  # finish/clean multi-table transactions
+        from e_commerce_lakehouse_spark.table.txn import heal_table_txns
+
+        result = heal_table_txns(Table.load(args.table))
+    elif args.op == "txn-vacuum":  # GC decided txn logs (see table/txn.py)
+        from e_commerce_lakehouse_spark.table.txn import vacuum_txn_logs
+
+        if not args.txn_dir:
+            p.error("--op txn-vacuum requires --txn-dir")
+        result = vacuum_txn_logs(args.txn_dir)
     elif args.op == "depth-report":  # metadata-only clustering audit
         from e_commerce_lakehouse_spark.operators.analyze import (
             clustering_depth_report,

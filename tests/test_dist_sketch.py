@@ -211,3 +211,32 @@ def test_hist_nan_excluded_like_null_and_nonnumeric_refused():
     assert out == [0, 0, 2, 0, 0, 0]  # NaN rows contribute to no bin
     with pytest.raises(ValueError, match="non-numeric"):
         hist_counts(["abc"], [1], 0.0, 4.0, 4)
+
+
+def test_verify_audits_dist_sketches(spark, dist_table):
+    from e_commerce_lakehouse_spark.operators.verify import verify_table
+
+    t, _docs, _pre = dist_table
+    r = verify_table(t, check_blooms=True)
+    assert r["dist_mismatches"] == 0
+    # corrupt one file's stored histogram -> the audit flags it
+    import json as _json
+
+    import os as _os
+
+    entries = t.entries()
+    e = next(e for e in entries if e.dist and "n_chars" in e.dist)
+    e.dist["n_chars"]["hist"]["counts"][1] += 1  # in-memory corruption
+    sid = t.current_snapshot_id()
+    snap = t.snapshot(sid)
+    # rewrite the snapshot onto ONE manifest holding the tampered entries
+    snap.manifests = [t._write_manifest(sid, 998, entries)]
+    snap.removed_files = []
+    tmp = t._snap_path(sid) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(snap.to_dict(), f)
+    _os.replace(tmp, t._snap_path(sid))
+    t._entries_cache.clear()
+    r2 = verify_table(t, check_blooms=True)
+    assert r2["dist_mismatches"] == 1
+    assert any(i["kind"] == "dist-sketch-mismatch" for i in r2["issues"])

@@ -241,3 +241,32 @@ def test_load_during_live_commit_window_does_not_raise(spark, tmp_path):
     os.remove(a._lock_path())
     heal_table_txns(Table.load(a.root))
     assert scan(spark, Table.load(a.root)).count() == 15
+
+
+def test_vacuum_txn_logs(spark, tmp_path):
+    from e_commerce_lakehouse_spark.table.txn import vacuum_txn_logs
+
+    a, b = _mk_tables(spark, tmp_path)
+    log_dir = str(tmp_path / "_txns")
+    done = MultiTableTransaction(log_dir)
+    done.stage_append(spark, a, _batch(spark, "a"))
+    done.stage_append(spark, b, _batch(spark, "b"))
+    done.commit()
+    gone = MultiTableTransaction(log_dir)
+    gone.stage_append(spark, a, _batch(spark, "a", lo=300))
+    gone.abort()
+    # a decided-but-unhealed txn: markers still point at its log
+    crashed = MultiTableTransaction(log_dir)
+    crashed.stage_append(spark, a, _batch(spark, "a", lo=400))
+    crashed.stage_append(spark, b, _batch(spark, "b", lo=400))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crashed.commit(_fail_after_flips=0)
+    # fresh logs are all kept
+    r = vacuum_txn_logs(log_dir)
+    assert r["removed"] == 0 and r["kept"] == 3
+    # aged: decided logs go; the crashed one HEALS first (markers gone),
+    # then goes too — and the heal made its rows visible
+    r = vacuum_txn_logs(log_dir, older_than_s=0.0)
+    assert r["removed"] == 3, r
+    assert scan(spark, Table.load(a.root)).count() == 20  # 10+5+5
+    assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
