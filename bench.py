@@ -82,6 +82,10 @@ HEADLINE = [
     "q205_dynamic_file_pruning",
     "q208_sft_examples",
     "q209_ivf_incremental_assign",
+    # round-5 continuation (manifest distribution sketches, multi-table txn)
+    "q217_manifest_histogram",
+    "q219_cm_heavy_hitters",
+    "q220_multitable_txn",
 ]
 
 

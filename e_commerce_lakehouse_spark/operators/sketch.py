@@ -298,3 +298,29 @@ def heavy_hitters(table, col: str, min_count: int,
             out.append((v, est))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out
+
+
+def histogram_drift(table, col: str, from_snapshot: int,
+                    to_snapshot: int | None = None) -> list[tuple]:
+    """Per-bin count drift between two snapshots' merged histograms —
+    the metadata-only DATA-DRIFT monitor: answers "how did this column's
+    distribution move between yesterday's snapshot and now" from
+    manifest sketches alone, zero data reads at any table size (the
+    scan-based counterpart is stats.equidepth_drift). Both snapshots
+    must carry the same declared bin edges (guaranteed unless the spec
+    was re-declared between them — then table_histogram raises its
+    spec-drift error). Returns [(bin, n_from, n_to, delta)] over the
+    full grid including the under(-1)/overflow(bins) slots."""
+    a = table_histogram(table, col, snapshot_id=from_snapshot)
+    b = table_histogram(table, col, snapshot_id=to_snapshot)
+    if a["counts"] is None or b["counts"] is None:
+        raise ValueError(f"no histogram sketch for {col!r} at one of the "
+                         f"snapshots (files_missing: {a['files_missing']}"
+                         f"/{b['files_missing']})")
+    if (a["lo"], a["hi"], a["bins"]) != (b["lo"], b["hi"], b["bins"]):
+        raise ValueError(f"histogram spec changed between snapshots for "
+                         f"{col!r}; drift needs identical bin edges")
+    return [
+        (i - 1, int(na), int(nb), int(nb - na))
+        for i, (na, nb) in enumerate(zip(a["counts"], b["counts"]))
+    ]

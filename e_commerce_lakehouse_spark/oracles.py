@@ -4780,3 +4780,34 @@ SELECT o.o_orderpriority,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """
+
+
+# q221: metadata-only histogram drift between the even-half snapshot and
+# the full snapshot — same q217 binning, n_from over the even doc_id
+# half, n_to over everything; delta is their difference. If either
+# snapshot's merged sketch gained/lost a row, some bin diverges.
+ALL["q221_histogram_drift"] = """
+WITH x AS (
+    SELECT doc_id, n_chars::DOUBLE AS x FROM documents
+    WHERE n_chars IS NOT NULL
+), binned AS (
+    SELECT doc_id,
+           CASE WHEN x < 0.0 THEN -1
+                WHEN x >= 500.0 THEN 25
+                ELSE LEAST(24, CAST(floor((x - 0.0) * 25 / 500.0) AS INT))
+           END AS bin
+    FROM x
+), cf AS (
+    SELECT bin, count(*) AS n FROM binned WHERE doc_id % 2 = 0 GROUP BY bin
+), ct AS (
+    SELECT bin, count(*) AS n FROM binned GROUP BY bin
+), grid AS (
+    SELECT unnest(range(-1, 26))::INT AS bin
+)
+SELECT grid.bin AS bin,
+       COALESCE(cf.n, 0)::BIGINT AS n_from,
+       COALESCE(ct.n, 0)::BIGINT AS n_to,
+       (COALESCE(ct.n, 0) - COALESCE(cf.n, 0))::BIGINT AS delta
+FROM grid LEFT JOIN cf ON cf.bin = grid.bin
+          LEFT JOIN ct ON ct.bin = grid.bin
+"""

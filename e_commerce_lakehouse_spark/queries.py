@@ -4826,6 +4826,34 @@ def q220_multitable_txn(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q221_histogram_drift(spark, sf_dir):
+    """Metadata-only data-drift monitor (sketch.histogram_drift): the
+    per-bin count delta between the snapshot holding only the even
+    doc_id half and the snapshot holding both halves — computed purely
+    from manifest histogram sketches at the two snapshot ids (zero data
+    reads; time travel over SKETCHES). The oracle restates both
+    binnings relationally: n_from = even half, n_to = everything."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.sketch import histogram_drift
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q221_{uuid.uuid4().hex[:12]}")
+    try:
+        t = _dist_docs_table(spark, sf_dir, root,
+                             hist={"n_chars": (0.0, 500.0, 25)})
+        sids = [s for s in t.snapshot_ids()]
+        rows = histogram_drift(t, "n_chars", from_snapshot=sids[0],
+                               to_snapshot=sids[1])
+        return spark.createDataFrame(
+            [(b, int(na), int(nb), int(d)) for b, na, nb, d in rows],
+            "bin int, n_from bigint, n_to bigint, delta bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -5053,4 +5081,5 @@ ALL = {
     "q218_metadata_quantiles": q218_metadata_quantiles,
     "q219_cm_heavy_hitters": q219_cm_heavy_hitters,
     "q220_multitable_txn": q220_multitable_txn,
+    "q221_histogram_drift": q221_histogram_drift,
 }

@@ -70,7 +70,7 @@ def main(argv=None) -> int:
             "matview-create", "matview-refresh", "retention", "count",
             "set-ndv", "ndv", "depth-report", "semi-scan",
             "set-hist", "set-cm", "histogram", "quantiles", "heavy-hitters",
-            "txn-heal", "txn-vacuum",
+            "txn-heal", "txn-vacuum", "hist-drift",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -361,6 +361,16 @@ def main(argv=None) -> int:
         t = Table.load(args.table, branch=args.branch)
         result = {col: heavy_hitters(t, col, max(1, args.min_count),
                                      snapshot_id=args.snapshot)}
+    elif args.op == "hist-drift":  # metadata-only distribution drift
+        from e_commerce_lakehouse_spark.operators.sketch import histogram_drift
+
+        if not args.columns or args.snapshot is None or args.to_snapshot is None:
+            p.error("--op hist-drift requires --columns <col> --snapshot "
+                    "FROM --to-snapshot TO")
+        col = args.columns.split(",")[0].strip()
+        t = Table.load(args.table, branch=args.branch)
+        result = {col: histogram_drift(t, col, from_snapshot=args.snapshot,
+                                       to_snapshot=args.to_snapshot)}
     elif args.op == "txn-heal":  # finish/clean multi-table transactions
         from e_commerce_lakehouse_spark.table.txn import heal_table_txns
 

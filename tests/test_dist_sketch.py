@@ -240,3 +240,33 @@ def test_verify_audits_dist_sketches(spark, dist_table):
     r2 = verify_table(t, check_blooms=True)
     assert r2["dist_mismatches"] == 1
     assert any(i["kind"] == "dist-sketch-mismatch" for i in r2["issues"])
+
+
+def test_histogram_drift_and_spec_change_refused(spark, tmp_path):
+    from e_commerce_lakehouse_spark.operators.sketch import (
+        histogram_drift,
+        table_histogram,
+    )
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import append_dataframe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = Table.create(str(tmp_path / "drift2"))
+    t.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    t.set_histogram_columns({"n_chars": (0.0, 600.0, 6)})
+    append_dataframe(spark, t, docs.limit(30))
+    append_dataframe(spark, t, docs.exceptAll(docs.limit(30)))
+    s1, s2 = t.snapshot_ids()
+    rows = histogram_drift(t, "n_chars", from_snapshot=s1, to_snapshot=s2)
+    assert len(rows) == 8  # grid incl. under/overflow
+    # deltas sum to the appended row count; n_to is the full histogram
+    assert sum(d for _b, _a, _t, d in rows) == docs.count() - 30
+    assert [nt for _b, _a, nt, _d in rows] == table_histogram(t, "n_chars")["counts"]
+    # no sketch at a snapshot -> clear error
+    t2 = Table.create(str(tmp_path / "nospec"))
+    t2.append_schema_version(docs.schema.jsonValue(), as_of_snapshot=0)
+    append_dataframe(spark, t2, docs.limit(5))
+    append_dataframe(spark, t2, docs.limit(5))
+    a, b = t2.snapshot_ids()
+    with pytest.raises(ValueError, match="no histogram sketch"):
+        histogram_drift(t2, "n_chars", from_snapshot=a, to_snapshot=b)

@@ -421,6 +421,10 @@ def test_table_as_native_streaming_sink(spark, tmp_path):
     spark.dataSource.register(LakehouseSinkDataSource)
     root, ck, land = str(tmp_path / "tbl"), str(tmp_path / "ck"), str(tmp_path / "land")
     tbl = Table.create(root)
+    # declared BEFORE the stream: sink-written files must carry the
+    # distribution sketches like every other write path
+    tbl.set_histogram_columns({"turn_idx": (0.0, 50.0, 10)})
+    tbl.set_cm_columns(["role"], w=16, d=2, topk=2)
     df = transcripts_df(spark, 800, seed=3).cache()
     df.coalesce(2).write.parquet(land)
 
@@ -441,6 +445,12 @@ def test_table_as_native_streaming_sink(spark, tmp_path):
     # without them metadata_count/retention demote every sink file to
     # the read path (review finding)
     assert all(e.nulls is not None for e in tbl.entries())
+    # ...and the distribution sketches (hist + cm) for the declared cols
+    from e_commerce_lakehouse_spark.operators.sketch import table_histogram
+
+    assert all("turn_idx" in (e.dist or {}) and "role" in (e.dist or {})
+               for e in tbl.entries())
+    assert table_histogram(tbl, "turn_idx")["total"] == 800
 
     # checkpoint loss after the table commit: redelivery must SKIP
     shutil.rmtree(ck)
