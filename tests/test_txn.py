@@ -270,3 +270,45 @@ def test_vacuum_txn_logs(spark, tmp_path):
     assert r["removed"] == 3, r
     assert scan(spark, Table.load(a.root)).count() == 20  # 10+5+5
     assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
+
+
+def test_two_coordinators_racing_same_tables(spark, tmp_path):
+    """Two transactions staged over the same two tables, committed
+    concurrently from two threads: realpath-ordered lock acquisition
+    prevents deadlock, exactly ONE wins; the loser aborts with
+    CommitConflictError (its staged parents moved) and leaks nothing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    a, b = _mk_tables(spark, tmp_path)
+    # both coordinators WAIT on contended locks (lock_wait_s) so the
+    # loser deterministically reaches the verify step and aborts itself
+    # (a fail-fast loser would raise on the lock and stay pending until
+    # heal's presumed-abort — legal, but not what this test pins)
+    a.lock_wait_s = b.lock_wait_s = 10.0
+    t1 = MultiTableTransaction(str(tmp_path / "_txns"))
+    t1.stage_append(spark, a, _batch(spark, "a", lo=100))
+    t1.stage_append(spark, b, _batch(spark, "b", lo=100))
+    t2 = MultiTableTransaction(str(tmp_path / "_txns"))
+    t2.stage_append(spark, Table.load(a.root, lock_wait_s=10.0),
+                    _batch(spark, "a", lo=200))
+    t2.stage_append(spark, Table.load(b.root, lock_wait_s=10.0),
+                    _batch(spark, "b", lo=200))
+
+    def _commit(txn):
+        try:
+            return ("ok", txn.commit())
+        except CommitConflictError as e:
+            return ("conflict", str(e))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        r1, r2 = list(ex.map(_commit, [t1, t2]))
+    outcomes = sorted([r1[0], r2[0]])
+    assert outcomes == ["conflict", "ok"], (r1, r2)
+    # exactly one txn's rows landed on BOTH tables
+    assert scan(spark, Table.load(a.root)).count() == 15
+    assert scan(spark, Table.load(b.root)).count() == 15
+    winner = t1 if r1[0] == "ok" else t2
+    for root in (a.root, b.root):
+        t = Table.load(root)
+        assert t.snapshot(t.current_snapshot_id()).summary["txn"] == winner.txn_id
+    assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
