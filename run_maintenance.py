@@ -70,7 +70,7 @@ def main(argv=None) -> int:
             "matview-create", "matview-refresh", "retention", "count",
             "set-ndv", "ndv", "depth-report", "semi-scan",
             "set-hist", "set-cm", "histogram", "quantiles", "heavy-hitters",
-            "txn-heal", "txn-vacuum", "hist-drift",
+            "txn-heal", "txn-vacuum", "txn-ingest", "hist-drift",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -569,6 +569,30 @@ def main(argv=None) -> int:
                 lambda: merge_into(spark, Table.load(args.table, branch=args.branch), src,
                                    target_bytes=target_bytes),
                 attempts=args.retries, backoff_s=args.retry_backoff)
+        elif args.op == "txn-ingest":
+            # the reference's Parallel multi-table ETL fan-out, ATOMIC:
+            # one batch per table, all heads flip together or not at all
+            from e_commerce_lakehouse_spark.table.txn import (
+                MultiTableTransaction,
+            )
+
+            if not (args.tables and args.source and args.txn_dir):
+                p.error("--op txn-ingest requires --tables root2[,root3...], "
+                        "--source src1,src2[,...] (one per table incl. "
+                        "--table), and --txn-dir")
+            roots = [args.table] + [r for r in args.tables.split(",") if r]
+            srcs = [c for c in args.source.split(",") if c]
+            if len(roots) != len(srcs):
+                p.error(f"--tables/--source mismatch: {len(roots)} tables "
+                        f"vs {len(srcs)} sources")
+            txn = MultiTableTransaction(args.txn_dir)
+            for root, src in zip(roots, srcs):
+                t = Table.load(root, lock_wait_s=10.0)
+                df = (spark.read.option("header", True).csv(src)
+                      if args.ingest_format == "csv"
+                      else spark.read.parquet(src))
+                txn.stage_append(spark, t, df)
+            result = txn.commit()
         elif args.op == "ingest-append":
             from e_commerce_lakehouse_spark.streaming.ingest import ingest_append_stream
 

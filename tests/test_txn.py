@@ -312,3 +312,25 @@ def test_two_coordinators_racing_same_tables(spark, tmp_path):
         t = Table.load(root)
         assert t.snapshot(t.current_snapshot_id()).summary["txn"] == winner.txn_id
     assert not os.listdir(os.path.join(a.metadata_dir, "txns"))
+
+
+def test_cli_txn_ingest_atomic(spark, tmp_path):
+    """--op txn-ingest: one landing batch per table, all heads flip
+    together (the reference's Parallel ETL fan-out, atomic)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from run_maintenance import main
+
+    a, b = _mk_tables(spark, tmp_path)
+    land_a, land_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    _batch(spark, "a").coalesce(1).write.parquet(land_a)
+    _batch(spark, "b").coalesce(1).write.parquet(land_b)
+    rc = main(["--table", a.root, "--op", "txn-ingest",
+               "--tables", b.root, "--source", f"{land_a},{land_b}",
+               "--txn-dir", str(tmp_path / "_txns")])
+    assert rc == 0
+    assert scan(spark, Table.load(a.root)).count() == 15
+    assert scan(spark, Table.load(b.root)).count() == 15
+    ta = Table.load(a.root)
+    assert "txn" in ta.snapshot(ta.current_snapshot_id()).summary
