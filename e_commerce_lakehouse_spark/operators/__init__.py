@@ -2,6 +2,7 @@ from .analyze import analyze, clustering_depth_report, read_stats
 from .apply_changes import apply_changes, replicate
 from .cluster import cluster
 from .compact import compact
+from .clone import shallow_clone
 from .expire import expire_snapshots
 from .maintain import maintain, plan_maintenance, table_health
 from .manifest_rewrite import rewrite_manifests
@@ -26,6 +27,7 @@ __all__ = [
     "plan_maintenance",
     "table_health",
     "expire_snapshots",
+    "shallow_clone",
     "create_matview",
     "refresh_matview",
     "read_matview",

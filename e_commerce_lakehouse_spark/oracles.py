@@ -4811,3 +4811,22 @@ SELECT grid.bin AS bin,
 FROM grid LEFT JOIN cf ON cf.bin = grid.bin
           LEFT JOIN ct ON ct.bin = grid.bin
 """
+
+
+# q222: zero-copy clone isolation — after a cow DELETE in the clone,
+# source = the full per-lang profile, clone = the same minus lang='fr'.
+# Any shared-inode corruption (the rewrite touching a linked file) or
+# clone under/over-delete diverges one side's counts.
+ALL["q222_shallow_clone"] = """
+SELECT 'source' AS side, lang,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT 'clone' AS side, lang,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang <> 'fr' OR lang IS NULL
+GROUP BY lang
+"""

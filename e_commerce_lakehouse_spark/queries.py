@@ -4854,6 +4854,48 @@ def q221_histogram_drift(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q222_shallow_clone(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE (operators/clone.shallow_clone, Delta
+    SHALLOW CLONE / Snowflake zero-copy analog): clone the documents
+    table without copying a data byte (hardlinked immutable files +
+    metadata copy), then run a copy-on-write DELETE of lang='fr' rows
+    IN THE CLONE. The result unions per-lang counts from both sides:
+    the source must still hold every language (the clone's rewrite
+    created new files under its own root; the shared inodes are
+    untouched), the clone must miss exactly the deleted one. The oracle
+    restates both sides relationally over the input."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.clone import shallow_clone
+    from .operators.rowlevel import delete_where
+    from .table.meta import Table
+    from .table.scan import scan as scan_table
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q222_{uuid.uuid4().hex[:12]}")
+    try:
+        t = _dist_docs_table(spark, sf_dir, os.path.join(root, "src"))
+        shallow_clone(t, os.path.join(root, "dst"))
+        c = Table.load(os.path.join(root, "dst"))
+        delete_where(spark, c, "lang = 'fr'", stat_columns=("doc_id",),
+                     schema=scan_table(spark, c).schema)
+        legs = []
+        for side, tbl in (("source", t), ("clone", c)):
+            legs.append(
+                scan_table(spark, tbl)
+                .groupBy(F.lit(side).alias("side"),
+                         F.col("lang"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"))
+            )
+        result = legs[0].unionByName(legs[1])
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -5082,4 +5124,5 @@ ALL = {
     "q219_cm_heavy_hitters": q219_cm_heavy_hitters,
     "q220_multitable_txn": q220_multitable_txn,
     "q221_histogram_drift": q221_histogram_drift,
+    "q222_shallow_clone": q222_shallow_clone,
 }

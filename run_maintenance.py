@@ -70,7 +70,7 @@ def main(argv=None) -> int:
             "matview-create", "matview-refresh", "retention", "count",
             "set-ndv", "ndv", "depth-report", "semi-scan",
             "set-hist", "set-cm", "histogram", "quantiles", "heavy-hitters",
-            "txn-heal", "txn-vacuum", "txn-ingest", "hist-drift",
+            "txn-heal", "txn-vacuum", "txn-ingest", "hist-drift", "clone",
         ],
     )
     p.add_argument("--target-mb", type=int, default=128, help="target data-file MB")
@@ -108,6 +108,8 @@ def main(argv=None) -> int:
                    help="attempts per stage with exponential backoff (checkpoint-resumed)")
     p.add_argument("--retry-backoff", type=float, default=2.0,
                    help="initial backoff seconds (doubles per attempt)")
+    p.add_argument("--dest", default=None,
+                   help="clone: destination root for the zero-copy clone")
     p.add_argument("--txn-dir", default=None,
                    help="txn-vacuum: the shared transaction-log directory")
     p.add_argument("--min-count", type=int, default=1,
@@ -371,6 +373,12 @@ def main(argv=None) -> int:
         t = Table.load(args.table, branch=args.branch)
         result = {col: histogram_drift(t, col, from_snapshot=args.snapshot,
                                        to_snapshot=args.to_snapshot)}
+    elif args.op == "clone":  # zero-copy shallow clone (metadata-only)
+        from e_commerce_lakehouse_spark.operators.clone import shallow_clone
+
+        if not args.dest:
+            p.error("--op clone requires --dest <new table root>")
+        result = shallow_clone(Table.load(args.table), args.dest)
     elif args.op == "txn-heal":  # finish/clean multi-table transactions
         from e_commerce_lakehouse_spark.table.txn import heal_table_txns
 
