@@ -57,7 +57,21 @@ def shallow_clone(src: Table | str, dst_root: str) -> dict:
     if os.path.exists(dst_root) and os.listdir(dst_root):
         raise ValueError(f"clone destination {dst_root!r} is not empty")
     dst = Table.create(dst_root)
+    try:
+        # the capture runs under the SOURCE's commit lock: no snapshot can
+        # land between the metadata copy and the data-link loop, and
+        # expire's delete phase (which also takes the lock) cannot GC a
+        # file out from under the capture (review finding)
+        with t._commit_lock():
+            return _capture(t, dst, dst_root)
+    except BaseException:
+        # never leave a half-built clone: the non-empty guard would
+        # otherwise refuse the retry after a mid-build failure
+        shutil.rmtree(dst_root, ignore_errors=True)
+        raise
 
+
+def _capture(t: Table, dst: Table, dst_root: str) -> dict:
     # metadata tree: snapshots, manifests, VERSION, refs, specs
     for fn in sorted(os.listdir(t.metadata_dir)):
         src_p = os.path.join(t.metadata_dir, fn)
@@ -78,18 +92,24 @@ def shallow_clone(src: Table | str, dst_root: str) -> dict:
         rel_paths.update(snap.tombstone_paths)
         for e in t.entries(sid):
             rel_paths.add(e.path)
-    linked = copied = shared = 0
+    linked = copied = shared = copied_bytes = 0
     for rel in sorted(rel_paths):
         s = os.path.join(t.root, rel)
         d = os.path.join(dst.root, rel)
+        if not os.path.exists(s):
+            raise FileNotFoundError(
+                f"clone source is missing referenced file {rel!r} — run "
+                f"verify_table on the source (bit-rot / manual deletion)")
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
             linked += 1
+            shared += os.path.getsize(s)
         except OSError:
             shutil.copy2(s, d)  # EXDEV etc.: same semantics, real bytes
             copied += 1
-        shared += os.path.getsize(s)
+            copied_bytes += os.path.getsize(s)
     return {"root": dst_root, "files_linked": linked,
             "files_copied": copied, "bytes_shared": shared,
+            "bytes_copied": copied_bytes,
             "snapshots": len(t.snapshot_ids())}

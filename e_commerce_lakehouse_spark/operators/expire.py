@@ -218,23 +218,32 @@ def expire_snapshots(
     dead_manifests -= live_manifests
 
     if not dry_run:
-        for ck in stale_checkpoints:
-            os.remove(ck)
-        for rel in orphans:
-            os.remove(os.path.join(table.root, rel))
-        # remove now-empty data subdirectories
-        for dirpath, dirs, files in os.walk(table.data_dir, topdown=False):
-            if dirpath != table.data_dir and not os.listdir(dirpath):
-                os.rmdir(dirpath)
-        for m in dead_manifests:
-            mp = os.path.join(table.metadata_dir, m)
-            if os.path.exists(mp):
-                os.remove(mp)
-        for sid in expired:
-            os.remove(os.path.join(table.metadata_dir, f"snap-{sid:08d}.json"))
-        # expired snapshots must fail reads immediately — drop any memoized
-        # entry lists so this instance can't serve a deleted snapshot
-        table._entries_cache.clear()
+        # the DELETE phase runs under the commit lock: the retained-set
+        # computation above is race-safe by design (new commits' files
+        # are grace-protected orphans, old snapshots only get less
+        # retained), but the deletions themselves must not interleave
+        # with a metadata capture like operators/clone.shallow_clone
+        # holding the same lock (review finding)
+        with table._commit_lock():
+            for ck in stale_checkpoints:
+                os.remove(ck)
+            for rel in orphans:
+                os.remove(os.path.join(table.root, rel))
+            # remove now-empty data subdirectories
+            for dirpath, dirs, files in os.walk(table.data_dir, topdown=False):
+                if dirpath != table.data_dir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            for m in dead_manifests:
+                mp = os.path.join(table.metadata_dir, m)
+                if os.path.exists(mp):
+                    os.remove(mp)
+            for sid in expired:
+                os.remove(os.path.join(table.metadata_dir,
+                                       f"snap-{sid:08d}.json"))
+            # expired snapshots must fail reads immediately — drop any
+            # memoized entry lists so this instance can't serve a deleted
+            # snapshot
+            table._entries_cache.clear()
 
     return {
         "retained_snapshots": sorted(retained),

@@ -317,6 +317,14 @@ def histogram_drift(table, col: str, from_snapshot: int,
         raise ValueError(f"no histogram sketch for {col!r} at one of the "
                          f"snapshots (files_missing: {a['files_missing']}"
                          f"/{b['files_missing']})")
+    if a["files_missing"] or b["files_missing"]:
+        # a partially-covered histogram would conflate 'data changed'
+        # with 'coverage changed' — a drift MONITOR must not report
+        # silence on real drift (review finding); compact backfills
+        raise ValueError(
+            f"incomplete histogram coverage for {col!r}: files_missing "
+            f"{a['files_missing']} at from / {b['files_missing']} at to; "
+            f"compact to backfill sketches before measuring drift")
     if (a["lo"], a["hi"], a["bins"]) != (b["lo"], b["hi"], b["bins"]):
         raise ValueError(f"histogram spec changed between snapshots for "
                          f"{col!r}; drift needs identical bin edges")

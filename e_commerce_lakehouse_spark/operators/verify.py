@@ -182,13 +182,19 @@ def verify_table(
                     s["cm"] = {"w": c["w"], "d": c["d"],
                                "topk": len(c.get("topk", []))}
                 spec[col] = s
-            cols = list(spec)
             try:
                 pf = pq.ParquetFile(os.path.join(table.root, e.path))
-                want = dist_from_arrow(pf.read(columns=cols), spec)
             except Exception:
-                continue  # missing column: schema evolution, not a fault
-            for col in cols:
+                continue  # unreadable file: the footer audit reports it
+            for col in spec:
+                # per-column read, mirroring the bloom/ndv audits: a
+                # column missing from the file (schema evolution) skips
+                # only ITSELF, never a sibling's corrupted sketch
+                try:
+                    want = dist_from_arrow(pf.read(columns=[col]),
+                                           {col: spec[col]})
+                except Exception:
+                    continue
                 if e.dist.get(col) != want.get(col):
                     dist_bad.append(e.path)
                     issues.append({"kind": "dist-sketch-mismatch",

@@ -255,8 +255,9 @@ def heal_table_txns(table: Table, stale_txn_s: float = STALE_TXN_S) -> dict:
         if not fn.endswith(".json"):
             continue
         marker = _read_json(os.path.join(mdir, fn))
-        if marker is None:
-            continue
+        if (marker is None
+                or not {"txn_id", "txn_log", "snapshot_id"} <= marker.keys()):
+            continue  # malformed/foreign file: never crash a load over it
         txn_id = marker["txn_id"]
         state = txn_state(marker["txn_log"])
         sid = marker["snapshot_id"]
@@ -326,6 +327,13 @@ def vacuum_txn_logs(txn_dir: str,
             continue
         blocked = False
         for tb in d.get("tables", []):
+            if not os.path.isdir(os.path.join(tb["root"], "metadata")):
+                # UNREACHABLE participant (moved root, absent mount):
+                # 'marker unobservable' must not read as 'marker gone' —
+                # deleting a committed log here would later presume-abort
+                # a DECIDED txn on the returning table (review finding)
+                blocked = True
+                continue
             marker = os.path.join(tb["root"], "metadata", "txns",
                                   f"{d['txn_id']}.json")
             if os.path.exists(marker):

@@ -378,7 +378,10 @@ def main(argv=None) -> int:
 
         if not args.dest:
             p.error("--op clone requires --dest <new table root>")
-        result = shallow_clone(Table.load(args.table), args.dest)
+        # --branch surfaces shallow_clone's own clear refusal instead of
+        # silently cloning main (review finding)
+        result = shallow_clone(Table.load(args.table, branch=args.branch),
+                               args.dest)
     elif args.op == "txn-heal":  # finish/clean multi-table transactions
         from e_commerce_lakehouse_spark.table.txn import heal_table_txns
 
@@ -594,13 +597,25 @@ def main(argv=None) -> int:
                 p.error(f"--tables/--source mismatch: {len(roots)} tables "
                         f"vs {len(srcs)} sources")
             txn = MultiTableTransaction(args.txn_dir)
-            for root, src in zip(roots, srcs):
-                t = Table.load(root, lock_wait_s=10.0)
-                df = (spark.read.option("header", True).csv(src)
-                      if args.ingest_format == "csv"
-                      else spark.read.parquet(src))
-                txn.stage_append(spark, t, df)
-            result = txn.commit()
+            try:
+                for i, (root, src) in enumerate(zip(roots, srcs)):
+                    # --branch applies to --table (stage_append then
+                    # surfaces its clear branch refusal); extras are main
+                    t = Table.load(root, lock_wait_s=10.0,
+                                   branch=args.branch if i == 0 else None)
+                    df = (spark.read.option("header", True).csv(src)
+                          if args.ingest_format == "csv"
+                          else spark.read.parquet(src))
+                    txn.stage_append(spark, t, df)
+                result = txn.commit()
+            except BaseException:
+                # a staging failure must not leave pending markers pinned
+                # for the whole stale window (review finding)
+                import contextlib as _ctx
+
+                with _ctx.suppress(Exception):
+                    txn.abort()
+                raise
         elif args.op == "ingest-append":
             from e_commerce_lakehouse_spark.streaming.ingest import ingest_append_stream
 

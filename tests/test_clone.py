@@ -75,8 +75,18 @@ def test_clone_refuses_nonempty_and_branch(spark, tmp_path, src_table):
 
 
 def test_clone_excludes_locks_txns_checkpoints(spark, tmp_path, src_table):
+    from e_commerce_lakehouse_spark.table.meta import CommitConflictError
+
     t, _docs = src_table
+    # a live writer holds the source lock: the capture must WAIT or
+    # refuse (it runs under the commit lock), never snapshot mid-commit —
+    # and the failed attempt must clean up after itself
     open(t._lock_path(), "w").write("held")
+    with pytest.raises(CommitConflictError):
+        shallow_clone(t, str(tmp_path / "dst"))
+    assert not os.path.exists(str(tmp_path / "dst"))  # no half-built clone
+    os.remove(t._lock_path())
+    # txn markers and resume checkpoints never travel into the clone
     os.makedirs(os.path.join(t.metadata_dir, "txns"), exist_ok=True)
     open(os.path.join(t.metadata_dir, "txns", "zz.json"), "w").write("{}")
     open(os.path.join(t.metadata_dir, "x.ckpt.jsonl"), "w").write("")
@@ -86,4 +96,3 @@ def test_clone_excludes_locks_txns_checkpoints(spark, tmp_path, src_table):
     assert not os.path.isdir(os.path.join(c.metadata_dir, "txns"))
     assert not any(f.endswith(".ckpt.jsonl")
                    for f in os.listdir(c.metadata_dir))
-    os.remove(t._lock_path())
