@@ -4830,3 +4830,45 @@ SELECT 'clone' AS side, lang,
 FROM documents WHERE lang <> 'fr' OR lang IS NULL
 GROUP BY lang
 """
+
+
+# q223: KMV key-overlap algebra stated directly over the raw inputs —
+# per side: the 64 smallest distinct 60-bit md5 hashes of the key; the
+# union sketch is the 64 smallest of their union; intersection counts
+# hashes present in BOTH min-sets; estimates use q84/q93's exact KMV
+# expression. Any drift in the per-file sketches or the merge diverges
+# n_min/n_inter/est_*.
+ALL["q223_key_overlap_estimate"] = """
+WITH ma AS (
+    SELECT h FROM (
+        SELECT DISTINCT
+            ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY h LIMIT 64
+), mb AS (
+    SELECT h FROM (
+        SELECT DISTINCT
+            ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM customer WHERE c_custkey IS NOT NULL)
+    ORDER BY h LIMIT 64
+), u AS (
+    SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+    ORDER BY h LIMIT 64
+), s AS (
+    SELECT count(*) AS n_min, max(h) AS kth FROM u
+), i AS (
+    SELECT count(*) AS n_inter FROM u
+    WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)
+), e AS (
+    SELECT s.n_min, i.n_inter,
+           CASE WHEN s.n_min < 64 THEN s.n_min::DOUBLE
+                ELSE round(63.0 * 1152921504606846976.0 / s.kth, 2)
+           END AS est_union
+    FROM s, i
+)
+SELECT 64 AS k, n_min::BIGINT AS n_min, n_inter::BIGINT AS n_inter,
+       est_union,
+       round(n_inter::DOUBLE / n_min, 9) AS jaccard,
+       round((n_inter::DOUBLE / n_min) * est_union, 2) AS est_common
+FROM e
+"""

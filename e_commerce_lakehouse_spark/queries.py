@@ -4896,6 +4896,55 @@ def q222_shallow_clone(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q223_key_overlap_estimate(spark, sf_dir):
+    """Metadata-only JOIN-KEY overlap between two tables from their
+    manifest KMV sketches (sketch.key_overlap_estimate, Beyer et al.
+    k-min-value set algebra): how many distinct customer keys do orders
+    and customer share, what's the key Jaccard — the broadcast-vs-
+    shuffle planner question answered with ZERO data reads. Each table
+    ingests two deterministic halves (merge is exact sketch algebra,
+    split-independent); the oracle restates the identical min-set
+    union/intersection arithmetic over the raw inputs in SQL."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.sketch import key_overlap_estimate
+    from .table.meta import Table
+    from .table.writer import write_files
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(base, f"spark_graft_q223_{uuid.uuid4().hex[:12]}")
+    try:
+        specs = [
+            ("orders", _t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey"),
+            ("customer", _t(spark, sf_dir, "customer"), "c_custkey",
+             "c_custkey"),
+        ]
+        tables = {}
+        for name, df, split_col, key_col in specs:
+            t = Table.create(os.path.join(root, name))
+            t.append_schema_version(df.schema.jsonValue(), as_of_snapshot=0)
+            t.set_ndv_columns([key_col], k=64)
+            for parity in (0, 1):
+                entries = write_files(
+                    spark, t, df.where(F.col(split_col) % 2 == parity),
+                    1, f"half-{parity}", stat_columns=(split_col,))
+                t.commit_append(entries, {"op": f"ingest-{parity}"})
+            tables[name] = t
+        r = key_overlap_estimate(tables["orders"], "o_custkey",
+                                 tables["customer"], "c_custkey")
+        assert r["files_missing_a"] == 0 and r["files_missing_b"] == 0, r
+        return spark.createDataFrame(
+            [(int(r["k"]), int(r["n_min"]), int(r["n_inter"]),
+              float(r["est_union"]), float(r["jaccard"]),
+              float(r["est_common"]))],
+            "k int, n_min bigint, n_inter bigint, est_union double, "
+            "jaccard double, est_common double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ALL = {
     "q01_groupby_agg": q01_groupby_agg,
     "q02_join_agg": q02_join_agg,
@@ -5125,4 +5174,5 @@ ALL = {
     "q220_multitable_txn": q220_multitable_txn,
     "q221_histogram_drift": q221_histogram_drift,
     "q222_shallow_clone": q222_shallow_clone,
+    "q223_key_overlap_estimate": q223_key_overlap_estimate,
 }

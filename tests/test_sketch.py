@@ -105,3 +105,30 @@ def test_per_file_ndv_sketches_merge_and_survive_rewrites(spark, tmp_path):
     # n_min can only grow; with full coverage it equals the global sketch
     assert after["n_min"] >= before["n_min"]
     assert main(["--table", root, "--op", "ndv", "--columns", "lang"]) == 0
+
+
+def test_key_overlap_estimate_exact_below_k(spark, tmp_path):
+    """key_overlap_estimate is EXACT when both key sets have < k
+    distinct values (the sketches degenerate to the full hash sets):
+    planted overlap of 10 keys between 20- and 15-key tables."""
+    from e_commerce_lakehouse_spark.operators.sketch import (
+        key_overlap_estimate,
+    )
+    from e_commerce_lakehouse_spark.table.meta import Table
+    from e_commerce_lakehouse_spark.table.writer import append_dataframe
+
+    a_df = spark.range(0, 20).selectExpr("id AS k1")       # keys 0..19
+    b_df = spark.range(10, 25).selectExpr("id AS k2")      # keys 10..24
+    ta = Table.create(str(tmp_path / "a"))
+    ta.append_schema_version(a_df.schema.jsonValue(), as_of_snapshot=0)
+    ta.set_ndv_columns(["k1"], k=64)
+    append_dataframe(spark, ta, a_df)
+    tb = Table.create(str(tmp_path / "b"))
+    tb.append_schema_version(b_df.schema.jsonValue(), as_of_snapshot=0)
+    tb.set_ndv_columns(["k2"], k=64)
+    append_dataframe(spark, tb, b_df)
+    r = key_overlap_estimate(ta, "k1", tb, "k2")
+    assert r["est_union"] == 25.0     # exact |0..24|
+    assert r["n_inter"] == 10         # exact |10..19|
+    assert r["est_common"] == 10.0
+    assert abs(r["jaccard"] - 10 / 25) < 1e-12
