@@ -962,10 +962,17 @@ def dup_span_audit(
     extends operators/dedup.py's window containment (q78) to exact
     char-level span coverage.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_t"),
-    ).where(F.length("_t") >= gram_chars)
+    from ..plans.parallelism import ensure_min_parallelism
+
+    # the per-char window extraction (explode + substring + md5) is the
+    # CPU-heaviest map stage here and a single-file input scans as ONE
+    # partition — widen it first (small-input guard, no-op at scale)
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        ).where(F.length("_t") >= gram_chars)
+    )
     grams = base.select(
         "doc_id",
         F.length("_t").cast("long").alias("n_chars"),
@@ -976,20 +983,19 @@ def dup_span_audit(
             F.substring(F.col("_t"), F.col("p"), F.lit(gram_chars))
         ).alias("h"),
     )
-    # the gram fan-out feeds two consumers (hot-filter, mark-back);
-    # persist so the text scan + window extraction runs once
-    grams = grams.persist()
-    hot = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus-wide occurrence count as ONE window over the digest shuffle:
+    # the previous groupBy + join-back shape shuffled the gram table by h
+    # twice and its persist was cache-raced by concurrent AQE stage jobs
+    # (measured: the full explode+md5 pipeline ran twice, single-task)
+    marked = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .where(F.col("cnt") >= min_count)
-        .select("h")
-    )
-    marked = grams.join(hot, "h").select(
-        "doc_id",
-        "n_chars",
-        "p",
-        (F.col("p") + gram_chars).alias("e"),
+        .select(
+            "doc_id",
+            "n_chars",
+            "p",
+            (F.col("p") + gram_chars).alias("e"),
+        )
     )
     wprev = (
         Window.partitionBy("doc_id")
@@ -1028,4 +1034,4 @@ def dup_span_audit(
             .alias("dup_frac_ppm"),
         )
     )
-    return _finish_release(out, grams)
+    return _finish_release(out)

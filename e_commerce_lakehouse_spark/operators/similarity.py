@@ -615,27 +615,44 @@ def tfidf_cosine_pairs(
     only ubiquitous shingles is unreachable by design (document this to
     users: raise df_cap for higher recall at quadratic risk).
     """
+    from ..plans.parallelism import ensure_min_parallelism
     from .dedup import word_shingles
 
     # NULL texts are excluded on BOTH sides: Spark's word_shingles(NULL)
     # would otherwise emit an empty-string shingle while DuckDB's
     # list_distinct strips the NULL — a cross-engine df disagreement
-    sh = df.where(F.col(text_col).isNotNull()).select(
+    #
+    # shingling is the CPU-heaviest map stage of the operator and a
+    # single-file input scans as ONE partition (measured: an 11 s
+    # one-task shingle stage on the sf0.1 corpus) — the same small-input
+    # guard _shingle_table applies
+    sh = ensure_min_parallelism(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     n_docs = df.count()  # one scalar to the driver, reused as a literal
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    # dfc via a window over the shingle shuffle: ONE exchange of the
+    # shingle table instead of groupBy + join-back (two). Same rows.
+    dfreq_w = Window.partitionBy("shingle")
     w = F.round(
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("dfc") + 1.0))
         * F.lit(1_000_000.0),
         0,
     ).cast("long")
+    par = df.sparkSession.sparkContext.defaultParallelism
     vec = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("dfc", F.count(F.lit(1)).over(dfreq_w))
         .select("doc_id", "shingle", w.alias("w"), "dfc")
+        # explicit width: AQE would coalesce this tiny-byte frame to ~1
+        # partition and every downstream candidate explosion would run
+        # single-task (measured: six concurrent 30 s one-task stages)
+        .repartition(par, "doc_id")
         .persist()
     )
+    # materialize ONCE before the 4-consumer fan-out: concurrent AQE
+    # stage jobs otherwise race the cold cache and each recomputes the
+    # full shingle pipeline (guide §5 caching note)
+    vec.count()
     norms = vec.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
     )
@@ -658,7 +675,12 @@ def tfidf_cosine_pairs(
         F.col("doc_id").alias("b"), "shingle", F.col("w").alias("wb")
     )
     dots = (
-        cand.join(va, "a")
+        # explicit-width exchange on the pair table: the candidate rows are
+        # tiny (two ids) so AQE coalesces them to ~1 partition, but the
+        # join output explodes |cand| × |shingles(a)| — the single heaviest
+        # intermediate of the operator must stay as wide as the pool
+        cand.repartition(par, "a")
+        .join(va, "a")
         .join(vb, ["b", "shingle"])
         .groupBy("a", "b")
         .agg(
