@@ -302,20 +302,26 @@ def minhash_lsh_pairs(
     # cached set is num_hashes longs per doc — tiny relative to the
     # corpus; at petabyte doc counts write it to a temp table instead.
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    sig.count()  # materialize before the fan-out (AQE cache-race guard)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"band{b}")
+        )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
-    cands = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("a"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("b"), F.col(f"band{b}").alias("bk"))
-        c = left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    # all bands in one posexplode + ONE self-join on (band, key): identical
+    # candidate set to the per-band join-union loop (the band index is part
+    # of the join key), in 1 join job and 1 signature pass instead of
+    # ``bands`` of each — the per-band AQE jobs dominated wall at sf0.1
+    banded = sig.select(id_col, F.posexplode(F.array(*band_cols)).alias("bi", "bk"))
+    left = banded.select(F.col(id_col).alias("a"), "bi", "bk")
+    right = banded.select(F.col(id_col).alias("b"), "bi", "bk")
+    cands = (
+        left.join(right, ["bi", "bk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     sa = sig.select(F.col(id_col).alias("a"), *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)])
     sb = sig.select(F.col(id_col).alias("b"), *[F.col(f"h{j}").alias(f"hb{j}") for j in range(num_hashes)])
     matches = sum(
@@ -358,6 +364,8 @@ def minhash_lsh_incremental(
     rows_per_band = num_hashes // bands
     sig_new = minhash_signatures(new_df, num_hashes, n, text_col, id_col).persist()
     sig_old = minhash_signatures(corpus_df, num_hashes, n, text_col, id_col).persist()
+    sig_new.count()  # materialize before the fan-out (AQE cache-race guard)
+    sig_old.count()
 
     def _banded(sig, out_id):
         cols = [
@@ -365,21 +373,19 @@ def minhash_lsh_incremental(
                 F.concat_ws(
                     "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )
-            ).alias(f"band{b}")
+            )
             for b in range(bands)
         ]
-        return sig.select(F.col(id_col).alias(out_id), *cols)
+        # all bands in one posexplode: ONE new×corpus join on (band, key)
+        # replaces the per-band join-union loop (identical match set —
+        # the band index is part of the join key)
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*cols)).alias("bi", "bk"),
+        )
 
     bn, bo = _banded(sig_new, "new_id"), _banded(sig_old, "corpus_id")
-    cands = None
-    for b in range(bands):
-        c = (
-            bn.select("new_id", F.col(f"band{b}").alias("bk"))
-            .join(bo.select("corpus_id", F.col(f"band{b}").alias("bk")), "bk")
-            .select("new_id", "corpus_id")
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    cands = bn.join(bo, ["bi", "bk"]).select("new_id", "corpus_id").distinct()
     sa = sig_new.select(
         F.col(id_col).alias("new_id"),
         *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)],
@@ -494,21 +500,29 @@ def simhash_pairs(
     # won't reuse the exchange across them (one 60-agg token pass instead
     # of 2×n_chunks); one long per doc — tiny
     sigs = simhash_signatures_df(df, text_col, id_col).persist()
+    sigs.count()  # materialize before the fan-out (AQE cache-race guard)
     chunks = [
         F.shiftright(F.col("sig"), chunk_bits * c)
         .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-        .alias(f"c{c}")
         for c in range(n_chunks)
     ]
-    banded = sigs.select("id", "sig", *chunks)
-    cands = None
-    for c in range(n_chunks):
-        left = banded.select(F.col("id").alias("a"), F.col("sig").alias("siga"), F.col(f"c{c}").alias("ck"))
-        right = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), F.col(f"c{c}").alias("ck"))
-        j = left.join(right, "ck").where(F.col("a") < F.col("b")).select("a", "b", "siga", "sigb")
-        cands = j if cands is None else cands.unionByName(j)
+    # all chunks in one posexplode + ONE self-join on (chunk, key):
+    # identical candidate set to the per-chunk join-union loop (the chunk
+    # index is part of the join key), in 1 join job and 1 signature pass
+    banded = sigs.select(
+        "id", "sig", F.posexplode(F.array(*chunks)).alias("ci", "ck")
+    )
+    left = banded.select(
+        F.col("id").alias("a"), F.col("sig").alias("siga"), "ci", "ck"
+    )
+    right = banded.select(
+        F.col("id").alias("b"), F.col("sig").alias("sigb"), "ci", "ck"
+    )
     result = (
-        cands.distinct()
+        left.join(right, ["ci", "ck"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
@@ -575,17 +589,25 @@ def embedding_neardup_lsh(
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", vec_norm(F.col("v"))).persist()  # feeds 2T+2 branches
-    cands = None
-    for t in range(n_tables):
-        bt = base.withColumn(
-            "bucket", lsh_bucket_signature(base, dim, n_planes, seed + 1000 * t, "v", center)
-        )
-        left = bt.select(F.col("id").alias("a"), F.col("bucket"))
-        right = bt.select(F.col("id").alias("b"), F.col("bucket"))
-        c = left.join(right, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    ).withColumn("nrm", vec_norm(F.col("v"))).persist()  # feeds bucket + 2 verify branches
+    base.count()  # materialize before the fan-out (AQE cache-race guard)
+    # all tables' signatures in one projection + posexplode, then ONE
+    # self-join on (table, bucket): identical candidate set to the old
+    # per-table join-union loop, in 1 join and 1 corpus pass (see
+    # similarity.lsh_ann_topk for the measured rationale)
+    sigs = F.array(*[
+        lsh_bucket_signature(base, dim, n_planes, seed + 1000 * t, "v", center)
+        for t in range(n_tables)
+    ])
+    bt = base.select("id", F.posexplode(sigs).alias("t", "bucket"))
+    left = bt.select(F.col("id").alias("a"), "t", "bucket")
+    right = bt.select(F.col("id").alias("b"), "t", "bucket")
+    cands = (
+        left.join(right, ["t", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(

@@ -96,13 +96,17 @@ def lsh_bucket_signature(
     c = center or [0.0] * dim
     for p in range(n_planes):
         plane = _hyperplane(seed, p, dim)
+        # literal vectors as SINGLE array-literal nodes (F.lit(list)), not
+        # dim separate F.lit leaves: with n_planes × n_tables signatures
+        # the per-element literals made Catalyst analysis the dominant
+        # cost of the LSH queries (measured: q203 driver gap 9 s)
         shifted = F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.array(*[F.lit(m) for m in c]),
+            F.lit([float(m) for m in c]),
             lambda x, m: x - m,
         )
         dot = F.aggregate(
-            F.zip_with(shifted, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
+            F.zip_with(shifted, F.lit([float(w) for w in plane]), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -126,7 +130,9 @@ def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, nor
     expression per cell (a 16-cell × 64-dim per-cell tree made Catalyst
     analysis/codegen the dominant cost; this keeps the plan a single
     nested-loop expression). Pure projection: zero shuffle, zero join."""
-    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c_vec]) for _, c_vec, _ in cents])
+    # one nested array-literal node, not n_cells × dim F.lit leaves (the
+    # same Catalyst-analysis economy as lsh_bucket_signature)
+    cents_lit = F.lit([[float(x) for x in c_vec] for _, c_vec, _ in cents])
     packed = F.array(
         *[F.struct(F.lit(float(n)).alias("cn"), F.lit(cell).alias("cell"))
           for cell, _, n in cents]
@@ -255,23 +261,37 @@ def lsh_ann_topk(
     design; knobs: fewer planes → bigger buckets, more tables → higher
     recall at proportional candidate cost (classic L-table LSH)."""
     center = dataset_mean(vectors, dim, vec_col)
-    # persist both sides: v feeds n_tables bucket branches + the re-rank
-    # join and Spark won't reuse exchanges across them; q is tiny
+    # persist both sides: v feeds the bucket branch + the re-rank join and
+    # Spark won't reuse exchanges across them; q is tiny
     v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
     q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col).persist()
-    cands = None
-    for t in range(n_tables):
-        vt = v.withColumn(
-            "bucket", lsh_bucket_signature(v, dim, n_planes, seed + 1000 * t, "nv", center)
-        )
-        qt = q.withColumn(
-            "bucket", lsh_bucket_signature(q, dim, n_planes, seed + 1000 * t, "qv", center)
-        )
-        c = vt.join(F.broadcast(qt.select(query_id_col, "bucket")), "bucket").select(
-            query_id_col, "neighbor_id"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.where(F.col("neighbor_id") != F.col(query_id_col)).distinct()
+    # materialize ONCE before the fan-out: concurrent AQE stage jobs would
+    # otherwise race the cold cache and recompute the norm projection
+    v.count()
+    # ALL tables' signatures in one projection + posexplode, then ONE
+    # equi-join on (table, bucket): identical candidate set to the old
+    # per-table join-union loop (t is part of the key), but 1 join job and
+    # 1 pass over the corpus instead of n_tables of each — at sf0.1 the
+    # per-table AQE jobs dominated wall (q203 driver gap 12 s / 41 jobs);
+    # at scale one corpus pass instead of n_tables is strictly fewer bytes
+    def _sigs(frame, vcol):
+        return F.array(*[
+            lsh_bucket_signature(frame, dim, n_planes, seed + 1000 * t, vcol, center)
+            for t in range(n_tables)
+        ])
+
+    vt = v.select(
+        "neighbor_id", F.posexplode(_sigs(v, "nv")).alias("t", "bucket")
+    )
+    qt = q.select(
+        query_id_col, F.posexplode(_sigs(q, "qv")).alias("t", "bucket")
+    )
+    cands = (
+        vt.join(F.broadcast(qt), ["t", "bucket"])
+        .select(query_id_col, "neighbor_id")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .distinct()
+    )
     scored = (
         cands.join(v, "neighbor_id")
         .join(F.broadcast(q), query_id_col)
