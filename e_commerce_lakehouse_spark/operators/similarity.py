@@ -18,6 +18,33 @@ from pyspark.sql import functions as F
 from .dedup import _finish_release, cosine_sim, round_cos, vec_norm  # noqa: F401 (cosine_sim is public API here too)
 
 
+def _sql_dbl(x) -> str:
+    """SQL text of an exact double literal. repr() emits the shortest
+    round-trip form, so the SQL parser's Double.parseDouble lands on the
+    bit-identical double."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_darr(values) -> str:
+    """SQL text of a literal array<double>."""
+    return "array(" + ",".join(_sql_dbl(x) for x in values) + ")"
+
+
+def _lit_vec(values) -> "F.Column":
+    """Literal array<double> as ONE py4j call (F.expr of a SQL array
+    literal). The classic-pyspark alternatives — F.array(*[F.lit(x)…]) and
+    even F.lit(list), which expands per element internally — cost ~3 py4j
+    round-trips per element; with dim×planes×tables literal vectors the
+    round-trips alone dominated the ANN queries' wall (measured: q203
+    spent 10.8 of 12.1 s inside 71k py4j calls)."""
+    return F.expr(_sql_darr(values))
+
+
+def _lit_mat(rows) -> "F.Column":
+    """Literal array<array<double>> as ONE py4j call (see _lit_vec)."""
+    return F.expr("array(" + ",".join(_sql_darr(row) for row in rows) + ")")
+
+
 def _norms(df: DataFrame, id_out: str, vec_out: str, norm_out: str, id_col: str, vec_col: str):
     """Project (id, double-vector, L2 norm): norms computed once per row,
     never per pair. Deliberately NOT widened via plans/parallelism: the
@@ -92,26 +119,25 @@ def lsh_bucket_signature(
     ``center`` (the dataset mean) matters: embedding corpora often live in
     one orthant, where origin hyperplanes separate nothing — centering
     restores the sign-random-projection guarantees."""
-    bits = []
+    # the WHOLE signature as one SQL expression string → ONE py4j call
+    # (the per-plane Column building cost ~50 py4j round-trips per plane
+    # and dominated the LSH queries' wall; the JVM expression tree this
+    # parses to is identical to the previous Column-built one)
     c = center or [0.0] * dim
+    carr = _sql_darr(c)
+    shifted = (
+        f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), {carr}, "
+        "(x, m) -> x - m)"
+    )
+    terms = []
     for p in range(n_planes):
-        plane = _hyperplane(seed, p, dim)
-        # literal vectors as SINGLE array-literal nodes (F.lit(list)), not
-        # dim separate F.lit leaves: with n_planes × n_tables signatures
-        # the per-element literals made Catalyst analysis the dominant
-        # cost of the LSH queries (measured: q203 driver gap 9 s)
-        shifted = F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.lit([float(m) for m in c]),
-            lambda x, m: x - m,
+        parr = _sql_darr(_hyperplane(seed, p, dim))
+        dot = (
+            f"aggregate(zip_with({shifted}, {parr}, (x, w) -> x * w), "
+            f"{_sql_dbl(0.0)}, (acc, v) -> acc + v)"
         )
-        dot = F.aggregate(
-            F.zip_with(shifted, F.lit([float(w) for w in plane]), lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).alias("bucket")
+        terms.append(f"IF({dot} >= 0, {1 << p}, 0)")
+    return F.expr("(" + " + ".join(terms) + ")").alias("bucket")
 
 
 def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[float]:
@@ -119,9 +145,12 @@ def dataset_mean(df: DataFrame, dim: int, vec_col: str = "embedding") -> list[fl
     to 6 dp so an independent engine's avg (different float summation
     order) lands on the identical center — keeps bucket signatures
     bit-stable across engines for the SQL oracles."""
-    aggs = [F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"m{i}") for i in range(dim)]
-    row = df.agg(*aggs).collect()[0]
-    return [float(row[f"m{i}"]) for i in range(dim)]
+    # one array-valued aggregate expression → one py4j call, not dim × ~10
+    expr = "array(" + ",".join(
+        f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), 6)" for i in range(dim)
+    ) + ")"
+    row = df.agg(F.expr(expr).alias("m")).collect()[0]
+    return [float(x) for x in row["m"]]
 
 
 def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, norm: str):
@@ -130,33 +159,23 @@ def _cell_cos_structs(cents: list[tuple[int, list[float], float]], vec: str, nor
     expression per cell (a 16-cell × 64-dim per-cell tree made Catalyst
     analysis/codegen the dominant cost; this keeps the plan a single
     nested-loop expression). Pure projection: zero shuffle, zero join."""
-    # one nested array-literal node, not n_cells × dim F.lit leaves (the
-    # same Catalyst-analysis economy as lsh_bucket_signature)
-    cents_lit = F.lit([[float(x) for x in c_vec] for _, c_vec, _ in cents])
-    packed = F.array(
-        *[F.struct(F.lit(float(n)).alias("cn"), F.lit(cell).alias("cell"))
-          for cell, _, n in cents]
-    )
-    return F.zip_with(
-        cents_lit,
-        packed,
-        lambda c_vec, p: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col(vec), c_vec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / (F.col(norm) * p["cn"]),
-                # 5 dp, not 6: engines' fold orders differ by ~1e-16
-                # relative, so a comparison value this coarse makes a
-                # cross-engine rounding-boundary flip ~100× rarer than at
-                # 6 dp; extra ties break deterministically (cell asc) in
-                # both engines. Mirrored in the q53 oracle SQL.
-                5,
-            ).alias("cos"),
-            p["cell"].alias("cell"),
-        ),
+    # the whole per-cell cosine array as ONE SQL expression string → one
+    # py4j call (see _lit_vec; the parsed JVM tree matches the previous
+    # Column-built one).
+    # 5 dp, not 6: engines' fold orders differ by ~1e-16 relative, so a
+    # comparison value this coarse makes a cross-engine rounding-boundary
+    # flip ~100× rarer than at 6 dp; extra ties break deterministically
+    # (cell asc) in both engines. Mirrored in the q53 oracle SQL.
+    cents_mat = "array(" + ",".join(_sql_darr(c_vec) for _, c_vec, _ in cents) + ")"
+    packed = "array(" + ",".join(
+        f"named_struct('cn', {_sql_dbl(n)}, 'cell', {int(cell)})"
+        for cell, _, n in cents
+    ) + ")"
+    return F.expr(
+        f"zip_with({cents_mat}, {packed}, (c_vec, p) -> named_struct("
+        f"'cos', round(aggregate(zip_with({vec}, c_vec, (a, b) -> a * b), "
+        f"{_sql_dbl(0.0)}, (acc, v) -> acc + v) / ({norm} * p.cn), 5), "
+        f"'cell', p.cell))"
     )
 
 
