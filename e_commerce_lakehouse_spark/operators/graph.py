@@ -52,7 +52,9 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        # lazy: the round's convergence count() materializes the
+        # checkpoint, one job per round instead of two (kcore precedent)
+        .localCheckpoint(eager=False)
     )
     try:
         for _ in range(max_iter):
@@ -79,7 +81,7 @@ def connected_components(
                 .unionByName(jump)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by the count below
             )
             # convergence check on two constant-depth checkpointed sides;
             # at web scale swap the join for a checksum agg (sum of
@@ -353,7 +355,11 @@ def kcore(
     # a persist alone leaves a 2^rounds logical plan — localCheckpoint
     # per round cuts lineage to keep analysis linear; the checkpointed
     # blocks are node-set sized (bounded) and GC'd once dereferenced
-    alive = e.select("src").distinct().localCheckpoint(eager=True)
+    # LAZY localCheckpoint + count: the count action materializes the
+    # checkpoint, so each round costs ONE job instead of two (the eager
+    # form ran a checkpoint job and then a count job per round — at bench
+    # scale job dispatch was half the operator's wall)
+    alive = e.select("src").distinct().localCheckpoint(eager=False)
     n_alive = alive.count()
     deg = None
     try:
@@ -367,7 +373,7 @@ def kcore(
             alive = (
                 deg.where(F.col("degree") >= k)
                 .select("src")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n_next = alive.count()
             if n_next == n_alive:

@@ -861,7 +861,10 @@ def kmeans_integer(
                 .agg(
                     F.expr("sum(pv) DIV count(1)").cast("long").alias("cv")
                 )
-                .localCheckpoint(eager=True)
+                # lazy: materialized by the next round's broadcast build /
+                # the final checkpoint — rounds are a linear chain, so the
+                # deferred plan stays shallow and each round saves a job
+                .localCheckpoint(eager=False)
             )
         return assign.select(
             F.col("id").alias(id_col),
