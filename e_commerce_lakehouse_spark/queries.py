@@ -4782,6 +4782,8 @@ def q220_multitable_txn(spark, sf_dir):
     from .table.txn import MultiTableTransaction
     from .table.writer import append_dataframe
 
+    from concurrent.futures import ThreadPoolExecutor
+
     orders = _t(spark, sf_dir, "orders")
     items = _t(spark, sf_dir, "lineitem")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -4789,25 +4791,48 @@ def q220_multitable_txn(spark, sf_dir):
     try:
         ta = Table.create(os.path.join(root, "orders"))
         ta.append_schema_version(orders.schema.jsonValue(), as_of_snapshot=0)
-        append_dataframe(spark, ta, orders.where(F.col("o_orderkey") % 2 == 0),
-                         rows_per_file=1_000_000)
         tb = Table.create(os.path.join(root, "lineitem"))
         tb.append_schema_version(items.schema.jsonValue(), as_of_snapshot=0)
-        append_dataframe(spark, tb, items.where(F.col("l_orderkey") % 2 == 0),
-                         rows_per_file=1_000_000)
+
+        # the two tables are independent until commit(): overlap each
+        # append pair on driver threads so the second write's job
+        # back-fills executors the first leaves idle (guide §2.6 pattern;
+        # the FAIR scheduler the session runs makes them share the pool).
+        # Same writes, same commits, same final state — only the wall
+        # changes; the txn's _staged list order is irrelevant (commit
+        # locks sort by realpath).
+        def _both(fa, fb):
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                for f in [ex.submit(fa), ex.submit(fb)]:
+                    f.result()
+
+        _both(
+            lambda: append_dataframe(
+                spark, ta, orders.where(F.col("o_orderkey") % 2 == 0),
+                rows_per_file=1_000_000),
+            lambda: append_dataframe(
+                spark, tb, items.where(F.col("l_orderkey") % 2 == 0),
+                rows_per_file=1_000_000),
+        )
 
         txn = MultiTableTransaction(os.path.join(root, "_txns"))
-        txn.stage_append(spark, ta,
-                         orders.where(F.col("o_orderkey") % 2 == 1),
-                         rows_per_file=1_000_000)
-        txn.stage_append(spark, tb,
-                         items.where(F.col("l_orderkey") % 2 == 1),
-                         rows_per_file=1_000_000)
+        _both(
+            lambda: txn.stage_append(
+                spark, ta, orders.where(F.col("o_orderkey") % 2 == 1),
+                rows_per_file=1_000_000),
+            lambda: txn.stage_append(
+                spark, tb, items.where(F.col("l_orderkey") % 2 == 1),
+                rows_per_file=1_000_000),
+        )
         txn.commit()
 
         dup = MultiTableTransaction(os.path.join(root, "_txns"))
-        dup.stage_append(spark, ta, orders.limit(10), rows_per_file=1_000_000)
-        dup.stage_append(spark, tb, items.limit(10), rows_per_file=1_000_000)
+        _both(
+            lambda: dup.stage_append(spark, ta, orders.limit(10),
+                                     rows_per_file=1_000_000),
+            lambda: dup.stage_append(spark, tb, items.limit(10),
+                                     rows_per_file=1_000_000),
+        )
         dup.abort()  # must leak nowhere
 
         a = scan_table(spark, Table.load(ta.root))

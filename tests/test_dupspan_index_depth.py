@@ -134,8 +134,8 @@ def test_depth_report_missing_column_all_missing(spark, tiny_table):
 
 
 def test_dup_span_plan_has_no_cartesian(spark, monkeypatch):
-    # patch out the localCheckpoint so the assertion sees the REAL join
-    # plan (post-checkpoint plans are just an RDD scan — vacuously clean)
+    # patch out the localCheckpoint so the assertion sees the REAL plan
+    # (post-checkpoint plans are just an RDD scan — vacuously clean)
     import e_commerce_lakehouse_spark.operators.dedup as ddmod
 
     monkeypatch.setattr(
@@ -148,6 +148,12 @@ def test_dup_span_plan_has_no_cartesian(spark, monkeypatch):
         .executedPlan()
         .toString()
     )
-    assert "Join" in plan  # the real plan, not a checkpoint scan
+    # r6 shape: hot-gram detection is a count-over-window on the digest
+    # shuffle (ONE wide exchange) — no join-back, and still no pairwise
+    # stage anywhere
+    assert "Window" in plan  # the real plan, not a checkpoint scan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the per-doc island pass and the corpus-wide digest pass
+    # shuffle the gram table; a reintroduced join-back would add a third
+    assert plan.count("Exchange hashpartitioning") <= 2
