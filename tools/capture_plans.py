@@ -26,6 +26,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from e_commerce_lakehouse_spark.queries import ALL
 
+    # results are localCheckpoint'ed (lineage cut -> the final plan would
+    # read "Scan ExistingRDD", vacuous); capture the REAL plan instead
+    try:  # Spark 4 classic: the concrete subclass defines the method
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+
     for name in names:
         try:
             df = ALL[name](spark, SF_DIR)
