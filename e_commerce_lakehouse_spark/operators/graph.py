@@ -40,7 +40,10 @@ def connected_components(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: cuts the (often deep — e.g. a
+        # whole near-dup pair pipeline) upstream plan out of every
+        # round's analysis; see kcore note
+        .localCheckpoint(eager=False)
     )
     # every round's state is an EAGER localCheckpoint, not a persist():
     # iterative dataflows must truncate lineage each round — cached-but-
@@ -100,7 +103,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
-        edges.unpersist()
+        pass  # checkpoint blocks are GC'd by the ContextCleaner on deref
 
 
 def dedup_clusters(
@@ -348,9 +351,14 @@ def kcore(
         .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
         .distinct()
     )
+    # localCheckpoint, not persist: a persist keeps the FULL upstream
+    # logical plan (for q193 that is the whole copurchase pipeline) alive
+    # in every round's analysis — with AQE each round's jobs re-analyze
+    # it, and driver planning dominated the operator's wall. The
+    # checkpoint cuts lineage so each round plans over a flat scan.
     e = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
         und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     # each round references the alive set TWICE (src and dst joins), so
     # a persist alone leaves a 2^rounds logical plan — localCheckpoint
     # per round cuts lineage to keep analysis linear; the checkpointed
@@ -386,4 +394,4 @@ def kcore(
         )
         return out.localCheckpoint(eager=True)
     finally:
-        e.unpersist()
+        pass  # checkpoint blocks are GC'd by the ContextCleaner on deref

@@ -4334,7 +4334,11 @@ def q203_ann_recall_eval(spark, sf_dir):
     queries_ = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim.brute_force_topk(e, queries_, k=5).persist()
+    # eager localCheckpoint, not persist: both recall legs (and their AQE
+    # stage jobs) would re-analyze the whole brute-force plan every job
+    # and race the cold cache; the checkpoint materializes ground truth
+    # once and cuts it to a flat scan for both consumers
+    exact = sim.brute_force_topk(e, queries_, k=5).localCheckpoint(eager=True)
     ivf = sim.ivf_ann_topk(e, queries_, dim=64, k=5, n_cells=16, nprobe=4)
     lsh = sim.lsh_ann_topk(e, queries_, dim=64, k=5, n_planes=6, n_tables=4)
     legs = [
@@ -4344,7 +4348,7 @@ def q203_ann_recall_eval(spark, sf_dir):
     result = legs[0].unionByName(legs[1]).select(
         "method", "query_id", "n_exact", "n_hits", "recall_at_k"
     )
-    return dd._finish_release(result, exact)
+    return dd._finish_release(result)
 
 
 def q205_dynamic_file_pruning(spark, sf_dir):
