@@ -57,60 +57,26 @@ from ..table.stats import collect_entries, list_parquet_files
 from ..table.writer import DEFAULT_TARGET_FILE_BYTES
 
 _KEY = "__ckey"
-_FID = "__fid"
 
-#: literal-cuts file split is generated as one flat comparison chain per
-#: row; above this file count fall back to repartitionByRange (at that
-#: scale the sharded mode is the intended path anyway)
-_MAX_LITERAL_CUTS = 4096
+def _zstd_level() -> str:
+    """Cluster-output zstd level (default 1, env-overridable). parquet-mr
+    defaults zstd to level 3; the compact path's pyarrow writes use
+    Arrow's zstd default (1). Level 1 costs ~10% size for ~2x less encode
+    CPU (rewrite throughput over density; measured ~4% cycle win at 12 M
+    turns) — the knob stays parameterised for deployments that prefer
+    density.
 
+    NOTE (r6, negative result, kept for the record): replacing the range
+    exchange with sample-derived literal cut points + a hash repartition
+    on a file id was tried and REVERTED — a ~95-term comparison chain
+    blows whole-stage codegen's method budget and drops the entire map
+    stage to interpreted evaluation (28 s vs 4 s for the same scan), an
+    aggregate() HOF form still costs +4 s, and the range exchange's
+    reservoir sample pass is far cheaper than event-log profiling under
+    host noise suggested (guarded A/B: two-pass 12.7-15.1 s vs
+    single-pass-with-cuts 35-40 s end-to-end)."""
+    return os.environ.get("SPARK_GRAFT_CLUSTER_ZSTD_LEVEL", "1")
 
-def _range_file_split(keyed, n_files: int):
-    """Assign each row a target FILE id covering a contiguous curve-key
-    range, sorted ready for a ``partitionBy(_FID)`` write.
-
-    Replaces ``repartitionByRange(n_files, _KEY)``: Spark's range exchange
-    SAMPLES its child plan, which means the full scan + key computation
-    ran TWICE per clustering — and the sample pass decodes every column
-    (including the text payload) only to throw it away (measured: ~40% of
-    the cluster map-side wall at bench scale). Here the cut points come
-    from approxQuantile over a plan that only references the key, so the
-    parquet scan prunes to the key's input columns; the full-width scan
-    then runs exactly once.
-
-    File purity: rows are hash-distributed by file id but the hive-style
-    ``partitionBy(_FID)`` write splits each task's rows per id, so every
-    output FILE still covers one contiguous key range (narrow min/max
-    stats — what makes manifest skipping fire). A task that hashes two
-    ids writes two files; with tasks ≫ cores the scheduler absorbs the
-    imbalance. Approximate cuts move file BOUNDARIES only — content,
-    ordering within files, and the skip-ratio property are unchanged.
-    """
-    if n_files > _MAX_LITERAL_CUTS:
-        # very large rewrites: keep the exact range exchange (double scan)
-        # — at this file count the resumable sharded mode is the intended
-        # path and one flat comparison chain per row stops paying off
-        return (
-            keyed.repartitionByRange(n_files, F.col(_KEY))
-            .withColumn(_FID, F.spark_partition_id())
-            .sortWithinPartitions(_KEY)
-            .drop(_KEY)
-        )
-    cuts: list[int] = []
-    if n_files > 1:
-        qs = [i / n_files for i in range(1, n_files)]
-        raw = keyed.stat.approxQuantile(_KEY, qs, 0.001)
-        cuts = sorted({int(c) for c in raw})
-    if cuts:
-        fid = "(" + " + ".join(f"IF({_KEY} > {c}L, 1, 0)" for c in cuts) + ")"
-    else:
-        fid = "0"
-    return (
-        keyed.withColumn(_FID, F.expr(fid))
-        .repartition(max(1, min(n_files, len(cuts) + 1)), F.col(_FID))
-        .sortWithinPartitions(_FID, _KEY)
-        .drop(_KEY)
-    )
 
 #: spark.sql.files.maxPartitionBytes is SESSION-GLOBAL; two cluster()
 #: calls on one session (run_pipeline_many fans tables out on threads)
@@ -494,6 +460,7 @@ def cluster(
                 .drop(_KEY)
                 .write.mode("error")
                 .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", _zstd_level())
                 .partitionBy(*names)
                 .parquet(out_dir)
             )
@@ -507,13 +474,15 @@ def cluster(
             subdir = f"cluster-{base_snapshot:08d}-{curve}{_scope_tag}-{run_token}"
             out_dir = os.path.join(table.data_dir, subdir)
             (
-                _range_file_split(keyed, n_files)
+                keyed.repartitionByRange(n_files, F.col(_KEY))
+                .sortWithinPartitions(_KEY)
+                .drop(_KEY)
                 .write.mode("error")
                 # zstd: clustered files are the cold, read-many end state —
                 # ~30% smaller than snappy and the extra compress CPU
                 # parallelizes where tmpfs page allocation does not
                 .option("compression", "zstd")
-                .partitionBy(_FID)
+                .option("parquet.compression.codec.zstd.level", _zstd_level())
                 .parquet(out_dir)
             )
             added = collect_entries(
@@ -746,6 +715,7 @@ def _cluster_sharded(
                 .drop(_KEY)
                 .write.mode("error")
                 .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", _zstd_level())
                 .partitionBy(*part_names)
                 .parquet(out_dir)
             )
@@ -756,6 +726,7 @@ def _cluster_sharded(
                 .drop(_KEY)
                 .write.mode("error")
                 .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", _zstd_level())
                 .parquet(out_dir)
             )
         outs = collect_entries(list_parquet_files(out_dir), table.root, stat_columns,
