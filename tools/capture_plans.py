@@ -44,8 +44,13 @@ def main() -> None:
             )
         except Exception as e:  # capture the failure instead of dying
             txt = f"EXPLAIN FAILED: {e!r}"
+        lines = txt.splitlines(keepends=True)
+        if len(lines) > 4000:  # unrolled iterative lineage: keep the shape
+            lines = lines[:3500] + [
+                f"\n... TRUNCATED: {len(lines) - 3500} further lines of "
+                "repeated per-round lineage ...\n"]
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
-            f.write(txt)
+            f.writelines(lines)
         print("wrote", name, flush=True)
     stop_spark()
 
