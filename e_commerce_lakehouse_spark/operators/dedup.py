@@ -301,8 +301,11 @@ def minhash_lsh_pairs(
     # branches (measured: 16 full input scans without this, 1 with). The
     # cached set is num_hashes longs per doc — tiny relative to the
     # corpus; at petabyte doc counts write it to a temp table instead.
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
-    sig.count()  # materialize before the fan-out (AQE cache-race guard)
+    # eager localCheckpoint: materializes ONCE before the fan-out (the
+    # AQE cache-race guard) AND cuts the shingle pipeline's lineage out of
+    # every downstream stage job's re-analysis (r6: the banded self-join,
+    # the two verify joins and their AQE stages each re-analyzed it)
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col).localCheckpoint(eager=True)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -362,10 +365,11 @@ def minhash_lsh_incremental(
     across both ops."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signatures(new_df, num_hashes, n, text_col, id_col).persist()
-    sig_old = minhash_signatures(corpus_df, num_hashes, n, text_col, id_col).persist()
-    sig_new.count()  # materialize before the fan-out (AQE cache-race guard)
-    sig_old.count()
+    # eager localCheckpoints: materialize once before the fan-out (AQE
+    # cache-race guard) and cut the shingle pipelines out of downstream
+    # stage-job re-analysis (see minhash_lsh_pairs)
+    sig_new = minhash_signatures(new_df, num_hashes, n, text_col, id_col).localCheckpoint(eager=True)
+    sig_old = minhash_signatures(corpus_df, num_hashes, n, text_col, id_col).localCheckpoint(eager=True)
 
     def _banded(sig, out_id):
         cols = [
@@ -499,8 +503,9 @@ def simhash_pairs(
     # persist: the signature table feeds n_chunks self-joins and Spark
     # won't reuse the exchange across them (one 60-agg token pass instead
     # of 2×n_chunks); one long per doc — tiny
-    sigs = simhash_signatures_df(df, text_col, id_col).persist()
-    sigs.count()  # materialize before the fan-out (AQE cache-race guard)
+    # eager localCheckpoint: materialize once + flat downstream plans
+    # (see minhash_lsh_pairs)
+    sigs = simhash_signatures_df(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = [
         F.shiftright(F.col("sig"), chunk_bits * c)
         .bitwiseAND(F.lit((1 << chunk_bits) - 1))
@@ -589,8 +594,9 @@ def embedding_neardup_lsh(
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", vec_norm(F.col("v"))).persist()  # feeds bucket + 2 verify branches
-    base.count()  # materialize before the fan-out (AQE cache-race guard)
+    ).withColumn("nrm", vec_norm(F.col("v"))).localCheckpoint(eager=True)
+    # eager checkpoint: feeds bucket + 2 verify branches — materialized
+    # once, flat plans downstream (see minhash_lsh_pairs)
     # all tables' signatures in one projection + posexplode, then ONE
     # self-join on (table, bucket): identical candidate set to the old
     # per-table join-union loop, in 1 join and 1 corpus pass (see

@@ -282,11 +282,10 @@ def lsh_ann_topk(
     center = dataset_mean(vectors, dim, vec_col)
     # persist both sides: v feeds the bucket branch + the re-rank join and
     # Spark won't reuse exchanges across them; q is tiny
-    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).persist()
+    # eager checkpoint for v: materialized once before the fan-out (AQE
+    # cache-race guard) with flat downstream plans; q is tiny (persist)
+    v = _norms(vectors, "neighbor_id", "nv", "nn", id_col, vec_col).localCheckpoint(eager=True)
     q = _norms(queries, query_id_col, "qv", "qn", query_id_col, vec_col).persist()
-    # materialize ONCE before the fan-out: concurrent AQE stage jobs would
-    # otherwise race the cold cache and recompute the norm projection
-    v.count()
     # ALL tables' signatures in one projection + posexplode, then ONE
     # equi-join on (table, bucket): identical candidate set to the old
     # per-table join-union loop (t is part of the key), but 1 join job and
