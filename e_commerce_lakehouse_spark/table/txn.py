@@ -114,6 +114,16 @@ class MultiTableTransaction:
         if state != "committed" and txn_state(self.log_path) == "committed":
             raise ValueError(f"transaction {self.txn_id} is already decided "
                              f"committed; refusing {state!r}")
+        if state == "committed" and txn_state(self.log_path) != "pending":
+            # symmetric decision-finality guard (ADVICE r5): a stale txn
+            # that heal presumed aborted (or whose log was vacuumed) must
+            # never be flipped to committed — a participant may already
+            # have acted on the abort, and a vacuumed txn's staged
+            # snapshots may be expired
+            raise ValueError(
+                f"transaction {self.txn_id} is no longer pending "
+                f"(state={txn_state(self.log_path)!r}); refusing to decide "
+                f"committed")
         _write_json_atomic(self.log_path, {
             "txn_id": self.txn_id,
             "state": state,
@@ -196,6 +206,23 @@ class MultiTableTransaction:
                         f"on the current heads",
                         kind="parent-moved",
                     )
+            # Decision-finality re-check UNDER the participant locks
+            # (ADVICE r5): heal's presumed-abort flip takes the same
+            # per-table commit lock, so a stale-txn abort decided while we
+            # were acquiring locks is visible here — refuse to resurrect
+            # it (its staged snapshots may already be expiring) instead of
+            # racing conflicting decisions into the log.
+            if self.state() != "pending":
+                for t, _sid in self._staged:
+                    self._remove_marker(t, self.txn_id)
+                self._done = True
+                raise CommitConflictError(
+                    f"transaction {self.txn_id} was presumed aborted "
+                    f"(stale/vacuumed; log state "
+                    f"{self.state()!r}) before the decision point; "
+                    f"re-stage and retry",
+                    kind="txn-presumed-aborted",
+                )
             # THE decision point: one atomic rename decides the whole txn
             self._write_log("committed")
             flips = 0
@@ -287,11 +314,24 @@ def heal_table_txns(table: Table, stale_txn_s: float = STALE_TXN_S) -> dict:
         else:  # pending / absent
             age_s = time.time() - marker.get("ts_ms", 0) / 1000
             if age_s > stale_txn_s:
-                if state == "pending":
-                    log = _read_json(marker["txn_log"]) or {}
-                    log["state"] = "aborted"
-                    _write_json_atomic(marker["txn_log"], log)
-                MultiTableTransaction._remove_marker(table, txn_id)
+                # presumed-abort flip UNDER the commit lock with a fresh
+                # state re-check (ADVICE r5): a coordinator finishing this
+                # txn holds every participant's lock at its decision
+                # point, so serializing on this table's lock means the
+                # 'pending' we act on cannot be a stale read of a log
+                # that is flipping to committed mid-write — without this,
+                # heal's read-modify-write could overwrite a just-decided
+                # 'committed' with 'aborted' (cross-table divergence)
+                with table._commit_lock():
+                    state2 = txn_state(marker["txn_log"])
+                    if state2 == "committed":
+                        left += 1  # decided after all: next pass heals it
+                        continue
+                    if state2 == "pending":
+                        log = _read_json(marker["txn_log"]) or {}
+                        log["state"] = "aborted"
+                        _write_json_atomic(marker["txn_log"], log)
+                    MultiTableTransaction._remove_marker(table, txn_id)
                 cleaned += 1
             else:
                 left += 1

@@ -334,3 +334,44 @@ def test_cli_txn_ingest_atomic(spark, tmp_path):
     assert scan(spark, Table.load(b.root)).count() == 15
     ta = Table.load(a.root)
     assert "txn" in ta.snapshot(ta.current_snapshot_id()).summary
+
+
+def test_commit_refuses_presumed_aborted_txn(spark, tmp_path):
+    """Decision finality (ADVICE r5): a txn that heal presumed aborted
+    (stale) must never be flipped to committed by a late coordinator —
+    commit raises, nothing publishes, and the log stays aborted."""
+    ta, tb = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "txns"))
+    da = spark.range(10, 15).selectExpr("id", "'a' AS tbl")
+    db = spark.range(10, 15).selectExpr("id", "'b' AS tbl")
+    txn.stage_append(spark, ta, da)
+    txn.stage_append(spark, tb, db)
+    # a heal pass on another node presumed this txn aborted (stale clock)
+    heal_table_txns(ta, stale_txn_s=0.0)
+    assert txn_state(txn.log_path) == "aborted"
+    with pytest.raises(CommitConflictError, match="presumed aborted"):
+        txn.commit()
+    assert txn_state(txn.log_path) == "aborted"  # never resurrected
+    assert scan(spark, Table.load(ta.root)).count() == 10
+    assert scan(spark, Table.load(tb.root)).count() == 10
+
+
+def test_heal_presumed_abort_rechecks_under_lock(spark, tmp_path):
+    """heal's stale-presumed-abort must re-read the log under the commit
+    lock: a log that reads committed by then is left for the committed
+    branch, never overwritten with aborted."""
+    ta, tb = _mk_tables(spark, tmp_path)
+    txn = MultiTableTransaction(str(tmp_path / "txns"))
+    txn.stage_append(spark, ta, spark.range(10, 15).selectExpr("id", "'a' AS tbl"))
+    txn.stage_append(spark, tb, spark.range(10, 15).selectExpr("id", "'b' AS tbl"))
+    txn.commit()
+    # tb's marker was removed by commit; recreate the crashed-mid-flip
+    # state: marker present, log committed, flip already applied — a
+    # stale-threshold heal must take the committed branch (clean), not
+    # the presumed-abort one
+    txn2 = MultiTableTransaction(str(tmp_path / "txns"), txn_id=txn.txn_id)
+    txn2._staged = [(tb, tb.current_snapshot_id())]
+    txn2._write_marker(tb, tb.current_snapshot_id())
+    rep = heal_table_txns(tb, stale_txn_s=0.0)
+    assert rep["cleaned"] == 1 and rep["stuck"] == 0
+    assert txn_state(txn.log_path) == "committed"
