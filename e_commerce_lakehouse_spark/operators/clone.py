@@ -82,6 +82,24 @@ def _capture(t: Table, dst: Table, dst_root: str) -> dict:
                 continue
             shutil.copytree(src_p, os.path.join(dst.metadata_dir, fn))
             continue
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            # skip staged snapshots belonging to in-flight MULTI-TABLE
+            # transactions (summary carries both 'staged' and 'txn_log'):
+            # the clone deliberately drops txns/ markers, so these could
+            # never heal or publish there — but once the SOURCE's shared
+            # log reads committed, the clone's copy would count as
+            # logically published and pin its files forever (ADVICE r5).
+            # Plain single-table WAP stages (no txn_log) age out normally
+            # and are kept, as before.
+            import json as _json
+
+            try:
+                with open(src_p) as f:
+                    summ = (_json.load(f).get("summary") or {})
+                if summ.get("staged") and summ.get("txn_log"):
+                    continue
+            except (OSError, ValueError):
+                pass  # unreadable snapshot file: copy as before
         shutil.copy2(src_p, os.path.join(dst.metadata_dir, fn))
 
     # every data file (and MoR tombstone file) referenced by ANY retained

@@ -216,7 +216,15 @@ def table_quantiles(table, col: str, qs: list[float],
                     cum_before = cum - c
                     est = lo + (width / bins) * (b + (target - cum_before) / c)
                 break
-        out.append((float(q), round(est, 9) if est is not None else None))
+        # Decimal ROUND_HALF_UP, matching est_union/est_common and
+        # DuckDB's half-up round() in the SQL twin (ADVICE r5: Python
+        # round() is banker's and a 9-dp half tie would diverge)
+        if est is not None:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            est = float(Decimal(repr(est)).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP))
+        out.append((float(q), est))
     return out
 
 
@@ -399,5 +407,7 @@ def key_overlap_estimate(table_a, col_a: str, table_b, col_b: str,
         Decimal("0.01"), rounding=ROUND_HALF_UP))
     out.update(k=k, n_min=int(n_min), n_inter=int(inter),
                est_union=est_union,
-               jaccard=round(jac, 9), est_common=est_common)
+               jaccard=float(Decimal(repr(jac)).quantize(
+                   Decimal("0.000000001"), rounding=ROUND_HALF_UP)),
+               est_common=est_common)
     return out

@@ -96,3 +96,28 @@ def test_clone_excludes_locks_txns_checkpoints(spark, tmp_path, src_table):
     assert not os.path.isdir(os.path.join(c.metadata_dir, "txns"))
     assert not any(f.endswith(".ckpt.jsonl")
                    for f in os.listdir(c.metadata_dir))
+
+
+def test_clone_skips_inflight_multitable_txn_stage(spark, tmp_path, src_table):
+    """ADVICE r5: a staged snapshot belonging to an in-flight MULTI-TABLE
+    txn must not be captured — in the clone it can never heal or publish
+    (txns/ markers are deliberately dropped), yet once the shared log
+    reads committed it would count as logically published and pin its
+    files forever. Plain WAP stages (no txn_log) are still captured."""
+    from e_commerce_lakehouse_spark.table.txn import MultiTableTransaction
+
+    t, docs = src_table
+    # plain single-table WAP stage: must survive the clone
+    wap = append_dataframe(spark, t, docs.limit(3), publish=False)
+    # in-flight multi-table txn stage: must be skipped
+    txn = MultiTableTransaction(str(tmp_path / "txns"))
+    staged = txn.stage_append(spark, t, docs.limit(5))
+    dst = str(tmp_path / "dst")
+    shallow_clone(t, dst)
+    c = Table.load(dst)
+    cloned_ids = set(c.snapshot_ids())
+    assert wap.snapshot_id in cloned_ids
+    assert staged.snapshot_id not in cloned_ids
+    # source keeps both, and the txn still commits there
+    assert staged.snapshot_id in set(t.snapshot_ids())
+    txn.commit()
