@@ -257,7 +257,12 @@ def pagerank_integer(
 
     Scale shape per iteration: one edges⋈ranks equi-join + one
     map-side-combinable groupBy(dst) — the standard distributed
-    PageRank step; ranks persist each iteration to cut lineage.
+    PageRank step. Edges and per-round ranks are LAZY localCheckpoints,
+    not persists: a persist keeps the FULL upstream logical plan (for
+    q165 the whole copurchase pipeline) inside every round's analysis,
+    and each round references ranks twice, so the nested plan grows
+    2^rounds — the checkpoint flattens each round to a scan (the kcore
+    fix; everything materializes inside the single final action).
     Fixed ``iterations`` (default 3) keeps the plan finite and the
     DuckDB oracle an unrolled CTE chain.
 
@@ -270,7 +275,7 @@ def pagerank_integer(
     e = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
         und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
-    e = e.persist()
+    e = e.localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes_df = deg.agg(F.count(F.lit(1)).alias("n"))
     # init: equal integer share of the mass (floor; dust dropped
@@ -280,45 +285,40 @@ def pagerank_integer(
         "deg",
         F.expr(f"{scale} div n").alias("rank_s"),
         F.col("n"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     base_term = f"(({scale} div n) * {100 - damping_pct}) div 100"
-    pinned = [e, r]
-    try:
-        for _ in range(iterations):
-            contrib = r.select(
-                "src", F.expr("rank_s div deg").alias("c")
-            ).join(e, "src").select(F.col("dst").alias("src"), "c")
-            inflow = contrib.groupBy("src").agg(
-                F.sum(F.col("c").cast("decimal(38,0)"))
-                .cast("long")
-                .alias("inflow")
-            )
-            r = (
-                r.select("src", "deg", "n")
-                .join(inflow, "src", "left")
-                .select(
-                    "src",
-                    "deg",
-                    "n",
-                    F.expr(
-                        f"{base_term} + ({damping_pct} *"
-                        " coalesce(inflow, 0)) div 100"
-                    ).alias("rank_s"),
-                )
-                .persist()
-            )
-            pinned.append(r)
-        result = r.select(
-            F.col("src").alias("node"),
-            F.col("rank_s").cast("long").alias("rank_scaled"),
-            F.round(F.col("rank_s").cast("double") / float(scale), 9).alias(
-                "rank"
-            ),
+    for _ in range(iterations):
+        contrib = r.select(
+            "src", F.expr("rank_s div deg").alias("c")
+        ).join(e, "src").select(F.col("dst").alias("src"), "c")
+        inflow = contrib.groupBy("src").agg(
+            F.sum(F.col("c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("inflow")
         )
-        return result.localCheckpoint(eager=True)
-    finally:
-        for p in pinned:
-            p.unpersist()
+        r = (
+            r.select("src", "deg", "n")
+            .join(inflow, "src", "left")
+            .select(
+                "src",
+                "deg",
+                "n",
+                F.expr(
+                    f"{base_term} + ({damping_pct} *"
+                    " coalesce(inflow, 0)) div 100"
+                ).alias("rank_s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    result = r.select(
+        F.col("src").alias("node"),
+        F.col("rank_s").cast("long").alias("rank_scaled"),
+        F.round(F.col("rank_s").cast("double") / float(scale), 9).alias(
+            "rank"
+        ),
+    )
+    # checkpoint blocks are GC'd by the ContextCleaner on deref
+    return result.localCheckpoint(eager=True)
 
 
 def kcore(
