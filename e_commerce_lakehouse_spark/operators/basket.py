@@ -301,6 +301,13 @@ def frequent_triples(
         # closure is only lossless when every leg of a qualifying triple
         # is itself a frequent pair
         min_pair_support = min_triple_support
+    # EAGER checkpoint: the pair table is referenced four times below
+    # (both closure legs + the frequent-item union); without the cut the
+    # whole copurchase self-join pipeline inlines into the triple plan
+    # four times — measured 8.7 s of driver-side analysis against 7.0 s
+    # of actual job wall, and concurrent AQE stage jobs can race the
+    # cold upstream (the signature-table finding). Bounded: the frequent
+    # pair list is support-pruned, far smaller than the basket table.
     pairs = copurchase_pairs(
         lines,
         basket_col=basket_col,
@@ -308,7 +315,9 @@ def frequent_triples(
         min_item_support=min_item_support,
         min_pair_support=min_pair_support,
         max_basket_items=max_basket_items,
-    ).select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    ).select(
+        F.col("item_a").alias("pa"), F.col("item_b").alias("pb")
+    ).localCheckpoint(eager=True)
     bi = (
         lines.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -331,7 +340,9 @@ def frequent_triples(
         .unionByName(pairs.select(F.col("pb").alias("item")))
         .distinct()
     )
-    b = bi.join(freq_items, "item")
+    # same cut for the pruned basket-item table: it is the probe side of
+    # all three triple-join legs
+    b = bi.join(freq_items, "item").localCheckpoint(eager=True)
     t = (
         b.select("basket", F.col("item").alias("a"))
         .join(b.select("basket", F.col("item").alias("b")), "basket")

@@ -801,14 +801,22 @@ def bootstrap_ci(
     Scale shape: the (row x resample) expansion is |df| x B with B
     bounded (default 200) and map-side partial aggregation — one
     shuffle keyed on the resample index, B groups. The rank selection
-    runs over B rows only (explicitly tiny window).
+    runs over B rows only (explicitly tiny window). The input takes the
+    small-input parallelism guard: the |df| x B md5 expansion happens
+    BEFORE the first shuffle, so a single-file scan would run all of it
+    on one core (measured 34 s -> 3 s on sf0.1 orders by widening
+    1 -> 32 partitions; a no-op on multi-split inputs at scale).
     """
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     if n_resamples < 2:
         raise ValueError(f"n_resamples must be >= 2, got {n_resamples}")
+    from ..plans.parallelism import ensure_min_parallelism
+
     spark = df.sparkSession
-    base = df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull()).select(
+    base = ensure_min_parallelism(
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+    ).select(
         F.col(id_col).cast("string").alias("id"),
         F.round(F.col(value_col) * 100).cast("long").alias("v_c"),
     )
