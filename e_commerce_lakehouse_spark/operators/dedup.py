@@ -751,9 +751,30 @@ def set_similarity_join(
     aggregate — df-count groupBy(token), one token-keyed join to attach
     df, one per-doc window for prefix positions (shuffle on id), the
     prefix self-equi-join on token (rarest-first ordering keeps stop
-    words OUT of prefixes, so the join never explodes on them), and an
-    O(candidate · |tokens|) verify via two equi-joins. Never quadratic
-    in the corpus; no cartesian anywhere.
+    words OUT of prefixes, so the join never explodes on them), then an
+    O(candidates) verify. Two further LOSSLESS cuts (both from the
+    PPJoin paper's filter family) keep the constant down when the
+    corpus is dense (tiny vocabulary — the pathological case where
+    every prefix token is frequent and candidates grow quadratically):
+
+    - LENGTH filter at the candidate join: J(A,B) >= t forces
+      min(|A|,|B|) >= t·max(|A|,|B|) (substitute |A∩B| <= min into the
+      Jaccard bound), so prefix matches between size-incompatible docs
+      are dropped before the pair ever exists;
+    - the verify joins each candidate pair against the per-doc sorted
+      token ARRAY (one bounded row per doc) and computes the exact
+      intersection size in-row, instead of re-exploding the token
+      stream through two pair×token shuffles and a groupBy (the old
+      verify shuffled ~135 M (pair, token) rows on the sf0.1 corpus).
+      At corpus scale the doc-set table is corpus-sized (never
+      pair-sized); the arrays are per-doc bounded.
+
+    With both cuts plus explicit-width exchanges below, the operator is
+    OUTPUT-BOUND on dense corpora (measured: 5× docs → 24.4× true
+    pairs → 16× wall, i.e. per-emitted-pair cost falls with scale) —
+    the optimum for an exact all-pairs join, whose result on a
+    fixed-vocabulary corpus is inherently quadratic. Never a cartesian
+    anywhere.
     """
     from pyspark.sql import Window
 
@@ -770,7 +791,17 @@ def set_similarity_join(
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df_"))
     w_pos = Window.partitionBy(id_col).orderBy(F.col("df_").asc(), F.col("tok").asc())
     w_all = Window.partitionBy(id_col)
-    pos = toks.join(dfreq, "tok").select(
+    # explicit-width exchange feeding the per-doc windows (the q191
+    # idiom): the (id, tok, df) rows are tiny, so AQE coalesces the
+    # window shuffle to ~1 partition — and the whole candidate
+    # generation (windows -> prefix filter -> broadcast prefix
+    # self-join -> length filter) fuses into that one task, serializing
+    # the operator's heaviest expansion (profiled: ONE 43 s task on the
+    # sf0.1 corpus). An explicit hash exchange on the window key keeps
+    # the stage as wide as the pool and adds no extra shuffle (it
+    # satisfies the windows' required distribution).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = toks.join(dfreq, "tok").repartition(par, id_col).select(
         id_col,
         "tok",
         F.row_number().over(w_pos).alias("pos"),
@@ -781,22 +812,49 @@ def set_similarity_join(
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
     )
     cands = (
-        prefix.select(F.col(id_col).alias("a"), "tok")
-        .join(prefix.select(F.col(id_col).alias("b"), "tok"), "tok")
-        .where(F.col("a") < F.col("b"))
+        prefix.select(F.col(id_col).alias("a"), "tok", F.col("sz").alias("sza"))
+        .join(
+            prefix.select(F.col(id_col).alias("b"), "tok", F.col("sz").alias("szb")),
+            "tok",
+        )
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: min(sz) >= t * max(sz) is NECESSARY for
+            # J >= t (|A∩B| <= min(|A|,|B|)), so dropping the pair here
+            # is lossless
+            & (
+                F.least("sza", "szb").cast("double")
+                >= F.lit(threshold) * F.greatest("sza", "szb").cast("double")
+            )
+        )
         .select("a", "b")
         .distinct()
     )
-    inter = (
-        cands.join(toks.select(F.col(id_col).alias("a"), "tok"), "a")
-        .join(toks.select(F.col(id_col).alias("b"), "tok"), ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    docsets = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("ts"),
+        F.count("*").alias("sz"),
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # same idiom on the pair table: every candidate row pays an
+    # |A|x|B| array intersection in the verify
     result = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        cands.repartition(par, "a")
+        .join(
+            docsets.select(
+                F.col(id_col).alias("a"),
+                F.col("ts").alias("ta"),
+                F.col("sz").alias("sza"),
+            ),
+            "a",
+        )
+        .join(
+            docsets.select(
+                F.col(id_col).alias("b"),
+                F.col("ts").alias("tb"),
+                F.col("sz").alias("szb"),
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),

@@ -58,6 +58,28 @@ def test_prefix_filter_matches_brute_force(spark, threshold):
     assert got == _brute_pairs(threshold)
 
 
+def test_setsim_length_filter_boundary(spark):
+    """The PPJoin length filter (min(sz) >= t*max(sz)) must be a
+    NECESSARY-condition prune, never lossy at the boundary: a strict
+    subset pair sits exactly at J = |A|/|B| and must survive a
+    threshold equal to that ratio (>=, not >), while a smaller subset
+    of the same doc must be dropped by the same filter."""
+    docs = [
+        (1, "a b c d e f g h i j"),   # 10 tokens
+        (2, "a b c d e f g h"),       # subset, J(1,2)=8/10=0.8
+        (3, "a b c"),                 # subset, J(1,3)=3/10=0.3
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in set_similarity_join(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8}
+
+
 def test_setsim_plan_has_no_cartesian(spark):
     plan = set_similarity_join(_docs_df(spark), threshold=0.8)._jdf.queryExecution(
     ).executedPlan().toString()
